@@ -1,0 +1,435 @@
+"""KeySet: the domain of a group-by, as a lazy op-tree over DataFrames.
+
+Fresh implementation of the algebra documented at
+``/root/reference/src/tmlt/analytics/keyset/_keyset.py`` and
+``keyset/_ops/``:
+
+- 8 ops: from_tuples/from_dataframe sources, cross join (``*``), natural
+  join, subtract (``-``), union (``|``), project (``[]``), filter, detect
+  (detect is handled at the Session level as DP partition selection).
+- Columns restricted to INTEGER / DATE / VARCHAR
+  (keyset/_ops/_utils.py:10).
+- Materialization always deduplicates (keyset/_keyset.py:461-480).
+- Small cross products (estimated <= 2**20 rows) are computed driver-side
+  instead of a Spark crossJoin (keyset/_ops/_rules.py:23, 282-349) — at
+  scale the keyset is the *broadcast* side of the aggregation join, so
+  keeping it driver-resident when tiny avoids pointless Spark jobs.
+
+Spark mapping: crossJoin / null-safe join / left_anti / unionByName+distinct
+/ select+dropDuplicates / filter. Catalyst handles ordering; we keep the
+driver-side fast path because Catalyst will not constant-fold a cross
+product of literal domains.
+"""
+
+from __future__ import annotations
+
+import datetime
+import itertools
+from abc import ABC, abstractmethod
+from dataclasses import dataclass
+from typing import Any, Dict, Iterable, List, Mapping, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schema import ColumnType, Schema, coerce_spark_schema, schema_from_spark
+from .utils import nullsafe_anti_join, nullsafe_equi_join
+
+#: Types allowed in KeySet columns (reference keyset/_ops/_utils.py:10).
+KEYSET_COLUMN_TYPES = (ColumnType.INTEGER, ColumnType.DATE, ColumnType.VARCHAR)
+
+#: Cross products estimated at or below this many rows are computed in driver
+#: memory (reference keyset/_ops/_rules.py:23).
+IN_MEMORY_CROSSJOIN_LIMIT = 2**20
+
+_SPARK_T = {
+    ColumnType.INTEGER: T.LongType(),
+    ColumnType.DATE: T.DateType(),
+    ColumnType.VARCHAR: T.StringType(),
+}
+
+
+def _py_keyset_type(v: Any) -> ColumnType:
+    if isinstance(v, bool):
+        raise ValueError("BOOLEAN values are not allowed in KeySets")
+    if isinstance(v, int):
+        return ColumnType.INTEGER
+    if isinstance(v, str):
+        return ColumnType.VARCHAR
+    if isinstance(v, datetime.datetime):
+        raise ValueError("TIMESTAMP columns are not allowed in KeySets")
+    if isinstance(v, datetime.date):
+        return ColumnType.DATE
+    raise ValueError(f"Unsupported KeySet value type: {type(v).__name__}")
+
+
+def _spark() -> SparkSession:
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("No active SparkSession")
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Op tree
+
+
+class _Op(ABC):
+    @abstractmethod
+    def columns(self) -> Tuple[str, ...]:
+        ...
+
+    @abstractmethod
+    def schema(self) -> Dict[str, ColumnType]:
+        ...
+
+    def estimated_size(self) -> Optional[int]:
+        """Upper-bound row estimate if cheaply known (driver-side data)."""
+        return None
+
+    def local_rows(self) -> Optional[List[Tuple]]:
+        """Rows if this subtree is materializable driver-side, else None."""
+        return None
+
+    @abstractmethod
+    def to_df(self) -> DataFrame:
+        ...
+
+
+@dataclass
+class _FromTuples(_Op):
+    cols: Tuple[str, ...]
+    types: Dict[str, ColumnType]
+    rows: Tuple[Tuple, ...]  # deduplicated, insertion order
+
+    def columns(self):
+        return self.cols
+
+    def schema(self):
+        return dict(self.types)
+
+    def estimated_size(self):
+        return len(self.rows)
+
+    def local_rows(self):
+        return list(self.rows)
+
+    def to_df(self):
+        fields = [T.StructField(c, _SPARK_T[self.types[c]], True) for c in self.cols]
+        return _spark().createDataFrame(list(self.rows), T.StructType(fields))
+
+
+@dataclass
+class _FromDataFrame(_Op):
+    df: DataFrame
+    types: Dict[str, ColumnType]
+
+    def columns(self):
+        return tuple(self.types)
+
+    def schema(self):
+        return dict(self.types)
+
+    def to_df(self):
+        return self.df.select(*self.types).dropDuplicates()
+
+
+@dataclass
+class _CrossJoin(_Op):
+    left: _Op
+    right: _Op
+
+    def columns(self):
+        return self.left.columns() + self.right.columns()
+
+    def schema(self):
+        return {**self.left.schema(), **self.right.schema()}
+
+    def estimated_size(self):
+        l, r = self.left.estimated_size(), self.right.estimated_size()
+        return l * r if l is not None and r is not None else None
+
+    def local_rows(self):
+        est = self.estimated_size()
+        if est is None or est > IN_MEMORY_CROSSJOIN_LIMIT:
+            return None
+        l, r = self.left.local_rows(), self.right.local_rows()
+        if l is None or r is None:
+            return None
+        return [a + b for a, b in itertools.product(l, r)]
+
+    def to_df(self):
+        rows = self.local_rows()
+        if rows is not None:
+            fields = [
+                T.StructField(c, _SPARK_T[t], True) for c, t in self.schema().items()
+            ]
+            return _spark().createDataFrame(rows, T.StructType(fields))
+        return self.left.to_df().crossJoin(self.right.to_df())
+
+
+@dataclass
+class _Join(_Op):
+    left: _Op
+    right: _Op
+
+    def columns(self):
+        lc = self.left.columns()
+        return lc + tuple(c for c in self.right.columns() if c not in lc)
+
+    def schema(self):
+        return {**self.left.schema(), **self.right.schema()}
+
+    def to_df(self):
+        common = [c for c in self.left.columns() if c in set(self.right.columns())]
+        return nullsafe_equi_join(self.left.to_df(), self.right.to_df(), common)
+
+
+@dataclass
+class _Subtract(_Op):
+    left: _Op
+    right: _Op
+
+    def columns(self):
+        return self.left.columns()
+
+    def schema(self):
+        return self.left.schema()
+
+    def to_df(self):
+        return nullsafe_anti_join(
+            self.left.to_df(), self.right.to_df(), list(self.right.columns())
+        )
+
+
+@dataclass
+class _Union(_Op):
+    left: _Op
+    right: _Op
+
+    def columns(self):
+        return self.left.columns()
+
+    def schema(self):
+        return self.left.schema()
+
+    def to_df(self):
+        return self.left.to_df().unionByName(self.right.to_df()).dropDuplicates()
+
+
+@dataclass
+class _Project(_Op):
+    child: _Op
+    cols: Tuple[str, ...]
+
+    def columns(self):
+        return self.cols
+
+    def schema(self):
+        cs = self.child.schema()
+        return {c: cs[c] for c in self.cols}
+
+    def to_df(self):
+        return self.child.to_df().select(*self.cols).dropDuplicates()
+
+
+@dataclass
+class _Filter(_Op):
+    child: _Op
+    condition: Union[str, Column]
+
+    def columns(self):
+        return self.child.columns()
+
+    def schema(self):
+        return self.child.schema()
+
+    def to_df(self):
+        return self.child.to_df().filter(self.condition)
+
+
+# ---------------------------------------------------------------------------
+
+
+class KeySet:
+    """An immutable set of group keys, lazily defined."""
+
+    def __init__(self, op: _Op):
+        self._op = op
+        self._materialized: Optional[DataFrame] = None
+
+    # Constructors ----------------------------------------------------------
+    @classmethod
+    def from_dict(
+        cls, domains: Mapping[str, Union[Iterable, Any]]
+    ) -> "KeySet":
+        """Cross product of per-column domains. ``from_dict({})`` is the
+        empty keyset = a single global group."""
+        factors: List[_Op] = []
+        for col, vals in domains.items():
+            if isinstance(vals, (str, int, datetime.date)):
+                vals = [vals]
+            vals = list(vals)
+            if not vals:
+                raise ValueError(f"Domain for column {col!r} is empty")
+            types = {v for v in vals if v is not None}
+            tset = {_py_keyset_type(v) for v in types}
+            if len(tset) > 1:
+                raise ValueError(f"Mixed types in domain for column {col!r}")
+            ctype = tset.pop() if tset else ColumnType.VARCHAR
+            seen = dict.fromkeys(vals)
+            factors.append(
+                _FromTuples((col,), {col: ctype}, tuple((v,) for v in seen))
+            )
+        if not factors:
+            return cls(_FromTuples((), {}, ((),)))
+        op = factors[0]
+        for f in factors[1:]:
+            op = _CrossJoin(op, f)
+        return cls(op)
+
+    @classmethod
+    def from_tuples(
+        cls, tuples: Iterable[Tuple], columns: Sequence[str]
+    ) -> "KeySet":
+        cols = tuple(columns)
+        rows = [tuple(t) for t in tuples]
+        if not cols and rows:
+            raise ValueError("Column names are required")
+        types: Dict[str, ColumnType] = {}
+        for i, c in enumerate(cols):
+            tset = {
+                _py_keyset_type(r[i]) for r in rows if r[i] is not None
+            }
+            if len(tset) > 1:
+                raise ValueError(f"Mixed types in column {c!r}")
+            types[c] = tset.pop() if tset else ColumnType.VARCHAR
+        seen = dict.fromkeys(rows)
+        return cls(_FromTuples(cols, types, tuple(seen)))
+
+    @classmethod
+    def from_dataframe(cls, dataframe: DataFrame) -> "KeySet":
+        df = coerce_spark_schema(dataframe)
+        sch = schema_from_spark(df.schema)
+        types: Dict[str, ColumnType] = {}
+        for c, d in sch.items():
+            if d.column_type not in KEYSET_COLUMN_TYPES:
+                raise ValueError(
+                    f"KeySet column {c!r} has type {d.column_type.name}; only "
+                    "INTEGER, DATE, and VARCHAR are allowed"
+                )
+            types[c] = d.column_type
+        return cls(_FromDataFrame(df, types))
+
+    # Algebra ---------------------------------------------------------------
+    def __mul__(self, other: "KeySet") -> "KeySet":
+        overlap = set(self.columns()) & set(other.columns())
+        if overlap:
+            raise ValueError(f"Cannot cross-join KeySets sharing columns {overlap}")
+        return KeySet(_CrossJoin(self._op, other._op))
+
+    def join(self, other: "KeySet") -> "KeySet":
+        overlap = set(self.columns()) & set(other.columns())
+        if not overlap:
+            raise ValueError("KeySet join requires at least one shared column")
+        return KeySet(_Join(self._op, other._op))
+
+    def __sub__(self, other: "KeySet") -> "KeySet":
+        if not set(other.columns()) <= set(self.columns()):
+            raise ValueError(
+                "Subtracted KeySet's columns must be a subset of this KeySet's"
+            )
+        return KeySet(_Subtract(self._op, other._op))
+
+    def union(self, other: "KeySet") -> "KeySet":
+        if set(other.columns()) != set(self.columns()):
+            raise ValueError("Unioned KeySets must have the same columns")
+        return KeySet(_Union(self._op, other._op))
+
+    __or__ = union
+
+    def __getitem__(
+        self, columns: Union[str, Sequence[str]]
+    ) -> "KeySet":
+        if isinstance(columns, str):
+            columns = (columns,)
+        columns = tuple(columns)
+        missing = set(columns) - set(self.columns())
+        if missing:
+            raise ValueError(f"Columns not in KeySet: {missing}")
+        return KeySet(_Project(self._op, columns))
+
+    def filter(self, condition: Union[str, Column]) -> "KeySet":
+        return KeySet(_Filter(self._op, condition))
+
+    # Introspection ---------------------------------------------------------
+    def columns(self) -> Tuple[str, ...]:
+        return self._op.columns()
+
+    def schema(self) -> Schema:
+        return Schema({c: t for c, t in self._op.schema().items()})
+
+    def column_types(self) -> Dict[str, ColumnType]:
+        return self._op.schema()
+
+    def is_empty(self) -> bool:
+        """True for the empty keyset (single global group, no columns)."""
+        return len(self.columns()) == 0
+
+    # Materialization -------------------------------------------------------
+    def dataframe(self) -> DataFrame:
+        """Materialize as a deduplicated DataFrame (column order preserved)."""
+        if self._materialized is None:
+            df = self._op.to_df()
+            # Sources and local products are pre-deduplicated; DataFrame
+            # sources and compound ops dedup in to_df(). A final safety
+            # dropDuplicates is avoided when the op guarantees distinctness.
+            if isinstance(self._op, (_Join, _CrossJoin, _Subtract, _Filter)):
+                # joins of distinct inputs on all common columns stay
+                # distinct, cross products of distinct inputs are distinct,
+                # anti-join/filter of distinct input is distinct.
+                pass
+            self._materialized = df
+        return self._materialized
+
+    def local_rows(self) -> Optional[List[Tuple]]:
+        """Driver-side rows when the keyset is small and literal, else None."""
+        return self._op.local_rows()
+
+    def cache(self) -> "KeySet":
+        self.dataframe().cache()
+        return self
+
+    def uncache(self) -> "KeySet":
+        if self._materialized is not None:
+            self._materialized.unpersist()
+        return self
+
+    def size(self) -> int:
+        rows = self.local_rows()
+        if rows is not None:
+            return len(rows)
+        return self.dataframe().count()
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, KeySet):
+            return NotImplemented
+        if set(self.columns()) != set(other.columns()):
+            return False
+        a, b = self.local_rows(), other.local_rows()
+        if a is not None and b is not None:
+            cols_a, cols_b = self.columns(), other.columns()
+            idx = [cols_a.index(c) for c in cols_b]
+            a_norm = {tuple(r[i] for i in idx) for r in a}
+            return a_norm == set(b)
+        left, right = self.dataframe(), other.dataframe().select(*self.columns())
+        return (
+            left.exceptAll(right).isEmpty() and right.exceptAll(left).isEmpty()
+        )
+
+    def __hash__(self) -> int:
+        return hash(tuple(sorted(self.columns())))
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        return f"KeySet(columns={list(self.columns())})"

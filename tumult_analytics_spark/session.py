@@ -1,0 +1,360 @@
+"""Session: the interactive DP container.
+
+Fresh implementation of the behavior documented at
+``/root/reference/src/tmlt/analytics/session.py``: private/public table
+registry, privacy-budget ledger (sequential composition), evaluate /
+create_view / delete_view / partition_and_create, schema introspection, and
+noise introspection. All execution is lazy PySpark; ``evaluate`` returns a
+DataFrame whose plan ends in the noise stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace as dc_replace
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .budget import ApproxDPBudget, PrivacyBudget, PureDPBudget, RhoZCDPBudget
+from .builder import Query, QueryBuilder
+from .constraints import MaxGroupsPerID, MaxRowsPerID
+from .keyset import KeySet
+from .plans import expr as E
+from .plans.compiler import (
+    CompileContext,
+    CompiledTable,
+    SourceTable,
+    compile_measurement,
+    compile_transform,
+)
+from .plans.rewrite import rewrite
+from .protected import AddRowsWithID, ProtectedChange
+from .schema import Schema, coerce_spark_schema, schema_from_spark
+
+
+class Session:
+    """Holds private data and a privacy budget; the only way to execute."""
+
+    # ------------------------------------------------------------------
+    class Builder:
+        def __init__(self):
+            self._budget: Optional[PrivacyBudget] = None
+            self._private: Dict[str, tuple] = {}
+            self._public: Dict[str, DataFrame] = {}
+            self._id_spaces: List[str] = []
+
+        def with_privacy_budget(self, privacy_budget: PrivacyBudget) -> "Session.Builder":
+            self._budget = privacy_budget
+            return self
+
+        def with_private_dataframe(
+            self,
+            source_id: str,
+            dataframe: DataFrame,
+            protected_change: ProtectedChange,
+        ) -> "Session.Builder":
+            self._private[source_id] = (dataframe, protected_change)
+            return self
+
+        def with_public_dataframe(
+            self, source_id: str, dataframe: DataFrame
+        ) -> "Session.Builder":
+            self._public[source_id] = dataframe
+            return self
+
+        def with_id_space(self, id_space: str) -> "Session.Builder":
+            self._id_spaces.append(id_space)
+            return self
+
+        def build(self) -> "Session":
+            if self._budget is None:
+                raise ValueError("A privacy budget is required")
+            if not self._private:
+                raise ValueError("At least one private dataframe is required")
+            sess = Session(self._budget)
+            for sid, (df, pc) in self._private.items():
+                sess._register_private(sid, df, pc)
+            for sid, df in self._public.items():
+                sess.add_public_dataframe(sid, df)
+            return sess
+
+    # ------------------------------------------------------------------
+    def __init__(self, privacy_budget: PrivacyBudget):
+        self._initial_budget = privacy_budget
+        self._remaining = privacy_budget
+        self._private: Dict[str, SourceTable] = {}
+        self._public: Dict[str, DataFrame] = {}
+        self._views: Dict[str, CompiledTable] = {}
+        self._view_cached: Dict[str, bool] = {}
+        self._stopped = False
+        self._children: List["Session"] = []
+
+    @classmethod
+    def from_dataframe(
+        cls,
+        privacy_budget: PrivacyBudget,
+        source_id: str,
+        dataframe: DataFrame,
+        protected_change: ProtectedChange,
+    ) -> "Session":
+        return (
+            cls.Builder()
+            .with_privacy_budget(privacy_budget)
+            .with_private_dataframe(source_id, dataframe, protected_change)
+            .build()
+        )
+
+    # --- registration --------------------------------------------------
+    def _register_private(
+        self, source_id: str, df: DataFrame, pc: ProtectedChange
+    ) -> None:
+        if source_id in self._private or source_id in self._public:
+            raise ValueError(f"Table {source_id!r} already exists")
+        df = coerce_spark_schema(df)
+        if isinstance(pc, AddRowsWithID):
+            if pc.id_column not in df.columns:
+                raise ValueError(
+                    f"ID column {pc.id_column!r} not in dataframe columns"
+                )
+            schema = schema_from_spark(
+                df.schema, id_column=pc.id_column, id_space=pc.id_space
+            )
+        else:
+            schema = schema_from_spark(df.schema)
+        self._private[source_id] = SourceTable(df, schema, pc)
+
+    def add_public_dataframe(self, source_id: str, dataframe: DataFrame) -> None:
+        if source_id in self._public or source_id in self._private:
+            raise ValueError(f"Table {source_id!r} already exists")
+        self._public[source_id] = coerce_spark_schema(dataframe)
+
+    # --- introspection -------------------------------------------------
+    @property
+    def private_sources(self) -> List[str]:
+        return list(self._private) + list(self._views)
+
+    @property
+    def public_sources(self) -> List[str]:
+        return list(self._public)
+
+    @property
+    def public_source_dataframes(self) -> Dict[str, DataFrame]:
+        return dict(self._public)
+
+    @property
+    def remaining_privacy_budget(self) -> PrivacyBudget:
+        return self._remaining
+
+    def get_schema(self, source_id: str) -> Schema:
+        return self._catalog()[source_id]
+
+    def get_column_types(self, source_id: str) -> Dict[str, Any]:
+        return {c: d.column_type for c, d in self.get_schema(source_id).items()}
+
+    def get_grouping_column(self, source_id: str) -> Optional[str]:
+        return self.get_schema(source_id).grouping_column
+
+    def get_id_column(self, source_id: str) -> Optional[str]:
+        return self.get_schema(source_id).id_column
+
+    def get_id_space(self, source_id: str) -> Optional[str]:
+        return self.get_schema(source_id).id_space
+
+    def describe(self, query_or_source: Union[str, Query, QueryBuilder, None] = None) -> None:
+        """Pretty-print schemas (reference session.py:550-736)."""
+        catalog = self._catalog()
+        if query_or_source is None:
+            print(f"Sessions with remaining budget: {self._remaining!r}")
+            for name in self.private_sources:
+                print(f"\nTable {name!r} (private):")
+                self._describe_schema(catalog[name])
+            for name in self._public:
+                print(f"\nTable {name!r} (public):")
+                self._describe_schema(schema_from_spark(self._public[name].schema))
+            return
+        if isinstance(query_or_source, str):
+            self._describe_schema(catalog[query_or_source])
+            return
+        expr = (
+            query_or_source.expr
+            if isinstance(query_or_source, Query)
+            else query_or_source._expr
+        )
+        self._describe_schema(expr.schema(catalog))
+
+    @staticmethod
+    def _describe_schema(schema: Schema) -> None:
+        rows = [
+            (
+                c,
+                d.column_type.name,
+                "yes" if d.allow_null else "no",
+                "yes" if d.allow_nan else "no",
+                "yes" if d.allow_inf else "no",
+            )
+            for c, d in schema.items()
+        ]
+        widths = [
+            max(len(h), *(len(r[i]) for r in rows)) if rows else len(h)
+            for i, h in enumerate(["column", "type", "null", "nan", "inf"])
+        ]
+        header = ["column", "type", "null", "nan", "inf"]
+        print("  " + "  ".join(h.ljust(w) for h, w in zip(header, widths)))
+        for r in rows:
+            print("  " + "  ".join(v.ljust(w) for v, w in zip(r, widths)))
+        if schema.id_column:
+            print(f"  id_column: {schema.id_column} (space {schema.id_space})")
+        if schema.grouping_column:
+            print(f"  grouping_column: {schema.grouping_column}")
+
+    # --- internals -----------------------------------------------------
+    def _catalog(self) -> Dict[str, Schema]:
+        cat = {sid: st.schema for sid, st in self._private.items()}
+        cat.update({name: v.schema for name, v in self._views.items()})
+        cat.update(
+            {sid: schema_from_spark(df.schema) for sid, df in self._public.items()}
+        )
+        return cat
+
+    def _context(self) -> CompileContext:
+        return CompileContext(
+            private_tables=self._private,
+            public_tables=self._public,
+            catalog=self._catalog(),
+            views=self._views,
+        )
+
+    def _check_active(self) -> None:
+        if self._stopped:
+            raise RuntimeError("This session has been stopped")
+
+    def _check_budget_type(self, budget: PrivacyBudget) -> None:
+        if type(budget) is not type(self._initial_budget):
+            # PureDP queries are allowed on ApproxDP sessions (eps, 0).
+            if isinstance(self._initial_budget, ApproxDPBudget) and isinstance(
+                budget, PureDPBudget
+            ):
+                return
+            raise ValueError(
+                f"Budget type mismatch: session uses "
+                f"{type(self._initial_budget).__name__}, query requested "
+                f"{type(budget).__name__}"
+            )
+
+    def _spend(self, budget: PrivacyBudget) -> None:
+        if isinstance(self._initial_budget, ApproxDPBudget) and isinstance(
+            budget, PureDPBudget
+        ):
+            budget = ApproxDPBudget(budget.epsilon, 0)
+        self._remaining = self._remaining.subtract(budget)
+
+    # --- the three entry points ---------------------------------------
+    def evaluate(self, query: Query, privacy_budget: PrivacyBudget) -> DataFrame:
+        """Execute a measurement query, deduct budget, return noisy result."""
+        self._check_active()
+        self._check_budget_type(privacy_budget)
+        expr = query.expr if isinstance(query, Query) else query
+        ctx = self._context()
+        expr = rewrite(expr, ctx.catalog)
+        expr.schema(ctx.catalog)  # validate
+        result = compile_measurement(expr, ctx, privacy_budget)
+        self._spend(privacy_budget)
+        return result.df
+
+    def _noise_info(self, query: Query, privacy_budget: PrivacyBudget) -> List[dict]:
+        """Mechanism + parameter per noisy quantity (reference
+        session.py:1001-1048); does not spend budget."""
+        ctx = self._context()
+        expr = rewrite(query.expr, ctx.catalog)
+        result = compile_measurement(expr, ctx, privacy_budget)
+        return [i.as_dict() for i in result.noise_infos]
+
+    def create_view(
+        self, query_expr: Union[Query, QueryBuilder], source_id: str, cache: bool = False
+    ) -> None:
+        """Register a transformation-only query as a named view; optional
+        persist (reference session.py:1154-1246)."""
+        self._check_active()
+        if source_id in self._private or source_id in self._views:
+            raise ValueError(f"Table {source_id!r} already exists")
+        expr = (
+            query_expr.expr if isinstance(query_expr, Query) else query_expr._expr
+        )
+        if isinstance(expr, E.MEASUREMENT_NODES):
+            raise ValueError("Views must be transformation-only queries")
+        ctx = self._context()
+        t = compile_transform(expr, ctx)
+        if cache:
+            t.df.persist()
+        self._views[source_id] = t
+        self._view_cached[source_id] = cache
+
+    def delete_view(self, source_id: str) -> None:
+        self._check_active()
+        v = self._views.pop(source_id, None)
+        if v is None:
+            raise KeyError(f"No view named {source_id!r}")
+        if self._view_cached.pop(source_id, False):
+            v.df.unpersist()
+
+    def partition_and_create(
+        self,
+        source_id: str,
+        privacy_budget: PrivacyBudget,
+        column: str,
+        splits: Union[Mapping[str, Any], Sequence[Any]],
+    ) -> Dict[str, "Session"]:
+        """Split into per-partition child sessions
+        (reference session.py:1466-1654). Spends ``privacy_budget`` once;
+        each child gets the full amount (parallel composition over disjoint
+        partitions)."""
+        self._check_active()
+        self._check_budget_type(privacy_budget)
+        ctx = self._context()
+        if source_id in self._views:
+            base = self._views[source_id]
+        else:
+            base = compile_transform(E.PrivateSource(source_id), ctx)
+        schema = base.schema
+        if column not in schema:
+            raise KeyError(f"Partition column {column!r} not in {source_id!r}")
+        if base.is_ids:
+            groups_c = [
+                c
+                for c in base.constraints
+                if isinstance(c, MaxGroupsPerID) and c.grouping_column == column
+            ]
+            rows_c = [c for c in base.constraints if isinstance(c, MaxRowsPerID)]
+            if not groups_c and not rows_c:
+                raise ValueError(
+                    "partition_and_create on an ID table requires a prior "
+                    "MaxGroupsPerID or MaxRowsPerID constraint"
+                )
+        if isinstance(splits, Mapping):
+            split_items = list(splits.items())
+        else:
+            split_items = [(str(v), v) for v in splits]
+        children: Dict[str, Session] = {}
+        for name, value in split_items:
+            part_df = base.df.filter(F.col(column).eqNullSafe(F.lit(value)))
+            child = Session(privacy_budget)
+            pc: ProtectedChange
+            if base.is_ids:
+                pc = AddRowsWithID(schema.id_column, schema.id_space)
+            else:
+                from .protected import AddMaxRows
+
+                pc = AddMaxRows(int(base.l1))
+            child._register_private(source_id, part_df, pc)
+            # carry constraints into the child
+            ct = child._private[source_id]
+            children[name] = child
+            self._children.append(child)
+        self._spend(privacy_budget)
+        return children
+
+    def stop(self) -> None:
+        self._stopped = True
+        for c in self._children:
+            c.stop()

@@ -1,0 +1,73 @@
+"""Shared Spark helpers: null-safe equi-joins and column disambiguation.
+
+The reference joins with ``join_on_nulls=True`` everywhere
+(`_base_transformation_visitor.py:877, 899, 968, 985`), i.e. null join keys
+match each other. Spark expresses this with ``<=>`` (EqualNullSafe), which
+still qualifies as a hash-join key, so broadcast/sort-merge strategies and
+AQE all still apply — no performance cliff vs plain ``=``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def nullsafe_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    join_columns: Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Join on ``join_columns`` with null-safe equality.
+
+    Output columns: join columns (taken from the left side), then left
+    non-key columns, then right non-key columns. Shared non-key columns must
+    have been disambiguated by the caller.
+    """
+    if not join_columns:
+        raise ValueError("join_columns must be non-empty")
+    # Rename right join keys to temporaries so the condition is unambiguous.
+    tmp = {c: f"__join_r_{c}" for c in join_columns}
+    r = right.withColumnsRenamed(tmp)
+    if broadcast_right:
+        r = F.broadcast(r)
+    cond = None
+    for c in join_columns:
+        piece = F.col(c).eqNullSafe(F.col(tmp[c]))
+        cond = piece if cond is None else cond & piece
+    joined = left.join(r, on=cond, how=how)
+    return joined.drop(*tmp.values())
+
+
+def nullsafe_anti_join(
+    left: DataFrame, right: DataFrame, join_columns: Sequence[str]
+) -> DataFrame:
+    """Left anti-join with null-safe equality on ``join_columns``."""
+    tmp = {c: f"__join_r_{c}" for c in join_columns}
+    r = right.withColumnsRenamed(tmp)
+    cond = None
+    for c in join_columns:
+        piece = F.col(c).eqNullSafe(F.col(tmp[c]))
+        cond = piece if cond is None else cond & piece
+    return left.join(r, on=cond, how="left_anti")
+
+
+def disambiguate_columns(
+    left: DataFrame,
+    right: DataFrame,
+    join_columns: Sequence[str],
+) -> tuple:
+    """Rename shared non-key columns to ``{name}_left`` / ``{name}_right``
+    (reference JoinPublic semantics, _query_expr.py:1000-1012)."""
+    shared = [
+        c
+        for c in left.columns
+        if c in set(right.columns) and c not in set(join_columns)
+    ]
+    lren = {c: f"{c}_left" for c in shared}
+    rren = {c: f"{c}_right" for c in shared}
+    return left.withColumnsRenamed(lren), right.withColumnsRenamed(rren), shared
