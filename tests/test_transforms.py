@@ -1,0 +1,319 @@
+"""Row transforms, joins, special values, and privacy-ID tables."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from tumult_analytics_spark import (
+    AddOneRow,
+    AddRowsWithID,
+    ColumnType,
+    KeySet,
+    MaxGroupsPerID,
+    MaxRowsPerGroupPerID,
+    MaxRowsPerID,
+    PureDPBudget,
+    QueryBuilder,
+    Session,
+    TruncationStrategy,
+)
+
+INF = PureDPBudget(float("inf"))
+
+
+@pytest.fixture()
+def sess(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "A": ["0", "1", "1", "1"],
+                "B": [0, 0, 1, 2],
+                "X": [0.0, 1.0, 2.0, 3.0],
+            }
+        )
+    )
+    pub = spark.createDataFrame(
+        pd.DataFrame({"A": ["0", "0", "1"], "Y": [10, 20, 30]})
+    )
+    s = Session.from_dataframe(INF, "t", df, AddOneRow())
+    s.add_public_dataframe("pub", pub)
+    return s
+
+
+def test_select_rename(sess):
+    q = (
+        QueryBuilder("t")
+        .select(["A", "B"])
+        .rename({"B": "BB"})
+        .groupby(KeySet.from_dict({"A": ["0", "1"]}))
+        .sum("BB", 0, 2, name="s")
+    )
+    out = sess.evaluate(q, INF)
+    assert {r["A"]: r["s"] for r in out.collect()} == {"0": 0, "1": 3}
+
+
+def test_map_augment(sess):
+    q = (
+        QueryBuilder("t")
+        .map(
+            lambda row: {"doubled": row["B"] * 2},
+            new_column_types={"doubled": "INTEGER"},
+            augment=True,
+        )
+        .sum("doubled", 0, 4, name="s")
+    )
+    out = sess.evaluate(q, INF)
+    assert out.collect()[0]["s"] == 6
+
+
+def test_flat_map(sess):
+    q = (
+        QueryBuilder("t")
+        .flat_map(
+            lambda row: [{"i": 1}, {"i": 2}],
+            new_column_types={"i": "INTEGER"},
+            augment=True,
+            max_rows=2,
+        )
+        .count()
+    )
+    out = sess.evaluate(q, INF)
+    assert out.collect()[0]["count"] == 8
+
+
+def test_flat_map_max_rows_truncates(sess):
+    q = (
+        QueryBuilder("t")
+        .flat_map(
+            lambda row: [{"i": k} for k in range(5)],
+            new_column_types={"i": "INTEGER"},
+            augment=False,
+            max_rows=3,
+        )
+        .count()
+    )
+    out = sess.evaluate(q, INF)
+    assert out.collect()[0]["count"] == 12
+
+
+def test_join_public_disambiguation(sess, spark):
+    # shared non-key column should become X_left / X_right
+    pub2 = spark.createDataFrame(pd.DataFrame({"A": ["1"], "X": [99.0]}))
+    q = QueryBuilder("t").join_public(pub2, join_columns=["A"]).count()
+    out = sess.evaluate(q, INF)
+    assert out.collect()[0]["count"] == 3
+    schema = sess.get_schema("t")
+    qb = QueryBuilder("t").join_public(pub2, join_columns=["A"])
+    cols = qb._expr.schema(sess._catalog()).columns
+    assert "X_left" in cols and "X_right" in cols
+
+
+def test_join_public_left(sess):
+    q = (
+        QueryBuilder("t")
+        .join_public("pub", join_columns=["A"], how="left")
+        .groupby(KeySet.from_dict({"A": ["0", "1"]}))
+        .count()
+    )
+    out = sess.evaluate(q, INF)
+    # A=0: 1 row x 2 matches; A=1: 3 rows x 1 match
+    assert {r["A"]: r["count"] for r in out.collect()} == {"0": 2, "1": 3}
+
+
+def test_join_private(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "b", "c"], "v": [1, 2, 3, 4]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b", "b"], "w": [10, 20, 30]})
+    )
+    s = (
+        Session.Builder()
+        .with_privacy_budget(INF)
+        .with_private_dataframe("l", left, AddOneRow())
+        .with_private_dataframe("r", right, AddOneRow())
+        .build()
+    )
+    q = (
+        QueryBuilder("l")
+        .join_private(
+            "r",
+            truncation_strategy_left=TruncationStrategy.DropExcess(2),
+            truncation_strategy_right=TruncationStrategy.DropExcess(2),
+        )
+        .count()
+    )
+    out = s.evaluate(q, INF)
+    # a: 2x1, b: 1x2, c: 0 -> 4 rows
+    assert out.collect()[0]["count"] == 4
+
+
+def test_join_private_drop_non_unique(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "b", "c"], "v": [1, 2, 3, 4]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b", "b"], "w": [10, 20, 30]})
+    )
+    s = (
+        Session.Builder()
+        .with_privacy_budget(INF)
+        .with_private_dataframe("l", left, AddOneRow())
+        .with_private_dataframe("r", right, AddOneRow())
+        .build()
+    )
+    q = (
+        QueryBuilder("l")
+        .join_private(
+            "r",
+            truncation_strategy_left=TruncationStrategy.DropNonUnique(),
+            truncation_strategy_right=TruncationStrategy.DropNonUnique(),
+        )
+        .count()
+    )
+    out = s.evaluate(q, INF)
+    # left unique keys: b, c; right unique: a -> join on k: nothing matches b? right has b twice (dropped) -> 0
+    assert out.collect()[0]["count"] == 0
+
+
+def test_special_values(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "g": ["a", "a", "b", "b", "b"],
+                "x": [1.0, float("nan"), float("inf"), -float("inf"), 2.0],
+            }
+        )
+    )
+    s = Session.from_dataframe(INF, "t", df, AddOneRow())
+    # sum: NaN dropped, inf clamped to bounds
+    q = QueryBuilder("t").groupby(KeySet.from_dict({"g": ["a", "b"]})).sum(
+        "x", 0, 10, name="s"
+    )
+    out = s.evaluate(q, INF)
+    got = {r["g"]: r["s"] for r in out.collect()}
+    assert got["a"] == pytest.approx(1.0)  # NaN row dropped
+    assert got["b"] == pytest.approx(12.0)  # inf->10, -inf->0, 2
+
+
+def test_replace_null_and_nan(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [1.0, None, float("nan")], "s": ["a", None, "c"]})
+    )
+    s = Session.from_dataframe(INF, "t", df, AddOneRow())
+    q = (
+        QueryBuilder("t")
+        .replace_null_and_nan({"x": 5.0, "s": "z"})
+        .groupby(KeySet.from_dict({"s": ["a", "z", "c"]}))
+        .sum("x", 0, 10, name="sx")
+    )
+    out = s.evaluate(q, INF)
+    got = {r["s"]: r["sx"] for r in out.collect()}
+    assert got == {"a": 1.0, "z": 5.0, "c": 5.0}
+
+
+def test_drop_null_and_nan(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0, None, float("nan"), 4.0]}))
+    s = Session.from_dataframe(INF, "t", df, AddOneRow())
+    out = s.evaluate(QueryBuilder("t").drop_null_and_nan(["x"]).count(), INF)
+    assert out.collect()[0]["count"] == 2
+
+
+def test_ids_require_constraint(spark):
+    df = spark.createDataFrame(pd.DataFrame({"id": [1, 1, 2], "v": [1, 2, 3]}))
+    s = Session.from_dataframe(INF, "t", df, AddRowsWithID("id"))
+    with pytest.raises(ValueError, match="constraint"):
+        s.evaluate(QueryBuilder("t").count(), INF)
+
+
+def test_ids_max_rows_per_id(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 1, 1, 2, 2, 3], "v": [1, 2, 3, 4, 5, 6]})
+    )
+    s = Session.from_dataframe(INF, "t", df, AddRowsWithID("id"))
+    out = s.evaluate(QueryBuilder("t").enforce(MaxRowsPerID(2)).count(), INF)
+    # id1 truncated to 2 rows: total = 2+2+1
+    assert out.collect()[0]["count"] == 5
+
+
+def test_ids_groups_per_id(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 1, 1, 1, 2, 2],
+                "g": ["a", "a", "b", "c", "a", "b"],
+            }
+        )
+    )
+    s = Session.from_dataframe(INF, "t", df, AddRowsWithID("id"))
+    q = (
+        QueryBuilder("t")
+        .enforce(MaxGroupsPerID("g", 2))
+        .enforce(MaxRowsPerGroupPerID("g", 1))
+        .groupby(KeySet.from_dict({"g": ["a", "b", "c"]}))
+        .count()
+    )
+    out = s.evaluate(q, INF)
+    total = sum(r["count"] for r in out.collect())
+    # id1 keeps 2 groups x 1 row, id2 keeps 2 groups x 1 row
+    assert total == 4
+
+
+def test_ids_private_join_same_space(spark):
+    a = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3], "v": [1, 2, 3]}))
+    b = spark.createDataFrame(pd.DataFrame({"id": [1, 1, 2], "w": [5, 6, 7]}))
+    s = (
+        Session.Builder()
+        .with_privacy_budget(INF)
+        .with_private_dataframe("a", a, AddRowsWithID("id", "space"))
+        .with_private_dataframe("b", b, AddRowsWithID("id", "space"))
+        .build()
+    )
+    q = (
+        QueryBuilder("a")
+        .join_private("b")
+        .enforce(MaxRowsPerID(5))
+        .count()
+    )
+    out = s.evaluate(q, INF)
+    assert out.collect()[0]["count"] == 3
+
+
+def test_flat_map_by_id(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 1, 2], "v": [1, 2, 10]})
+    )
+    s = Session.from_dataframe(INF, "t", df, AddRowsWithID("id"))
+
+    def summarize(rows):
+        total = sum(r["v"] for r in rows)
+        return [{"total": total}]
+
+    q = (
+        QueryBuilder("t")
+        .flat_map_by_id(summarize, new_column_types={"total": "INTEGER"})
+        .enforce(MaxRowsPerID(1))
+        .sum("total", 0, 20, name="s")
+    )
+    out = s.evaluate(q, INF)
+    assert out.collect()[0]["s"] == 13
+
+
+def test_views(sess):
+    sess.create_view(QueryBuilder("t").filter("B > 0"), "v", cache=True)
+    out = sess.evaluate(QueryBuilder("v").count(), INF)
+    assert out.collect()[0]["count"] == 2
+    sess.delete_view("v")
+    with pytest.raises(Exception):
+        sess.evaluate(QueryBuilder("v").count(), INF)
+
+
+def test_partition_and_create(sess):
+    parts = sess.partition_and_create(
+        "t", INF, "A", {"zero": "0", "one": "1"}
+    )
+    out0 = parts["zero"].evaluate(QueryBuilder("t").count(), INF)
+    out1 = parts["one"].evaluate(QueryBuilder("t").count(), INF)
+    assert out0.collect()[0]["count"] == 1
+    assert out1.collect()[0]["count"] == 3
