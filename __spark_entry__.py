@@ -1,38 +1,423 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs a DP query at infinite budget (noise
+collapses to zero, so results are exact and oracle-comparable) through the
+real Session/QueryBuilder surface of ``tumult_analytics_spark``. The
+matching ``oracle_sql()`` entry reproduces the same semantics in ANSI SQL
+for DuckDB (keysets become VALUES CTEs; clamping becomes
+least/greatest; noisy-zero fill becomes LEFT JOIN + coalesce).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import tumult_analytics_spark as ta
+from tumult_analytics_spark import (
+    AddOneRow,
+    AddRowsWithID,
+    KeySet,
+    MaxRowsPerID,
+    PureDPBudget,
+    QueryBuilder,
+    Session,
+    TruncationStrategy,
+)
+
+INF = PureDPBudget(float("inf"))
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS); Spark only reads those with
+    # the legacy nanosAsLong conf (ts arrives as BIGINT nanoseconds).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _sess(spark, sf_dir, private: dict, public: dict | None = None) -> Session:
+    b = Session.Builder().with_privacy_budget(INF)
+    for sid, pc in private.items():
+        b = b.with_private_dataframe(sid, _read(spark, sf_dir, sid), pc)
+    for sid in public or []:
+        b = b.with_public_dataframe(sid, _read(spark, sf_dir, sid))
+    return b.build()
+
+
+# ---------------------------------------------------------------------------
+# DP core queries (SURVEY.md §2 operator inventory)
+
+_RF = ["A", "N", "R"]
+_LS = ["F", "O"]
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_STATUS = ["F", "O", "P"]
+
+
+def q_count_filter(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    q = QueryBuilder("lineitem").filter("l_discount > 0.02").count(name="count")
+    return s.evaluate(q, INF)
+
+
+def q_groupby_count_keyset(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    ks = KeySet.from_dict({"l_returnflag": _RF, "l_linestatus": _LS})
+    q = QueryBuilder("lineitem").groupby(ks).count(name="count")
+    return s.evaluate(q, INF)
+
+
+def q_sum_clamped(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    ks = KeySet.from_dict({"l_returnflag": _RF})
+    q = QueryBuilder("lineitem").groupby(ks).sum("l_quantity", 0, 30, name="sum_qty")
+    return s.evaluate(q, INF)
+
+
+def q_average_clamped(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    ks = KeySet.from_dict({"l_linestatus": _LS})
+    q = QueryBuilder("lineitem").groupby(ks).average(
+        "l_quantity", 0, 50, name="avg_qty"
+    )
+    return s.evaluate(q, INF)
+
+
+def q_variance_clamped(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    ks = KeySet.from_dict({"l_returnflag": _RF})
+    q = QueryBuilder("lineitem").groupby(ks).variance("l_quantity", 1, 50, name="var_qty")
+    return s.evaluate(q, INF)
+
+
+def q_stdev_clamped(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    ks = KeySet.from_dict({"l_returnflag": _RF})
+    q = QueryBuilder("lineitem").groupby(ks).stdev("l_quantity", 1, 50, name="sd_qty")
+    return s.evaluate(q, INF)
+
+
+def q_count_distinct(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    ks = KeySet.from_dict({"l_returnflag": _RF})
+    q = QueryBuilder("lineitem").groupby(ks).count_distinct(
+        ["l_suppkey"], name="nsupp"
+    )
+    return s.evaluate(q, INF)
+
+
+def q_public_join_count(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"orders": AddOneRow()}, ["customer"])
+    ks = KeySet.from_dict({"c_mktsegment": _SEGMENTS})
+    q = (
+        QueryBuilder("orders")
+        .rename({"o_custkey": "c_custkey"})
+        .join_public("customer", join_columns=["c_custkey"])
+        .groupby(ks)
+        .count(name="count")
+    )
+    return s.evaluate(q, INF)
+
+
+def q_private_join_count(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow(), "orders": AddOneRow()})
+    ks = KeySet.from_dict({"o_orderstatus": _STATUS})
+    q = (
+        QueryBuilder("lineitem")
+        .rename({"l_orderkey": "o_orderkey"})
+        .join_private(
+            "orders",
+            truncation_strategy_left=TruncationStrategy.DropExcess(15),
+            truncation_strategy_right=TruncationStrategy.DropExcess(1),
+            join_columns=["o_orderkey"],
+        )
+        .groupby(ks)
+        .count(name="count")
+    )
+    return s.evaluate(q, INF)
+
+
+def q_ids_truncated_count(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"events": AddRowsWithID("user_id")})
+    q = QueryBuilder("events").enforce(MaxRowsPerID(10)).count(name="count")
+    return s.evaluate(q, INF)
+
+
+def q_histogram(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"orders": AddOneRow()})
+    spec = ta.BinningSpec(
+        [0.0, 50000.0, 150000.0, 500000.0], names=["low", "mid", "high"]
+    )
+    q = QueryBuilder("orders").histogram("o_totalprice", spec, name="price_bin")
+    return s.evaluate(q, INF)
+
+
+def q_suppress(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"orders": AddOneRow()})
+    ks = KeySet.from_dict({"o_orderpriority": [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]})
+    q = QueryBuilder("orders").groupby(ks).count(name="count").suppress(3000)
+    return s.evaluate(q, INF)
+
+
+def q_keyset_algebra(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"customer": AddOneRow()})
+    nations = KeySet.from_dataframe(
+        _read(spark, sf_dir, "nation").select("n_nationkey")
+    )
+    segs = KeySet.from_dict({"c_mktsegment": _SEGMENTS})
+    ks = (nations * segs).filter("n_nationkey < 20") - KeySet.from_tuples(
+        [(5, "BUILDING")], columns=["n_nationkey", "c_mktsegment"]
+    )
+    q = (
+        QueryBuilder("customer")
+        .rename({"c_nationkey": "n_nationkey"})
+        .groupby(ks)
+        .count(name="count")
+    )
+    return s.evaluate(q, INF)
+
+
+def q_map_derived_column(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"orders": AddOneRow()})
+    q = (
+        QueryBuilder("orders")
+        .map(
+            lambda row: {"kprice": int(row["o_totalprice"] // 1000)},
+            new_column_types={"kprice": "INTEGER"},
+            augment=True,
+        )
+        .filter("kprice >= 100")
+        .sum("kprice", 0, 500, name="sum_kprice")
+    )
+    return s.evaluate(q, INF)
+
+
+def q_get_groups(spark, sf_dir):
+    s = _sess(spark, sf_dir, {"events": AddOneRow()})
+    b = ta.ApproxDPBudget(float("inf"), 1)
+    s2 = (
+        Session.Builder()
+        .with_privacy_budget(b)
+        .with_private_dataframe("events", _read(spark, sf_dir, "events"), AddOneRow())
+        .build()
+    )
+    return s2.evaluate(QueryBuilder("events").get_groups(["event_type"]), b)
+
+
+def q_quantile_median(spark, sf_dir):
+    # DP exponential-mechanism quantile: no SQL oracle (rows-only check).
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    ks = KeySet.from_dict({"l_returnflag": _RF})
+    q = QueryBuilder("lineitem").groupby(ks).median("l_quantity", 0, 50, name="med")
+    return s.evaluate(q, INF)
+
+
+def q_get_bounds(spark, sf_dir):
+    # DP power-of-two bound estimate: no SQL oracle (rows-only check).
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    q = QueryBuilder("lineitem").get_bounds("l_quantity")
+    return s.evaluate(q, INF)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect-neutral ANSI; tables pre-registered as views)
+
+_KS_RF_LS = (
+    "SELECT rf.l_returnflag, ls.l_linestatus FROM (VALUES ('A'),('N'),('R')) "
+    "rf(l_returnflag) CROSS JOIN (VALUES ('F'),('O')) ls(l_linestatus)"
+)
+
+_ORACLES = {
+    "count_filter": (
+        "SELECT count(*) AS count FROM lineitem WHERE l_discount > 0.02"
+    ),
+    "groupby_count_keyset": f"""
+        WITH ks AS ({_KS_RF_LS}),
+        agg AS (SELECT l_returnflag, l_linestatus, count(*) AS c
+                FROM lineitem GROUP BY 1, 2)
+        SELECT ks.l_returnflag, ks.l_linestatus,
+               CAST(coalesce(agg.c, 0) AS BIGINT) AS count
+        FROM ks LEFT JOIN agg USING (l_returnflag, l_linestatus)
+    """,
+    "sum_clamped": """
+        WITH ks AS (SELECT * FROM (VALUES ('A'),('N'),('R')) t(l_returnflag)),
+        agg AS (SELECT l_returnflag,
+                       sum(least(greatest(l_quantity, 0), 30)) AS s
+                FROM lineitem GROUP BY 1)
+        SELECT ks.l_returnflag, coalesce(agg.s, 0.0) AS sum_qty
+        FROM ks LEFT JOIN agg USING (l_returnflag)
+    """,
+    "average_clamped": """
+        WITH ks AS (SELECT * FROM (VALUES ('F'),('O')) t(l_linestatus)),
+        agg AS (SELECT l_linestatus,
+                       sum(least(greatest(l_quantity, 0), 50) - 25.0) AS sdev,
+                       count(*) AS n
+                FROM lineitem GROUP BY 1)
+        SELECT ks.l_linestatus,
+               25.0 + coalesce(agg.sdev, 0.0)
+                     / greatest(CAST(coalesce(agg.n, 0) AS DOUBLE), 1.0)
+                   AS avg_qty
+        FROM ks LEFT JOIN agg USING (l_linestatus)
+    """,
+    "variance_clamped": """
+        WITH ks AS (SELECT * FROM (VALUES ('A'),('N'),('R')) t(l_returnflag)),
+        base AS (SELECT l_returnflag,
+                        least(greatest(l_quantity, 1), 50) - 25.5 AS d
+                 FROM lineitem),
+        agg AS (SELECT l_returnflag, sum(d) AS sd, sum(d*d) AS sdd,
+                       count(*) AS n
+                FROM base GROUP BY 1)
+        SELECT ks.l_returnflag,
+               greatest((coalesce(agg.sdd, 0.0)
+                 - coalesce(agg.sd, 0.0) * coalesce(agg.sd, 0.0)
+                   / greatest(CAST(coalesce(agg.n, 0) AS DOUBLE), 1.0))
+                 / greatest(CAST(coalesce(agg.n, 0) AS DOUBLE) - 1.0, 1.0),
+                 0.0) AS var_qty
+        FROM ks LEFT JOIN agg USING (l_returnflag)
+    """,
+    "stdev_clamped": """
+        WITH ks AS (SELECT * FROM (VALUES ('A'),('N'),('R')) t(l_returnflag)),
+        base AS (SELECT l_returnflag,
+                        least(greatest(l_quantity, 1), 50) - 25.5 AS d
+                 FROM lineitem),
+        agg AS (SELECT l_returnflag, sum(d) AS sd, sum(d*d) AS sdd,
+                       count(*) AS n
+                FROM base GROUP BY 1)
+        SELECT ks.l_returnflag,
+               sqrt(greatest((coalesce(agg.sdd, 0.0)
+                 - coalesce(agg.sd, 0.0) * coalesce(agg.sd, 0.0)
+                   / greatest(CAST(coalesce(agg.n, 0) AS DOUBLE), 1.0))
+                 / greatest(CAST(coalesce(agg.n, 0) AS DOUBLE) - 1.0, 1.0),
+                 0.0)) AS sd_qty
+        FROM ks LEFT JOIN agg USING (l_returnflag)
+    """,
+    "count_distinct": """
+        WITH ks AS (SELECT * FROM (VALUES ('A'),('N'),('R')) t(l_returnflag)),
+        agg AS (SELECT l_returnflag, count(DISTINCT l_suppkey) AS c
+                FROM lineitem GROUP BY 1)
+        SELECT ks.l_returnflag, CAST(coalesce(agg.c, 0) AS BIGINT) AS nsupp
+        FROM ks LEFT JOIN agg USING (l_returnflag)
+    """,
+    "public_join_count": """
+        WITH ks AS (SELECT * FROM (VALUES ('AUTOMOBILE'),('BUILDING'),
+            ('FURNITURE'),('HOUSEHOLD'),('MACHINERY')) t(c_mktsegment)),
+        agg AS (SELECT c.c_mktsegment, count(*) AS c
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1)
+        SELECT ks.c_mktsegment, CAST(coalesce(agg.c, 0) AS BIGINT) AS count
+        FROM ks LEFT JOIN agg USING (c_mktsegment)
+    """,
+    "private_join_count": """
+        WITH ks AS (SELECT * FROM (VALUES ('F'),('O'),('P')) t(o_orderstatus)),
+        agg AS (SELECT o.o_orderstatus, count(*) AS c
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                GROUP BY 1)
+        SELECT ks.o_orderstatus, CAST(coalesce(agg.c, 0) AS BIGINT) AS count
+        FROM ks LEFT JOIN agg USING (o_orderstatus)
+    """,
+    "ids_truncated_count": """
+        SELECT CAST(sum(least(c, 10)) AS BIGINT) AS count
+        FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+    """,
+    "histogram": """
+        WITH ks AS (SELECT * FROM (VALUES ('low'),('mid'),('high')) t(price_bin)),
+        binned AS (SELECT CASE
+              WHEN o_totalprice >= 0 AND o_totalprice <= 50000 THEN 'low'
+              WHEN o_totalprice > 50000 AND o_totalprice <= 150000 THEN 'mid'
+              WHEN o_totalprice > 150000 AND o_totalprice <= 500000 THEN 'high'
+              END AS price_bin FROM orders),
+        agg AS (SELECT price_bin, count(*) AS c FROM binned
+                WHERE price_bin IS NOT NULL GROUP BY 1)
+        SELECT ks.price_bin, CAST(coalesce(agg.c, 0) AS BIGINT) AS count
+        FROM ks LEFT JOIN agg USING (price_bin)
+    """,
+    "suppress": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS count
+        FROM orders GROUP BY 1 HAVING count(*) >= 3000
+    """,
+    "keyset_algebra": """
+        WITH ks AS (
+            SELECT n.n_nationkey, s.c_mktsegment
+            FROM (SELECT DISTINCT n_nationkey FROM nation) n
+            CROSS JOIN (VALUES ('AUTOMOBILE'),('BUILDING'),('FURNITURE'),
+                ('HOUSEHOLD'),('MACHINERY')) s(c_mktsegment)
+            WHERE n.n_nationkey < 20
+            EXCEPT SELECT 5, 'BUILDING'
+        ),
+        agg AS (SELECT c_nationkey AS n_nationkey, c_mktsegment,
+                       count(*) AS c
+                FROM customer GROUP BY 1, 2)
+        SELECT ks.n_nationkey, ks.c_mktsegment,
+               CAST(coalesce(agg.c, 0) AS BIGINT) AS count
+        FROM ks LEFT JOIN agg USING (n_nationkey, c_mktsegment)
+    """,
+    "map_derived_column": """
+        WITH m AS (SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS kprice
+                   FROM orders)
+        SELECT CAST(coalesce(sum(least(greatest(kprice, 0), 500)), 0) AS BIGINT)
+               AS sum_kprice
+        FROM m WHERE kprice >= 100
+    """,
+    "get_groups": """
+        SELECT DISTINCT event_type FROM events
+    """,
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: filtered group-by sum over a keyset."""
+    sf_dir = "/root/testdata/sf0.001"
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    ks = KeySet.from_dict({"l_returnflag": _RF, "l_linestatus": _LS})
+    q = (
+        QueryBuilder("lineitem")
+        .filter("l_shipdate <= '1998-09-02'")
+        .groupby(ks)
+        .sum("l_quantity", 0, 50, name="sum_qty")
+    )
+    return s.evaluate(q, INF)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    base = {
+        "count_filter": q_count_filter,
+        "groupby_count_keyset": q_groupby_count_keyset,
+        "sum_clamped": q_sum_clamped,
+        "average_clamped": q_average_clamped,
+        "variance_clamped": q_variance_clamped,
+        "stdev_clamped": q_stdev_clamped,
+        "count_distinct": q_count_distinct,
+        "public_join_count": q_public_join_count,
+        "private_join_count": q_private_join_count,
+        "ids_truncated_count": q_ids_truncated_count,
+        "histogram": q_histogram,
+        "suppress": q_suppress,
+        "keyset_algebra": q_keyset_algebra,
+        "map_derived_column": q_map_derived_column,
+        "get_groups": q_get_groups,
+        "quantile_median": q_quantile_median,
+        "get_bounds": q_get_bounds,
+    }
+    try:
+        from tumult_analytics_spark.operators import entry_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        base.update(entry_queries())
+    except ImportError:
+        pass
+    return base
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(_ORACLES)
+    try:
+        from tumult_analytics_spark.operators import entry_oracles
+
+        out.update(entry_oracles())
+    except ImportError:
+        pass
+    return out

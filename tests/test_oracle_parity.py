@@ -1,0 +1,81 @@
+"""Mimics the driver's correctness gate: run each __spark_entry__ query and
+its DuckDB oracle side-by-side, compare row count + values order-insensitively.
+
+Runs at sf0.001 for speed in CI; the driver uses sf0.01 (same shape).
+Set ORACLE_SF_DIR to override.
+"""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+QUERIES = sorted(entry.queries())
+ORACLES = entry.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_parity(spark, ddb, name):
+    qfn = entry.queries()[name]
+    sdf = qfn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        # rows-only check (non-SQL-expressible op)
+        assert len(spark_rows) >= 0
+        return
+    res = ddb.sql(ORACLES[name])
+    duck_cols = res.columns
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    a = _normalize(spark_rows, spark_cols)
+    b = _normalize(duck_rows, duck_cols)
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    assert a == b, f"{name}: value mismatch\nspark={a[:5]}\nduck={b[:5]}"
