@@ -1,0 +1,36 @@
+"""Large-scale training-data pipeline operators (beyond the reference's DP
+surface): deduplication, similarity search, text analysis, multimodal
+plumbing. All are plain DataFrame -> DataFrame transformations designed for
+100 TB inputs: Catalyst expressions where possible, Arrow-batched pandas
+UDFs where not, and LSH/bucketing scale paths beside every brute-force
+baseline."""
+
+from .dedup import (
+    dedup_exact,
+    embedding_cosine_dedup,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .similarity import brute_force_cosine_topk, lsh_cosine_topk
+from .text import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+def entry_queries():
+    """queries() entries for the driver contract."""
+    from . import entry as e
+
+    return e.QUERIES
+
+
+def entry_oracles():
+    from . import entry as e
+
+    return e.ORACLES

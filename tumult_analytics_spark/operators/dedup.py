@@ -1,0 +1,292 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each scale-designed:
+
+- exact:        hash groupBy (one shuffle, map-side combine)
+- MinHash+LSH:  shingle -> minhash signature -> band buckets -> bucket join;
+                all signature math is Catalyst higher-order functions
+                (JVM-side, no Python), candidates verified by signature
+                similarity. The classic Broder/LSH construction.
+- SimHash:      64-bit sign-of-weighted-sum fingerprint via a vectorized
+                pandas UDF (numpy bit tricks), near-dups = small Hamming
+                distance within prefix buckets.
+- n-gram Jaccard: explode n-grams -> self-join on gram -> |A∩B| / |A∪B|.
+                Exact but O(candidate pairs); the LSH path above is the
+                100 TB route, this is the verifier.
+- embedding cosine: delegated to similarity.brute_force_cosine_topk /
+                lsh_cosine_topk with a threshold.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Mersenne prime for universal hashing over minhash base hashes. 2^31-1
+# keeps a*h products under 2^62: no long overflow under ANSI mode.
+_MERSENNE = (1 << 31) - 1
+
+
+def dedup_exact(df: DataFrame, columns: Optional[Sequence[str]] = None) -> DataFrame:
+    """Exact deduplication over ``columns`` (default: all columns).
+
+    Plain hash-aggregate: one shuffle on the dedup key with map-side
+    partial aggregation; survives any scale Spark itself survives.
+    """
+    return df.dropDuplicates(list(columns) if columns else None)
+
+
+def _shingle_hashes(text_col: Column, k: int) -> Column:
+    """Array of xxhash64 values of the k-char shingles of ``text_col``.
+
+    Pure Catalyst: sequence + transform + substring + xxhash64 — runs
+    JVM-side inside whole-stage codegen, no Python involved.
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.substring(text_col, i, k)),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) — MinHash signature per document.
+
+    One base shingle-hash array per row, then ``num_hashes`` universal-hash
+    rewrites (a*h+b mod p) reduced with array_min. All Catalyst expressions:
+    the whole signature computation never leaves the JVM.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    base = _shingle_hashes(F.col(text_column), shingle_size)
+    with_base = df.select(
+        id_column, base.alias("__sh__")
+    )
+    # NB: single-arg lambdas only — pyspark counts default-arg params as
+    # lambda arity, so closures must come from a factory function.
+    def _universal(a: int, b: int):
+        return lambda h: (
+            (F.lit(a) * F.pmod(h, F.lit(_MERSENNE)) + F.lit(b))
+            % F.lit(_MERSENNE)
+        )
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("__sh__", _universal(a, b)))
+            for a, b in coeffs
+        ]
+    )
+    return with_base.select(id_column, sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_column: str,
+    bands: int = 16,
+    min_signature_similarity: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from banded LSH.
+
+    Explode signatures into ``bands`` band-hashes, self-join per bucket
+    (the join key is (band index, band hash) — a normal shuffled equi-join
+    that AQE handles), dedup pairs, then verify by full-signature
+    agreement >= min_signature_similarity.
+    """
+    num_hashes = bands  # rows per band inferred from signature length below
+    banded = signatures.select(
+        F.col(id_column).alias("__id__"),
+        F.col("signature"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        "signature",
+                        b * (F.size("signature") / bands).cast("int") + 1,
+                        (F.size("signature") / bands).cast("int"),
+                    ).cast("string")
+                ),
+            )
+        ).alias("__band__", "__bh__"),
+    )
+    left = banded.select(
+        F.col("__band__"), F.col("__bh__"), F.col("__id__").alias("id_a"),
+        F.col("signature").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("__band__"), F.col("__bh__"), F.col("__id__").alias("id_b"),
+        F.col("signature").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, on=["__band__", "__bh__"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    sim = agree.cast("double") / F.size("sig_a").cast("double")
+    return pairs.select(
+        "id_a", "id_b", sim.alias("signature_similarity")
+    ).filter(F.col("signature_similarity") >= min_signature_similarity)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+    bands: int = 16,
+    min_signature_similarity: float = 0.5,
+) -> DataFrame:
+    """Drop near-duplicate documents, keeping the smallest id per duplicate
+    group (single-pass star representative: a row is dropped iff some
+    smaller-id row is its near-duplicate — no iterative connected
+    components, which keeps this a bounded number of shuffles)."""
+    sigs = minhash_signatures(df, text_column, id_column, num_hashes, shingle_size)
+    cand = minhash_lsh_candidates(
+        sigs, id_column, bands, min_signature_similarity
+    )
+    to_drop = cand.select(F.col("id_b").alias(id_column)).distinct()
+    return df.join(to_drop, on=id_column, how="left_anti")
+
+
+def simhash(
+    df: DataFrame, text_column: str, id_column: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash bigint) — Charikar SimHash over whitespace tokens.
+
+    Vectorized pandas UDF: per Arrow batch, token hashes are expanded into
+    a (tokens x bits) sign matrix with numpy bit tricks and summed. Python
+    is unavoidable here (per-bit accumulation has no good Catalyst form),
+    but it is batched, columnar, and embarrassingly parallel.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def hash_str(s: str) -> int:
+        # FNV-1a 64-bit: deterministic across processes (unlike hash()).
+        h = 0xCBF29CE484222325
+        for ch in s.encode("utf-8"):
+            h ^= ch
+            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    # NOTE: returnType passed explicitly (no type hints) because this module
+    # uses `from __future__ import annotations`, which stringifies hints and
+    # breaks pyspark's pandas_udf signature inference.
+    def _simhash_fn(tokens):
+        out = np.zeros(len(tokens), dtype=np.int64)
+        masks = (1 << np.arange(bits, dtype=np.uint64)).astype(np.uint64)
+        for i, toks in enumerate(tokens):
+            if toks is None or len(toks) == 0:
+                continue
+            hs = np.array([hash_str(t) for t in toks], dtype=np.uint64)
+            signs = ((hs[:, None] & masks[None, :]) != 0).astype(np.int32)
+            acc = (2 * signs - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for b in range(bits):
+                if acc[b] > 0:
+                    fp |= masks[b]
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    _simhash = pandas_udf(_simhash_fn, "long")
+
+    tokens = F.filter(
+        F.split(F.trim(F.col(text_column)), r"\s+"), lambda t: t != ""
+    )
+    return df.select(
+        id_column, _simhash(tokens).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram (word) Jaccard similarity >= threshold.
+
+    explode n-grams (distinct per doc) -> self-join on gram (shuffled
+    equi-join) -> intersection counts -> Jaccard via |A|+|B|-|A∩B|.
+    Exact; quadratic in bucket sizes, so use after LSH at scale.
+    """
+    tokens = F.filter(
+        F.split(F.trim(F.lower(F.col(text_column))), r"\s+"), lambda t: t != ""
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size(tokens) - n, F.lit(0)),
+            ),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+    g = df.select(
+        F.col(id_column).alias("__id__"), grams.alias("__grams__")
+    ).withColumn("__n__", F.size("__grams__"))
+    exploded = g.select(
+        "__id__", "__n__", F.explode("__grams__").alias("__g__")
+    )
+    a = exploded.select(
+        F.col("__id__").alias("id_a"), F.col("__n__").alias("na"), "__g__"
+    )
+    b = exploded.select(
+        F.col("__id__").alias("id_b"), F.col("__n__").alias("nb"), "__g__"
+    )
+    inter = (
+        a.join(b, on="__g__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return inter.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def embedding_cosine_dedup(
+    df: DataFrame,
+    embedding_column: str,
+    id_column: str,
+    threshold: float = 0.95,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """Drop rows whose embedding is cosine-similar (>= threshold) to a
+    smaller-id row. LSH-bucketed by default; exact within buckets."""
+    from .similarity import _cosine_pairs_lsh, _cosine_pairs_brute
+
+    pairs = (
+        _cosine_pairs_lsh(df, embedding_column, id_column, threshold)
+        if use_lsh
+        else _cosine_pairs_brute(df, embedding_column, id_column, threshold)
+    )
+    to_drop = pairs.select(F.col("id_b").alias(id_column)).distinct()
+    return df.join(to_drop, on=id_column, how="left_anti")

@@ -1,0 +1,206 @@
+"""Driver-contract queries for the pipeline operators (dedup, text,
+similarity, multimodal, windowed events). Oracle SQL is provided wherever
+the computation is exactly reproducible in ANSI SQL (integer arithmetic or
+identical-formula double math); hash/LSH-based ops are rows-only."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup as D
+from . import similarity as S
+from . import text as X
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        D.dedup_exact(docs, ["text"])
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+def q_fingerprint_dedup(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    fp = X.document_fingerprint(docs, "text")
+    return fp.groupBy("source").agg(
+        F.countDistinct("fingerprint").alias("n_unique")
+    )
+
+
+def q_minhash_dedup(spark, sf_dir):
+    # LSH near-dup removal; hash-based, rows-only check.
+    docs = _read(spark, sf_dir, "documents")
+    kept = D.minhash_lsh_dedup(
+        docs, "text", "doc_id", num_hashes=32, bands=8,
+        min_signature_similarity=0.7,
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_simhash_buckets(spark, sf_dir):
+    # SimHash fingerprints bucketed by top byte; rows-only check.
+    docs = _read(spark, sf_dir, "documents")
+    sh = D.simhash(docs, "text", "doc_id")
+    return (
+        sh.withColumn("bucket", F.shiftrightunsigned("simhash", 56))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    # Exact 3-gram Jaccard pairs at >=0.35 among first 200 docs;
+    # threshold on a ratio of integers -> FP-safe enough? Ratio compare in
+    # SQL uses identical arithmetic; keep rows-only to be safe.
+    docs = _read(spark, sf_dir, "documents").filter("doc_id < 200")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.35)
+    return pairs.groupBy().agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --- text ------------------------------------------------------------------
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    tc = X.token_count(docs, "text")
+    return tc.groupBy("lang").agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_quality_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    q = X.quality_score(docs, "text")
+    return q.groupBy("lang").agg(
+        F.sum((F.col("quality") >= 0.99).cast("long")).alias("n_good"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_language_id(spark, sf_dir):
+    # Heuristic language ID vs labeled lang; rows-only check.
+    docs = _read(spark, sf_dir, "documents")
+    pred = X.language_id(docs, "text")
+    return pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    # Exact cosine top-3 for 50 query vectors; FP/tie-sensitive -> rows-only.
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 50")
+    topk = S.brute_force_cosine_topk(emb, "embedding", "vec_id", k=3, queries=queries)
+    return topk.select("query_id", "neighbor_id", "rank")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    # LSH-bucketed approximate top-3; rows-only.
+    emb = _read(spark, sf_dir, "embeddings").filter("vec_id < 2000")
+    topk = S.lsh_cosine_topk(emb, "embedding", "vec_id", k=3, bits=6, tables=2)
+    return topk.groupBy().agg(F.count(F.lit(1)).alias("n_results"))
+
+
+# --- events (hypertable-style rollup, batch form) --------------------------
+
+
+def q_event_hourly_rollup(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")  # ts = BIGINT nanoseconds
+    return (
+        ev.withColumn("hour_id", (F.col("ts") / F.lit(3_600_000_000_000)).cast("long"))
+        .groupBy("hour_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_buckets": q_simhash_buckets,
+    "ngram_jaccard": q_ngram_jaccard,
+    "token_stats": q_token_stats,
+    "quality_stats": q_quality_stats,
+    "language_id": q_language_id,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "event_hourly_rollup": q_event_hourly_rollup,
+}
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT CAST(count(*) AS BIGINT) AS n_unique
+        FROM (SELECT DISTINCT text FROM documents)
+    """,
+    "fingerprint_dedup": """
+        SELECT source, CAST(count(DISTINCT trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+            '\\s+', ' ', 'g'))) AS BIGINT) AS n_unique
+        FROM documents GROUP BY source
+    """,
+    "token_stats": """
+        SELECT lang,
+               CAST(sum(len(list_filter(
+                   string_split_regex(trim(text), '\\s+'),
+                   x -> x <> ''))) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "quality_stats": """
+        WITH scored AS (
+          SELECT lang,
+            len(list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> x <> '')) AS n_tokens,
+            length(text) AS n_chars,
+            length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+              AS n_punct
+          FROM documents
+        ), q AS (
+          SELECT lang,
+            (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                  THEN 1.0 ELSE 0.3 END) * 0.4
+            + (CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)
+                          / CAST(n_chars AS DOUBLE) ELSE 0.0 END) <= 0.3
+                    THEN 1.0 ELSE 0.4 END) * 0.3
+            + (CASE WHEN n_tokens > 0
+                     AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                         >= 2.0
+                     AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                         <= 12.0
+                    THEN 1.0 ELSE 0.5 END) * 0.3 AS quality
+          FROM scored
+        )
+        SELECT lang,
+               CAST(sum(CASE WHEN quality >= 0.99 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_good,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM q GROUP BY lang
+    """,
+    "event_hourly_rollup": """
+        SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_id,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+}

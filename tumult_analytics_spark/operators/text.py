@@ -1,0 +1,143 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions (no Python in the
+hot path) so they run inside whole-stage codegen over 100 TB of text."""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram-free language heuristic.
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "una", "del", "por", "con", "para"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "个"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_column: str, output_column: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (0 for empty/blank text)."""
+    return df.withColumn(
+        output_column, F.size(_tokens(F.col(text_column)))
+    )
+
+
+def bpe_ish_token_count(
+    df: DataFrame, text_column: str, output_column: str = "n_bpe_tokens"
+) -> DataFrame:
+    """BPE-ish token estimate: word-piece chunks of <=4 chars plus digits
+    and punctuation as single tokens, via a regexp count — a cheap,
+    deterministic stand-in for a real tokenizer at scan speed."""
+    # Count matches of: up to-4-char letter runs | digit runs | single other
+    pattern = r"[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]"
+    return df.withColumn(
+        output_column,
+        F.size(F.regexp_extract_all(F.col(text_column), F.lit(pattern))),
+    )
+
+
+def language_id(
+    df: DataFrame, text_column: str, output_column: str = "lang_pred"
+) -> DataFrame:
+    """Stopword-vote language heuristic: the language whose stopword list
+    matches the most (lowercased) tokens wins; ties and no-hits -> 'und'.
+
+    Entirely Catalyst: per language one size(filter(tokens, in-list));
+    argmax via greatest + chained when.
+    """
+    toks = F.transform(_tokens(F.col(text_column)), lambda t: F.lower(t))
+
+    # array_contains(literal_array, t) instead of t.isin(...): isin does not
+    # compile against lambda variables. Factory keeps the lambda single-arg
+    # (pyspark counts default-arg params as lambda arity).
+    def _in_list(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {
+        lang: F.size(F.filter(toks, _in_list(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    # For zh (no whitespace), count substring occurrences instead.
+    zh_hits = None
+    for w in STOPWORDS["zh"]:
+        c = (
+            F.length(F.col(text_column))
+            - F.length(F.regexp_replace(F.col(text_column), w, ""))
+        )
+        zh_hits = c if zh_hits is None else zh_hits + c
+    scores["zh"] = zh_hits
+    langs = list(scores)
+    best = F.greatest(*[scores[l] for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier languages win ties
+        pred = F.when((scores[l] == best) & (best > 0), F.lit(l)).otherwise(pred)
+    return df.withColumn(output_column, pred)
+
+
+def quality_score(
+    df: DataFrame, text_column: str, output_column: str = "quality"
+) -> DataFrame:
+    """Composite quality heuristics per document:
+
+    - n_chars, n_tokens, mean_token_len
+    - punct_ratio: punctuation chars / chars
+    - stopword_ratio: english stopword tokens / tokens
+    - quality: 0..1 composite (long enough, not punctuation soup, has
+      stopwords — the classic C4/Gopher-style filters, cheaply)
+    """
+    text = F.col(text_column)
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    mean_tok = F.when(
+        n_tokens > 0, n_chars.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = F.when(
+        n_chars > 0, punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(
+            F.transform(toks, lambda t: F.lower(t)),
+            lambda t: t.isin(STOPWORDS["en"]),
+        )
+    )
+    stop_ratio = F.when(
+        n_tokens > 0, stop_hits.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio <= 0.3, 1.0).otherwise(0.4)
+    tok_ok = F.when((mean_tok >= 2.0) & (mean_tok <= 12.0), 1.0).otherwise(0.5)
+    score = length_ok * 0.4 + punct_ok * 0.3 + tok_ok * 0.3
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", mean_tok)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn(output_column, score)
+    )
+
+
+def document_fingerprint(
+    df: DataFrame, text_column: str, output_column: str = "fingerprint"
+) -> DataFrame:
+    """64-bit fingerprint of the normalized document text (lowercase,
+    punctuation stripped, whitespace collapsed) via xxhash64 — the cheap
+    near-exact dedup key (normalization-equal docs collide)."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_column)), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.withColumn(output_column, F.xxhash64(normalized))
