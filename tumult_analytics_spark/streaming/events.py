@@ -1,0 +1,106 @@
+"""Streaming rollups over the events table (Structured Streaming).
+
+The reference has no streaming surface (SURVEY.md §2: no watermarks /
+windows / state); this module adds the standard large-pipeline pattern:
+readStream -> watermark -> windowed aggregation -> sink, plus a DP variant
+that adds geometric noise to each finalized window count (event-level DP
+under AddMaxRows, one noise draw per emitted window).
+
+Batch/stream parity: `windowed_event_counts(df)` accepts either a batch or
+streaming DataFrame — the same declarative plan compiles to an incremental
+plan under readStream (Catalyst handles both), which is what makes the
+logic testable: run it in batch, assert exact counts, then run the same
+function under `trigger(availableNow)` and compare.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Event schema as stored (ts = nanoseconds since epoch, BIGINT).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over a parquet directory of events (file source: the
+    standard replay/backfill pattern; swap for Kafka in production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    # ts is BIGINT nanoseconds -> proper timestamp for windowing.
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: Optional[str] = None,
+) -> DataFrame:
+    """Tumbling (or sliding) windowed counts per event_type with a
+    watermark for late data. Works on both batch and streaming inputs."""
+    d = _with_event_time(df)
+    if d.isStreaming:
+        d = d.withWatermark("event_time", watermark)
+    win = (
+        F.window("event_time", window, slide) if slide else F.window("event_time", window)
+    )
+    return (
+        d.groupBy(win.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def dp_windowed_counts(
+    df: DataFrame,
+    epsilon: float,
+    max_rows_per_user_per_window: int = 1,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed counts with event-level DP: each emitted window count gets
+    two-sided geometric noise of scale d/epsilon (d = per-user per-window
+    contribution bound; enforce upstream via dedup/truncation).
+
+    Noise is added per output row in the aggregated (small) stream, so
+    the DP stage costs O(#windows), not O(#events)."""
+    from ..functions.noise import NoiseMechanism, noise_column
+
+    counts = windowed_event_counts(df, window=window, watermark=watermark)
+    scale = max_rows_per_user_per_window / epsilon
+    noise = noise_column(NoiseMechanism.GEOMETRIC, scale)
+    out = counts.withColumn(
+        "n", (F.col("n") + (noise if noise is not None else F.lit(0))).cast("long")
+    )
+    return out.drop("sum_value")
