@@ -1,0 +1,132 @@
+"""Session-level features: auto partition selection, noise introspection,
+describe, zCDP grouping discount, budget type rules."""
+
+import pandas as pd
+import pytest
+
+from tumult_analytics_spark import (
+    AddMaxRowsInMaxGroups,
+    AddOneRow,
+    ApproxDPBudget,
+    KeySet,
+    PureDPBudget,
+    QueryBuilder,
+    RhoZCDPBudget,
+    Session,
+)
+
+
+def test_auto_partition_selection(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 30 + ["b"] * 20, "x": range(50)})
+    )
+    s = Session.from_dataframe(
+        ApproxDPBudget(float("inf"), 1), "t", df, AddOneRow()
+    )
+    q = QueryBuilder("t").groupby(["g"]).count()
+    out = s.evaluate(q, ApproxDPBudget(float("inf"), 1))
+    got = {r["g"]: r["count"] for r in out.collect()}
+    assert got == {"a": 30, "b": 20}
+
+
+def test_auto_partition_requires_approxdp(spark):
+    df = spark.createDataFrame(pd.DataFrame({"g": ["a", "b"], "x": [1, 2]}))
+    s = Session.from_dataframe(PureDPBudget(1), "t", df, AddOneRow())
+    with pytest.raises(ValueError, match="ApproxDP"):
+        s.evaluate(QueryBuilder("t").groupby(["g"]).count(), PureDPBudget(1))
+
+
+def test_noise_info(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3]}))
+    s = Session.from_dataframe(PureDPBudget(10), "t", df, AddOneRow())
+    info = s._noise_info(QueryBuilder("t").count(), PureDPBudget(2))
+    assert len(info) == 1
+    assert info[0]["noise_mechanism"] == "GEOMETRIC"
+    assert info[0]["noise_parameter"] == pytest.approx(0.5)  # d=1 / eps=2
+
+    info2 = s._noise_info(
+        QueryBuilder("t").average("x", 0, 10), PureDPBudget(2)
+    )
+    assert len(info2) == 2  # sum part + count part
+
+
+def test_noise_info_zcdp(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3]}))
+    s = Session.from_dataframe(RhoZCDPBudget(8), "t", df, AddOneRow())
+    info = s._noise_info(QueryBuilder("t").count(), RhoZCDPBudget(8))
+    assert info[0]["noise_mechanism"] == "DISCRETE_GAUSSIAN"
+    # sigma = sqrt(d^2/(2 rho)) = sqrt(1/16) = 0.25
+    assert info[0]["noise_parameter"] == pytest.approx(0.25)
+
+
+def test_describe_runs(spark, capsys):
+    df = spark.createDataFrame(pd.DataFrame({"a": ["x"], "b": [1.5]}))
+    s = Session.from_dataframe(PureDPBudget(1), "t", df, AddOneRow())
+    s.describe()
+    out = capsys.readouterr().out
+    assert "t" in out and "DECIMAL" in out and "VARCHAR" in out
+
+
+def test_grouping_flatmap_requires_groupby_on_column(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3]}))
+    s = Session.from_dataframe(PureDPBudget(float("inf")), "t", df, AddOneRow())
+    q = (
+        QueryBuilder("t")
+        .flat_map(
+            lambda row: [{"g": "a"}, {"g": "b"}],
+            new_column_types={"g": "VARCHAR"},
+            augment=True,
+            grouping=True,
+            max_rows=2,
+        )
+        .count()
+    )
+    # count() groups by empty keyset, missing the grouping column -> error
+    with pytest.raises(ValueError, match="grouping column"):
+        s.evaluate(q, PureDPBudget(float("inf")))
+
+
+def test_grouping_flatmap_l2_stability(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3]}))
+    s = Session.from_dataframe(RhoZCDPBudget(float("inf")), "t", df, AddOneRow())
+    qb = QueryBuilder("t").flat_map(
+        lambda row: [{"g": "a"}, {"g": "b"}, {"g": "c"}, {"g": "d"}],
+        new_column_types={"g": "VARCHAR"},
+        augment=True,
+        grouping=True,
+        max_rows=4,
+    )
+    q = qb.groupby(KeySet.from_dict({"g": ["a", "b", "c", "d"]})).count()
+    info = s._noise_info(q, RhoZCDPBudget(2))
+    # L2 stability = sqrt(4) = 2 -> sigma = sqrt(4/(2*2)) = 1
+    assert info[0]["noise_parameter"] == pytest.approx(1.0)
+    # PureDP-style L1 would have given stability 4 -> sigma 2.
+    out = s.evaluate(q, RhoZCDPBudget(float("inf")))
+    assert {r["g"]: r["count"] for r in out.collect()} == {
+        "a": 3, "b": 3, "c": 3, "d": 3
+    }
+
+
+def test_add_max_rows_in_max_groups_zcdp(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a", "b"], "x": [1, 2, 3]})
+    )
+    s = Session.from_dataframe(
+        RhoZCDPBudget(2),
+        "t",
+        df,
+        AddMaxRowsInMaxGroups("g", max_groups=4, max_rows_per_group=1),
+    )
+    q = QueryBuilder("t").groupby(KeySet.from_dict({"g": ["a", "b"]})).count()
+    info = s._noise_info(q, RhoZCDPBudget(2))
+    # L2 = sqrt(4)*1 = 2 -> sigma = sqrt(4/(2*2)) = 1
+    assert info[0]["noise_parameter"] == pytest.approx(1.0)
+
+
+def test_puredp_query_on_approxdp_session(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    s = Session.from_dataframe(ApproxDPBudget(1, 1e-6), "t", df, AddOneRow())
+    s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.5))
+    rem = s.remaining_privacy_budget
+    assert float(rem.epsilon) == pytest.approx(0.5)
+    assert float(rem.delta) == pytest.approx(1e-6)

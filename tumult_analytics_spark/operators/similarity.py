@@ -1,48 +1,82 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
 Two paths:
-- brute_force_cosine_topk: exact baseline. query x corpus join with the
-  dot product as a Catalyst higher-order function (zip_with + aggregate —
-  JVM-side, vectorizable); top-k via window row_number. O(|Q| * |C|): fine
-  for bounded query sets, the correctness oracle for the ANN path.
-- lsh_cosine_topk: random-hyperplane (sign) LSH: b sign-bits -> bucket id;
-  only same-bucket pairs are scored. Multi-probe via several independent
-  tables to trade recall for cost. This is the 100 TB path: the bucket
-  join is a plain shuffled equi-join AQE can handle, and each bucket is
-  small.
+- brute_force_cosine_topk: exact baseline. Per-partition numpy matmul of
+  the query block against a broadcast corpus matrix; top-k via window.
+  O(|Q| * |C|): the correctness oracle for the ANN path.
+- lsh_cosine_topk: random-hyperplane (sign) LSH. One vectorized
+  mapInPandas pass computes the unit-normalized vector and every table's
+  bucket id (numpy matmul against the hyperplane matrix); then per-bucket
+  applyInPandas computes the pairwise block with one matmul. The bucket
+  join is a plain shuffled groupBy AQE can handle.
 
-Embeddings are array<float>; math is done in double.
+Design rule learned by measurement: Catalyst higher-order-function
+lambdas (zip_with/aggregate) are interpreted, NOT codegen'd — per-element
+arithmetic over a 64-dim array costs ~1 ms/row. Every vector kernel here
+is therefore an Arrow-batched numpy op; vectors cross the Python boundary
+once per stage, never once per pair.
 """
 
 from __future__ import annotations
 
 import random
-from typing import Optional
+from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _hyperplanes(dim: int, bits: int, seed: int) -> List[List[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+def _normalize_and_bucket(
+    df: DataFrame,
+    embedding_column: str,
+    id_column: str,
+    planes_per_table: List[List[List[float]]],
+) -> DataFrame:
+    """One Arrow pass: (id, __nv__ array<double>, __b0__..__bT__ int).
 
+    Normalization and all tables' sign-bucket ids come from two numpy
+    matmuls per batch.
+    """
+    import numpy as np
+    import pandas as pd
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    id_field = df.schema[id_column]
+    fields = [
+        T.StructField(id_column, id_field.dataType, True),
+        T.StructField("__nv__", T.ArrayType(T.DoubleType()), True),
+    ] + [
+        T.StructField(f"__b{t}__", T.IntegerType(), True)
+        for t in range(len(planes_per_table))
+    ]
+    out_schema = T.StructType(fields)
+    plane_mats = [list(map(list, zip(*p))) for p in planes_per_table]  # dim x bits
+
+    def kernel(batches):
+        import numpy as np
+
+        mats = [np.array(p) for p in plane_mats]  # (dim, bits)
+        pows = [1 << np.arange(m.shape[1]) for m in mats]
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[f.name for f in fields])
+                continue
+            M = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            N = M / norms
+            out = {id_column: pdf[id_column], "__nv__": list(N)}
+            for t, (mat, pw) in enumerate(zip(mats, pows)):
+                signs = (N @ mat) >= 0
+                out[f"__b{t}__"] = (signs * pw).sum(axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return df.select(id_column, embedding_column).mapInPandas(kernel, out_schema)
 
 
 def brute_force_cosine_topk(
@@ -53,55 +87,83 @@ def brute_force_cosine_topk(
     queries: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query row (default: corpus
-    itself). Output: (query_id, neighbor_id, cosine, rank)."""
-    q = (queries if queries is not None else corpus).select(
-        F.col(id_column).alias("query_id"),
-        F.col(embedding_column).alias("__qv__"),
+    itself). Output: (query_id, neighbor_id, cosine, rank).
+
+    The corpus matrix is collected and broadcast (cap it upstream or use
+    lsh_cosine_topk when the corpus itself is huge); each query partition
+    does one numpy matmul against it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qdf = queries if queries is not None else corpus
+    id_field = corpus.schema[id_column]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType, True),
+            T.StructField("neighbor_id", id_field.dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
     )
-    c = corpus.select(
-        F.col(id_column).alias("neighbor_id"),
-        F.col(embedding_column).alias("__cv__"),
-    )
-    pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
-    )
+    corpus_rows = corpus.select(id_column, embedding_column).collect()
+    c_ids = np.array([r[0] for r in corpus_rows])
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in corpus_rows])
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    sc = corpus.sparkSession.sparkContext
+    bc_ids, bc_C = sc.broadcast(c_ids), sc.broadcast(C)
+
+    def kernel(batches):
+        ids_c, Cm = bc_ids.value, bc_C.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+                continue
+            Q = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
+            Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            S = Q @ Cm.T  # (q, corpus)
+            qids = pdf[id_column].to_numpy()
+            self_mask = qids[:, None] == ids_c[None, :]
+            S[self_mask] = -np.inf
+            kk = min(k, S.shape[1] - 1)
+            idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(qids, kk),
+                "neighbor_id": ids_c[idx.ravel()],
+                "cosine": S[np.repeat(np.arange(len(qids)), kk), idx.ravel()],
+            }
+            yield pd.DataFrame(rows)
+
+    scored = qdf.select(id_column, embedding_column).mapInPandas(kernel, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 
-def _hyperplanes(dim: int, bits: int, seed: int):
-    rnd = random.Random(seed)
-    return [
-        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)
-    ]
+def _bucket_topk_fn(id_column: str, k: int):
+    import numpy as np
+    import pandas as pd
 
-
-def _bucket_id(embedding: Column, planes) -> Column:
-    """Sign-bit bucket id: bit j = (v . h_j) >= 0. Catalyst arithmetic."""
-    bits = []
-    for j, h in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                embedding,
-                F.array(*[F.lit(x) for x in h]),
-                lambda x, yy: x.cast("double") * yy,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    def bucket_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_column].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+        M = np.stack(pdf["__nv__"].to_numpy())
+        S = M @ M.T
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, len(ids) - 1)
+        idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(ids, kk),
+                "neighbor_id": ids[idx.ravel()],
+                "cosine": S[np.repeat(np.arange(len(ids)), kk), idx.ravel()],
+            }
         )
-        bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+
+    return bucket_topk
 
 
 def lsh_cosine_topk(
@@ -114,69 +176,82 @@ def lsh_cosine_topk(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only same-bucket pairs across ``tables``
-    independent random-hyperplane tables. Recall grows with tables; cost
-    is sum of per-bucket squares instead of |C|^2."""
-    parts = []
-    for t in range(tables):
-        planes = _hyperplanes(dim, bits, seed + 1000 * t)
-        b = corpus.select(
-            F.col(id_column),
-            F.col(embedding_column),
-            _bucket_id(F.col(embedding_column), planes).alias("__bucket__"),
-        )
-        left = b.select(
-            F.col("__bucket__"),
-            F.col(id_column).alias("query_id"),
-            F.col(embedding_column).alias("__qv__"),
-        )
-        right = b.select(
-            F.col("__bucket__"),
-            F.col(id_column).alias("neighbor_id"),
-            F.col(embedding_column).alias("__cv__"),
-        )
-        parts.append(
-            left.join(right, on="__bucket__")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", "__qv__", "__cv__")
-        )
+    """Approximate top-k: per-bucket pairwise matmuls across ``tables``
+    independent sign-LSH tables; union, keep best score per pair, global
+    top-k per query. Cost: sum of per-bucket squares instead of |C|^2."""
+    planes = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
+    prepped = _normalize_and_bucket(
+        corpus, embedding_column, id_column, planes
+    ).persist()
+    id_field = corpus.schema[id_column]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType, True),
+            T.StructField("neighbor_id", id_field.dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+    fn = _bucket_topk_fn(id_column, k)
+    parts = [
+        prepped.groupBy(f"__b{t}__").applyInPandas(fn, out_schema)
+        for t in range(tables)
+    ]
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
+    best = cand.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return best.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _pairs_schema(df: DataFrame, id_column: str) -> T.StructType:
+    id_field = df.schema[id_column]
+    return T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType, True),
+            T.StructField("id_b", id_field.dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
     )
 
 
 def _cosine_pairs_brute(
     df: DataFrame, embedding_column: str, id_column: str, threshold: float
 ) -> DataFrame:
-    a = df.select(
-        F.col(id_column).alias("id_a"), F.col(embedding_column).alias("__a__")
-    )
-    b = df.select(
-        F.col(id_column).alias("id_b"), F.col(embedding_column).alias("__b__")
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_similarity(F.col("__a__"), F.col("__b__")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    """All pairs (id_a < id_b) with cosine >= threshold, exact."""
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_column, embedding_column).collect()
+    ids = np.array([r[0] for r in rows])
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    sc = df.sparkSession.sparkContext
+    bc_ids, bc_C = sc.broadcast(ids), sc.broadcast(C)
+    out_schema = _pairs_schema(df, id_column)
+
+    def kernel(batches):
+        ids_c, Cm = bc_ids.value, bc_C.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+                continue
+            Q = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
+            Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            qids = pdf[id_column].to_numpy()
+            S = Q @ Cm.T
+            qi, ci = np.where((S >= threshold) & (qids[:, None] < ids_c[None, :]))
+            yield pd.DataFrame(
+                {"id_a": qids[qi], "id_b": ids_c[ci], "cosine": S[qi, ci]}
+            )
+
+    return df.select(id_column, embedding_column).mapInPandas(kernel, out_schema)
 
 
 def _cosine_pairs_lsh(
@@ -189,35 +264,32 @@ def _cosine_pairs_lsh(
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
-    parts = []
-    for t in range(tables):
-        planes = _hyperplanes(dim, bits, seed + 1000 * t)
-        b = df.select(
-            F.col(id_column),
-            F.col(embedding_column),
-            _bucket_id(F.col(embedding_column), planes).alias("__bucket__"),
+    """Same-bucket pairs (id_a < id_b) with cosine >= threshold."""
+    import numpy as np
+    import pandas as pd
+
+    planes = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
+    prepped = _normalize_and_bucket(
+        df, embedding_column, id_column, planes
+    ).persist()
+    out_schema = _pairs_schema(df, id_column)
+
+    def pairs_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_column].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        M = np.stack(pdf["__nv__"].to_numpy())
+        S = M @ M.T
+        ai, bi = np.where((S >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bi], "cosine": S[ai, bi]}
         )
-        left = b.select(
-            "__bucket__",
-            F.col(id_column).alias("id_a"),
-            F.col(embedding_column).alias("__a__"),
-        )
-        right = b.select(
-            "__bucket__",
-            F.col(id_column).alias("id_b"),
-            F.col(embedding_column).alias("__b__"),
-        )
-        parts.append(
-            left.join(right, on="__bucket__")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "__a__", "__b__")
-        )
+
+    parts = [
+        prepped.groupBy(f"__b{t}__").applyInPandas(pairs_fn, out_schema)
+        for t in range(tables)
+    ]
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
-    return cand.select(
-        "id_a",
-        "id_b",
-        cosine_similarity(F.col("__a__"), F.col("__b__")).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    return cand.dropDuplicates(["id_a", "id_b"])
