@@ -5,8 +5,9 @@ Public API mirrors the reference's exports
 (`/root/reference/src/tmlt/analytics/__init__.py:41-84`).
 """
 
-from .binning import BinningSpec
+from .binning import BinningSpec, BinT
 from .budget import ApproxDPBudget, PrivacyBudget, PureDPBudget, RhoZCDPBudget
+from .config import Config, FeatureFlag
 from .builder import GroupbyCountQuery, GroupedQueryBuilder, Query, QueryBuilder
 from .constraints import (
     Constraint,
@@ -51,7 +52,10 @@ __all__ = [
     "AddOneRow",
     "AddRowsWithID",
     "BinningSpec",
+    "BinT",
     "ColumnDescriptor",
+    "Config",
+    "FeatureFlag",
     "ColumnType",
     "Constraint",
     "CountDistinctMechanism",
