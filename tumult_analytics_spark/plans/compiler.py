@@ -379,7 +379,12 @@ def compile_transform(expr: E.QueryExpr, ctx: CompileContext) -> CompiledTable:
         ]
         df = t.df
         for c in targets:
-            df = df.filter(~F.col(c).isin(float("inf"), float("-inf")))
+            # eqNullSafe: a plain NOT IN would evaluate NULL for null rows
+            # and drop them; only the infinities must go (nulls, NaNs stay).
+            df = df.filter(
+                ~F.col(c).eqNullSafe(float("inf"))
+                & ~F.col(c).eqNullSafe(float("-inf"))
+            )
         return CompiledTable(df, schema, t.l1, t.l2, t.is_ids, list(t.constraints))
 
     if isinstance(expr, E.BinColumn):
@@ -461,8 +466,13 @@ def _compile_join_public(expr: E.JoinPublic, ctx: CompileContext) -> CompiledTab
         elif isinstance(c, MaxGroupsPerID):
             if c.grouping_column in schema:
                 constraints.append(c)
+    # ID tables carry sensitivity in their constraints (already multiplied
+    # above); multiplying the row-stability too would double-count when
+    # _truncate_for_measurement combines them.
+    if t.is_ids:
+        return CompiledTable(df, schema, t.l1, t.l2, True, constraints)
     return CompiledTable(
-        df, schema, t.l1 * mult, t.l2 * mult, t.is_ids, constraints
+        df, schema, t.l1 * mult, t.l2 * mult, False, constraints
     )
 
 

@@ -43,6 +43,60 @@ def _wrap_measure_child(
     return child
 
 
+def _has_max_groups_constraint(expr, grouping_column: str) -> bool:
+    """True if an EnforceConstraint(MaxGroupsPerID(grouping_column, ...))
+    appears anywhere in the transformation chain below ``expr``."""
+    from ..constraints import MaxGroupsPerID
+
+    node = expr
+    while node is not None:
+        if isinstance(node, E.EnforceConstraint) and (
+            isinstance(node.constraint, MaxGroupsPerID)
+            and node.constraint.grouping_column == grouping_column
+        ):
+            return True
+        node = getattr(node, "child", None)
+    return False
+
+
+def _optimize_id_count_distinct(expr, catalog):
+    """Count-distinct -> count optimization on ID tables (reference
+    ``_base_measurement_visitor.py:217-300``).
+
+    ``count_distinct(columns=[id_col])`` equals a plain count after
+    truncating to one row per (id) — or per (id, group) when grouped on a
+    single column carrying a MaxGroupsPerID constraint. The rewritten plan
+    skips the exact-distinct shuffle and works without a user-supplied
+    MaxRowsPerID.
+    """
+    import dataclasses
+
+    from ..constraints import MaxRowsPerGroupPerID, MaxRowsPerID
+    from ..keyset import KeySet
+
+    try:
+        cs = expr.child.schema(catalog)
+    except Exception:
+        return None
+    id_col = cs.id_column
+    if not id_col or tuple(expr.columns_to_count) != (id_col,):
+        return None
+    keys = expr.groupby_keys
+    if not isinstance(keys, KeySet):
+        return None
+    gcols = list(keys.columns())
+    mech = E.CountMechanism[expr.mechanism.name]
+    if not gcols:
+        child = E.EnforceConstraint(expr.child, MaxRowsPerID(1))
+        return E.GroupByCount(child, keys, expr.output_column, mech)
+    if len(gcols) == 1 and _has_max_groups_constraint(expr.child, gcols[0]):
+        child = E.EnforceConstraint(
+            expr.child, MaxRowsPerGroupPerID(gcols[0], 1)
+        )
+        return E.GroupByCount(child, keys, expr.output_column, mech)
+    return None
+
+
 def rewrite(expr: E.QueryExpr, catalog: Mapping[str, Schema]) -> E.QueryExpr:
     """Apply the rewrite pipeline depth-first, returning a new tree."""
     import dataclasses
@@ -69,7 +123,12 @@ def rewrite(expr: E.QueryExpr, catalog: Mapping[str, Schema]) -> E.QueryExpr:
         return dataclasses.replace(expr, child=child)
     if isinstance(expr, E.SuppressAggregates):
         return dataclasses.replace(expr, child=rewrite(expr.child, catalog))
-    if isinstance(expr, (E.GroupByCount, E.GroupByCountDistinct, E.GetGroups)):
+    if isinstance(expr, E.GroupByCountDistinct):
+        opt = _optimize_id_count_distinct(expr, catalog)
+        if opt is not None:
+            return dataclasses.replace(opt, child=rewrite(opt.child, catalog))
+        return dataclasses.replace(expr, child=rewrite(expr.child, catalog))
+    if isinstance(expr, (E.GroupByCount, E.GetGroups)):
         return dataclasses.replace(expr, child=rewrite(expr.child, catalog))
     # Transformation nodes: rewrite children recursively.
     if isinstance(expr, E.JoinPrivate):
