@@ -224,6 +224,153 @@ def q_get_bounds(spark, sf_dir):
     return s.evaluate(q, INF)
 
 
+def q_flat_map_explode(spark, sf_dir):
+    # UDTF path: one row per whole unit of l_quantity, capped at 3.
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    ks = KeySet.from_dict({"l_returnflag": _RF})
+    q = (
+        QueryBuilder("lineitem")
+        .flat_map(
+            lambda row: [
+                {"unit": i} for i in range(min(int(row["l_quantity"]), 3))
+            ],
+            new_column_types={"unit": "INTEGER"},
+            augment=True,
+            max_rows=3,
+        )
+        .groupby(ks)
+        .count(name="n_units")
+    )
+    return s.evaluate(q, INF)
+
+
+def q_flat_map_by_id(spark, sf_dir):
+    # Per-privacy-ID UDTF: collapse each user's events to one summary row,
+    # then count heavy users (>= 67 events).
+    s = _sess(spark, sf_dir, {"events": AddRowsWithID("user_id")})
+    q = (
+        QueryBuilder("events")
+        .flat_map_by_id(
+            lambda rows: [{"n_events": len(rows)}],
+            new_column_types={"n_events": "INTEGER"},
+        )
+        .filter("n_events >= 67")
+        .enforce(MaxRowsPerID(1))
+        .count(name="n_heavy_users")
+    )
+    return s.evaluate(q, INF)
+
+
+def q_private_join_nonunique(spark, sf_dir):
+    # DropNonUnique truncation: keep only join keys appearing exactly once
+    # on each side (orders keys are unique; single-line orders on the left).
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow(), "orders": AddOneRow()})
+    ks = KeySet.from_dict({"o_orderstatus": _STATUS})
+    q = (
+        QueryBuilder("lineitem")
+        .rename({"l_orderkey": "o_orderkey"})
+        .join_private(
+            "orders",
+            truncation_strategy_left=TruncationStrategy.DropNonUnique(),
+            truncation_strategy_right=TruncationStrategy.DropNonUnique(),
+            join_columns=["o_orderkey"],
+        )
+        .groupby(ks)
+        .count(name="count")
+    )
+    return s.evaluate(q, INF)
+
+
+def q_replace_null_binned(spark, sf_dir):
+    # bin_column sends out-of-range to null; replace_null_and_nan maps the
+    # null bin to 'other' before grouping.
+    s = _sess(spark, sf_dir, {"orders": AddOneRow()})
+    spec = ta.BinningSpec([0.0, 50000.0, 150000.0], names=["low", "high"])
+    ks = KeySet.from_dict({"price_bin": ["low", "high", "other"]})
+    q = (
+        QueryBuilder("orders")
+        .bin_column("o_totalprice", spec, name="price_bin")
+        .replace_null_and_nan({"price_bin": "other"})
+        .groupby(ks)
+        .count(name="count")
+    )
+    return s.evaluate(q, INF)
+
+
+def q_min_max(spark, sf_dir):
+    # Quantile(0)/quantile(1) sugar: DP exponential mechanism, rows-only.
+    # Combined via union, NOT crossJoin: a cartesian of two 32-partition
+    # local relations schedules 32x32 tasks in local mode.
+    from pyspark.sql import functions as F
+
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    qmin = QueryBuilder("lineitem").min("l_quantity", 0, 60, name="value")
+    qmax = QueryBuilder("lineitem").max("l_quantity", 0, 60, name="value")
+    lo = s.evaluate(qmin, INF).select(F.lit("min").alias("stat"), "value")
+    hi = s.evaluate(qmax, INF).select(F.lit("max").alias("stat"), "value")
+    return lo.unionByName(hi)
+
+
+def q_groups_per_id_count(spark, sf_dir):
+    # L0/Linf truncation pair: <=10 event types per user (no-op here, the
+    # domain has 5) and <=5 rows per (user, type) — SQL-reproducible
+    # because the L0 cut never bites while the Linf cut is a per-group
+    # least(count, 5).
+    s = _sess(spark, sf_dir, {"events": AddRowsWithID("user_id")})
+    from tumult_analytics_spark import MaxGroupsPerID, MaxRowsPerGroupPerID
+
+    ks = KeySet.from_dict(
+        {"event_type": ["click", "error", "purchase", "signup", "view"]}
+    )
+    q = (
+        QueryBuilder("events")
+        .enforce(MaxGroupsPerID("event_type", 10))
+        .enforce(MaxRowsPerGroupPerID("event_type", 5))
+        .groupby(ks)
+        .count(name="count")
+    )
+    return s.evaluate(q, INF)
+
+
+def q_view_count(spark, sf_dir):
+    # create_view (cached) then query the view.
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    s.create_view(
+        QueryBuilder("lineitem").filter("l_discount > 0.05"),
+        "discounted",
+        cache=True,
+    )
+    out = s.evaluate(QueryBuilder("discounted").count(name="count"), INF)
+    s.delete_view("discounted")
+    return out
+
+
+def q_partition_split_count(spark, sf_dir):
+    # partition_and_create: child session over the 'F' slice.
+    s = _sess(spark, sf_dir, {"orders": AddOneRow()})
+    children = s.partition_and_create(
+        "orders", INF, "o_orderstatus", {"f": "F"}
+    )
+    return children["f"].evaluate(QueryBuilder("orders").count(name="count"), INF)
+
+
+def q_auto_partition_count(spark, sf_dir):
+    # DP partition selection (ApproxDP): with infinite budget every
+    # non-empty group survives with its exact count.
+    b = ta.ApproxDPBudget(float("inf"), 1)
+    s = (
+        Session.Builder()
+        .with_privacy_budget(b)
+        .with_private_dataframe("events", _read(spark, sf_dir, "events"), AddOneRow())
+        .build()
+    )
+    from tumult_analytics_spark.config import config
+
+    with config.features.auto_partition_selection.enabled():
+        q = QueryBuilder("events").groupby(["event_type"]).count(name="count")
+    return s.evaluate(q, b)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect-neutral ANSI; tables pre-registered as views)
 
@@ -366,6 +513,63 @@ _ORACLES = {
     "get_groups": """
         SELECT DISTINCT event_type FROM events
     """,
+    "flat_map_explode": """
+        WITH ks AS (SELECT * FROM (VALUES ('A'),('N'),('R')) t(l_returnflag)),
+        agg AS (SELECT l_returnflag,
+                       sum(least(CAST(floor(l_quantity) AS BIGINT), 3)) AS c
+                FROM lineitem GROUP BY 1)
+        SELECT ks.l_returnflag, CAST(coalesce(agg.c, 0) AS BIGINT) AS n_units
+        FROM ks LEFT JOIN agg USING (l_returnflag)
+    """,
+    "flat_map_by_id": """
+        SELECT CAST(count(*) AS BIGINT) AS n_heavy_users
+        FROM (SELECT user_id FROM events GROUP BY user_id
+              HAVING count(*) >= 67)
+    """,
+    "private_join_nonunique": """
+        WITH ks AS (SELECT * FROM (VALUES ('F'),('O'),('P')) t(o_orderstatus)),
+        lu AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+               HAVING count(*) = 1),
+        ou AS (SELECT o_orderkey, o_orderstatus FROM orders
+               WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+                                    GROUP BY o_orderkey HAVING count(*) = 1)),
+        agg AS (SELECT ou.o_orderstatus, count(*) AS c
+                FROM lu JOIN ou ON lu.l_orderkey = ou.o_orderkey
+                GROUP BY 1)
+        SELECT ks.o_orderstatus, CAST(coalesce(agg.c, 0) AS BIGINT) AS count
+        FROM ks LEFT JOIN agg USING (o_orderstatus)
+    """,
+    "replace_null_binned": """
+        WITH ks AS (SELECT * FROM (VALUES ('low'),('high'),('other'))
+                    t(price_bin)),
+        binned AS (SELECT CASE
+              WHEN o_totalprice >= 0 AND o_totalprice <= 50000 THEN 'low'
+              WHEN o_totalprice > 50000 AND o_totalprice <= 150000 THEN 'high'
+              ELSE 'other' END AS price_bin FROM orders),
+        agg AS (SELECT price_bin, count(*) AS c FROM binned GROUP BY 1)
+        SELECT ks.price_bin, CAST(coalesce(agg.c, 0) AS BIGINT) AS count
+        FROM ks LEFT JOIN agg USING (price_bin)
+    """,
+    "groups_per_id_count": """
+        WITH ks AS (SELECT * FROM (VALUES ('click'),('error'),('purchase'),
+                    ('signup'),('view')) t(event_type)),
+        per AS (SELECT user_id, event_type, count(*) AS c
+                FROM events GROUP BY 1, 2),
+        agg AS (SELECT event_type, sum(least(c, 5)) AS c
+                FROM per GROUP BY 1)
+        SELECT ks.event_type, CAST(coalesce(agg.c, 0) AS BIGINT) AS count
+        FROM ks LEFT JOIN agg USING (event_type)
+    """,
+    "view_count": """
+        SELECT count(*) AS count FROM lineitem WHERE l_discount > 0.05
+    """,
+    "partition_split_count": """
+        SELECT count(*) AS count FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "auto_partition_count": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS count
+        FROM events GROUP BY 1
+    """,
 }
 
 
@@ -402,6 +606,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_groups": q_get_groups,
         "quantile_median": q_quantile_median,
         "get_bounds": q_get_bounds,
+        "flat_map_explode": q_flat_map_explode,
+        "flat_map_by_id": q_flat_map_by_id,
+        "private_join_nonunique": q_private_join_nonunique,
+        "replace_null_binned": q_replace_null_binned,
+        "min_max": q_min_max,
+        "groups_per_id_count": q_groups_per_id_count,
+        "view_count": q_view_count,
+        "partition_split_count": q_partition_split_count,
+        "auto_partition_count": q_auto_partition_count,
     }
     try:
         from tumult_analytics_spark.operators import entry_queries

@@ -118,6 +118,54 @@ def q_ann_lsh_topk(spark, sf_dir):
     return topk.groupBy().agg(F.count(F.lit(1)).alias("n_results"))
 
 
+def q_bpe_token_count(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    tc = X.bpe_ish_token_count(docs, "text")
+    return tc.groupBy("lang").agg(
+        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+    )
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def q_media_metadata(spark, sf_dir):
+    # Binary payload + typed metadata struct; metadata-only aggregation
+    # never touches the payload column (column pruning).
+    from . import multimodal as M
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    meta = M.attach_media_metadata(docs, "payload", "image", "png")
+    return meta.groupBy("lang").agg(
+        F.sum(F.col("payload_meta.n_bytes")).alias("total_bytes"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_byte_histogram_features(spark, sf_dir):
+    # Deterministic fake feature extractor over binary payloads
+    # (mapInPandas batch contract); rows-only check.
+    from . import multimodal as M
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    feats = M.extract_byte_histogram_features(docs, "payload", "doc_id")
+    return feats.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.element_at("features", 1)), 3).alias("sum_f1"),
+    )
+
+
+def q_cosine_dedup(spark, sf_dir):
+    # Embedding-cosine near-dup removal (LSH-bucketed); rows-only.
+    emb = _read(spark, sf_dir, "embeddings")
+    kept = D.embedding_cosine_dedup(emb, "embedding", "vec_id", threshold=0.97)
+    return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 # --- events (hypertable-style rollup, batch form) --------------------------
 
 
@@ -145,6 +193,10 @@ QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "event_hourly_rollup": q_event_hourly_rollup,
+    "bpe_token_count": q_bpe_token_count,
+    "media_metadata": q_media_metadata,
+    "byte_histogram_features": q_byte_histogram_features,
+    "cosine_dedup": q_cosine_dedup,
 }
 
 ORACLES = {
@@ -202,5 +254,18 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS n,
                round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "bpe_token_count": """
+        SELECT lang,
+               CAST(sum(len(regexp_extract_all(text,
+                   '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+                 AS total_bpe_tokens
+        FROM documents GROUP BY lang
+    """,
+    "media_metadata": """
+        SELECT lang,
+               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
     """,
 }

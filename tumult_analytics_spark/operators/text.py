@@ -40,7 +40,7 @@ def bpe_ish_token_count(
     pattern = r"[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]"
     return df.withColumn(
         output_column,
-        F.size(F.regexp_extract_all(F.col(text_column), F.lit(pattern))),
+        F.size(F.regexp_extract_all(F.col(text_column), F.lit(pattern), 0)),
     )
 
 

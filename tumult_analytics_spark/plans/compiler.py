@@ -97,6 +97,10 @@ class CompileContext:
     budget_is_infinite: bool = False
     #: Views: name -> already-compiled table produced by create_view.
     views: Dict[str, CompiledTable] = dc_field(default_factory=dict)
+    #: id(Map/FlatMap node) -> output columns the plan above actually
+    #: consumes. Catalyst cannot prune columns through an opaque
+    #: mapInPandas; this layer can, because it holds the logical tree.
+    pruned_outputs: Dict[int, frozenset] = dc_field(default_factory=dict)
 
 
 def initial_table(src: SourceTable) -> CompiledTable:
@@ -139,21 +143,67 @@ def _coerce_out(pdf: pd.DataFrame, schema: Schema) -> pd.DataFrame:
     return pdf[list(schema.columns)]
 
 
+def _restrict_schema(schema: Schema, keep) -> Schema:
+    """Schema narrowed to ``keep`` (order preserved); None = unchanged."""
+    if keep is None:
+        return schema
+    return Schema(
+        {c: d for c, d in schema.items() if c in keep},
+        grouping_column=schema.grouping_column
+        if schema.grouping_column in keep
+        else None,
+        id_column=schema.id_column if schema.id_column in keep else None,
+        id_space=schema.id_space if schema.id_column in keep else None,
+    )
+
+
+def _spread_rows(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input scan has fewer partitions
+    than cores. Row-dict UDFs cost ~10us+/row of Python; a single-file
+    parquet scan (1 partition) would serialize the whole stage on one
+    core, so the one-off shuffle pays for itself above ~50k rows. At real
+    scale the scan already has >= cores partitions and this is a no-op.
+    Not applied to vectorized (numpy-batch) kernels, where per-row cost is
+    small enough that the added AQE stage outweighs the parallelism.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        return df.repartition(target)
+    return df
+
+
 def compile_map(
-    df: DataFrame, f: Callable, out_schema: Schema, augment: bool
+    df: DataFrame, f: Callable, out_schema: Schema, augment: bool, keep=None
 ) -> DataFrame:
-    """Row->row Python UDF via mapInPandas (Arrow batches, not per-row)."""
+    """Row->row Python UDF via mapInPandas (Arrow batches, not per-row).
+
+    ``keep`` (from the column-pruning pass) narrows the UDF OUTPUT to the
+    columns the plan above consumes — Catalyst cannot see through the
+    Python boundary, so this projection pushdown happens here.
+    """
+    df = _spread_rows(df)
+    out_schema = _restrict_schema(out_schema, keep)
     spark_schema = _spark_schema_for(out_schema)
     out_cols = list(out_schema.columns)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = pdf.to_dict("records")
-            out = []
-            for r in rows:
-                res = f(dict(r))
-                out.append({**r, **res} if augment else res)
-            yield _coerce_out(pd.DataFrame(out, columns=out_cols), out_schema)
+            produced = [f(dict(r)) for r in rows]
+            new_df = pd.DataFrame(produced)
+            if augment:
+                # Columnar assembly: carry only the input columns that
+                # survive pruning, attach new columns — no per-row merges.
+                base = pdf[
+                    [c for c in pdf.columns
+                     if c in out_cols and c not in new_df.columns]
+                ]
+                out = pd.concat(
+                    [base.reset_index(drop=True), new_df], axis=1
+                )
+            else:
+                out = new_df
+            yield _coerce_out(out.reindex(columns=out_cols), out_schema)
 
     return df.mapInPandas(fn, spark_schema)
 
@@ -164,33 +214,58 @@ def compile_flat_map(
     out_schema: Schema,
     augment: bool,
     max_rows: Optional[int],
+    keep=None,
 ) -> DataFrame:
+    df = _spread_rows(df)
+    out_schema = _restrict_schema(out_schema, keep)
     spark_schema = _spark_schema_for(out_schema)
     out_cols = list(out_schema.columns)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = pdf.to_dict("records")
-            out = []
+            per_row = []
             for r in rows:
                 produced = f(dict(r))
                 if max_rows is not None:
                     produced = produced[:max_rows]
-                for res in produced:
-                    out.append({**r, **res} if augment else res)
-            yield _coerce_out(pd.DataFrame(out, columns=out_cols), out_schema)
+                per_row.append(produced)
+            flat = [res for lst in per_row for res in lst]
+            new_df = pd.DataFrame(flat)
+            if augment:
+                # Replicate each input row len(output) times with one
+                # vectorized take, then attach new columns columnar —
+                # ~10x faster than building row dicts for every output.
+                # Only the input columns that survive pruning are carried.
+                counts = np.fromiter(
+                    (len(lst) for lst in per_row), dtype=np.int64, count=len(per_row)
+                )
+                base_cols = [
+                    c for c in pdf.columns
+                    if c in out_cols and c not in new_df.columns
+                ]
+                base = pdf[base_cols].iloc[
+                    np.repeat(np.arange(len(pdf)), counts)
+                ].reset_index(drop=True)
+                out = pd.concat([base, new_df], axis=1)
+            else:
+                out = new_df
+            yield _coerce_out(out.reindex(columns=out_cols), out_schema)
 
     return df.mapInPandas(fn, spark_schema)
 
 
 def compile_flat_map_by_id(
-    df: DataFrame, f: Callable, id_column: str, out_schema: Schema
+    df: DataFrame, f: Callable, id_column: str, out_schema: Schema, keep=None
 ) -> DataFrame:
     """All rows of one privacy ID -> new rows; ID column reattached.
 
     groupBy(id).applyInPandas — one shuffle on the ID, then Arrow batches
     per ID group.
     """
+    out_schema = _restrict_schema(out_schema, keep)
     spark_schema = _spark_schema_for(out_schema)
     out_cols = list(out_schema.columns)
     new_cols = [c for c in out_cols if c != id_column]
@@ -224,6 +299,142 @@ def _replace_inf_col(c: str, lo: float, hi: float) -> F.Column:
         .when(col == float("-inf"), F.lit(lo))
         .otherwise(col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Column pruning across Python UDF boundaries
+
+
+def _idents(condition: str) -> frozenset:
+    """Conservative superset of column names referenced by a Spark-SQL
+    expression string (plain identifier scan; over-approximating keeps
+    more columns, never breaks correctness)."""
+    import re
+
+    return frozenset(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", condition))
+
+
+def compute_pruned_outputs(
+    expr: E.QueryExpr,
+    catalog: Dict[str, Schema],
+    required: Optional[frozenset],
+    out: Dict[int, frozenset],
+) -> None:
+    """Annotate Map/FlatMap/FlatMapByID nodes with the set of output
+    columns consumed above them (projection pushdown through the UDF
+    boundary). ``required=None`` means "all columns" and disables pruning
+    below that point."""
+    if isinstance(expr, (E.Map, E.FlatMap, E.FlatMapByID)):
+        if required is not None:
+            try:
+                cs = expr.schema(catalog)
+            except Exception:
+                cs = None
+            if cs is not None:
+                keep = set(required)
+                if cs.id_column:
+                    keep.add(cs.id_column)
+                if cs.grouping_column:
+                    keep.add(cs.grouping_column)
+                out[id(expr)] = frozenset(c for c in cs.columns if c in keep)
+        # The UDF may read any input column: everything below stays wide.
+        compute_pruned_outputs(expr.child, catalog, None, out)
+        return
+    if isinstance(expr, E.Filter):
+        child_req = (
+            None if required is None else required | _idents(expr.condition)
+        )
+        compute_pruned_outputs(expr.child, catalog, child_req, out)
+        return
+    if isinstance(expr, E.Select):
+        # A select's output is exactly its column list, whatever the
+        # parent needs.
+        compute_pruned_outputs(
+            expr.child, catalog, frozenset(expr.columns), out
+        )
+        return
+    if isinstance(expr, E.Rename):
+        if required is None:
+            child_req = None
+        else:
+            inv = {v: k for k, v in dict(expr.column_mapper).items()}
+            child_req = frozenset(inv.get(c, c) for c in required)
+        compute_pruned_outputs(expr.child, catalog, child_req, out)
+        return
+    if isinstance(expr, (E.ReplaceNullAndNan, E.ReplaceInfinity)):
+        targets = frozenset(c for c, _ in expr.replace_with)
+        # Empty replace_with targets every eligible column: stay wide.
+        child_req = None if (required is None or not targets) else required | targets
+        compute_pruned_outputs(expr.child, catalog, child_req, out)
+        return
+    if isinstance(expr, (E.DropNullAndNan, E.DropInfinity)):
+        cols = frozenset(expr.columns)
+        child_req = None if (required is None or not cols) else required | cols
+        compute_pruned_outputs(expr.child, catalog, child_req, out)
+        return
+    if isinstance(expr, E.BinColumn):
+        if required is None:
+            child_req = None
+        else:
+            outname = expr.name or f"{expr.column}_binned"
+            child_req = (required - {outname}) | {expr.column}
+        compute_pruned_outputs(expr.child, catalog, child_req, out)
+        return
+    if isinstance(expr, E.EnforceConstraint):
+        c = expr.constraint
+        extra = {getattr(c, "grouping_column", None)} - {None}
+        child_req = None if required is None else required | extra
+        compute_pruned_outputs(expr.child, catalog, child_req, out)
+        return
+    if isinstance(expr, E.JoinPrivate):
+        jc = frozenset(expr.join_columns or ())
+        child_req = None if (required is None or not jc) else required | jc
+        compute_pruned_outputs(expr.left_child, catalog, child_req, out)
+        compute_pruned_outputs(expr.right_child, catalog, child_req, out)
+        return
+    if isinstance(expr, E.JoinPublic):
+        jc = frozenset(expr.join_columns or ())
+        child_req = None if (required is None or not jc) else required | jc
+        compute_pruned_outputs(expr.child, catalog, child_req, out)
+        return
+    child = getattr(expr, "child", None)
+    if child is not None:
+        # Unknown node: stop pruning below it (safe default).
+        compute_pruned_outputs(child, catalog, None, out)
+
+
+def measurement_required_columns(expr: E.QueryExpr) -> Optional[frozenset]:
+    """Columns a measurement root consumes from its child."""
+    keys = getattr(expr, "groupby_keys", None)
+    gcols: frozenset = frozenset()
+    if isinstance(keys, KeySet):
+        gcols = frozenset(keys.columns())
+    elif isinstance(keys, E.AutoPartitionKeys):
+        gcols = frozenset(keys.cols)
+    if isinstance(expr, E.GroupByCount):
+        return gcols
+    if isinstance(expr, E.GroupByCountDistinct):
+        if not expr.columns_to_count:
+            return None  # counts distinct full rows
+        return gcols | frozenset(expr.columns_to_count)
+    if isinstance(
+        expr,
+        (
+            E.GroupByBoundedSum,
+            E.GroupByBoundedAverage,
+            E.GroupByBoundedVariance,
+            E.GroupByBoundedStdev,
+            E.GroupByQuantile,
+        ),
+    ):
+        return gcols | {expr.measure_column}
+    if isinstance(expr, E.GetBounds):
+        return gcols | {expr.measure_column}
+    if isinstance(expr, E.GetGroups):
+        return frozenset(expr.columns) if expr.columns else None
+    if isinstance(expr, E.SuppressAggregates):
+        return measurement_required_columns(expr.child)
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +489,10 @@ def compile_transform(expr: E.QueryExpr, ctx: CompileContext) -> CompiledTable:
     if isinstance(expr, E.Map):
         t = compile_transform(expr.child, ctx)
         schema = expr.schema(ctx.catalog)
-        df = compile_map(t.df, expr.f, schema, expr.augment)
+        df = compile_map(
+            t.df, expr.f, schema, expr.augment,
+            keep=ctx.pruned_outputs.get(id(expr)),
+        )
         constraints = list(t.constraints) if expr.augment else []
         return CompiledTable(df, schema, t.l1, t.l2, t.is_ids, constraints)
 
@@ -289,7 +503,10 @@ def compile_transform(expr: E.QueryExpr, ctx: CompileContext) -> CompiledTable:
             raise ValueError(
                 "Flat maps on tables without IDs must have a max_rows parameter"
             )
-        df = compile_flat_map(t.df, expr.f, schema, expr.augment, expr.max_rows)
+        df = compile_flat_map(
+            t.df, expr.f, schema, expr.augment, expr.max_rows,
+            keep=ctx.pruned_outputs.get(id(expr)),
+        )
         # Stability: x max_rows; grouping flat maps scale L2 by sqrt(max_rows)
         # (reference GroupingFlatMap / RootSumOfSquared semantics).
         if t.is_ids:
@@ -308,7 +525,10 @@ def compile_transform(expr: E.QueryExpr, ctx: CompileContext) -> CompiledTable:
         schema = expr.schema(ctx.catalog)
         id_col = t.schema.id_column
         assert id_col is not None
-        df = compile_flat_map_by_id(t.df, expr.f, id_col, schema)
+        df = compile_flat_map_by_id(
+            t.df, expr.f, id_col, schema,
+            keep=ctx.pruned_outputs.get(id(expr)),
+        )
         # Drops all constraints (reference _base_transformation_visitor.py:772-775).
         return CompiledTable(df, schema, t.l1, t.l2, True, [])
 
@@ -442,7 +662,7 @@ def _compile_join_public(expr: E.JoinPublic, ctx: CompileContext) -> CompiledTab
     )
     left, right, _ = disambiguate_columns(t.df, pub, join_cols)
     df = nullsafe_equi_join(left, right, join_cols, how=expr.how)
-    df = df.select(*schema.columns)
+    df = df.select(*[c for c in schema.columns if c in df.columns])
     # Stability multiplies by the max multiplicity of the join key in the
     # public table (reference _constraint_propagation.py:199-210). This is
     # an eager Spark job; skipped when the budget is infinite (noise is
@@ -497,9 +717,8 @@ def _compile_join_private(expr: E.JoinPrivate, ctx: CompileContext) -> CompiledT
         if lt.schema.id_column not in join_cols:
             raise ValueError("ID tables must join on their ID column")
         left, right, _ = disambiguate_columns(lt.df, rt.df, join_cols)
-        df = nullsafe_equi_join(left, right, join_cols, how="inner").select(
-            *schema.columns
-        )
+        df = nullsafe_equi_join(left, right, join_cols, how="inner")
+        df = df.select(*[c for c in schema.columns if c in df.columns])
         # Constraint product: each changed ID still has bounded rows if both
         # sides were bounded (reference _constraint_propagation.py:112-189).
         constraints: List[Constraint] = []
@@ -518,7 +737,8 @@ def _compile_join_private(expr: E.JoinPrivate, ctx: CompileContext) -> CompiledT
     left_df = apply_truncation(lt.df, join_cols, ls)
     right_df = apply_truncation(rt.df, join_cols, rs)
     left, right, _ = disambiguate_columns(left_df, right_df, join_cols)
-    df = nullsafe_equi_join(left, right, join_cols, how="inner").select(*schema.columns)
+    df = nullsafe_equi_join(left, right, join_cols, how="inner")
+    df = df.select(*[c for c in schema.columns if c in df.columns])
     l1 = join_truncation_stability(ls, rs, lt.l1, rt.l1)
     l2 = join_truncation_stability(ls, rs, lt.l2, rt.l2)
     return CompiledTable(df, schema, l1, l2, False, [])
@@ -722,6 +942,15 @@ def compile_measurement(
     """Compile an aggregation root into a noisy result DataFrame."""
     bspec = BudgetSpec.of(budget)
     ctx.budget_is_infinite = bspec.infinite
+
+    child = getattr(expr, "child", None)
+    if child is not None and not isinstance(expr, E.SuppressAggregates):
+        compute_pruned_outputs(
+            child,
+            ctx.catalog,
+            measurement_required_columns(expr),
+            ctx.pruned_outputs,
+        )
 
     if isinstance(expr, E.SuppressAggregates):
         inner = compile_measurement(expr.child, ctx, budget)
