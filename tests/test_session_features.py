@@ -139,3 +139,35 @@ def test_puredp_query_on_approxdp_session(spark):
     rem = s.remaining_privacy_budget
     assert float(rem.epsilon) == pytest.approx(0.5)
     assert float(rem.delta) == pytest.approx(1e-6)
+
+
+def test_keyset_plan_detect(spark):
+    # KeySet._detect: fixed domain crossed with DP-detected keys
+    # (reference KeySetPlan). At infinite budget all present keys emerge;
+    # fixed factor contributes structural zeros.
+    from tumult_analytics_spark.keyset import KeySet, KeySetPlan
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"a": ["x", "x", "y"], "b": [1, 2, 1], "v": [10, 20, 30]}
+        )
+    )
+    b = ApproxDPBudget(float("inf"), 1)
+    s = Session.from_dataframe(b, "t", df, AddOneRow())
+    plan = KeySet.from_dict({"a": ["x", "y", "z"]}) * KeySet._detect(["b"])
+    assert isinstance(plan, KeySetPlan)
+    assert plan.columns() == ("a", "b")
+    out = s.evaluate(QueryBuilder("t").groupby(plan).count(), b)
+    got = {(r["a"], r["b"]): r["count"] for r in out.collect()}
+    # detected b keys = {1, 2}; fixed a domain = {x, y, z} -> 6 cells
+    assert got == {
+        ("x", 1): 1, ("x", 2): 1, ("y", 1): 1,
+        ("y", 2): 0, ("z", 1): 0, ("z", 2): 0,
+    }
+
+
+def test_keyset_plan_rejects_overlap(spark):
+    from tumult_analytics_spark.keyset import KeySet
+
+    with pytest.raises(ValueError, match="overlap"):
+        KeySet.from_dict({"b": [1]}) * KeySet._detect(["b"])

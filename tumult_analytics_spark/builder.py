@@ -240,8 +240,12 @@ class QueryBuilder:
     def groupby(
         self, by: Union[KeySet, Sequence[str], str]
     ) -> "GroupedQueryBuilder":
+        from .keyset import KeySetPlan
+
         if isinstance(by, KeySet):
             keys: E.GroupbyKeys = by
+        elif isinstance(by, KeySetPlan):
+            keys = E.AutoPartitionKeys(by.detect_columns, by.fixed)
         else:
             # Bare column names mean DP partition selection — experimental,
             # gated like the reference (query_builder.py:1989-1990).

@@ -322,8 +322,17 @@ class KeySet:
             types[c] = d.column_type
         return cls(_FromDataFrame(df, types))
 
+    @staticmethod
+    def _detect(columns: Sequence[str]) -> "KeySetPlan":
+        """A plan whose keys for ``columns`` are DP-discovered from the
+        data via partition selection at evaluation time (reference
+        ``keyset/_keyset.py:202-204`` ``Detect`` op; requires ApproxDP)."""
+        return KeySetPlan(tuple(columns))
+
     # Algebra ---------------------------------------------------------------
-    def __mul__(self, other: "KeySet") -> "KeySet":
+    def __mul__(self, other: Union["KeySet", "KeySetPlan"]) -> Union["KeySet", "KeySetPlan"]:
+        if isinstance(other, KeySetPlan):
+            return other.__rmul__(self)
         overlap = set(self.columns()) & set(other.columns())
         if overlap:
             raise ValueError(f"Cannot cross-join KeySets sharing columns {overlap}")
@@ -433,3 +442,52 @@ class KeySet:
 
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
         return f"KeySet(columns={list(self.columns())})"
+
+
+class KeySetPlan:
+    """A keyset whose keys are partially discovered from data.
+
+    Mirrors the reference's ``KeySetPlan`` (``keyset/_keyset.py:622-660``):
+    fixed factors (an ordinary :class:`KeySet`, or none) crossed with
+    columns whose keys must be DP-detected via partition selection by a
+    Session at evaluation time. Cannot produce a DataFrame on its own.
+    """
+
+    def __init__(self, detect_columns: Tuple[str, ...], fixed: Optional[KeySet] = None):
+        if not detect_columns:
+            raise ValueError("KeySetPlan requires at least one detect column")
+        if fixed is not None:
+            overlap = set(fixed.columns()) & set(detect_columns)
+            if overlap:
+                raise ValueError(
+                    f"Detected and fixed columns overlap: {overlap}"
+                )
+        self.detect_columns = tuple(detect_columns)
+        self.fixed = fixed
+
+    def columns(self) -> Tuple[str, ...]:
+        fixed_cols = self.fixed.columns() if self.fixed else ()
+        return tuple(fixed_cols) + self.detect_columns
+
+    def __mul__(self, other: Union[KeySet, "KeySetPlan"]) -> "KeySetPlan":
+        if isinstance(other, KeySetPlan):
+            fixed = self.fixed
+            if other.fixed is not None:
+                fixed = fixed * other.fixed if fixed else other.fixed
+            return KeySetPlan(self.detect_columns + other.detect_columns, fixed)
+        return KeySetPlan(
+            self.detect_columns,
+            self.fixed * other if self.fixed else other,
+        )
+
+    def __rmul__(self, other: KeySet) -> "KeySetPlan":
+        return KeySetPlan(
+            self.detect_columns,
+            other * self.fixed if self.fixed else other,
+        )
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        return (
+            f"KeySetPlan(detect={list(self.detect_columns)}, "
+            f"fixed={self.fixed!r})"
+        )

@@ -410,7 +410,7 @@ def measurement_required_columns(expr: E.QueryExpr) -> Optional[frozenset]:
     if isinstance(keys, KeySet):
         gcols = frozenset(keys.columns())
     elif isinstance(keys, E.AutoPartitionKeys):
-        gcols = frozenset(keys.cols)
+        gcols = frozenset(keys.columns())
     if isinstance(expr, E.GroupByCount):
         return gcols
     if isinstance(expr, E.GroupByCountDistinct):
@@ -1379,7 +1379,8 @@ def _compile_auto_partition(expr, ctx: CompileContext, bspec: BudgetSpec):
             "groupby() with column names (automatic partition selection) "
             "requires an ApproxDPBudget"
         )
-    cols = expr.groupby_keys.columns()
+    detect_cols = expr.groupby_keys.cols
+    fixed = expr.groupby_keys.fixed
     if bspec.infinite:
         sel_budget = ApproxDPBudget(float("inf"), 1)
         agg_budget: PrivacyBudget = ApproxDPBudget(float("inf"), 1)
@@ -1387,9 +1388,12 @@ def _compile_auto_partition(expr, ctx: CompileContext, bspec: BudgetSpec):
         sel_budget = ApproxDPBudget(bspec.epsilon / 2, bspec.delta)
         agg_budget = ApproxDPBudget(bspec.epsilon / 2, 0)
     groups = compile_measurement(
-        E.GetGroups(expr.child, tuple(cols)), ctx, sel_budget
+        E.GetGroups(expr.child, tuple(detect_cols)), ctx, sel_budget
     )
     keyset = KeySet.from_dataframe(groups.df)
+    if fixed is not None:
+        # KeySetPlan: fixed factors crossed with the detected keys.
+        keyset = fixed * keyset
     keyset.dataframe().persist()
     concrete = dc_replace(expr, groupby_keys=keyset)
     inner = compile_measurement(concrete, ctx, agg_budget)

@@ -575,14 +575,18 @@ class EnforceConstraint(QueryExpr):
 
 @dataclass(frozen=True)
 class AutoPartitionKeys:
-    """Marker for ``groupby(column_names)``: keys are to be DP-discovered
-    via partition selection at evaluation time (requires ApproxDP;
-    reference §2.5). Mimics the minimal KeySet surface used in planning."""
+    """Marker for DP-discovered group keys (requires ApproxDP): either
+    ``groupby(column_names)`` (reference §2.5) or a ``KeySetPlan``
+    carrying fixed factors crossed with detect columns (reference
+    KeySetPlan, keyset/_keyset.py:622+). Mimics the minimal KeySet
+    surface used in planning."""
 
     cols: Tuple[str, ...]
+    fixed: Optional[KeySet] = None
 
     def columns(self) -> Tuple[str, ...]:
-        return self.cols
+        fixed_cols = self.fixed.columns() if self.fixed is not None else ()
+        return tuple(fixed_cols) + self.cols
 
 
 GroupbyKeys = Union[KeySet, AutoPartitionKeys]
