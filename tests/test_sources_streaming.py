@@ -1,0 +1,140 @@
+"""Source layer (format readers + coercion + pushdown) and streaming
+(sessionization via applyInPandasWithState, windowed rollups)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from tumult_analytics_spark import (
+    AddOneRow,
+    PureDPBudget,
+    QueryBuilder,
+)
+from tumult_analytics_spark.sources import read_table, session_from_files, write_table
+
+SF = "/root/testdata/sf0.001"
+INF = PureDPBudget(float("inf"))
+
+
+@pytest.fixture
+def events_dir(tmp_path):
+    # The file stream source needs a directory; symlink the single test
+    # parquet file into one.
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    os.symlink(f"{SF}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_read_table_parquet_coerced(spark):
+    df = read_table(spark, f"{SF}/lineitem.parquet")
+    types = dict(df.dtypes)
+    assert types["l_linenumber"] == "bigint"  # Int -> Long widening
+    assert types["l_quantity"] == "double"
+
+
+def test_read_table_pushdown_survives_coercion(spark):
+    df = read_table(spark, f"{SF}/lineitem.parquet")
+    plan = (
+        df.filter("l_orderkey = 7")
+        .select("l_orderkey", "l_quantity")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,7)]" in plan
+
+
+def test_read_table_csv_json_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2], "b": ["x", "y"], "c": [1.5, 2.5]})
+    )
+    csv_path = str(tmp_path / "t_csv")
+    json_path = str(tmp_path / "t_json")
+    write_table(src, csv_path, format="csv", options={"header": "true"})
+    write_table(src, json_path, format="json")
+    got_csv = read_table(spark, csv_path, format="csv")
+    got_json = read_table(
+        spark, json_path, format="json", schema="a LONG, b STRING, c DOUBLE"
+    )
+    assert sorted(r["a"] for r in got_csv.collect()) == [1, 2]
+    assert sorted(r["c"] for r in got_json.collect()) == [1.5, 2.5]
+    assert dict(got_csv.dtypes)["a"] == "bigint"
+
+
+def test_session_from_files(spark):
+    s = session_from_files(
+        INF,
+        {"lineitem": (f"{SF}/lineitem.parquet", AddOneRow())},
+        spark=spark,
+        public_tables={"nation": f"{SF}/nation.parquet"},
+    )
+    out = s.evaluate(QueryBuilder("lineitem").count(), INF)
+    assert out.collect()[0]["count"] > 0
+    assert "nation" in s.public_sources
+
+
+def test_read_table_rejects_unknown_format(spark):
+    with pytest.raises(ValueError, match="Unsupported format"):
+        read_table(spark, "/tmp/x", format="avro")
+
+
+def test_windowed_counts_batch_stream_parity(spark, tmp_path, events_dir):
+    from tumult_analytics_spark.streaming.events import (
+        read_event_stream,
+        windowed_event_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = windowed_event_counts(
+        spark.read.parquet(f"{SF}/events.parquet")
+    )
+    expected = {
+        (r["window_start"], r["event_type"]): r["n"] for r in batch.collect()
+    }
+    assert expected
+
+    stream = read_event_stream(spark, events_dir)
+    out_dir = str(tmp_path / "out")
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == expected
+
+
+def test_sessionize_events_stateful(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from tumult_analytics_spark.streaming.events import read_event_stream
+    from tumult_analytics_spark.streaming.sessionize import sessionize_events
+
+    stream = read_event_stream(spark, events_dir).withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    sessions = sessionize_events(stream, gap="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # Closed sessions only (watermark-passed); every row is internally
+    # consistent.
+    assert rows, "expected at least one closed session"
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+        assert r["n_events"] >= 1

@@ -1,0 +1,17 @@
+"""Source layer: file formats -> schema-coerced DataFrames -> Session.
+
+The reference has no connector layer — ingestion is "hand me a Spark
+DataFrame" (reference session.py:336-401). This module supplies the
+missing piece for real pipelines: format readers that land directly in
+the engine's five-type system (INTEGER/DECIMAL/VARCHAR/DATE/TIMESTAMP,
+with Int->Long / Float->Double widening), preserving Spark's predicate
+pushdown and partition pruning on the way in.
+"""
+
+from .readers import (
+    read_table,
+    session_from_files,
+    write_table,
+)
+
+__all__ = ["read_table", "session_from_files", "write_table"]

@@ -1,0 +1,103 @@
+"""Format-agnostic table readers/writers with engine schema coercion.
+
+Readers return plain lazy DataFrames: filters and projections applied
+later still push down to the scan (verify with
+``df.explain`` -> ``PushedFilters`` / ``ReadSchema``), and partitioned
+layouts keep partition pruning. Coercion only inserts casts when a
+column's type is not already canonical, so the common all-parquet path
+adds no plan nodes at all.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..budget import PrivacyBudget
+from ..protected import ProtectedChange
+from ..schema import coerce_spark_schema
+
+_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    options: Optional[Mapping[str, str]] = None,
+    schema: Optional[str] = None,
+) -> DataFrame:
+    """Read ``path`` as a DataFrame in the engine's type system.
+
+    - ``format``: parquet (default) / csv / json / orc.
+    - ``options``: passed through (csv: header/delimiter, json: lines...).
+      CSV defaults to header=true + inferSchema when no schema is given.
+    - ``schema``: optional DDL string ("a LONG, b STRING"); strongly
+      recommended for csv/json at scale — schema inference reads the data
+      twice.
+
+    The result is coerced to the five supported types (Int->Long,
+    Float->Double widening; unsupported types raise, mirroring reference
+    _coerce_spark_schema.py:38-52).
+    """
+    if format not in _FORMATS:
+        raise ValueError(f"Unsupported format {format!r}; expected one of {_FORMATS}")
+    reader = spark.read
+    opts = dict(options or {})
+    if format == "csv" and schema is None:
+        opts.setdefault("header", "true")
+        opts.setdefault("inferSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    if opts:
+        reader = reader.options(**opts)
+    df = getattr(reader, format)(path)
+    return coerce_spark_schema(df)
+
+
+def session_from_files(
+    privacy_budget: PrivacyBudget,
+    tables: Mapping[str, tuple],
+    spark: Optional[SparkSession] = None,
+    public_tables: Optional[Mapping[str, str]] = None,
+):
+    """Build a Session straight from files.
+
+    ``tables``: source_id -> (path, ProtectedChange) or
+    (path, ProtectedChange, format). ``public_tables``: source_id -> path
+    (parquet).
+    """
+    from ..session import Session
+
+    spark = spark or SparkSession.active()
+    b = Session.Builder().with_privacy_budget(privacy_budget)
+    for sid, spec in tables.items():
+        path, pc = spec[0], spec[1]
+        fmt = spec[2] if len(spec) > 2 else "parquet"
+        if not isinstance(pc, ProtectedChange):
+            raise TypeError(f"{sid}: expected a ProtectedChange, got {pc!r}")
+        b = b.with_private_dataframe(sid, read_table(spark, path, fmt), pc)
+    for sid, path in (public_tables or {}).items():
+        b = b.with_public_dataframe(sid, read_table(spark, path))
+    return b.build()
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "error",
+    partition_by: Optional[list] = None,
+    options: Optional[Mapping[str, str]] = None,
+) -> None:
+    """Write a (noisy result) DataFrame out; partitioned layouts enable
+    downstream partition pruning."""
+    if format not in _FORMATS:
+        raise ValueError(f"Unsupported format {format!r}; expected one of {_FORMATS}")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if options:
+        writer = writer.options(**options)
+    getattr(writer, format)(path)

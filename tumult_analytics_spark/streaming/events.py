@@ -38,6 +38,8 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """readStream over a parquet directory of events (file source: the
     standard replay/backfill pattern; swap for Kafka in production)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NB: the file stream source requires a DIRECTORY (its basePath);
+    # point this at a directory of parquet files, not a single file.
     return (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 8)
