@@ -581,7 +581,8 @@ def compile_transform(expr: E.QueryExpr, ctx: CompileContext) -> CompiledTable:
         targets = list(expr.columns) or [
             c
             for c in t.schema
-            if t.schema[c].allow_null or t.schema[c].allow_nan
+            if (t.schema[c].allow_null or t.schema[c].allow_nan)
+            and c not in (t.schema.grouping_column, t.schema.id_column)
         ]
         df = t.df
         for c in targets:

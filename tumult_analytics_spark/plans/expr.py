@@ -422,17 +422,25 @@ class ReplaceNullAndNan(QueryExpr):
 
     def schema(self, catalog: Catalog) -> Schema:
         cs = self.child.schema(catalog)
+        # Default (empty) targets silently skip the grouping/ID columns
+        # (reference _base_transformation_visitor.py:1020-1022); targeting
+        # them EXPLICITLY is an error.
         targets = (
             [c for c, _ in self.replace_with]
             if self.replace_with
-            else [c for c in cs if cs[c].allow_null or cs[c].allow_nan]
+            else [
+                c
+                for c in cs
+                if (cs[c].allow_null or cs[c].allow_nan)
+                and c not in (cs.grouping_column, cs.id_column)
+            ]
         )
         for c in targets:
             if c not in cs:
                 raise ValueError(f"Cannot replace values in missing column {c!r}")
-            if c == cs.grouping_column:
+            if self.replace_with and c == cs.grouping_column:
                 raise ValueError("Cannot replace values in the grouping column")
-            if c == cs.id_column:
+            if self.replace_with and c == cs.id_column:
                 raise ValueError("Cannot replace values in the ID column")
         cols = {
             c: (
@@ -487,12 +495,23 @@ class DropNullAndNan(QueryExpr):
 
     def schema(self, catalog: Catalog) -> Schema:
         cs = self.child.schema(catalog)
+        # Default targets skip grouping/ID columns; explicit targeting of
+        # the grouping column raises (reference _query_expr.py:1314-1319,
+        # :1350).
         targets = self.columns or tuple(
-            c for c in cs if cs[c].allow_null or cs[c].allow_nan
+            c
+            for c in cs
+            if (cs[c].allow_null or cs[c].allow_nan)
+            and c not in (cs.grouping_column, cs.id_column)
         )
         for c in targets:
             if c not in cs:
                 raise ValueError(f"Cannot drop nulls in missing column {c!r}")
+            if self.columns and c == cs.grouping_column:
+                raise ValueError(
+                    f"Cannot drop null values in column {c!r}, as it is a "
+                    "grouping column"
+                )
         cols = {
             c: (
                 ColumnDescriptor(cs[c].column_type, False, False, cs[c].allow_inf)
