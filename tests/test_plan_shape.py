@@ -1,0 +1,116 @@
+"""Physical-plan regression tests: the compiled aggregation pipeline must
+keep its scale-critical shape (broadcast keyset joins, single data
+exchange, pushed filters, pruned UDF output). These assert on
+``executedPlan`` strings so a future change that silently degrades the
+plan (e.g. keyset join falling back to sort-merge) fails loudly."""
+
+import pandas as pd
+import pytest
+
+from tumult_analytics_spark import (
+    AddOneRow,
+    KeySet,
+    PureDPBudget,
+    QueryBuilder,
+    Session,
+)
+
+INF = PureDPBudget(float("inf"))
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def li_sess(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    return Session.from_dataframe(INF, "lineitem", df, AddOneRow())
+
+
+def test_groupby_agg_plan_shape(li_sess):
+    ks = KeySet.from_dict({"l_returnflag": ["A", "N", "R"]})
+    out = li_sess.evaluate(
+        QueryBuilder("lineitem").groupby(ks).count(), INF
+    )
+    plan = _plan(out)
+    # keyset attach + keyset semi-filter are broadcast, never sort-merge
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # exactly one data exchange: the partial->final aggregation shuffle
+    # (broadcast exchanges don't count)
+    data_exchanges = [
+        l for l in plan.split("\n")
+        if "Exchange hashpartitioning" in l or "Exchange rangepartitioning" in l
+    ]
+    assert len(data_exchanges) == 1, data_exchanges
+    # map-side partial aggregation present
+    assert "partial_count" in plan
+
+
+def test_filter_pushdown_reaches_scan(li_sess):
+    out = li_sess.evaluate(
+        QueryBuilder("lineitem").filter("l_orderkey = 7").count(), INF
+    )
+    plan = _plan(out)
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,7)]" in plan
+
+
+def test_scan_reads_only_needed_columns(li_sess):
+    ks = KeySet.from_dict({"l_returnflag": ["A", "N", "R"]})
+    out = li_sess.evaluate(
+        QueryBuilder("lineitem").groupby(ks).sum("l_quantity", 0, 50), INF
+    )
+    plan = _plan(out)
+    # ReadSchema contains only the group and measure columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_returnflag", "l_quantity"}, cols
+
+
+def test_udf_output_is_pruned(li_sess):
+    ks = KeySet.from_dict({"l_returnflag": ["A", "N", "R"]})
+    q = (
+        QueryBuilder("lineitem")
+        .map(
+            lambda r: {"dummy": 1},
+            new_column_types={"dummy": "INTEGER"},
+            augment=True,
+        )
+        .groupby(ks)
+        .count()
+    )
+    plan = _plan(li_sess.evaluate(q, INF))
+    # MapInPandas emits only the group column, not all 17 lineitem columns
+    import re
+
+    m = re.search(r"MapInPandas [^,]+,.*?\[([^\]]*)\]", plan)
+    assert m, plan
+    emitted = [c.split("#")[0].strip() for c in m.group(1).split(",")]
+    assert emitted == ["l_returnflag"], emitted
+
+
+def test_budget_overdraft_tolerance(spark):
+    # Spending eps=1/3 twice then "the rest" given as a float slightly
+    # above the exact remainder must succeed (reference
+    # privacy_budget.py:512-558 tolerance fix-up).
+    df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    s = Session.from_dataframe(PureDPBudget(1), "t", df, AddOneRow())
+    third = 1 / 3
+    s.evaluate(QueryBuilder("t").count(), PureDPBudget(third))
+    s.evaluate(QueryBuilder("t").count(), PureDPBudget(third))
+    s.evaluate(QueryBuilder("t").count(), PureDPBudget(third))
+    rem = s.remaining_privacy_budget
+    assert float(rem.epsilon) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_budget_true_overdraft_rejected(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    s = Session.from_dataframe(PureDPBudget(1), "t", df, AddOneRow())
+    s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.9))
+    with pytest.raises(RuntimeError, match="budget"):
+        s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.5))

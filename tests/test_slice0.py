@@ -69,5 +69,5 @@ def test_budget_deduction(spark):
     )
     s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.5))
     assert float(s.remaining_privacy_budget.epsilon) == pytest.approx(0.5)
-    with pytest.raises(ValueError):
+    with pytest.raises(RuntimeError, match="privacy budget"):
         s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.75))

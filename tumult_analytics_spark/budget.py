@@ -89,8 +89,11 @@ def _spend(remaining, requested, name: str):
         return remaining - requested
     if remaining > 0 and requested - remaining <= remaining * _BUDGET_RELATIVE_TOLERANCE:
         return Fraction(0)
-    raise ValueError(
-        f"Cannot spend {name}={_fmt(requested)}: only {_fmt(remaining)} remaining"
+    # RuntimeError, matching the reference's "Cannot answer query without
+    # exceeding the Session privacy budget" (session.py:772, 1142).
+    raise RuntimeError(
+        f"Cannot answer query without exceeding the Session privacy budget: "
+        f"requested {name}={_fmt(requested)}, only {_fmt(remaining)} remaining"
     )
 
 
