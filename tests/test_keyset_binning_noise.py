@@ -143,3 +143,34 @@ def test_discrete_gaussian_moments():
     s = _sample_discrete_gaussian(_rng(), sigma_sq, 200_000)
     assert abs(s.mean()) < 0.06
     assert abs(s.var() / sigma_sq - 1) < 0.05
+
+
+def test_project_pushdown_across_crossjoin(spark):
+    # 1500 x 1500 product exceeds the in-memory limit (2^20); projecting
+    # one factor must never form the product — the result is the factor
+    # itself, still driver-resident.
+    big = KeySet.from_dict({"a": list(range(1500))}) * KeySet.from_dict(
+        {"b": list(range(1500))}
+    )
+    projected = big["a"]
+    rows = projected._op.local_rows()
+    assert rows is not None and len(rows) == 1500
+    assert projected.columns() == ("a",)
+
+
+def test_project_pushdown_keeps_both_sides(spark):
+    ks = KeySet.from_dict({"a": [1, 2]}) * KeySet.from_dict(
+        {"b": ["x"], "c": ["y", "z"]}
+    )
+    out = ks[["c", "a"]]
+    got = {tuple(r) for r in out.dataframe().collect()}
+    assert got == {("y", 1), ("y", 2), ("z", 1), ("z", 2)}
+    assert out.columns() == ("c", "a")
+
+
+def test_project_plain_dedups(spark):
+    ks = KeySet.from_tuples(
+        [(1, "x"), (1, "y"), (2, "x")], columns=["a", "b"]
+    )
+    out = ks["a"]
+    assert sorted(r["a"] for r in out.dataframe().collect()) == [1, 2]

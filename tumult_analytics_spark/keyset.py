@@ -222,6 +222,9 @@ class _Union(_Op):
 class _Project(_Op):
     child: _Op
     cols: Tuple[str, ...]
+    #: False when this node only reorders columns of an already-distinct
+    #: child (e.g. a cross join of deduped factors): skips the shuffle.
+    dedup: bool = True
 
     def columns(self):
         return self.cols
@@ -230,8 +233,21 @@ class _Project(_Op):
         cs = self.child.schema()
         return {c: cs[c] for c in self.cols}
 
+    def estimated_size(self):
+        return self.child.estimated_size()
+
+    def local_rows(self):
+        rows = self.child.local_rows()
+        if rows is None:
+            return None
+        child_cols = self.child.columns()
+        idx = [child_cols.index(c) for c in self.cols]
+        projected = [tuple(r[i] for i in idx) for r in rows]
+        return list(dict.fromkeys(projected)) if self.dedup else projected
+
     def to_df(self):
-        return self.child.to_df().select(*self.cols).dropDuplicates()
+        out = self.child.to_df().select(*self.cols)
+        return out.dropDuplicates() if self.dedup else out
 
 
 @dataclass
@@ -247,6 +263,47 @@ class _Filter(_Op):
 
     def to_df(self):
         return self.child.to_df().filter(self.condition)
+
+
+# ---------------------------------------------------------------------------
+# Op-tree rewrites
+
+
+def _push_project(op: _Op, cols: Tuple[str, ...]) -> _Op:
+    """Projection pushdown (reference keyset/_ops/_rules.py:114-165).
+
+    - Project over CrossJoin splits per side and drops factors that
+      contribute no projected column entirely — a projection of one
+      factor of a 10^9-row product never materializes the product.
+    - Nested/no-op projections collapse.
+
+    Cross-join factors are independent by construction (disjoint columns,
+    every combination present), so dropping a factor is exact, not an
+    approximation.
+    """
+    if tuple(op.columns()) == cols:
+        return op
+    if isinstance(op, _Project):
+        return _push_project(op.child, cols)
+    if isinstance(op, _CrossJoin):
+        lcols = tuple(c for c in cols if c in set(op.left.columns()))
+        rcols = tuple(c for c in cols if c in set(op.right.columns()))
+        if not lcols:
+            return _reorder(_push_project(op.right, rcols), cols)
+        if not rcols:
+            return _reorder(_push_project(op.left, lcols), cols)
+        return _reorder(
+            _CrossJoin(
+                _push_project(op.left, lcols), _push_project(op.right, rcols)
+            ),
+            cols,
+        )
+    return _Project(op, cols)
+
+
+def _reorder(op: _Op, cols: Tuple[str, ...]) -> _Op:
+    """Wrap in a reorder-only Project (no dedup) if order differs."""
+    return op if tuple(op.columns()) == cols else _Project(op, cols, dedup=False)
 
 
 # ---------------------------------------------------------------------------
@@ -367,7 +424,7 @@ class KeySet:
         missing = set(columns) - set(self.columns())
         if missing:
             raise ValueError(f"Columns not in KeySet: {missing}")
-        return KeySet(_Project(self._op, columns))
+        return KeySet(_push_project(self._op, columns))
 
     def filter(self, condition: Union[str, Column]) -> "KeySet":
         return KeySet(_Filter(self._op, condition))
