@@ -165,3 +165,32 @@ def test_join_public_multiplies_max_rows_per_id(spark):
     assert info[0]["noise_parameter"] == pytest.approx(3.0)
     out = s.evaluate(q, PureDPBudget(10))
     assert out.count() == 1
+
+
+def test_partition_children_inherit_constraints(spark):
+    # partition_and_create on an ID table: children inherit the parent
+    # view's enforced truncations, so child queries need no re-enforce.
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 1, 2, 2, 3],
+                "g": ["a", "b", "a", "a", "b"],
+                "v": [1, 2, 3, 4, 5],
+            }
+        )
+    )
+    s = Session.from_dataframe(INF, "t", df, AddRowsWithID("id"))
+    s.create_view(
+        QueryBuilder("t").enforce(MaxRowsPerID(1)), "t_trunc", cache=False
+    )
+    children = s.partition_and_create("t_trunc", INF, "g", {"a": "a", "b": "b"})
+    out = children["a"].evaluate(
+        QueryBuilder("t_trunc").count(name="n"), INF
+    )
+    # each id keeps 1 row (hash-chosen), all landing in some partition;
+    # totals across both children must be 3
+    na = out.collect()[0]["n"]
+    nb = children["b"].evaluate(
+        QueryBuilder("t_trunc").count(name="n"), INF
+    ).collect()[0]["n"]
+    assert na + nb == 3

@@ -101,6 +101,10 @@ class CompileContext:
     #: consumes. Catalyst cannot prune columns through an opaque
     #: mapInPandas; this layer can, because it holds the logical tree.
     pruned_outputs: Dict[int, frozenset] = dc_field(default_factory=dict)
+    #: source_id -> constraints already known to hold on the registered
+    #: data (partition_and_create children inherit the parent's enforced
+    #: truncations).
+    source_constraints: Dict[str, List[Constraint]] = dc_field(default_factory=dict)
 
 
 def initial_table(src: SourceTable) -> CompiledTable:
@@ -450,7 +454,11 @@ def compile_transform(expr: E.QueryExpr, ctx: CompileContext) -> CompiledTable:
                 v.df, v.schema, v.l1, v.l2, v.is_ids, list(v.constraints)
             )
         src = ctx.private_tables[expr.source_id]
-        return initial_table(src)
+        t = initial_table(src)
+        carried = ctx.source_constraints.get(expr.source_id)
+        if carried:
+            t = dc_replace(t, constraints=simplify_constraints(list(carried)))
+        return t
 
     if isinstance(expr, E.Filter):
         t = compile_transform(expr.child, ctx)

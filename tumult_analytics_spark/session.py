@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from .budget import ApproxDPBudget, PrivacyBudget, PureDPBudget, RhoZCDPBudget
 from .builder import Query, QueryBuilder
-from .constraints import MaxGroupsPerID, MaxRowsPerID
+from .constraints import Constraint, MaxGroupsPerID, MaxRowsPerID
 from .keyset import KeySet
 from .plans import expr as E
 from .plans.compiler import (
@@ -89,6 +89,10 @@ class Session:
         self._view_cached: Dict[str, bool] = {}
         self._stopped = False
         self._children: List["Session"] = []
+        #: Constraints known to hold on a source's data at registration
+        #: (populated for partition_and_create children: the parent's
+        #: already-enforced truncations carry over).
+        self._source_constraints: Dict[str, List[Constraint]] = {}
 
     @classmethod
     def from_dataframe(
@@ -223,6 +227,7 @@ class Session:
             public_tables=self._public,
             catalog=self._catalog(),
             views=self._views,
+            source_constraints=self._source_constraints,
         )
 
     def _check_active(self) -> None:
@@ -347,8 +352,11 @@ class Session:
 
                 pc = AddMaxRows(int(base.l1))
             child._register_private(source_id, part_df, pc)
-            # carry constraints into the child
-            ct = child._private[source_id]
+            if base.constraints:
+                # The parent's enforced truncations are facts about
+                # part_df; children inherit them so ID-table queries work
+                # without re-enforcing.
+                child._source_constraints[source_id] = list(base.constraints)
             children[name] = child
             self._children.append(child)
         self._spend(privacy_budget)
