@@ -71,3 +71,47 @@ def disambiguate_columns(
     lren = {c: f"{c}_left" for c in shared}
     rren = {c: f"{c}_right" for c in shared}
     return left.withColumnsRenamed(lren), right.withColumnsRenamed(rren), shared
+
+
+def cleanup() -> None:
+    """Release cached DataFrames held by this engine's sessions/keysets
+    (reference utils.py:20-26 analogue). Call before ``spark.stop()``.
+
+    This engine materializes no temp tables in the warehouse — views are
+    held as (optionally persisted) DataFrames — so cleanup only needs to
+    clear the Spark cache.
+    """
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        spark.catalog.clearCache()
+
+
+def remove_all_temp_tables() -> None:
+    """Reference utils.py:28-36 analogue: drop any temp views registered
+    in the current Spark session's catalog."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    for table in spark.catalog.listTables():
+        if table.isTemporary:
+            spark.catalog.dropTempView(table.name)
+
+
+def check_installation() -> None:
+    """Smoke-check the install: run one tiny end-to-end DP query
+    (reference utils.py:38-170 analogue). Raises on failure."""
+    from pyspark.sql import SparkSession
+
+    from . import AddOneRow, PureDPBudget, QueryBuilder, Session
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    s = Session.from_dataframe(PureDPBudget(1), "check", df, AddOneRow())
+    out = s.evaluate(QueryBuilder("check").count(), PureDPBudget(1))
+    assert out.count() == 1
