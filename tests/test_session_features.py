@@ -171,3 +171,21 @@ def test_keyset_plan_rejects_overlap(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         KeySet.from_dict({"b": [1]}) * KeySet._detect(["b"])
+
+
+def test_approxdp_delta_zeroing(spark):
+    # Laplace-family query under ApproxDP deducts (eps, 0) — delta is
+    # only consumed by partition selection (reference
+    # _base_measurement_visitor.py:591-668).
+    df = spark.createDataFrame(pd.DataFrame({"g": ["a", "b"], "x": [1, 2]}))
+    s = Session.from_dataframe(ApproxDPBudget(2, 1e-6), "t", df, AddOneRow())
+    s.evaluate(QueryBuilder("t").count(), ApproxDPBudget(1, 1e-6))
+    rem = s.remaining_privacy_budget
+    assert float(rem.epsilon) == pytest.approx(1.0)
+    assert float(rem.delta) == pytest.approx(1e-6)  # delta untouched
+    # get_groups genuinely spends delta
+    with config.features.auto_partition_selection.enabled():
+        q = QueryBuilder("t").groupby(["g"]).count()
+    s.evaluate(q, ApproxDPBudget(1, 1e-6))
+    rem2 = s.remaining_privacy_budget
+    assert float(rem2.delta) == pytest.approx(0.0)

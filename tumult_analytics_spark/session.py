@@ -264,8 +264,35 @@ class Session:
         expr = rewrite(expr, ctx.catalog)
         expr.schema(ctx.catalog)  # validate
         result = compile_measurement(expr, ctx, privacy_budget)
-        self._spend(privacy_budget)
+        self._spend(self._actual_spend(expr, privacy_budget))
         return result.df
+
+    @staticmethod
+    def _actual_spend(expr, privacy_budget: PrivacyBudget) -> PrivacyBudget:
+        """ApproxDP delta-zeroing (reference
+        _base_measurement_visitor.py:591-668): Laplace-family queries
+        satisfy (epsilon, 0)-DP, so requesting (epsilon, delta) only
+        deducts (epsilon, 0). Partition selection (get_groups / detected
+        keysets) genuinely consumes delta and is exempt."""
+        from .budget import ApproxDPBudget
+        from .plans import expr as E
+
+        if not isinstance(privacy_budget, ApproxDPBudget):
+            return privacy_budget
+        if privacy_budget.is_infinite():
+            return privacy_budget
+        node = expr
+        while node is not None:
+            if isinstance(node, E.GetGroups):
+                return privacy_budget
+            if isinstance(
+                getattr(node, "groupby_keys", None), E.AutoPartitionKeys
+            ):
+                return privacy_budget
+            node = getattr(node, "child", None) if isinstance(
+                node, E.SuppressAggregates
+            ) else None
+        return ApproxDPBudget(privacy_budget.epsilon, 0)
 
     def _noise_info(self, query: Query, privacy_budget: PrivacyBudget) -> List[dict]:
         """Mechanism + parameter per noisy quantity (reference
