@@ -189,3 +189,25 @@ def test_approxdp_delta_zeroing(spark):
     s.evaluate(q, ApproxDPBudget(1, 1e-6))
     rem2 = s.remaining_privacy_budget
     assert float(rem2.delta) == pytest.approx(0.0)
+
+
+def test_gaussian_requires_zcdp(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, 2]}))
+    s = Session.from_dataframe(PureDPBudget(1), "t", df, AddOneRow())
+    q = QueryBuilder("t").count(mechanism="gaussian")
+    with pytest.raises(ValueError, match="RhoZCDP"):
+        s.evaluate(q, PureDPBudget(1))
+
+
+def test_laplace_allowed_under_zcdp(spark):
+    # Explicit Laplace with a zCDP budget: eps = sqrt(2 rho)
+    # (reference permits this; _rewrite_rules.py:104-105).
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3]}))
+    s = Session.from_dataframe(RhoZCDPBudget(8), "t", df, AddOneRow())
+    info = s._noise_info(
+        QueryBuilder("t").count(mechanism="laplace"), RhoZCDPBudget(2)
+    )
+    assert info[0]["noise_mechanism"] == "GEOMETRIC"
+    assert info[0]["noise_parameter"] == pytest.approx(1 / 2.0)  # 1/sqrt(4)
+    out = s.evaluate(QueryBuilder("t").count(mechanism="laplace"), RhoZCDPBudget(8))
+    assert out.count() == 1

@@ -832,9 +832,15 @@ def noise_scale(
     if budget.infinite:
         return 0.0
     if mechanism in (NoiseMechanism.GEOMETRIC, NoiseMechanism.LAPLACE):
-        if budget.epsilon == 0:
+        # Explicit Laplace under zCDP is allowed (reference permits it,
+        # _rewrite_rules.py:104-105): an epsilon-DP Laplace mechanism is
+        # (eps^2/2)-zCDP, so spending rho supports eps = sqrt(2 rho).
+        eps = (
+            math.sqrt(2.0 * budget.rho) if budget.kind == "zcdp" else budget.epsilon
+        )
+        if eps == 0:
             raise ValueError("Budget has no epsilon left for this query")
-        return l1 / budget.epsilon
+        return l1 / eps
     if budget.rho == 0:
         raise ValueError("Gaussian mechanisms require a zCDP budget with rho > 0")
     return math.sqrt(l2 * l2 / (2.0 * budget.rho))
