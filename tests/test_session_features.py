@@ -211,3 +211,24 @@ def test_laplace_allowed_under_zcdp(spark):
     assert info[0]["noise_parameter"] == pytest.approx(1 / 2.0)  # 1/sqrt(4)
     out = s.evaluate(QueryBuilder("t").count(mechanism="laplace"), RhoZCDPBudget(8))
     assert out.count() == 1
+
+
+def test_ivf_cosine_topk_recall(spark):
+    from tumult_analytics_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf = ivf_cosine_topk(emb, "embedding", "vec_id", k=3, nlist=8, nprobe=4)
+    rows = ivf.collect()
+    assert {r["rank"] for r in rows} <= {1, 2, 3}
+    bf = brute_force_cosine_topk(emb, "embedding", "vec_id", k=3)
+    bf_map, ivf_map = {}, {}
+    for r in bf.collect():
+        bf_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in rows:
+        ivf_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(bf_map[q] & ivf_map.get(q, set())) for q in bf_map)
+    total = sum(len(v) for v in bf_map.values())
+    assert hits / total >= 0.5, f"IVF recall too low: {hits/total:.3f}"

@@ -111,6 +111,13 @@ def q_ann_brute_topk(spark, sf_dir):
     return topk.select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    # IVF coarse-quantizer ANN; rows-only.
+    emb = _read(spark, sf_dir, "embeddings")
+    topk = S.ivf_cosine_topk(emb, "embedding", "vec_id", k=3, nlist=16, nprobe=4)
+    return topk.groupBy().agg(F.count(F.lit(1)).alias("n_results"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     # LSH-bucketed approximate top-3; rows-only.
     emb = _read(spark, sf_dir, "embeddings").filter("vec_id < 2000")
@@ -192,6 +199,7 @@ QUERIES = {
     "language_id": q_language_id,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "event_hourly_rollup": q_event_hourly_rollup,
     "bpe_token_count": q_bpe_token_count,
     "media_metadata": q_media_metadata,

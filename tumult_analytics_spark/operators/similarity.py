@@ -293,3 +293,144 @@ def _cosine_pairs_lsh(
     for p in parts[1:]:
         cand = cand.unionByName(p)
     return cand.dropDuplicates(["id_a", "id_b"])
+
+
+def _kmeans_centroids(X, nlist: int, iters: int = 8, seed: int = 42):
+    """Driver-side Lloyd's k-means on a (sampled, normalized) matrix.
+
+    The coarse quantizer for IVF: nlist is small (sqrt(|corpus|)-ish), so
+    a few numpy iterations on a sample are enough; exactness of the
+    quantizer only affects recall, not correctness of returned scores.
+    """
+    import numpy as np
+
+    rnd = np.random.RandomState(seed)
+    C = X[rnd.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    return C
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    embedding_column: str,
+    id_column: str,
+    k: int = 10,
+    nlist: int = 32,
+    nprobe: int = 4,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    Scale path alongside ``lsh_cosine_topk``: a coarse quantizer (k-means
+    centroids from a driver-side sample, broadcast) partitions the corpus
+    into ``nlist`` cells; each query probes its ``nprobe`` nearest cells.
+    Per cell, a cogrouped applyInPandas computes the (queries x members)
+    block with one matmul — cost ~ |Q| * nprobe * |C| / nlist instead of
+    |Q| * |C|. The cell join is a shuffled equi-join on the cell id; AQE
+    handles skewed cells.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sample = corpus.select(embedding_column).limit(sample_size).collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cents = _kmeans_centroids(X, nlist, seed=seed)
+    sc = corpus.sparkSession.sparkContext
+    bc_C = sc.broadcast(cents)
+
+    id_field = corpus.schema[id_column]
+    assigned_schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType, True),
+            T.StructField("__nv__", T.ArrayType(T.DoubleType()), True),
+            T.StructField("__cell__", T.IntegerType(), True),
+        ]
+    )
+
+    def assign_kernel(nprobe_local: int):
+        def kernel(batches):
+            cents_m = bc_C.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(
+                        columns=[id_field.name, "__nv__", "__cell__"]
+                    )
+                    continue
+                M = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
+                M = M / np.maximum(
+                    np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+                )
+                S = M @ cents_m.T  # (rows, nlist)
+                p = min(nprobe_local, S.shape[1])
+                cells = np.argpartition(-S, kth=p - 1, axis=1)[:, :p]
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        id_field.name: np.repeat(
+                            pdf[id_column].to_numpy(), p
+                        ),
+                        "__nv__": [v for v in M for _ in range(p)],
+                        "__cell__": cells.ravel().astype(np.int32),
+                    }
+                )
+
+        return kernel
+
+    base = corpus.select(id_column, embedding_column)
+    corpus_cells = base.mapInPandas(assign_kernel(1), assigned_schema)
+    query_probes = base.mapInPandas(assign_kernel(nprobe), assigned_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType, True),
+            T.StructField("neighbor_id", id_field.dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def cell_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+        Q = np.stack(qpdf["__nv__"].to_numpy())
+        C = np.stack(cpdf["__nv__"].to_numpy())
+        S = Q @ C.T
+        qids = qpdf[id_column].to_numpy()
+        cids = cpdf[id_column].to_numpy()
+        S[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+        kk = min(k, S.shape[1])
+        idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+        flat = idx.ravel()
+        rows = np.repeat(np.arange(len(qids)), kk)
+        keep = np.isfinite(S[rows, flat])
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kk)[keep],
+                "neighbor_id": cids[flat][keep],
+                "cosine": S[rows, flat][keep],
+            }
+        )
+
+    cand = (
+        query_probes.groupBy("__cell__")
+        .cogroup(corpus_cells.groupBy("__cell__"))
+        .applyInPandas(cell_topk, out_schema)
+    )
+    best = cand.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return best.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
