@@ -232,3 +232,23 @@ def test_ivf_cosine_topk_recall(spark):
     hits = sum(len(bf_map[q] & ivf_map.get(q, set())) for q in bf_map)
     total = sum(len(v) for v in bf_map.values())
     assert hits / total >= 0.5, f"IVF recall too low: {hits/total:.3f}"
+
+
+def test_add_max_rows_in_max_groups_requires_grouping(spark):
+    # Rows-in-groups protection: ungrouped aggregations (or group-bys
+    # missing the grouping column) are rejected (reference IfGroupedBy).
+    df = spark.createDataFrame(pd.DataFrame({"g": ["a", "b"], "x": [1, 2]}))
+    s = Session.from_dataframe(
+        PureDPBudget(float("inf")),
+        "t",
+        df,
+        AddMaxRowsInMaxGroups("g", max_groups=2, max_rows_per_group=1),
+    )
+    assert s.get_grouping_column("t") == "g"
+    with pytest.raises(ValueError, match="grouping column"):
+        s.evaluate(QueryBuilder("t").count(), PureDPBudget(float("inf")))
+    out = s.evaluate(
+        QueryBuilder("t").groupby(KeySet.from_dict({"g": ["a", "b"]})).count(),
+        PureDPBudget(float("inf")),
+    )
+    assert sum(r["count"] for r in out.collect()) == 2

@@ -29,7 +29,7 @@ from .plans.compiler import (
     compile_transform,
 )
 from .plans.rewrite import rewrite
-from .protected import AddRowsWithID, ProtectedChange
+from .protected import AddMaxRowsInMaxGroups, AddRowsWithID, ProtectedChange
 from .schema import Schema, coerce_spark_schema, schema_from_spark
 
 
@@ -123,6 +123,17 @@ class Session:
                 )
             schema = schema_from_spark(
                 df.schema, id_column=pc.id_column, id_space=pc.id_space
+            )
+        elif isinstance(pc, AddMaxRowsInMaxGroups):
+            # Rows-in-groups protection: group-by queries must include the
+            # grouping column (reference IfGroupedBy metric,
+            # _neighboring_relation_visitor.py:137; session.py:810-825).
+            if pc.grouping_column not in df.columns:
+                raise ValueError(
+                    f"Grouping column {pc.grouping_column!r} not in dataframe"
+                )
+            schema = schema_from_spark(
+                df.schema, grouping_column=pc.grouping_column
             )
         else:
             schema = schema_from_spark(df.schema)
