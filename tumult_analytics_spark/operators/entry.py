@@ -173,6 +173,20 @@ def q_cosine_dedup(spark, sf_dir):
     return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_pipeline_compose(spark, sf_dir):
+    # End-to-end training-data pipeline: quality filter -> exact dedup ->
+    # token stats per language. Exactly SQL-reproducible.
+    docs = _read(spark, sf_dir, "documents")
+    scored = X.quality_score(docs, "text")
+    good = scored.filter(F.col("quality") >= 0.99)
+    deduped = D.dedup_exact(good, ["lang", "text"])
+    tc = X.token_count(deduped, "text")
+    return tc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 # --- events (hypertable-style rollup, batch form) --------------------------
 
 
@@ -205,6 +219,7 @@ QUERIES = {
     "media_metadata": q_media_metadata,
     "byte_histogram_features": q_byte_histogram_features,
     "cosine_dedup": q_cosine_dedup,
+    "pipeline_compose": q_pipeline_compose,
 }
 
 ORACLES = {
@@ -269,6 +284,37 @@ ORACLES = {
                    '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
                  AS total_bpe_tokens
         FROM documents GROUP BY lang
+    """,
+    "pipeline_compose": """
+        WITH scored AS (
+          SELECT lang, text,
+            len(list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> x <> '')) AS n_tokens,
+            length(text) AS n_chars,
+            length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+              AS n_punct
+          FROM documents
+        ), q AS (
+          SELECT lang, text, n_tokens,
+            (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                  THEN 1.0 ELSE 0.3 END) * 0.4
+            + (CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)
+                          / CAST(n_chars AS DOUBLE) ELSE 0.0 END) <= 0.3
+                    THEN 1.0 ELSE 0.4 END) * 0.3
+            + (CASE WHEN n_tokens > 0
+                     AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                         >= 2.0
+                     AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                         <= 12.0
+                    THEN 1.0 ELSE 0.5 END) * 0.3 AS quality
+          FROM scored
+        ), deduped AS (
+          SELECT DISTINCT lang, text, n_tokens
+          FROM q WHERE quality >= 0.99
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM deduped GROUP BY lang
     """,
     "media_metadata": """
         SELECT lang,

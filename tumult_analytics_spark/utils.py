@@ -115,3 +115,36 @@ def check_installation() -> None:
     s = Session.from_dataframe(PureDPBudget(1), "check", df, AddOneRow())
     out = s.evaluate(QueryBuilder("check").count(), PureDPBudget(1))
     assert out.count() == 1
+
+
+def salted_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    join_columns: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> "DataFrame":
+    """Skew-resistant equi-join: salt the (skewed) left side into
+    ``salt_buckets`` sub-keys and replicate the right side across every
+    bucket, so one hot key spreads over ``salt_buckets`` tasks instead of
+    stalling a single reducer.
+
+    AQE's skew-join handles most cases at runtime; use this when a key is
+    so hot that even split shuffle blocks overwhelm one executor (the
+    classic power-law join at 100 TB), or when AQE is unavailable
+    (streaming joins). Replication costs ``salt_buckets`` copies of the
+    right side's shuffle — keep the smaller table on the right.
+    """
+    cols = list(join_columns)
+    salted_left = left.withColumn(
+        "__salt__", (F.rand(seed=0) * salt_buckets).cast("int")
+    )
+    salted_right = right.join(
+        F.broadcast(
+            left.sparkSession.range(salt_buckets).select(
+                F.col("id").cast("int").alias("__salt__")
+            )
+        )
+    )
+    out = salted_left.join(salted_right, on=cols + ["__salt__"], how=how)
+    return out.drop("__salt__")
