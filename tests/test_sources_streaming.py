@@ -156,3 +156,33 @@ def test_salted_join_matches_plain_join(spark):
     lsalted = salted_join(left, right, ["k"], how="left")
     assert lsalted.count() == 502
     assert lsalted.filter("w IS NULL").count() == 1
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    from tumult_analytics_spark.sources import (
+        read_warehouse_table,
+        write_bucketed_table,
+    )
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(100)), "v": range(100)})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(100)), "w": range(100)})
+    )
+    write_bucketed_table(a, "bucket_a", ["k"], num_buckets=4, mode="overwrite")
+    write_bucketed_table(b, "bucket_b", ["k"], num_buckets=4, mode="overwrite")
+    ta = read_warehouse_table(spark, "bucket_a")
+    tb = read_warehouse_table(spark, "bucket_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert joined.count() == 100
+        # co-located bucketed join: a sort-merge join with NO exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bucket_a")
+        spark.sql("DROP TABLE IF EXISTS bucket_b")

@@ -10,8 +10,16 @@ pushdown and partition pruning on the way in.
 
 from .readers import (
     read_table,
+    read_warehouse_table,
     session_from_files,
+    write_bucketed_table,
     write_table,
 )
 
-__all__ = ["read_table", "session_from_files", "write_table"]
+__all__ = [
+    "read_table",
+    "read_warehouse_table",
+    "session_from_files",
+    "write_bucketed_table",
+    "write_table",
+]

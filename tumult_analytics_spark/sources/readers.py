@@ -101,3 +101,35 @@ def write_table(
     if options:
         writer = writer.options(**options)
     getattr(writer, format)(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_columns: list,
+    num_buckets: int = 64,
+    sort_columns: Optional[list] = None,
+    mode: str = "error",
+    format: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) warehouse table.
+
+    Bucketing pre-shuffles the data once at write time: joins and
+    aggregations on the bucket columns between tables with matching
+    bucketing read co-located and skip the exchange entirely — at 100 TB
+    this converts every repeated fact-to-fact join from a full shuffle
+    into a local zip of bucket files. (Spark bucketing requires
+    ``saveAsTable``; plain ``.parquet(path)`` cannot carry bucket specs.)
+    """
+    writer = df.write.format(format).mode(mode).bucketBy(
+        num_buckets, *bucket_columns
+    )
+    if sort_columns:
+        writer = writer.sortBy(*sort_columns)
+    writer.saveAsTable(table_name)
+
+
+def read_warehouse_table(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a (possibly bucketed) warehouse table registered by
+    ``write_bucketed_table``; bucket metadata flows into join planning."""
+    return coerce_spark_schema(spark.table(table_name))
