@@ -291,3 +291,121 @@ def test_suppress_aggregates(sess):  # conftest.py:626-650
         ),
         ["A", "B"],
     )
+
+
+def test_bin_column_left_closed(sess):  # conftest.py:385-392
+    from tumult_analytics_spark import BinningSpec
+
+    q = (
+        QueryBuilder("private")
+        .bin_column(
+            "X", BinningSpec([0, 2, 4], names=["0,1", "2,3"], right=False)
+        )
+        .groupby(KeySet.from_dict({"X_binned": ["0,1", "2,3"]}))
+        .count()
+    )
+    _expect(
+        _got(sess, q, ["X_binned"]),
+        pd.DataFrame({"X_binned": ["0,1", "2,3"], "count": [2, 2]}),
+        ["X_binned"],
+    )
+
+
+def test_histogram_syntax(sess):  # conftest.py:393-399
+    from tumult_analytics_spark import BinningSpec
+
+    q = QueryBuilder("private").histogram(
+        "X", BinningSpec([0, 2, 4], names=["0,1", "2,3"], right=False)
+    )
+    _expect(
+        _got(sess, q, ["X_binned"]),
+        pd.DataFrame({"X_binned": ["0,1", "2,3"], "count": [2, 2]}),
+        ["X_binned"],
+    )
+
+
+def test_binning_nulls_out_of_range(sess):  # conftest.py:400-413
+    from tumult_analytics_spark import BinningSpec
+
+    q = (
+        QueryBuilder("private")
+        .map(
+            lambda row: {"X": row["X"] if row["X"] != 3 else None},
+            new_column_types={"X": "INTEGER"},
+        )
+        .bin_column(
+            "X", BinningSpec([10, 12, 14], names=["10,12", "12,14"], right=False)
+        )
+        .groupby(KeySet.from_dict({"X_binned": ["10,12", "12,14", None]}))
+        .count()
+    )
+    got = _got(sess, q, None)
+    got_map = {r["X_binned"]: r["count"] for _, r in got.iterrows()}
+    assert got_map == {"10,12": 0, "12,14": 0, None: 4}
+
+
+def test_filter_count_and_distinct(sess):  # conftest.py:431-447
+    _expect(
+        _got(sess, QueryBuilder("private").filter("A == '0'").count(), None),
+        pd.DataFrame({"count": [3]}),
+        None,
+    )
+    _expect(
+        _got(
+            sess, QueryBuilder("private").filter("A == '0'").count_distinct(), None
+        ),
+        pd.DataFrame({"count_distinct": [3]}),
+        None,
+    )
+
+
+def test_select_count_and_distinct(sess):  # conftest.py:448-464
+    _expect(
+        _got(sess, QueryBuilder("private").select(["A"]).count(), None),
+        pd.DataFrame({"count": [4]}),
+        None,
+    )
+    _expect(
+        _got(
+            sess, QueryBuilder("private").select(["A"]).count_distinct(), None
+        ),
+        pd.DataFrame({"count_distinct": [2]}),
+        None,
+    )
+
+
+def test_map_then_grouped_count(sess):  # conftest.py:465-491
+    q = (
+        QueryBuilder("private")
+        .map(
+            f=lambda row: {"C": 2 * str(row["B"])},
+            new_column_types={"C": "VARCHAR"},
+            augment=True,
+        )
+        .replace_null_and_nan()
+        .groupby(KeySet.from_dict({"A": ["0", "1"], "C": ["00", "11"]}))
+        .count()
+    )
+    _expect(
+        _got(sess, q, ["A", "C"]),
+        pd.DataFrame(
+            [["0", "00", 2], ["0", "11", 1], ["1", "00", 1], ["1", "11", 0]],
+            columns=["A", "C", "count"],
+        ),
+        ["A", "C"],
+    )
+
+
+def test_join_public_inner_and_left(sess):  # conftest.py:516-543
+    for how in ("inner", "left"):
+        q = (
+            QueryBuilder("private")
+            .join_public("public", how=how)
+            .groupby(KeySet.from_dict({"A+B": [0, 1, 2]}))
+            .count()
+        )
+        _expect(
+            _got(sess, q, ["A+B"]),
+            pd.DataFrame({"A+B": [0, 1, 2], "count": [3, 4, 1]}),
+            ["A+B"],
+        )
