@@ -91,3 +91,26 @@ def test_end_to_end_noise_scale(spark):
     assert abs(noise.var() / var - 1.0) < 0.2
     # integrality: counts stay integers under the geometric mechanism
     assert all(float(v).is_integer() for v in noise)
+
+
+def test_quantile_exponential_mechanism_concentrates(spark):
+    # At eps=5 with 2000 rows, the DP median of uniform [0, 100] data
+    # should land near 50 with high probability; repeated draws vary.
+    from tumult_analytics_spark import (
+        AddOneRow,
+        PureDPBudget,
+        QueryBuilder,
+        Session,
+    )
+
+    df = spark.range(2000).selectExpr("cast(id % 100 as double) as x")
+    s = Session.from_dataframe(PureDPBudget(100), "t", df, AddOneRow())
+    meds = [
+        s.evaluate(
+            QueryBuilder("t").median("x", 0, 100, name="m"), PureDPBudget(5)
+        ).collect()[0]["m"]
+        for _ in range(3)
+    ]
+    for m in meds:
+        assert 30 <= m <= 70, meds
+    assert len(set(meds)) > 1, f"DP quantile must vary across draws: {meds}"

@@ -252,3 +252,29 @@ def test_add_max_rows_in_max_groups_requires_grouping(spark):
         PureDPBudget(float("inf")),
     )
     assert sum(r["count"] for r in out.collect()) == 2
+
+
+def test_error_paths(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    s = Session.from_dataframe(PureDPBudget(1), "t", df, AddOneRow())
+    # unknown source
+    with pytest.raises(KeyError):
+        s.evaluate(QueryBuilder("missing").count(), PureDPBudget(1))
+    # duplicate registration
+    with pytest.raises(ValueError, match="already exists"):
+        s.add_public_dataframe("t", df)
+    # unknown column in aggregation
+    with pytest.raises(ValueError, match="not in table schema|not in schema"):
+        s.evaluate(QueryBuilder("t").sum("nope", 0, 1), PureDPBudget(1))
+    # aggregating a VARCHAR column
+    df2 = spark.createDataFrame(pd.DataFrame({"a": ["x"]}))
+    s2 = Session.from_dataframe(PureDPBudget(1), "t", df2, AddOneRow())
+    with pytest.raises(ValueError, match="numeric"):
+        s2.evaluate(QueryBuilder("t").sum("a", 0, 1), PureDPBudget(1))
+    # invalid clamping bounds
+    with pytest.raises(ValueError, match="bound"):
+        QueryBuilder("t").sum("x", 5, 5)
+    # stopped session refuses queries
+    s.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.1))

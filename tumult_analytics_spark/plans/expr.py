@@ -636,6 +636,13 @@ def _check_groupby(cs: Schema, keys: GroupbyKeys) -> None:
         )
 
 
+def _check_bounds(low, high) -> None:
+    """Eager clamping-bound validation (reference validates in the
+    QueryExpr __post_init__, so errors surface at build time)."""
+    if low >= high:
+        raise ValueError("Lower clamping bound must be less than upper bound")
+
+
 def _check_measure(cs: Schema, column: str, low, high) -> None:
     if column not in cs:
         raise ValueError(f"Measure column {column!r} not in table schema")
@@ -696,6 +703,11 @@ class GroupByQuantile(QueryExpr):
     output_column: str = ""
 
     def __post_init__(self):
+        _check_bounds(self.low, self.high)
+        if not (0.0 <= self.quantile <= 1.0):
+            raise ValueError("Quantile must be between 0 and 1")
+
+    def __post_init__(self):
         if not 0 <= self.quantile <= 1:
             raise ValueError("quantile must be between 0 and 1")
 
@@ -720,6 +732,9 @@ class GroupByBoundedSum(QueryExpr):
     output_column: str = ""
     mechanism: SumMechanism = SumMechanism.DEFAULT
 
+    def __post_init__(self):
+        _check_bounds(self.low, self.high)
+
     def schema(self, catalog: Catalog) -> Schema:
         cs = self.child.schema(catalog)
         _check_groupby(cs, self.groupby_keys)
@@ -742,6 +757,9 @@ class GroupByBoundedAverage(QueryExpr):
     output_column: str = ""
     mechanism: AverageMechanism = AverageMechanism.DEFAULT
 
+    def __post_init__(self):
+        _check_bounds(self.low, self.high)
+
     def schema(self, catalog: Catalog) -> Schema:
         cs = self.child.schema(catalog)
         _check_groupby(cs, self.groupby_keys)
@@ -763,6 +781,9 @@ class GroupByBoundedVariance(QueryExpr):
     output_column: str = ""
     mechanism: VarianceMechanism = VarianceMechanism.DEFAULT
 
+    def __post_init__(self):
+        _check_bounds(self.low, self.high)
+
     def schema(self, catalog: Catalog) -> Schema:
         cs = self.child.schema(catalog)
         _check_groupby(cs, self.groupby_keys)
@@ -783,6 +804,9 @@ class GroupByBoundedStdev(QueryExpr):
     high: float
     output_column: str = ""
     mechanism: StdevMechanism = StdevMechanism.DEFAULT
+
+    def __post_init__(self):
+        _check_bounds(self.low, self.high)
 
     def schema(self, catalog: Catalog) -> Schema:
         cs = self.child.schema(catalog)

@@ -272,8 +272,8 @@ class Session:
         self._check_budget_type(privacy_budget)
         expr = query.expr if isinstance(query, Query) else query
         ctx = self._context()
+        expr.schema(ctx.catalog)  # validate with user-facing errors first
         expr = rewrite(expr, ctx.catalog)
-        expr.schema(ctx.catalog)  # validate
         result = compile_measurement(expr, ctx, privacy_budget)
         self._spend(self._actual_spend(expr, privacy_budget))
         return result.df
