@@ -870,17 +870,23 @@ def _truncate_for_measurement(
     groups_c = {
         c.grouping_column: c.max
         for c in t.constraints
-        if isinstance(c, MaxGroupsPerID) and c.grouping_column in groupby_cols
+        if isinstance(c, MaxGroupsPerID)
     }
     rpg_c = {
         c.grouping_column: c.max
         for c in t.constraints
-        if isinstance(c, MaxRowsPerGroupPerID) and c.grouping_column in groupby_cols
+        if isinstance(c, MaxRowsPerGroupPerID)
     }
     for col, g in groups_c.items():
         if col in rpg_c:
             r = rpg_c[col]
-            options.append((float(g * r), float(math.sqrt(g) * r)))
+            # The pair bounds total rows per ID at g*r for ANY query;
+            # grouping on the constrained column additionally spreads a
+            # changed ID over g cells, earning the sqrt(g) zCDP discount
+            # (reference _base_measurement_visitor.py:182-214).
+            options.append((float(g * r), float(g * r)))
+            if col in groupby_cols:
+                options.append((float(g * r), float(math.sqrt(g) * r)))
     if not options:
         raise ValueError(
             "A constraint on the number of rows contributed by each ID is "
