@@ -97,3 +97,76 @@ def test_grouped_sum_after_truncation(
     got = {r["group"]: r["s"] for r in res.collect()}
     admissible = {(sum(a), sum(b)) for a, b in outcomes}
     assert (got["A"], got["B"]) in admissible, (got, admissible)
+
+
+# --- L1 (MaxRowsPerID) cases: reference test_l1_truncation.py:25-80 --------
+
+_L1_CASES = [
+    (1, {((4, 7, 8), ()), ((5, 7, 8), ()), ((6, 7, 8), ()),
+         ((4, 7), (9,)), ((5, 7), (9,)), ((6, 7), (9,))}),
+    (2, {((4, 5, 7, 8), (9,)), ((4, 6, 7, 8), (9,)), ((5, 6, 7, 8), (9,))}),
+    (3, {((4, 5, 6, 7, 8), (9,))}),
+]
+
+
+@pytest.mark.parametrize("max_rows,outcomes", _L1_CASES)
+def test_l1_count(id_session, max_rows, outcomes):
+    from tumult_analytics_spark import MaxRowsPerID
+
+    s, budget = id_session
+    q = QueryBuilder("id_a1").enforce(MaxRowsPerID(max_rows)).count()
+    got = s.evaluate(q, budget).collect()[0]["count"]
+    assert got in {len(a) + len(b) for a, b in outcomes}
+
+
+@pytest.mark.parametrize("max_rows,outcomes", _L1_CASES)
+def test_l1_grouped_count(id_session, max_rows, outcomes):
+    from tumult_analytics_spark import MaxRowsPerID
+
+    s, budget = id_session
+    q = (
+        QueryBuilder("id_a1")
+        .enforce(MaxRowsPerID(max_rows))
+        .groupby(_KS)
+        .count()
+    )
+    got = {r["group"]: r["count"] for r in s.evaluate(q, budget).collect()}
+    assert (got["A"], got["B"]) in {(len(a), len(b)) for a, b in outcomes}
+
+
+@pytest.mark.parametrize("max_rows", [1, 2, 3])
+def test_l1_count_distinct_ids(id_session, max_rows):
+    from tumult_analytics_spark import MaxRowsPerID
+
+    s, budget = id_session
+    q = (
+        QueryBuilder("id_a1")
+        .enforce(MaxRowsPerID(max_rows))
+        .count_distinct(["id"], name="n")
+    )
+    # 3 distinct IDs regardless of truncation level
+    assert s.evaluate(q, budget).collect()[0]["n"] == 3
+
+
+@pytest.mark.parametrize("max_groups,rows_per_group,outcomes", _CASES)
+def test_grouped_average_after_truncation(
+    id_session, max_groups, rows_per_group, outcomes
+):
+    s, budget = id_session
+    res = s.evaluate(
+        _base(max_groups, rows_per_group)
+        .groupby(_KS)
+        .average("n", 0, 10, name="avg"),
+        budget,
+    )
+    got = {r["group"]: r["avg"] for r in res.collect()}
+    mid = 5.0  # empty-group average = bounds midpoint
+    admissible = set()
+    for a, b in outcomes:
+        ga = sum(a) / len(a) if a else mid
+        gb = sum(b) / len(b) if b else mid
+        admissible.add((round(ga, 6), round(gb, 6)))
+    assert (round(got["A"], 6), round(got["B"], 6)) in admissible, (
+        got,
+        admissible,
+    )
