@@ -1,0 +1,130 @@
+"""KeySet algebra semantics mirroring the reference's unit suite
+(``test/unit/keysets/test_keyset.py``): construction dedup/coercion,
+null keys, filter, project, cross product, equality, size."""
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from tumult_analytics_spark import KeySet
+
+D1 = datetime.date(2022, 1, 1)
+D2 = datetime.date(2022, 1, 2)
+
+
+def test_from_dict_cross_product(spark):
+    ks = KeySet.from_dict({"a": [1, 2], "b": ["x", "y"]})
+    got = {(r["a"], r["b"]) for r in ks.dataframe().collect()}
+    assert got == {(1, "x"), (1, "y"), (2, "x"), (2, "y")}
+    assert ks.size() == 4
+
+
+def test_from_dict_rejects_floats_and_timestamps(spark):
+    with pytest.raises(ValueError):
+        KeySet.from_dict({"a": [1.5]})
+    with pytest.raises(ValueError):
+        KeySet.from_dict({"a": [datetime.datetime(2022, 1, 1, 12)]})
+
+
+def test_from_tuples_dedup(spark):
+    ks = KeySet.from_tuples([(1, "x"), (1, "x"), (2, "y")], columns=["a", "b"])
+    assert ks.size() == 2
+
+
+def test_from_dataframe_dedup_and_coercion(spark):
+    df = spark.createDataFrame(
+        [[1, "x"], [1, "x"], [2, "y"]], "a int, b string"
+    )
+    ks = KeySet.from_dataframe(df)
+    assert ks.size() == 2
+    # Int coerced to Long in the keyset dataframe
+    assert dict(ks.dataframe().dtypes)["a"] == "bigint"
+
+
+def test_from_dataframe_rejects_decimal(spark):
+    df = spark.createDataFrame([[1.5]], "a double")
+    with pytest.raises(ValueError):
+        KeySet.from_dataframe(df)
+
+
+def test_null_keys_preserved(spark):
+    ks = KeySet.from_tuples([(None,), ("x",)], columns=["a"])
+    got = {r["a"] for r in ks.dataframe().collect()}
+    assert got == {None, "x"}
+    assert ks.size() == 2
+
+
+def test_dates_in_keysets(spark):
+    ks = KeySet.from_dict({"d": [D1, D2]})
+    got = sorted(r["d"] for r in ks.dataframe().collect())
+    assert got == [D1, D2]
+
+
+def test_filter_string_and_to_empty(spark):
+    ks = KeySet.from_dict({"a": [1, 2, 3]})
+    assert ks.filter("a > 1").size() == 2
+    assert ks.filter("a > 99").size() == 0
+    assert ks.filter("a > 99").dataframe().columns == ["a"]
+
+
+def test_getitem_str_and_list(spark):
+    ks = KeySet.from_dict({"a": [1, 2], "b": ["x"], "c": ["y", "z"]})
+    assert ks["a"].columns() == ("a",)
+    assert ks["a"].size() == 2
+    sub = ks[["a", "c"]]
+    assert set(sub.columns()) == {"a", "c"}
+    assert sub.size() == 4
+
+
+def test_cross_product_rejects_overlap(spark):
+    with pytest.raises(ValueError, match="columns"):
+        KeySet.from_dict({"a": [1]}) * KeySet.from_dict({"a": [2]})
+
+
+def test_join_on_shared_column(spark):
+    k1 = KeySet.from_tuples([(1, "x"), (2, "y")], columns=["a", "b"])
+    k2 = KeySet.from_tuples([(1, "p"), (1, "q")], columns=["a", "c"])
+    joined = k1.join(k2)
+    got = {(r["a"], r["b"], r["c"]) for r in joined.dataframe().collect()}
+    assert got == {(1, "x", "p"), (1, "x", "q")}
+
+
+def test_join_requires_shared_column(spark):
+    with pytest.raises(ValueError, match="shared"):
+        KeySet.from_dict({"a": [1]}).join(KeySet.from_dict({"b": [2]}))
+
+
+def test_subtract_and_union(spark):
+    k = KeySet.from_dict({"a": [1, 2, 3]})
+    minus = k - KeySet.from_tuples([(2,)], columns=["a"])
+    assert {r["a"] for r in minus.dataframe().collect()} == {1, 3}
+    both = minus | KeySet.from_tuples([(9,)], columns=["a"])
+    assert both.size() == 3
+
+
+def test_union_requires_same_columns(spark):
+    with pytest.raises(ValueError, match="same columns"):
+        KeySet.from_dict({"a": [1]}) | KeySet.from_dict({"b": [1]})
+
+
+def test_equality_order_insensitive(spark):
+    k1 = KeySet.from_tuples([(1, "x"), (2, "y")], columns=["a", "b"])
+    k2 = KeySet.from_tuples([("y", 2), ("x", 1)], columns=["b", "a"])
+    assert k1 == k2
+    k3 = KeySet.from_tuples([(1, "x")], columns=["a", "b"])
+    assert k1 != k3
+
+
+def test_cache_uncache_roundtrip(spark):
+    ks = KeySet.from_dict({"a": list(range(100))})
+    ks.cache()
+    assert ks.size() == 100
+    ks.uncache()
+    assert ks.size() == 100
+
+
+def test_empty_keyset_is_global_group(spark):
+    ks = KeySet.from_dict({})
+    assert ks.columns() == ()
+    assert ks.is_empty()
