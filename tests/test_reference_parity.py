@@ -409,3 +409,25 @@ def test_join_public_inner_and_left(sess):  # conftest.py:516-543
             pd.DataFrame({"A+B": [0, 1, 2], "count": [3, 4, 1]}),
             ["A+B"],
         )
+
+
+def test_get_bounds_reference_doc_example(spark):  # query_builder.py:1846-1848
+    # The reference's docstring example: data 0..99 -> bounds ±128
+    # (power-of-two magnitude bins), with default output column names.
+    df = spark.createDataFrame([(i,) for i in range(100)], "X long")
+    s = Session.from_dataframe(INF, "my_private_data", df, AddOneRow())
+    out = s.evaluate(QueryBuilder("my_private_data").get_bounds("X"), INF)
+    row = out.collect()[0]
+    assert row["X_lower_bound"] == -128
+    assert row["X_upper_bound"] == 128
+
+
+def test_get_bounds_grouped(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(100)], "X long, g string"
+    )
+    s = Session.from_dataframe(INF, "t", df, AddOneRow())
+    ks = KeySet.from_dict({"g": ["a", "b"]})
+    out = s.evaluate(QueryBuilder("t").groupby(ks).get_bounds("X"), INF)
+    got = {r["g"]: (r["X_lower_bound"], r["X_upper_bound"]) for r in out.collect()}
+    assert got == {"a": (-64, 64), "b": (-128, 128)}
