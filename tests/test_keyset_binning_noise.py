@@ -174,3 +174,21 @@ def test_project_plain_dedups(spark):
     )
     out = ks["a"]
     assert sorted(r["a"] for r in out.dataframe().collect()) == [1, 2]
+
+
+def test_budget_algebra(spark):
+    from fractions import Fraction
+
+    from tumult_analytics_spark import ApproxDPBudget, PureDPBudget, RhoZCDPBudget
+
+    assert PureDPBudget(1) + PureDPBudget(2) == PureDPBudget(3)
+    assert PureDPBudget(3) - PureDPBudget(1) == PureDPBudget(2)
+    assert PureDPBudget(1) / 3 * 3 == PureDPBudget(1)  # exact Fractions
+    a = ApproxDPBudget(1, Fraction(1, 10)) * 2
+    assert a == ApproxDPBudget(2, Fraction(1, 5))
+    assert (ApproxDPBudget(1, Fraction(3, 4)) * 2).delta == 1  # delta capped
+    assert RhoZCDPBudget(4) / 2 == RhoZCDPBudget(2)
+    assert RhoZCDPBudget(2) * 2 == RhoZCDPBudget(4)
+    assert PureDPBudget.inf().is_infinite()
+    with pytest.raises(TypeError):
+        PureDPBudget(1) + RhoZCDPBudget(1)

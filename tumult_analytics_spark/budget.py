@@ -206,6 +206,13 @@ class ApproxDPBudget(PrivacyBudget):
             return ApproxDPBudget.inf()
         return ApproxDPBudget(self._epsilon / Fraction(k), self._delta / Fraction(k))
 
+    def __mul__(self, k: Numeric) -> "ApproxDPBudget":
+        if self.is_infinite():
+            return ApproxDPBudget.inf()
+        return ApproxDPBudget(
+            self._epsilon * Fraction(k), min(self._delta * Fraction(k), Fraction(1))
+        )
+
     def __eq__(self, other):
         return (
             isinstance(other, ApproxDPBudget)
@@ -260,6 +267,11 @@ class RhoZCDPBudget(PrivacyBudget):
         if self.is_infinite():
             return RhoZCDPBudget.inf()
         return RhoZCDPBudget(self._rho / Fraction(k))
+
+    def __mul__(self, k: Numeric) -> "RhoZCDPBudget":
+        if self.is_infinite():
+            return RhoZCDPBudget.inf()
+        return RhoZCDPBudget(self._rho * Fraction(k))
 
     def __eq__(self, other):
         return isinstance(other, RhoZCDPBudget) and self._rho == other._rho
