@@ -210,7 +210,9 @@ def q_get_groups(spark, sf_dir):
 
 
 def q_quantile_median(spark, sf_dir):
-    # DP exponential-mechanism quantile: no SQL oracle (rows-only check).
+    # At infinite budget the exponential mechanism is deterministic
+    # (argmax-utility bin midpoint) — reproduced exactly in SQL with
+    # integer utility arithmetic (|2*cum + c - 2*q*n|).
     s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
     ks = KeySet.from_dict({"l_returnflag": _RF})
     q = QueryBuilder("lineitem").groupby(ks).median("l_quantity", 0, 50, name="med")
@@ -298,7 +300,8 @@ def q_replace_null_binned(spark, sf_dir):
 
 
 def q_min_max(spark, sf_dir):
-    # Quantile(0)/quantile(1) sugar: DP exponential mechanism, rows-only.
+    # Quantile(0)/quantile(1) sugar; deterministic at infinite budget,
+    # oracle reproduces the binned argmax exactly.
     # Combined via union, NOT crossJoin: a cartesian of two 32-partition
     # local relations schedules 32x32 tasks in local mode.
     from pyspark.sql import functions as F
@@ -513,6 +516,74 @@ _ORACLES = {
     "get_groups": """
         SELECT DISTINCT event_type FROM events
     """,
+    "quantile_median": """
+        WITH ks AS (SELECT * FROM (VALUES ('A'),('N'),('R')) t(l_returnflag)),
+        bins AS (SELECT CAST(range AS INT) AS b FROM range(0, 512)),
+        data AS (
+          SELECT l_returnflag,
+                 least(CAST(floor(least(greatest(l_quantity, 0), 50)
+                       / (50.0/512)) AS INT), 511) AS b
+          FROM lineitem
+        ),
+        counts AS (SELECT l_returnflag, b, count(*) AS c FROM data GROUP BY 1, 2),
+        grid AS (
+          SELECT ks.l_returnflag, bins.b, coalesce(counts.c, 0) AS c
+          FROM ks CROSS JOIN bins
+          LEFT JOIN counts ON counts.l_returnflag = ks.l_returnflag
+                          AND counts.b = bins.b
+        ),
+        scored AS (
+          SELECT l_returnflag, b, c,
+            coalesce(sum(c) OVER (PARTITION BY l_returnflag ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum,
+            sum(c) OVER (PARTITION BY l_returnflag) AS n
+          FROM grid
+        ),
+        ranked AS (
+          SELECT l_returnflag, b,
+            row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY abs(2*cum + c - n) ASC, b ASC) AS rk
+          FROM scored
+        )
+        SELECT l_returnflag, (b + 0.5) * (50.0/512) AS med
+        FROM ranked WHERE rk = 1
+    """,
+    "min_max": """
+        WITH bins AS (SELECT CAST(range AS INT) AS b FROM range(0, 512)),
+        data AS (
+          SELECT least(CAST(floor(least(greatest(l_quantity, 0), 60)
+                 / (60.0/512)) AS INT), 511) AS b
+          FROM lineitem
+        ),
+        counts AS (SELECT b, count(*) AS c FROM data GROUP BY 1),
+        grid AS (
+          SELECT bins.b, coalesce(counts.c, 0) AS c
+          FROM bins LEFT JOIN counts USING (b)
+        ),
+        scored AS (
+          SELECT b, c,
+            coalesce(sum(c) OVER (ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum,
+            sum(c) OVER () AS n
+          FROM grid
+        ),
+        qmin AS (
+          SELECT 'min' AS stat, (b + 0.5) * (60.0/512) AS value,
+            row_number() OVER (ORDER BY abs(2*cum + c) ASC, b ASC) AS rk
+          FROM scored
+        ),
+        qmax AS (
+          SELECT 'max' AS stat, (b + 0.5) * (60.0/512) AS value,
+            row_number() OVER (ORDER BY abs(2*cum + c - 2*n) ASC, b ASC) AS rk
+          FROM scored
+        )
+        SELECT stat, value FROM qmin WHERE rk = 1
+        UNION ALL
+        SELECT stat, value FROM qmax WHERE rk = 1
+    """,
+
     "flat_map_explode": """
         WITH ks AS (SELECT * FROM (VALUES ('A'),('N'),('R')) t(l_returnflag)),
         agg AS (SELECT l_returnflag,
