@@ -220,7 +220,8 @@ def q_quantile_median(spark, sf_dir):
 
 
 def q_get_bounds(spark, sf_dir):
-    # DP power-of-two bound estimate: no SQL oracle (rows-only check).
+    # Deterministic at infinite budget: smallest ±2^k covering >= 95% of
+    # magnitude bins — reproduced exactly in SQL.
     s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
     q = QueryBuilder("lineitem").get_bounds("l_quantity")
     return s.evaluate(q, INF)
@@ -515,6 +516,26 @@ _ORACLES = {
     """,
     "get_groups": """
         SELECT DISTINCT event_type FROM events
+    """,
+    "get_bounds": """
+        WITH data AS (
+          SELECT CASE WHEN abs(l_quantity) <= 1 THEN 0
+                 ELSE CAST(ceil(log2(abs(l_quantity))) AS INT) END AS b
+          FROM lineitem
+        ),
+        counts AS (SELECT b, count(*) AS c FROM data GROUP BY 1),
+        scored AS (
+          SELECT b, sum(c) OVER (ORDER BY b) AS acc, sum(c) OVER () AS n
+          FROM counts
+        ),
+        picked AS (
+          SELECT b, row_number() OVER (ORDER BY b) AS rk
+          FROM scored
+          WHERE CAST(acc AS DOUBLE) / CAST(n AS DOUBLE) >= 0.95
+        )
+        SELECT -pow(2.0, b) AS l_quantity_lower_bound,
+               pow(2.0, b) AS l_quantity_upper_bound
+        FROM picked WHERE rk = 1
     """,
     "quantile_median": """
         WITH ks AS (SELECT * FROM (VALUES ('A'),('N'),('R')) t(l_returnflag)),
