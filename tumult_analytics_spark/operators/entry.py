@@ -62,9 +62,10 @@ def q_simhash_buckets(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    # Exact 3-gram Jaccard pairs at >=0.35 among first 200 docs;
-    # threshold on a ratio of integers -> FP-safe enough? Ratio compare in
-    # SQL uses identical arithmetic; keep rows-only to be safe.
+    # Exact 3-gram Jaccard pairs at >=0.35 among first 200 docs. Gram
+    # sets are identical to SQL's string n-grams (FNV hashing only
+    # renames them); the threshold compare uses the same double division
+    # in both engines.
     docs = _read(spark, sf_dir, "documents").filter("doc_id < 200")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.35)
     return pairs.groupBy().agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -270,6 +271,35 @@ ORACLES = {
                     AS BIGINT) AS n_good,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM q GROUP BY lang
+    """,
+    "ngram_jaccard": """
+        WITH docs AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 200
+        ),
+        grams AS (
+          SELECT doc_id,
+            list_distinct(
+              CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              END
+            ) AS gs
+          FROM docs
+        ),
+        exploded AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+                 count(*) AS i
+          FROM exploded a JOIN exploded b
+            ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs
+        FROM inter
+        WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.35
     """,
     "event_hourly_rollup": """
         SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_id,
