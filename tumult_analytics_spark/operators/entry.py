@@ -93,7 +93,8 @@ def q_quality_stats(spark, sf_dir):
 
 
 def q_language_id(spark, sf_dir):
-    # Heuristic language ID vs labeled lang; rows-only check.
+    # Stopword-vote language ID vs labeled lang; deterministic, with the
+    # vote/tie-break logic reproduced exactly in SQL.
     docs = _read(spark, sf_dir, "documents")
     pred = X.language_id(docs, "text")
     return pred.groupBy("lang", "lang_pred").agg(
@@ -271,6 +272,45 @@ ORACLES = {
                     AS BIGINT) AS n_good,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM q GROUP BY lang
+    """,
+    "language_id": """
+        WITH scored AS (
+          SELECT lang,
+            list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        x -> x <> '') AS toks,
+            (length(text) - length(replace(text, '的', '')))
+          + (length(text) - length(replace(text, '是', '')))
+          + (length(text) - length(replace(text, '了', '')))
+          + (length(text) - length(replace(text, '在', '')))
+          + (length(text) - length(replace(text, '和', '')))
+          + (length(text) - length(replace(text, '有', '')))
+          + (length(text) - length(replace(text, '我', '')))
+          + (length(text) - length(replace(text, '不', '')))
+          + (length(text) - length(replace(text, '这', '')))
+          + (length(text) - length(replace(text, '个', ''))) AS zh
+          FROM documents
+        ),
+        votes AS (
+          SELECT lang,
+            len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','was'))) AS en,
+            len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS de,
+            len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','des','dans','que','pour'))) AS fr,
+            len(list_filter(toks, x -> x IN ('el','la','los','las','es','una','del','por','con','para'))) AS es,
+            zh
+          FROM scored
+        ),
+        pred AS (
+          SELECT lang,
+            CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+                 WHEN en >= greatest(de, fr, es, zh) THEN 'en'
+                 WHEN de >= greatest(fr, es, zh) THEN 'de'
+                 WHEN fr >= greatest(es, zh) THEN 'fr'
+                 WHEN es >= zh THEN 'es'
+                 ELSE 'zh' END AS lang_pred
+          FROM votes
+        )
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
     """,
     "ngram_jaccard": """
         WITH docs AS (
