@@ -106,11 +106,26 @@ def q_language_id(spark, sf_dir):
 
 
 def q_ann_brute_topk(spark, sf_dir):
-    # Exact cosine top-3 for 50 query vectors; FP/tie-sensitive -> rows-only.
+    # Exact cosine top-3 for 50 query vectors. Ranking is done on
+    # round(cosine, 6) with a neighbor_id tie-break so the ordering is
+    # insensitive to FP summation order and reproducible in SQL: a flip
+    # would need the true cosine within ~1e-14 of a 5e-7 rounding
+    # boundary (the engines agree to ~64 ulps on a 64-dim dot product).
+    from pyspark.sql import Window
+
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 50")
-    topk = S.brute_force_cosine_topk(emb, "embedding", "vec_id", k=3, queries=queries)
-    return topk.select("query_id", "neighbor_id", "rank")
+    allk = S.brute_force_cosine_topk(
+        emb, "embedding", "vec_id", k=10**6, queries=queries
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        allk.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("query_id", "neighbor_id", F.col("rnk").alias("rank"))
+    )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -155,7 +170,9 @@ def q_media_metadata(spark, sf_dir):
 
 def q_byte_histogram_features(spark, sf_dir):
     # Deterministic fake feature extractor over binary payloads
-    # (mapInPandas batch contract); rows-only check.
+    # (mapInPandas batch contract). Feature 7 = fraction of bytes in
+    # [96, 112) (lowercase a..o in UTF-8); the float32 quantization is
+    # reproduced in SQL with CAST(.. AS REAL).
     from . import multimodal as M
 
     docs = _read(spark, sf_dir, "documents").withColumn(
@@ -164,14 +181,19 @@ def q_byte_histogram_features(spark, sf_dir):
     feats = M.extract_byte_histogram_features(docs, "payload", "doc_id")
     return feats.select(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum(F.element_at("features", 1)), 3).alias("sum_f1"),
+        F.round(F.sum(F.element_at("features", 7)), 3).alias("sum_f7"),
     )
 
 
 def q_cosine_dedup(spark, sf_dir):
-    # Embedding-cosine near-dup removal (LSH-bucketed); rows-only.
+    # Embedding-cosine near-dup removal, exact pairwise path (drop a row
+    # iff some smaller-id row has cosine >= 0.97). SQL-reproducible via
+    # NOT EXISTS; the LSH-bucketed scale path is covered by
+    # tests/test_sources_streaming + the ann_lsh query.
     emb = _read(spark, sf_dir, "embeddings")
-    kept = D.embedding_cosine_dedup(emb, "embedding", "vec_id", threshold=0.97)
+    kept = D.embedding_cosine_dedup(
+        emb, "embedding", "vec_id", threshold=0.97, use_lsh=False
+    )
     return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
@@ -385,6 +407,45 @@ ORACLES = {
         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         FROM deduped GROUP BY lang
+    """,
+    "ann_brute_topk": """
+        WITH sims AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(
+                     CAST(q.embedding AS DOUBLE[]),
+                     CAST(c.embedding AS DOUBLE[])), 6) AS cs
+          FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 50
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cs DESC, neighbor_id) AS INTEGER) AS "rank"
+          FROM sims
+        )
+        SELECT query_id, neighbor_id, "rank" FROM ranked WHERE "rank" <= 3
+    """,
+    "cosine_dedup": """
+        SELECT label, CAST(count(*) AS BIGINT) AS n_kept
+        FROM embeddings e
+        WHERE NOT EXISTS (
+          SELECT 1 FROM embeddings o
+          WHERE o.vec_id < e.vec_id
+            AND list_cosine_similarity(
+                CAST(o.embedding AS DOUBLE[]),
+                CAST(e.embedding AS DOUBLE[])) >= 0.97)
+        GROUP BY label
+    """,
+    "byte_histogram_features": """
+        WITH per AS (
+          SELECT CAST(
+              CAST(length(regexp_replace(text, '[^\\x60-\\x6f]', '', 'g'))
+                   AS DOUBLE)
+              / CAST(greatest(strlen(text), 1) AS DOUBLE) AS REAL) AS f7
+          FROM documents)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(CAST(f7 AS DOUBLE)), 3) AS sum_f7
+        FROM per
     """,
     "media_metadata": """
         SELECT lang,
