@@ -278,3 +278,50 @@ def test_error_paths(spark):
     s.stop()
     with pytest.raises(RuntimeError, match="stopped"):
         s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.1))
+
+
+def test_evaluate_materializes_noise_once(spark):
+    # ADVICE r1 (high): a lazy noisy plan redraws noise on every action;
+    # evaluate() must pin one draw (reference materializes to temp tables).
+    df = spark.createDataFrame(pd.DataFrame({"g": list(range(50)), "x": [1] * 50}))
+    s = Session.from_dataframe(PureDPBudget(float("inf")), "t", df, AddOneRow())
+    ks = KeySet.from_dict({"g": list(range(50))})
+    out = s.evaluate(QueryBuilder("t").groupby(ks).count(), PureDPBudget(0.1))
+    first = sorted((r["g"], r["count"]) for r in out.collect())
+    second = sorted((r["g"], r["count"]) for r in out.collect())
+    assert first == second
+
+
+def test_suppress_threshold_consistent_with_release(spark):
+    # With nondeterministic noise + materialization, the SuppressAggregates
+    # filter and the released value must use the SAME noise draw: every
+    # surviving row satisfies the threshold it was filtered on.
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": [i % 20 for i in range(200)]})
+    )
+    s = Session.from_dataframe(PureDPBudget(float("inf")), "t", df, AddOneRow())
+    ks = KeySet.from_dict({"g": list(range(20))})
+    q = QueryBuilder("t").groupby(ks).count().suppress(8)
+    for _ in range(3):
+        rows = s.evaluate(q, PureDPBudget(0.5)).collect()
+        assert all(r["count"] >= 8 for r in rows)
+
+
+def test_get_groups_rejects_id_column(spark):
+    from tumult_analytics_spark import AddRowsWithID, ApproxDPBudget, MaxRowsPerID
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"uid": [1, 2, 3], "g": ["a", "b", "a"]})
+    )
+    s = (
+        Session.Builder()
+        .with_privacy_budget(ApproxDPBudget(1, 1e-6))
+        .with_id_space("s")
+        .with_private_dataframe("t", df, AddRowsWithID("uid", "s"))
+        .build()
+    )
+    with pytest.raises((RuntimeError, ValueError), match="privacy ID column"):
+        s.evaluate(
+            QueryBuilder("t").enforce(MaxRowsPerID(1)).get_groups(["uid"]),
+            ApproxDPBudget(1, 1e-6),
+        )

@@ -105,35 +105,37 @@ def noise_column(mechanism: NoiseMechanism, scale: float) -> Optional[Column]:
     if scale == float("inf"):
         raise ValueError("Cannot add infinite noise (zero budget on a finite query)")
 
+    # Every sampler is marked nondeterministic: Catalyst must neither
+    # collapse two references into one draw nor duplicate one reference
+    # into two independent draws (e.g. when a SuppressAggregates filter
+    # and the output projection both mention the noisy column, a
+    # "deterministic" UDF would be inlined twice and the threshold
+    # decision would use different noise than the released value).
     if mechanism is NoiseMechanism.GEOMETRIC:
 
-        @pandas_udf("long")
         def _geo(s: pd.Series) -> pd.Series:
             return pd.Series(_sample_two_sided_geometric(_rng(), scale, len(s)))
 
-        return _geo(F.lit(0))
+        return pandas_udf(_geo, "long").asNondeterministic()(F.lit(0))
     if mechanism is NoiseMechanism.LAPLACE:
 
-        @pandas_udf("double")
         def _lap(s: pd.Series) -> pd.Series:
             return pd.Series(_rng().laplace(0.0, scale, len(s)))
 
-        return _lap(F.lit(0))
+        return pandas_udf(_lap, "double").asNondeterministic()(F.lit(0))
     if mechanism is NoiseMechanism.GAUSSIAN:
 
-        @pandas_udf("double")
         def _gau(s: pd.Series) -> pd.Series:
             return pd.Series(_rng().normal(0.0, scale, len(s)))
 
-        return _gau(F.lit(0))
+        return pandas_udf(_gau, "double").asNondeterministic()(F.lit(0))
     if mechanism is NoiseMechanism.DISCRETE_GAUSSIAN:
         sigma_sq = scale * scale
 
-        @pandas_udf("long")
         def _dgau(s: pd.Series) -> pd.Series:
             return pd.Series(_sample_discrete_gaussian(_rng(), sigma_sq, len(s)))
 
-        return _dgau(F.lit(0))
+        return pandas_udf(_dgau, "long").asNondeterministic()(F.lit(0))
     raise ValueError(f"Unknown mechanism {mechanism}")
 
 

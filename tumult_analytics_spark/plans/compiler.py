@@ -1236,6 +1236,17 @@ def _compile_quantile(
     if eps is None:
         eps = math.sqrt(8.0 * bspec.rho) if bspec.rho > 0 else 0.0
     sens = l1 if bspec.kind != "zcdp" else l2
+    # Per-row utility sensitivity of u_i = -|cum_i + c_i/2 - q*n|. The
+    # target q*n is data-dependent, so adding/removing one row moves BOTH
+    # the rank term and the target; by case on where the row lands
+    # relative to candidate bin i:
+    #   row below bin i:  |Δ(cum_i) - q·Δn| = |1 - q|
+    #   row inside bin i: |Δ(c_i)/2 - q·Δn| = |1/2 - q|
+    #   row above bin i:  |0 - q·Δn|        = q
+    # all bounded by max(q, 1-q) <= 1. Over l1 changed rows the total
+    # utility sensitivity is du = sens * max(q, 1-q), and the exponential
+    # mechanism scores with eps/(2*du).
+    du_per_row = max(q, 1.0 - q)
 
     out_fields = [(c, t.df.schema[c].dataType) for c in gcols]
     out_schema = T.StructType(
@@ -1260,9 +1271,9 @@ def _compile_quantile(
         elif eps == float("inf"):
             idx = int(np.argmax(util))
         else:
-            # Exponential mechanism (Gumbel trick); utility sensitivity <=
-            # sens per changed row.
-            scores = (eps / (2.0 * max(sens, 1e-12))) * util
+            # Exponential mechanism (Gumbel trick); total utility
+            # sensitivity sens * max(q, 1-q) (see analysis above).
+            scores = (eps / (2.0 * max(sens * du_per_row, 1e-12))) * util
             g = np.random.default_rng().gumbel(size=nb)
             idx = int(np.argmax(scores + g))
         value = lo + (idx + 0.5) * width
@@ -1306,6 +1317,13 @@ def _compile_get_groups(
         raise ValueError("get_groups requires an ApproxDPBudget")
     t = compile_transform(expr.child, ctx)
     cs = t.schema
+    if cs.id_column and expr.columns and cs.id_column in expr.columns:
+        # Releasing IDs whose counts clear the threshold would publish raw
+        # user identifiers (reference session.py get_groups guard).
+        raise RuntimeError(
+            "get_groups cannot be used on the privacy ID column "
+            f"({cs.id_column!r})"
+        )
     cols = list(expr.columns) or [c for c in cs if c != cs.id_column]
     df, l1, l2 = (
         _truncate_for_measurement(t, cols, bspec.kind)
@@ -1320,7 +1338,12 @@ def _compile_get_groups(
     if delta <= 0:
         raise ValueError("get_groups requires delta > 0")
     b = l1 / eps
-    tau = 1.0 + b * math.log(1.0 / (2.0 * delta)) if delta < 0.5 else 1.0
+    # Threshold calibrated to the row-stability l1 (not just l1 = 1): one
+    # protected change can add up to l1 rows, all landing in one brand-new
+    # group (true count l1, release prob (1/2)exp(-(tau-l1)/b)) or spread
+    # over up to l1 new groups (union bound adds a factor l1). Solving
+    # (l1/2)exp(-(tau-l1)/b) <= delta gives tau = l1 + b*ln(l1/(2*delta)).
+    tau = max(1.0, l1 + b * math.log(l1 / (2.0 * delta)))
     noisy = counts.withColumn(
         "__c__", F.col("__c__") + noise_column(NoiseMechanism.GEOMETRIC, b)
     )

@@ -267,7 +267,19 @@ class Session:
 
     # --- the three entry points ---------------------------------------
     def evaluate(self, query: Query, privacy_budget: PrivacyBudget) -> DataFrame:
-        """Execute a measurement query, deduct budget, return noisy result."""
+        """Execute a measurement query, deduct budget, return noisy result.
+
+        Finite-budget results are MATERIALIZED before being returned
+        (mirroring the reference, where tmlt.core's SparkMeasurement
+        writes noisy outputs to temp tables): the noise stage is a
+        nondeterministic sampler, so a lazy plan would redraw fresh noise
+        on every Spark action over the returned DataFrame — collecting N
+        times would average the noise away and break the DP guarantee.
+        ``localCheckpoint(eager=True)`` runs the plan exactly once and
+        severs the lineage, so a later recomputation is impossible (a
+        lost block fails the job rather than silently resampling).
+        Infinite-budget results are deterministic and stay fully lazy.
+        """
         self._check_active()
         self._check_budget_type(privacy_budget)
         expr = query.expr if isinstance(query, Query) else query
@@ -276,7 +288,9 @@ class Session:
         expr = rewrite(expr, ctx.catalog)
         result = compile_measurement(expr, ctx, privacy_budget)
         self._spend(self._actual_spend(expr, privacy_budget))
-        return result.df
+        if privacy_budget.is_infinite():
+            return result.df
+        return result.df.localCheckpoint(eager=True)
 
     @staticmethod
     def _actual_spend(expr, privacy_budget: PrivacyBudget) -> PrivacyBudget:
