@@ -114,3 +114,36 @@ def test_budget_true_overdraft_rejected(spark):
     s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.9))
     with pytest.raises(RuntimeError, match="budget"):
         s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.5))
+
+
+def test_huge_keyset_is_not_broadcast(li_sess):
+    # VERDICT r1: an unconditional broadcast of the keyset blows Spark's
+    # broadcast limits when the keyset cross-product is huge. Above
+    # KEYSET_BROADCAST_LIMIT the plan must fall back to shuffled joins
+    # (no BroadcastHashJoin on the keyset) and skip the semi-join filter.
+    from tumult_analytics_spark.plans.compiler import KEYSET_BROADCAST_LIMIT
+
+    side = 2 ** 11
+    ks = KeySet.from_dict(
+        {"l_orderkey": list(range(side)), "l_linenumber": list(range(side))}
+    )
+    assert ks.estimated_size() == side * side > KEYSET_BROADCAST_LIMIT
+    out = li_sess.evaluate(
+        QueryBuilder("lineitem").groupby(ks).count(), INF
+    )
+    # No explicit broadcast HINT anywhere in the plan (Catalyst/AQE may
+    # still broadcast from runtime stats — that is its call, sized to the
+    # actual data; the bug was forcing it regardless of size).
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    # And the pre-aggregation semi-join filter is skipped entirely: the
+    # only join left is the keyset attach.
+    assert "LeftSemi" not in analyzed
+
+
+def test_small_keyset_still_broadcast(li_sess):
+    # The guard must not regress the common case: small literal keysets
+    # keep the broadcast semi-join + broadcast attach.
+    ks = KeySet.from_dict({"l_returnflag": ["A", "N", "R"]})
+    out = li_sess.evaluate(QueryBuilder("lineitem").groupby(ks).count(), INF)
+    assert _plan(out).count("BroadcastHashJoin") >= 2

@@ -325,3 +325,24 @@ def test_get_groups_rejects_id_column(spark):
             QueryBuilder("t").enforce(MaxRowsPerID(1)).get_groups(["uid"]),
             ApproxDPBudget(1, 1e-6),
         )
+
+
+def test_brute_force_guard_refuses_large_corpus(spark):
+    from tumult_analytics_spark.operators.similarity import (
+        brute_force_cosine_topk,
+    )
+
+    emb = spark.range(200).selectExpr(
+        "id as vec_id", "array(cast(id as double), 1.0d) as embedding"
+    )
+    with pytest.raises(ValueError, match="lsh_cosine_topk"):
+        brute_force_cosine_topk(
+            emb, "embedding", "vec_id", k=2, max_collect_rows=100
+        )
+    # under the cap it runs
+    assert (
+        brute_force_cosine_topk(
+            emb.limit(50), "embedding", "vec_id", k=2, max_collect_rows=100
+        ).count()
+        > 0
+    )

@@ -463,6 +463,12 @@ class KeySet:
         """Driver-side rows when the keyset is small and literal, else None."""
         return self._op.local_rows()
 
+    def estimated_size(self) -> Optional[int]:
+        """Upper-bound row estimate when cheaply known (driver-side
+        literals and their products), else None. Used by the compiler to
+        decide broadcast vs shuffled keyset joins."""
+        return self._op.estimated_size()
+
     def cache(self) -> "KeySet":
         self.dataframe().cache()
         return self

@@ -140,6 +140,62 @@ def minhash_signatures(
     return df.select(id_column, _sig(F.col(text_column)).alias("signature"))
 
 
+def minhash_coefficients(num_hashes: int, seed: int = 42):
+    """The (a, b) universal-hash coefficients shared by the Spark md5
+    signature path and its SQL oracle (both compute
+    ``(a * (h % M) + b) % M`` with M = 2^31 - 1)."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures_md5(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) — MinHash over k-char shingles, pure
+    Catalyst and exactly SQL-reproducible.
+
+    Shingle hash = first 60 bits of md5 (identical in any engine with
+    md5 + hex parsing), permutations = universal hashes over the Mersenne
+    prime 2^31-1 (integer arithmetic, no overflow, no FP). The plan is
+    explode(shingle positions) -> md5 -> one hash aggregation with
+    ``num_hashes`` min() accumulators: a single shuffle on the id with
+    map-side partial mins, all inside whole-stage codegen.
+    """
+    coeffs = minhash_coefficients(num_hashes, seed)
+    k = shingle_size
+    npos = F.greatest(F.length(F.col(text_column)) - (k - 1), F.lit(1))
+    ex = df.select(
+        F.col(id_column),
+        F.explode(F.sequence(F.lit(1), npos)).alias("__p__"),
+        F.col(text_column),
+    ).select(
+        id_column,
+        (
+            _md5_hash60(F.substring(F.col(text_column), F.col("__p__"), F.lit(k)))
+            % F.lit(_MERSENNE)
+        ).alias("__hm__"),
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("__hm__") + F.lit(b)) % F.lit(_MERSENNE)).alias(
+            f"__s{p}__"
+        )
+        for p, (a, b) in enumerate(coeffs)
+    ]
+    agg = ex.groupBy(id_column).agg(*mins)
+    sig = F.array(*[F.col(f"__s{p}__") for p in range(num_hashes)])
+    return agg.select(id_column, sig.alias("signature"))
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_column: str,
@@ -237,20 +293,32 @@ def minhash_lsh_dedup(
     bands: int = 16,
     min_signature_similarity: float = 0.5,
     cache_signatures: bool = True,
+    signature_fn: str = "rolling",
 ) -> DataFrame:
     """Drop near-duplicate documents, keeping the smallest id per duplicate
     group (single-pass star representative: a row is dropped iff some
     smaller-id row is its near-duplicate — no iterative connected
     components, which keeps this a bounded number of shuffles).
 
+    ``signature_fn``: "rolling" = vectorized numpy rolling-hash kernel
+    (fastest); "md5" = pure-Catalyst md5 shingle hashing whose arithmetic
+    is exactly reproducible in ANSI SQL (the value-oracle path). Same
+    LSH structure either way.
+
     The banded self-join plus the final anti-join read the signature
     pipeline several times, so it is persisted by default — measured ~30%
     faster end-to-end despite Spark's columnar cache encoding array
     columns row-by-row (no codegen, itself ~12x the cost of one signature
     recompute). Disable on memory-tight clusters; the signatures are
-    recomputed per read instead.
+    recomputed per read instead. Lifecycle: the persisted signatures stay
+    cached for the lifetime of the returned (lazy) DataFrame — callers
+    running many dedups in one session should pass
+    ``cache_signatures=False`` or clear the cache between runs.
     """
-    sigs = minhash_signatures(df, text_column, id_column, num_hashes, shingle_size)
+    make_sigs = (
+        minhash_signatures_md5 if signature_fn == "md5" else minhash_signatures
+    )
+    sigs = make_sigs(df, text_column, id_column, num_hashes, shingle_size)
     if cache_signatures:
         sigs = sigs.persist()
     cand = minhash_lsh_candidates(
@@ -266,54 +334,60 @@ def minhash_lsh_dedup(
     return out
 
 
+#: SimHash fingerprint width. 60 = 15 hex digits of md5, so the token
+#: hash fits a signed 64-bit integer in every engine (16 digits could
+#: overflow the sign bit).
+SIMHASH_BITS = 60
+
+
+def _md5_hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — pure Catalyst
+    (md5 + conv), and exactly reproducible in ANSI SQL as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash(
-    df: DataFrame, text_column: str, id_column: str, bits: int = 64
+    df: DataFrame, text_column: str, id_column: str, bits: int = SIMHASH_BITS
 ) -> DataFrame:
     """(id, simhash bigint) — Charikar SimHash over whitespace tokens.
 
-    Vectorized pandas UDF: per Arrow batch, token hashes are expanded into
-    a (tokens x bits) sign matrix with numpy bit tricks and summed. Python
-    is unavoidable here (per-bit accumulation has no good Catalyst form),
-    but it is batched, columnar, and embarrassingly parallel.
+    Pure Catalyst, fully inside whole-stage codegen: explode tokens, md5
+    -> 60-bit hash, then one hash aggregation with ``bits`` sign
+    accumulators (sum of +-1 per bit) and a final arithmetic fold into
+    the fingerprint. No Python in the hot path (the earlier per-token
+    FNV kernel cost ~1.6 s at sf0.1; this is JVM-side), and the md5
+    arithmetic is exactly reproducible in SQL for the value oracle.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    def hash_str(s: str) -> int:
-        # FNV-1a 64-bit: deterministic across processes (unlike hash()).
-        h = 0xCBF29CE484222325
-        for ch in s.encode("utf-8"):
-            h ^= ch
-            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    # NOTE: returnType passed explicitly (no type hints) because this module
-    # uses `from __future__ import annotations`, which stringifies hints and
-    # breaks pyspark's pandas_udf signature inference.
-    def _simhash_fn(tokens):
-        out = np.zeros(len(tokens), dtype=np.int64)
-        masks = (1 << np.arange(bits, dtype=np.uint64)).astype(np.uint64)
-        for i, toks in enumerate(tokens):
-            if toks is None or len(toks) == 0:
-                continue
-            hs = np.array([hash_str(t) for t in toks], dtype=np.uint64)
-            signs = ((hs[:, None] & masks[None, :]) != 0).astype(np.int32)
-            acc = (2 * signs - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for b in range(bits):
-                if acc[b] > 0:
-                    fp |= masks[b]
-            out[i] = np.int64(fp.astype(np.int64))
-        return pd.Series(out)
-
-    _simhash = pandas_udf(_simhash_fn, "long")
-
+    if bits > SIMHASH_BITS:
+        raise ValueError(f"bits must be <= {SIMHASH_BITS} (15 hex digits of md5)")
     tokens = F.filter(
         F.split(F.trim(F.col(text_column)), r"\s+"), lambda t: t != ""
     )
-    return df.select(
-        id_column, _simhash(tokens).alias("simhash")
+    ex = df.select(
+        F.col(id_column), F.explode(tokens).alias("__tok__")
+    ).select(id_column, _md5_hash60(F.col("__tok__")).alias("__h__"))
+    accs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("__h__"), j).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"__a{j}__")
+        for j in range(bits)
+    ]
+    agg = ex.groupBy(id_column).agg(*accs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"__a{j}__") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    hashed = agg.select(id_column, fp.cast("long").alias("simhash"))
+    # Documents with no tokens produce no exploded rows: rejoin for a 0
+    # fingerprint (the reference shape returns one row per input row).
+    return (
+        df.select(id_column)
+        .join(hashed, on=id_column, how="left")
+        .select(id_column, F.coalesce("simhash", F.lit(0)).alias("simhash"))
     )
 
 

@@ -41,21 +41,26 @@ def q_fingerprint_dedup(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
-    # LSH near-dup removal; hash-based, rows-only check.
+    # Banded-LSH near-dup removal over md5-based MinHash signatures:
+    # deterministic integer arithmetic, value-checked against a DuckDB
+    # oracle that recomputes signatures/bands/agreement in SQL.
     docs = _read(spark, sf_dir, "documents")
     kept = D.minhash_lsh_dedup(
         docs, "text", "doc_id", num_hashes=32, bands=8,
-        min_signature_similarity=0.7,
+        min_signature_similarity=0.7, signature_fn="md5",
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
 def q_simhash_buckets(spark, sf_dir):
-    # SimHash fingerprints bucketed by top byte; rows-only check.
+    # 60-bit md5 SimHash (pure Catalyst), bucketed by top byte;
+    # value-checked against the same arithmetic in SQL.
     docs = _read(spark, sf_dir, "documents")
     sh = D.simhash(docs, "text", "doc_id")
     return (
-        sh.withColumn("bucket", F.shiftrightunsigned("simhash", 56))
+        sh.withColumn(
+            "bucket", F.shiftrightunsigned("simhash", D.SIMHASH_BITS - 8)
+        )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -128,18 +133,62 @@ def q_ann_brute_topk(spark, sf_dir):
     )
 
 
+ANN_IVF_NLIST = 16
+ANN_IVF_NPROBE = 4
+ANN_LSH_BITS = 8
+ANN_LSH_TABLES = 2
+
+
 def q_ann_ivf_topk(spark, sf_dir):
-    # IVF coarse-quantizer ANN; rows-only.
+    # IVF coarse-quantizer ANN with deterministic centroids (the
+    # embeddings of vec_id < nlist): the full cell assignment, probe
+    # order, candidate set and ranking are replayed exactly in SQL.
+    # Candidate scoring/rank uses round(cosine, 6) + id tie-break (the
+    # FP-robust trick proven on ann_brute_topk). The sampled-k-means
+    # quantizer remains the production default (recall-tested in
+    # tests/test_session_features.py).
+    from pyspark.sql import Window
+
     emb = _read(spark, sf_dir, "embeddings")
-    topk = S.ivf_cosine_topk(emb, "embedding", "vec_id", k=3, nlist=16, nprobe=4)
-    return topk.groupBy().agg(F.count(F.lit(1)).alias("n_results"))
+    cents = [
+        r["embedding"]
+        for r in emb.filter(f"vec_id < {ANN_IVF_NLIST}").orderBy("vec_id").collect()
+    ]
+    allk = S.ivf_cosine_topk(
+        emb, "embedding", "vec_id", k=3,
+        nlist=ANN_IVF_NLIST, nprobe=ANN_IVF_NPROBE, centroids=cents,
+        deterministic=True, rank_k=10**6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        allk.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("query_id", "neighbor_id", F.col("rnk").alias("rank"))
+    )
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    # LSH-bucketed approximate top-3; rows-only.
+    # Sign-LSH approximate top-3 with deterministic Rademacher planes:
+    # bucket bits, candidate pairs and ranking all integer/rounded
+    # arithmetic, replayed exactly in SQL.
+    from pyspark.sql import Window
+
     emb = _read(spark, sf_dir, "embeddings").filter("vec_id < 2000")
-    topk = S.lsh_cosine_topk(emb, "embedding", "vec_id", k=3, bits=6, tables=2)
-    return topk.groupBy().agg(F.count(F.lit(1)).alias("n_results"))
+    allk = S.lsh_cosine_topk(
+        emb, "embedding", "vec_id", k=3,
+        bits=ANN_LSH_BITS, tables=ANN_LSH_TABLES, plane_kind="rademacher",
+        deterministic=True, rank_k=10**6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        allk.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("query_id", "neighbor_id", F.col("rnk").alias("rank"))
+    )
 
 
 def q_bpe_token_count(spark, sf_dir):
@@ -226,6 +275,199 @@ def q_event_hourly_rollup(spark, sf_dir):
     )
 
 
+# --- generated oracle SQL (shares constants with the Spark operators) ------
+
+
+def _simhash_oracle_sql(bits: int = D.SIMHASH_BITS) -> str:
+    accs = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS a{j}"
+        for j in range(bits)
+    )
+    terms = "\n               + ".join(
+        f"(CASE WHEN a{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> x <> '')) AS tok
+          FROM documents
+        ), hs AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM toks
+        ), acc AS (
+          SELECT doc_id,
+                 {accs}
+          FROM hs GROUP BY doc_id
+        ), fp AS (
+          SELECT doc_id,
+               CAST({terms} AS BIGINT) AS simhash
+          FROM acc
+        ), alldocs AS (
+          SELECT d.doc_id, coalesce(f.simhash, 0) AS simhash
+          FROM documents d LEFT JOIN fp f USING (doc_id)
+        )
+        SELECT (simhash >> {bits - 8}) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM alldocs GROUP BY 1
+    """
+
+
+def _ann_lsh_oracle_sql(
+    bits: int = ANN_LSH_BITS, tables: int = ANN_LSH_TABLES, dim: int = 64
+) -> str:
+    from .similarity import _LCG_A, _LCG_C, _LCG_M
+
+    half = _LCG_M // 2
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
+        ), grid AS (
+          SELECT t.t, b.b, d.d,
+                 CASE WHEN (({_LCG_A} * (t.t * 100003 + b.b * 641 + (d.d - 1))
+                             + {_LCG_C}) % {_LCG_M}) >= {half}
+                      THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT unnest(generate_series(0, {tables - 1})) AS t) t,
+               (SELECT unnest(generate_series(0, {bits - 1})) AS b) b,
+               (SELECT unnest(generate_series(1, {dim})) AS d) d
+        ), dots AS (
+          SELECT e.vec_id, g.t, g.b,
+                 sum(CAST(e.embedding[g.d] AS DOUBLE) * g.sgn) AS dot
+          FROM emb e, grid g
+          GROUP BY 1, 2, 3
+        ), buckets AS (
+          SELECT vec_id, t,
+                 sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << b
+                          ELSE 0 END) AS bkt
+          FROM dots GROUP BY 1, 2
+        ), bucketcand AS (
+          SELECT a.vec_id AS qid, c.vec_id AS nid, a.t, a.bkt,
+                 round(list_cosine_similarity(
+                     CAST(q.embedding AS DOUBLE[]),
+                     CAST(n.embedding AS DOUBLE[])), 6) AS cs
+          FROM buckets a JOIN buckets c
+            ON a.t = c.t AND a.bkt = c.bkt AND a.vec_id <> c.vec_id
+          JOIN emb q ON q.vec_id = a.vec_id
+          JOIN emb n ON n.vec_id = c.vec_id
+        ), percell AS (
+          SELECT qid, nid, cs,
+                 row_number() OVER (PARTITION BY qid, t, bkt
+                                    ORDER BY cs DESC, nid) AS rn
+          FROM bucketcand
+        ), scored AS (
+          SELECT DISTINCT qid, nid, cs FROM percell WHERE rn <= 3
+        )
+        SELECT qid AS query_id, nid AS neighbor_id,
+               CAST(rnk AS INTEGER) AS "rank"
+        FROM (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cs DESC, nid) AS rnk
+          FROM scored)
+        WHERE rnk <= 3
+    """
+
+
+def _ann_ivf_oracle_sql(
+    nlist: int = ANN_IVF_NLIST, nprobe: int = ANN_IVF_NPROBE
+) -> str:
+    return f"""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cemb
+          FROM embeddings WHERE vec_id < {nlist}
+        ), sim AS (
+          SELECT e.vec_id, c.cid,
+                 round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(c.cemb AS DOUBLE[])), 6) AS cs
+          FROM embeddings e, cents c
+        ), ranked_cells AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, cid) AS rn
+          FROM sim
+        ), assign AS (
+          SELECT vec_id, cid FROM ranked_cells WHERE rn = 1
+        ), probes AS (
+          SELECT vec_id, cid FROM ranked_cells WHERE rn <= {nprobe}
+        ), cellcand AS (
+          SELECT p.vec_id AS qid, a.vec_id AS nid, p.cid,
+                 round(list_cosine_similarity(
+                     CAST(q.embedding AS DOUBLE[]),
+                     CAST(n.embedding AS DOUBLE[])), 6) AS cs
+          FROM probes p JOIN assign a
+            ON a.cid = p.cid AND a.vec_id <> p.vec_id
+          JOIN embeddings q ON q.vec_id = p.vec_id
+          JOIN embeddings n ON n.vec_id = a.vec_id
+        ), percell AS (
+          SELECT qid, nid, cs,
+                 row_number() OVER (PARTITION BY qid, cid
+                                    ORDER BY cs DESC, nid) AS rn
+          FROM cellcand
+        ), scored AS (
+          SELECT DISTINCT qid, nid, cs FROM percell WHERE rn <= 3
+        )
+        SELECT qid AS query_id, nid AS neighbor_id,
+               CAST(rnk AS INTEGER) AS "rank"
+        FROM (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cs DESC, nid) AS rnk
+          FROM scored)
+        WHERE rnk <= 3
+    """
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    tau: float = 0.7,
+    seed: int = 42,
+) -> str:
+    coeffs = D.minhash_coefficients(num_hashes, seed)
+    M = (1 << 31) - 1
+    mins = ",\n                 ".join(
+        f"min(({a} * hm + {b}) % {M}) AS s{p}"
+        for p, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_conds = "\n             OR ".join(
+        "("
+        + " AND ".join(f"a.s{b * rpb + j} = b.s{b * rpb + j}" for j in range(rpb))
+        + ")"
+        for b in range(bands)
+    )
+    agree = "\n               + ".join(
+        f"(CASE WHEN a.s{p} = b.s{p} THEN 1 ELSE 0 END)"
+        for p in range(num_hashes)
+    )
+    return f"""
+        WITH ex AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, greatest(length(text) - {shingle - 1}, 1) + 1),
+                     i -> ('0x' || substr(md5(substr(text, i, {shingle})),
+                                          1, 15))::BIGINT % {M}
+                 )) AS hm
+          FROM documents
+        ), sig AS (
+          SELECT doc_id,
+                 {mins}
+          FROM ex GROUP BY doc_id
+        ), dropped AS (
+          SELECT DISTINCT b.doc_id
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           AND ({band_conds})
+          WHERE CAST({agree} AS DOUBLE) / {num_hashes} >= {tau}
+        )
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        GROUP BY d.lang
+    """
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
@@ -247,6 +489,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "simhash_buckets": _simhash_oracle_sql(),
+    "minhash_dedup": _minhash_oracle_sql(),
+    "ann_lsh_topk": _ann_lsh_oracle_sql(),
+    "ann_ivf_topk": _ann_ivf_oracle_sql(),
     "dedup_exact": """
         SELECT CAST(count(*) AS BIGINT) AS n_unique
         FROM (SELECT DISTINCT text FROM documents)

@@ -26,10 +26,46 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: Default ceiling for driver-side collects in the brute-force paths.
+#: They are exact oracles, O(|corpus|) driver memory — refuse beyond this.
+BRUTE_FORCE_MAX_ROWS = 200_000
+
+
+def _guard_brute_force(df: DataFrame, max_rows: int, op: str) -> None:
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op} collects the corpus to the driver and got {n} rows "
+            f"(limit {max_rows}). Use lsh_cosine_topk or ivf_cosine_topk "
+            "for large corpora, or raise max_collect_rows explicitly."
+        )
+
 
 def _hyperplanes(dim: int, bits: int, seed: int) -> List[List[float]]:
     rnd = random.Random(seed)
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+#: LCG constants for the deterministic Rademacher (+-1) hyperplanes —
+#: plain integer arithmetic so an external SQL engine can recompute the
+#: exact same planes (the value-oracle path).
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
+
+
+def _rademacher_sign(table: int, bit: int, dim_idx: int) -> int:
+    v = (_LCG_A * (table * 100003 + bit * 641 + dim_idx) + _LCG_C) % _LCG_M
+    return 1 if v >= _LCG_M // 2 else -1
+
+
+def _hyperplanes_rademacher(dim: int, bits: int, table: int) -> List[List[float]]:
+    """+-1 hyperplanes from a tiny LCG over (table, bit, dim). Sign-LSH
+    with Rademacher planes has the same collision-probability guarantee
+    as Gaussian planes (Achlioptas-style sparse projections), and the
+    integer formula is reproducible in ANSI SQL."""
+    return [
+        [float(_rademacher_sign(table, b, d)) for d in range(dim)]
+        for b in range(bits)
+    ]
 
 
 def _normalize_and_bucket(
@@ -72,7 +108,10 @@ def _normalize_and_bucket(
             N = M / norms
             out = {id_column: pdf[id_column], "__nv__": list(N)}
             for t, (mat, pw) in enumerate(zip(mats, pows)):
-                signs = (N @ mat) >= 0
+                # sign(dot) is scale-invariant: use the RAW vector so the
+                # bucket bit is reproducible without replaying the
+                # normalization division (the SQL oracle does the same).
+                signs = (M @ mat) >= 0
                 out[f"__b{t}__"] = (signs * pw).sum(axis=1).astype(np.int32)
             yield pd.DataFrame(out)
 
@@ -85,17 +124,20 @@ def brute_force_cosine_topk(
     id_column: str,
     k: int = 10,
     queries: Optional[DataFrame] = None,
+    max_collect_rows: int = BRUTE_FORCE_MAX_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query row (default: corpus
     itself). Output: (query_id, neighbor_id, cosine, rank).
 
-    The corpus matrix is collected and broadcast (cap it upstream or use
-    lsh_cosine_topk when the corpus itself is huge); each query partition
-    does one numpy matmul against it.
+    The corpus matrix is collected and broadcast — this is the exact
+    oracle, guarded by ``max_collect_rows``; use lsh_cosine_topk or
+    ivf_cosine_topk when the corpus is large. Each query partition does
+    one numpy matmul against the broadcast matrix.
     """
     import numpy as np
     import pandas as pd
 
+    _guard_brute_force(corpus, max_collect_rows, "brute_force_cosine_topk")
     qdf = queries if queries is not None else corpus
     id_field = corpus.schema[id_column]
     out_schema = T.StructType(
@@ -142,7 +184,22 @@ def brute_force_cosine_topk(
     )
 
 
-def _bucket_topk_fn(id_column: str, k: int):
+def _topk_indices(S, ids, kk: int, deterministic: bool):
+    """Per-row top-kk column indices of S. Deterministic mode ranks on
+    round(S, 6) with an id tie-break (reproducible in SQL); default mode
+    is an O(n) argpartition on the exact scores."""
+    import numpy as np
+
+    if not deterministic:
+        return np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+    Sr = np.round(S, 6)
+    out = np.empty((S.shape[0], kk), dtype=np.int64)
+    for i in range(S.shape[0]):
+        out[i] = np.lexsort((ids, -Sr[i]))[:kk]
+    return out
+
+
+def _bucket_topk_fn(id_column: str, k: int, deterministic: bool = False):
     import numpy as np
     import pandas as pd
 
@@ -154,7 +211,7 @@ def _bucket_topk_fn(id_column: str, k: int):
         S = M @ M.T
         np.fill_diagonal(S, -np.inf)
         kk = min(k, len(ids) - 1)
-        idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+        idx = _topk_indices(S, ids, kk, deterministic)
         return pd.DataFrame(
             {
                 "query_id": np.repeat(ids, kk),
@@ -175,14 +232,31 @@ def lsh_cosine_topk(
     tables: int = 2,
     dim: int = 64,
     seed: int = 42,
+    plane_kind: str = "gauss",
+    deterministic: bool = False,
+    rank_k=None,
 ) -> DataFrame:
     """Approximate top-k: per-bucket pairwise matmuls across ``tables``
     independent sign-LSH tables; union, keep best score per pair, global
-    top-k per query. Cost: sum of per-bucket squares instead of |C|^2."""
-    planes = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
-    prepped = _normalize_and_bucket(
-        corpus, embedding_column, id_column, planes
-    ).persist()
+    top-k per query. Cost: sum of per-bucket squares instead of |C|^2.
+
+    All tables are processed in ONE shuffle: the per-table bucket ids are
+    melted to a long (table, bucket) key with ``stack`` and grouped once —
+    no persist (the old per-table fan-out re-read a persisted prep T
+    times, leaking executor memory across a long session) and no repeated
+    scan of the input.
+
+    ``plane_kind``: "gauss" (default) or "rademacher" — +-1 planes from a
+    deterministic integer formula, reproducible in SQL for value checks.
+    """
+    if plane_kind == "rademacher":
+        planes = [
+            _hyperplanes_rademacher(dim, bits, t) for t in range(tables)
+        ]
+    else:
+        planes = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
+    prepped = _normalize_and_bucket(corpus, embedding_column, id_column, planes)
+    melted = _melt_tables(prepped, id_column, tables)
     id_field = corpus.schema[id_column]
     out_schema = T.StructType(
         [
@@ -191,14 +265,8 @@ def lsh_cosine_topk(
             T.StructField("cosine", T.DoubleType(), True),
         ]
     )
-    fn = _bucket_topk_fn(id_column, k)
-    parts = [
-        prepped.groupBy(f"__b{t}__").applyInPandas(fn, out_schema)
-        for t in range(tables)
-    ]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
+    fn = _bucket_topk_fn(id_column, k, deterministic)
+    cand = melted.groupBy("__t__", "__bkt__").applyInPandas(fn, out_schema)
     best = cand.groupBy("query_id", "neighbor_id").agg(
         F.max("cosine").alias("cosine")
     )
@@ -206,8 +274,18 @@ def lsh_cosine_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return best.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+        F.col("rank") <= (k if rank_k is None else rank_k)
     )
+
+
+def _melt_tables(prepped: DataFrame, id_column: str, tables: int) -> DataFrame:
+    """(id, nv, b0..bT) -> (id, nv, __t__, __bkt__): one row per table, so
+    a single groupBy(__t__, __bkt__) covers every LSH table in one
+    shuffle."""
+    stack_expr = "stack({}, {}) as (__t__, __bkt__)".format(
+        tables, ", ".join(f"{t}, __b{t}__" for t in range(tables))
+    )
+    return prepped.select(id_column, "__nv__", F.expr(stack_expr))
 
 
 def _pairs_schema(df: DataFrame, id_column: str) -> T.StructType:
@@ -222,12 +300,17 @@ def _pairs_schema(df: DataFrame, id_column: str) -> T.StructType:
 
 
 def _cosine_pairs_brute(
-    df: DataFrame, embedding_column: str, id_column: str, threshold: float
+    df: DataFrame,
+    embedding_column: str,
+    id_column: str,
+    threshold: float,
+    max_collect_rows: int = BRUTE_FORCE_MAX_ROWS,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold, exact."""
     import numpy as np
     import pandas as pd
 
+    _guard_brute_force(df, max_collect_rows, "embedding_cosine_dedup(use_lsh=False)")
     rows = df.select(id_column, embedding_column).collect()
     ids = np.array([r[0] for r in rows])
     C = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
@@ -269,9 +352,8 @@ def _cosine_pairs_lsh(
     import pandas as pd
 
     planes = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
-    prepped = _normalize_and_bucket(
-        df, embedding_column, id_column, planes
-    ).persist()
+    prepped = _normalize_and_bucket(df, embedding_column, id_column, planes)
+    melted = _melt_tables(prepped, id_column, tables)
     out_schema = _pairs_schema(df, id_column)
 
     def pairs_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -285,13 +367,7 @@ def _cosine_pairs_lsh(
             {"id_a": ids[ai], "id_b": ids[bi], "cosine": S[ai, bi]}
         )
 
-    parts = [
-        prepped.groupBy(f"__b{t}__").applyInPandas(pairs_fn, out_schema)
-        for t in range(tables)
-    ]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
+    cand = melted.groupBy("__t__", "__bkt__").applyInPandas(pairs_fn, out_schema)
     return cand.dropDuplicates(["id_a", "id_b"])
 
 
@@ -327,6 +403,9 @@ def ivf_cosine_topk(
     nprobe: int = 4,
     sample_size: int = 10_000,
     seed: int = 42,
+    centroids=None,
+    deterministic: bool = False,
+    rank_k=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine search.
 
@@ -337,14 +416,34 @@ def ivf_cosine_topk(
     block with one matmul — cost ~ |Q| * nprobe * |C| / nlist instead of
     |Q| * |C|. The cell join is a shuffled equi-join on the cell id; AQE
     handles skewed cells.
+
+    ``centroids`` (array-like, (nlist, dim)) overrides the k-means
+    quantizer with fixed cell centers — used for deterministic,
+    SQL-checkable runs; recall depends on centroid quality only, the
+    search mechanics are identical.
     """
     import numpy as np
     import pandas as pd
 
-    sample = corpus.select(embedding_column).limit(sample_size).collect()
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    cents = _kmeans_centroids(X, nlist, seed=seed)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+    else:
+        # A true random sample, not limit(): limit() takes whatever
+        # partition answers first, and a skewed sample makes bad centroids.
+        n = corpus.count()
+        frac = min(1.0, (1.2 * sample_size) / max(n, 1))
+        sample = (
+            corpus.select(embedding_column)
+            .sample(fraction=frac, seed=seed)
+            .limit(sample_size)
+            .collect()
+        )
+        X = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cents = _kmeans_centroids(X, nlist, seed=seed)
     sc = corpus.sparkSession.sparkContext
     bc_C = sc.broadcast(cents)
 
@@ -372,7 +471,10 @@ def ivf_cosine_topk(
                 )
                 S = M @ cents_m.T  # (rows, nlist)
                 p = min(nprobe_local, S.shape[1])
-                cells = np.argpartition(-S, kth=p - 1, axis=1)[:, :p]
+                # Deterministic probe order: rank cells on the ROUNDED
+                # score with a stable sort (ties -> lowest centroid index)
+                # so the assignment is reproducible across engines.
+                cells = np.argsort(-np.round(S, 6), axis=1, kind="stable")[:, :p]
                 n = len(pdf)
                 yield pd.DataFrame(
                     {
@@ -408,7 +510,7 @@ def ivf_cosine_topk(
         cids = cpdf[id_column].to_numpy()
         S[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
         kk = min(k, S.shape[1])
-        idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+        idx = _topk_indices(S, cids, kk, deterministic)
         flat = idx.ravel()
         rows = np.repeat(np.arange(len(qids)), kk)
         keep = np.isfinite(S[rows, flat])
@@ -432,5 +534,5 @@ def ivf_cosine_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return best.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+        F.col("rank") <= (k if rank_k is None else rank_k)
     )

@@ -899,16 +899,39 @@ def _truncate_for_measurement(
     return t.df, l1 * t.l1, l2 * t.l2
 
 
+#: Keysets at or below this many (estimated) rows are broadcast in the
+#: pre-aggregation semi-join filter and the post-aggregation attach join.
+#: Above it (or when the size is unknown and the keyset is not literal),
+#: the plan falls back to shuffled joins and lets AQE pick the strategy at
+#: runtime — an unconditional broadcast of a multi-GB keyset cross-product
+#: would blow Spark's broadcast limit and driver memory at scale.
+KEYSET_BROADCAST_LIMIT = 2**20
+
+
+def _keyset_broadcastable(keys: KeySet) -> bool:
+    est = keys.estimated_size()
+    return est is not None and est <= KEYSET_BROADCAST_LIMIT
+
+
 def _keyset_filter(df: DataFrame, keys: KeySet) -> DataFrame:
     """Prune rows outside the keyset BEFORE aggregating (broadcast semi join).
 
     At 100 TB this is the difference between shuffling every distinct group
-    in the data and shuffling only keyset groups.
+    in the data and shuffling only keyset groups. Only applied when the
+    keyset is small enough to broadcast: for huge keysets the semi-join
+    would shuffle the full input a second time for no benefit — the
+    post-aggregation attach join already drops out-of-keyset groups.
     """
     cols = list(keys.columns())
     if not cols:
         return df
-    kdf = F.broadcast(keys.dataframe())
+    est = keys.estimated_size()
+    if est is not None and est > KEYSET_BROADCAST_LIMIT:
+        return df
+    kdf = keys.dataframe()
+    if est is not None:
+        kdf = F.broadcast(kdf)
+    # unknown size (DataFrame-backed keyset): plain semi-join, AQE decides.
     tmp = {c: f"__ks_{c}" for c in cols}
     k = kdf.withColumnsRenamed(tmp)
     cond = None
@@ -924,14 +947,18 @@ def _keyset_attach(
     """keyset LEFT JOIN agg -> noisy-zero fill for missing groups.
 
     Joins AFTER aggregation: agg has at most |keyset| rows, so it is the
-    broadcast side (noisy zeros for missing groups, per reference
-    semantics: noise-after-join, not noise-then-join).
+    broadcast side when the keyset (and hence agg) is provably small
+    (noisy zeros for missing groups, per reference semantics:
+    noise-after-join, not noise-then-join). For huge or unknown-size
+    keysets this is a shuffled join and AQE picks the runtime strategy.
     """
     cols = list(keys.columns())
     if not cols:
         return agg
     kdf = keys.dataframe()
-    joined = nullsafe_equi_join(kdf, agg, cols, how="left", broadcast_right=True)
+    joined = nullsafe_equi_join(
+        kdf, agg, cols, how="left", broadcast_right=_keyset_broadcastable(keys)
+    )
     fills = {
         c: F.coalesce(F.col(c), F.lit(v)) for c, v in fill.items() if v is not None
     }
