@@ -245,7 +245,7 @@ class QueryBuilder:
         if isinstance(by, KeySet):
             keys: E.GroupbyKeys = by
         elif isinstance(by, KeySetPlan):
-            keys = E.AutoPartitionKeys(by.detect_columns, by.fixed)
+            keys = E.AutoPartitionKeys(by.detect_columns, by.fixed, plan=by)
         else:
             # Bare column names mean DP partition selection — experimental,
             # gated like the reference (query_builder.py:1989-1990).

@@ -516,7 +516,12 @@ class KeySetPlan:
     Session at evaluation time. Cannot produce a DataFrame on its own.
     """
 
-    def __init__(self, detect_columns: Tuple[str, ...], fixed: Optional[KeySet] = None):
+    def __init__(
+        self,
+        detect_columns: Tuple[str, ...],
+        fixed: Optional[KeySet] = None,
+        post: Tuple[tuple, ...] = (),
+    ):
         if not detect_columns:
             raise ValueError("KeySetPlan requires at least one detect column")
         if fixed is not None:
@@ -527,23 +532,115 @@ class KeySetPlan:
                 )
         self.detect_columns = tuple(detect_columns)
         self.fixed = fixed
+        #: Deferred algebra applied AFTER detection, in order — the
+        #: reference's KeySetPlan participates in the full keyset algebra
+        #: (filter/project/join/subtract/union, keyset/_keyset.py:663-808);
+        #: here each op is recorded and replayed on the detected KeySet.
+        self.post = tuple(post)
+
+    def _with_post(self, op: str, arg) -> "KeySetPlan":
+        return KeySetPlan(
+            self.detect_columns, self.fixed, self.post + ((op, arg),)
+        )
 
     def columns(self) -> Tuple[str, ...]:
         fixed_cols = self.fixed.columns() if self.fixed else ()
-        return tuple(fixed_cols) + self.detect_columns
+        cols = list(fixed_cols) + list(self.detect_columns)
+        for op, arg in self.post:
+            if op == "project":
+                cols = list(arg)
+            elif op in ("join", "cross"):
+                cols += [c for c in arg.columns() if c not in cols]
+            # filter/subtract/union keep columns unchanged
+        return tuple(cols)
+
+    def known_column_types(self) -> Dict[str, ColumnType]:
+        """Types for plan columns that come from concrete keysets (fixed
+        factor, joined/crossed keysets); detect columns are resolved from
+        the child schema at compile time."""
+        out: Dict[str, ColumnType] = {}
+        if self.fixed is not None:
+            out.update(self.fixed.column_types())
+        for op, arg in self.post:
+            if op in ("join", "cross", "union", "subtract"):
+                out.update(arg.column_types())
+        return out
+
+    def resolve(self, detected: KeySet) -> KeySet:
+        """Concrete KeySet: fixed x detected, then the deferred ops."""
+        ks = self.fixed * detected if self.fixed is not None else detected
+        for op, arg in self.post:
+            if op == "filter":
+                ks = ks.filter(arg)
+            elif op == "project":
+                ks = ks[list(arg)]
+            elif op == "join":
+                ks = ks.join(arg)
+            elif op == "subtract":
+                ks = ks - arg
+            elif op == "union":
+                ks = ks.union(arg)
+            elif op == "cross":
+                ks = ks * arg
+            else:  # pragma: no cover - internal invariant
+                raise ValueError(f"Unknown KeySetPlan op {op!r}")
+        return ks
+
+    def filter(self, condition: Union[str, Column]) -> "KeySetPlan":
+        return self._with_post("filter", condition)
+
+    def __getitem__(self, cols: Union[str, Sequence[str]]) -> "KeySetPlan":
+        cols = (cols,) if isinstance(cols, str) else tuple(cols)
+        missing = [c for c in cols if c not in self.columns()]
+        if missing:
+            raise ValueError(f"Columns not in plan: {missing}")
+        if any(c in self.detect_columns for c in self.columns() if c not in cols):
+            # Projecting away a detect column would change what partition
+            # selection runs on; match the reference in refusing.
+            dropped = [
+                c for c in self.detect_columns if c not in cols
+            ]
+            if dropped:
+                raise ValueError(
+                    f"Cannot project away detected columns {dropped}"
+                )
+        return self._with_post("project", cols)
+
+    def join(self, other: KeySet) -> "KeySetPlan":
+        if not isinstance(other, KeySet):
+            raise TypeError("KeySetPlan.join expects a concrete KeySet")
+        return self._with_post("join", other)
+
+    def __sub__(self, other: KeySet) -> "KeySetPlan":
+        if not isinstance(other, KeySet):
+            raise TypeError("KeySetPlan.__sub__ expects a concrete KeySet")
+        return self._with_post("subtract", other)
+
+    def union(self, other: KeySet) -> "KeySetPlan":
+        if not isinstance(other, KeySet):
+            raise TypeError("KeySetPlan.union expects a concrete KeySet")
+        return self._with_post("union", other)
 
     def __mul__(self, other: Union[KeySet, "KeySetPlan"]) -> "KeySetPlan":
         if isinstance(other, KeySetPlan):
+            if self.post or other.post:
+                raise ValueError(
+                    "Cannot cross two KeySetPlans after other plan ops"
+                )
             fixed = self.fixed
             if other.fixed is not None:
                 fixed = fixed * other.fixed if fixed else other.fixed
             return KeySetPlan(self.detect_columns + other.detect_columns, fixed)
+        if self.post:
+            return self._with_post("cross", other)
         return KeySetPlan(
             self.detect_columns,
             self.fixed * other if self.fixed else other,
         )
 
     def __rmul__(self, other: KeySet) -> "KeySetPlan":
+        if self.post:
+            return self._with_post("cross", other)
         return KeySetPlan(
             self.detect_columns,
             other * self.fixed if self.fixed else other,
@@ -552,5 +649,5 @@ class KeySetPlan:
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
         return (
             f"KeySetPlan(detect={list(self.detect_columns)}, "
-            f"fixed={self.fixed!r})"
+            f"fixed={self.fixed!r}, post={[op for op, _ in self.post]})"
         )

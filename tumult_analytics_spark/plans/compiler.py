@@ -1452,6 +1452,7 @@ def _compile_auto_partition(expr, ctx: CompileContext, bspec: BudgetSpec):
         )
     detect_cols = expr.groupby_keys.cols
     fixed = expr.groupby_keys.fixed
+    plan = expr.groupby_keys.plan
     if bspec.infinite:
         sel_budget = ApproxDPBudget(float("inf"), 1)
         agg_budget: PrivacyBudget = ApproxDPBudget(float("inf"), 1)
@@ -1462,8 +1463,11 @@ def _compile_auto_partition(expr, ctx: CompileContext, bspec: BudgetSpec):
         E.GetGroups(expr.child, tuple(detect_cols)), ctx, sel_budget
     )
     keyset = KeySet.from_dataframe(groups.df)
-    if fixed is not None:
-        # KeySetPlan: fixed factors crossed with the detected keys.
+    if plan is not None:
+        # KeySetPlan: fixed factors crossed with the detected keys, then
+        # any deferred algebra (filter/project/join/...) in plan order.
+        keyset = plan.resolve(keyset)
+    elif fixed is not None:
         keyset = fixed * keyset
     keyset.dataframe().persist()
     concrete = dc_replace(expr, groupby_keys=keyset)

@@ -602,8 +602,13 @@ class AutoPartitionKeys:
 
     cols: Tuple[str, ...]
     fixed: Optional[KeySet] = None
+    #: The full KeySetPlan when groupby() was given one: carries deferred
+    #: algebra (filter/project/join/...) replayed after detection.
+    plan: Optional[object] = None
 
     def columns(self) -> Tuple[str, ...]:
+        if self.plan is not None:
+            return tuple(self.plan.columns())
         fixed_cols = self.fixed.columns() if self.fixed is not None else ()
         return tuple(fixed_cols) + self.cols
 
@@ -619,8 +624,18 @@ def _groupby_schema(
         for c, t in keys.column_types().items():
             cols[c] = ColumnDescriptor(t)
     else:
+        known = (
+            keys.plan.known_column_types() if keys.plan is not None else {}
+        )
         for c in keys.columns():
-            cols[c] = ColumnDescriptor(child_schema[c].column_type)
+            if c in child_schema:
+                cols[c] = ColumnDescriptor(child_schema[c].column_type)
+            elif c in known:
+                cols[c] = ColumnDescriptor(known[c])
+            else:
+                raise ValueError(
+                    f"groupby column {c!r} not in table schema"
+                )
     cols.update(out_cols)
     return Schema(cols)
 

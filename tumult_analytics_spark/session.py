@@ -87,8 +87,14 @@ class Session:
         self._public: Dict[str, DataFrame] = {}
         self._views: Dict[str, CompiledTable] = {}
         self._view_cached: Dict[str, bool] = {}
-        self._stopped = False
+        #: Accountant lifecycle (reference PrivacyAccountantState,
+        #: session.py:1729-1748): "active" | "waiting_for_children" |
+        #: "waiting_for_sibling" | "retired".
+        self._state = "active"
         self._children: List["Session"] = []
+        self._parent: Optional["Session"] = None
+        self._siblings: List["Session"] = []
+        self._sibling_index = 0
         #: Constraints known to hold on a source's data at registration
         #: (populated for partition_and_create children: the parent's
         #: already-enforced truncations carry over).
@@ -176,20 +182,53 @@ class Session:
     def get_id_space(self, source_id: str) -> Optional[str]:
         return self.get_schema(source_id).id_space
 
+    def _table_constraints(self, name: str) -> List[Constraint]:
+        """Constraints known to hold for a table: registered source
+        constraints (partition children) or the view's enforced
+        constraints (reference tracks `_table_constraints` the same way,
+        session.py:330,672)."""
+        if name in self._views:
+            return list(self._views[name].constraints)
+        return list(self._source_constraints.get(name, []))
+
     def describe(self, query_or_source: Union[str, Query, QueryBuilder, None] = None) -> None:
-        """Pretty-print schemas (reference session.py:550-736)."""
+        """Pretty-print schemas, constraints and lifecycle state
+        (reference session.py:550-736)."""
         catalog = self._catalog()
         if query_or_source is None:
+            if self._state == "retired":
+                print("This session has been stopped, and can no longer be used.")
+            elif self._state == "waiting_for_children":
+                print(
+                    "This session is waiting for its children (created with"
+                    " `partition_and_create`) to finish."
+                )
+            elif self._state == "waiting_for_sibling":
+                print(
+                    "This session is waiting for its sibling(s) (created with"
+                    " `partition_and_create`) to finish."
+                )
             print(f"Sessions with remaining budget: {self._remaining!r}")
             for name in self.private_sources:
-                print(f"\nTable {name!r} (private):")
+                cons = self._table_constraints(name)
+                suffix = " (no constraints)" if not cons else ""
+                print(f"\nTable {name!r} (private){suffix}:")
                 self._describe_schema(catalog[name])
+                if cons:
+                    print("  Constraints:")
+                    for c in cons:
+                        print(f"    - {c}")
             for name in self._public:
                 print(f"\nTable {name!r} (public):")
                 self._describe_schema(schema_from_spark(self._public[name].schema))
             return
         if isinstance(query_or_source, str):
             self._describe_schema(catalog[query_or_source])
+            cons = self._table_constraints(query_or_source)
+            if cons:
+                print("  Constraints:")
+                for c in cons:
+                    print(f"    - {c}")
             return
         expr = (
             query_or_source.expr
@@ -242,8 +281,57 @@ class Session:
         )
 
     def _check_active(self) -> None:
-        if self._stopped:
-            raise RuntimeError("This session has been stopped")
+        if self._state == "retired":
+            raise RuntimeError(
+                "This session has been stopped; no new queries can be performed"
+            )
+
+    def _retire(self) -> None:
+        self._state = "retired"
+        for c in self._children:
+            if c._state != "retired":
+                c._retire()
+        # In-order lifecycle: retiring a partition child activates the
+        # next sibling; retiring the last child reactivates the parent.
+        if self._siblings:
+            nxt = next(
+                (s for s in self._siblings if s._state != "retired"), None
+            )
+            if nxt is not None and nxt._state == "waiting_for_sibling":
+                nxt._state = "active"
+            if nxt is None and self._parent is not None and (
+                self._parent._state == "waiting_for_children"
+            ):
+                self._parent._state = "active"
+
+    def _activate(self) -> None:
+        """Reference `_activate_accountant` (session.py:1729-1748):
+        partition children must be used in creation order; using a
+        later sibling or the parent retires the out-of-turn sessions,
+        with a warning (the reference warns and force-activates)."""
+        self._check_active()
+        if self._state == "active":
+            return
+        import warnings
+
+        if self._state == "waiting_for_sibling":
+            warnings.warn(
+                "Activating a Session that is waiting for one of its "
+                "siblings to finish may cause unexpected behavior."
+            )
+            for s in self._siblings[: self._sibling_index]:
+                if s._state != "retired":
+                    s._retire()
+        elif self._state == "waiting_for_children":
+            warnings.warn(
+                "Activating a Session that is waiting for its children "
+                "(created with partition_and_create) to finish may cause "
+                "unexpected behavior."
+            )
+            for c in self._children:
+                if c._state != "retired":
+                    c._retire()
+        self._state = "active"
 
     def _check_budget_type(self, budget: PrivacyBudget) -> None:
         if type(budget) is not type(self._initial_budget):
@@ -280,7 +368,7 @@ class Session:
         lost block fails the job rather than silently resampling).
         Infinite-budget results are deterministic and stay fully lazy.
         """
-        self._check_active()
+        self._activate()
         self._check_budget_type(privacy_budget)
         expr = query.expr if isinstance(query, Query) else query
         ctx = self._context()
@@ -332,7 +420,7 @@ class Session:
     ) -> None:
         """Register a transformation-only query as a named view; optional
         persist (reference session.py:1154-1246)."""
-        self._check_active()
+        self._activate()
         if source_id in self._private or source_id in self._views:
             raise ValueError(f"Table {source_id!r} already exists")
         expr = (
@@ -366,7 +454,7 @@ class Session:
         (reference session.py:1466-1654). Spends ``privacy_budget`` once;
         each child gets the full amount (parallel composition over disjoint
         partitions)."""
-        self._check_active()
+        self._activate()
         self._check_budget_type(privacy_budget)
         ctx = self._context()
         if source_id in self._views:
@@ -411,10 +499,20 @@ class Session:
                 child._source_constraints[source_id] = list(base.constraints)
             children[name] = child
             self._children.append(child)
+        # Reference lifecycle (session.py:1481-1482): children must be
+        # used in creation order; the parent waits on them, and re-using
+        # the parent (or stop()) retires every child.
+        ordered = list(children.values())
+        for i, child in enumerate(ordered):
+            child._parent = self
+            child._siblings = ordered
+            child._sibling_index = i
+            child._state = "active" if i == 0 else "waiting_for_sibling"
+        self._state = "waiting_for_children"
         self._spend(privacy_budget)
         return children
 
     def stop(self) -> None:
-        self._stopped = True
-        for c in self._children:
-            c.stop()
+        """Retire this session and every partition child (reference
+        session.py:1750-1752)."""
+        self._retire()
