@@ -194,3 +194,52 @@ def test_partition_children_inherit_constraints(spark):
         QueryBuilder("t_trunc").count(name="n"), INF
     ).collect()[0]["n"]
     assert na + nb == 3
+
+
+def test_skew_safe_truncation_matches_default(spark):
+    # One pathologically hot ID + many cold ones: the two-phase salted
+    # form must select exactly the same rows as the single-window form.
+    import pandas as pd
+    from tumult_analytics_spark.config import config
+    from tumult_analytics_spark.constraints import (
+        DropExcess,
+        DropNonUnique,
+        apply_truncation,
+        truncate_max_rows_per_id,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "uid": [0] * 5000 + list(range(1, 200)),
+            "v": list(range(5000)) + [7] * 199,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plain = sorted(
+        map(tuple, truncate_max_rows_per_id(df, "uid", 3).collect())
+    )
+    with config.features.skew_safe_truncation.enabled():
+        salted = sorted(
+            map(tuple, truncate_max_rows_per_id(df, "uid", 3).collect())
+        )
+    assert plain == salted
+    assert len([r for r in plain if r[0] == 0]) == 3
+
+    plain_j = sorted(
+        map(tuple, apply_truncation(df, ["uid"], DropExcess(2)).collect())
+    )
+    with config.features.skew_safe_truncation.enabled():
+        salted_j = sorted(
+            map(tuple, apply_truncation(df, ["uid"], DropExcess(2)).collect())
+        )
+    assert plain_j == salted_j
+
+    plain_u = sorted(
+        map(tuple, apply_truncation(df, ["uid"], DropNonUnique()).collect())
+    )
+    with config.features.skew_safe_truncation.enabled():
+        salted_u = sorted(
+            map(tuple, apply_truncation(df, ["uid"], DropNonUnique()).collect())
+        )
+    assert plain_u == salted_u
+    assert all(r[0] != 0 for r in plain_u)

@@ -102,8 +102,53 @@ def _row_order_hash(df: DataFrame):
     return F.xxhash64(*[F.col(c) for c in df.columns])
 
 
+#: Salt bucket count for the skew-safe two-phase truncation.
+_SKEW_SALT_BUCKETS = 64
+
+
+def _two_phase_topk(
+    df: DataFrame, key_cols: Sequence[str], max_rows: int
+) -> DataFrame:
+    """Skew-safe deterministic top-``max_rows`` per key.
+
+    A single window over a hot key puts every row of that key in one
+    task; at 100x scale one key with 10^8 rows stalls the stage. Phase 1
+    splits each key into ``_SKEW_SALT_BUCKETS`` deterministic salt
+    buckets (salt = row hash mod buckets) and keeps max_rows per (key,
+    salt) — bounded partitions; phase 2 re-ranks the survivors
+    (<= buckets * max_rows per key) globally. Selects exactly the same
+    rows as the single-window form: every global hash-minimum is a
+    bucket minimum.
+    """
+    h = _row_order_hash(df)
+    salted = df.withColumn("__salt__", F.pmod(h, F.lit(_SKEW_SALT_BUCKETS)))
+    w1 = Window.partitionBy(*key_cols, "__salt__").orderBy(h)
+    p1 = (
+        salted.withColumn("__rn__", F.row_number().over(w1))
+        .filter(F.col("__rn__") <= max_rows)
+        .drop("__rn__", "__salt__")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(_row_order_hash(p1))
+    return (
+        p1.withColumn("__rn__", F.row_number().over(w2))
+        .filter(F.col("__rn__") <= max_rows)
+        .drop("__rn__")
+    )
+
+
+def _skew_safe() -> bool:
+    from .config import config
+
+    return bool(config.features.skew_safe_truncation)
+
+
 def truncate_max_rows_per_id(df: DataFrame, id_column: str, max_rows: int) -> DataFrame:
-    """Keep at most ``max_rows`` rows per privacy ID, deterministically."""
+    """Keep at most ``max_rows`` rows per privacy ID, deterministically.
+
+    With ``config.features.skew_safe_truncation`` enabled, runs the
+    two-phase salted form so a hot ID cannot stall a single task."""
+    if _skew_safe():
+        return _two_phase_topk(df, [id_column], max_rows)
     w = Window.partitionBy(id_column).orderBy(_row_order_hash(df))
     return (
         df.withColumn("__rn__", F.row_number().over(w))
@@ -190,8 +235,20 @@ DropNonUnique = TruncationStrategy.DropNonUnique
 def apply_truncation(
     df: DataFrame, join_columns: Sequence[str], strategy: "TruncationStrategy.Type"
 ) -> DataFrame:
-    """Apply a join truncation strategy over the join key columns."""
+    """Apply a join truncation strategy over the join key columns.
+
+    Skew: with ``config.features.skew_safe_truncation`` enabled,
+    DropExcess uses the two-phase salted top-k and DropNonUnique uses a
+    map-side-combined aggregate + semi-join instead of a count window
+    (partial aggregation shrinks a hot key to one row per input
+    partition before the shuffle). The join itself relies on AQE's
+    skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+    default) — post-truncation each key carries at most
+    ``max_rows``/1 rows per side, so the join fan-out is bounded.
+    """
     if isinstance(strategy, DropExcess):
+        if _skew_safe():
+            return _two_phase_topk(df, join_columns, strategy.max_rows)
         w = Window.partitionBy(*join_columns).orderBy(_row_order_hash(df))
         return (
             df.withColumn("__rn__", F.row_number().over(w))
@@ -199,6 +256,22 @@ def apply_truncation(
             .drop("__rn__")
         )
     if isinstance(strategy, DropNonUnique):
+        if _skew_safe():
+            from .utils import nullsafe_equi_join
+
+            unique_keys = (
+                df.groupBy(*join_columns)
+                .agg(F.count(F.lit(1)).alias("__cnt__"))
+                .filter(F.col("__cnt__") == 1)
+                .drop("__cnt__")
+            )
+            tmp = {c: f"__uk_{c}" for c in join_columns}
+            uk = unique_keys.withColumnsRenamed(tmp)
+            cond = None
+            for c in join_columns:
+                piece = F.col(c).eqNullSafe(F.col(tmp[c]))
+                cond = piece if cond is None else cond & piece
+            return df.join(uk, on=cond, how="left_semi")
         w = Window.partitionBy(*join_columns)
         return (
             df.withColumn("__cnt__", F.count(F.lit(1)).over(w))

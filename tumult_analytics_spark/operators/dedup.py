@@ -439,7 +439,9 @@ def ngram_jaccard_pairs(
         _grams(F.col(text_column)).alias("__grams__"),
     ).withColumn("__n__", F.size("__grams__"))
     # persist: both sides of the self-join read this; without it the gram
-    # pipeline (scan + UDF) runs once per side.
+    # pipeline (scan + UDF) runs once per side. Lifecycle: the cache
+    # lives as long as the returned (lazy) DataFrame; batch pipelines
+    # that call this repeatedly should clearCache() between runs.
     exploded = g.select(
         "__id__", "__n__", F.explode("__grams__").alias("__g__")
     ).persist()

@@ -1462,14 +1462,22 @@ def _compile_auto_partition(expr, ctx: CompileContext, bspec: BudgetSpec):
     groups = compile_measurement(
         E.GetGroups(expr.child, tuple(detect_cols)), ctx, sel_budget
     )
-    keyset = KeySet.from_dataframe(groups.df)
+    detected_df = groups.df
+    if not bspec.infinite:
+        # The detected keys come from a NOISY partition selection: the
+        # aggregation plan reads them twice (semi-filter + attach), and a
+        # lazy/persisted plan could recompute and redraw different keys.
+        # Eager localCheckpoint pins one draw and severs the lineage;
+        # the blocks are released by Spark's ContextCleaner when the
+        # DataFrame is garbage-collected (no persist leak).
+        detected_df = detected_df.localCheckpoint(eager=True)
+    keyset = KeySet.from_dataframe(detected_df)
     if plan is not None:
         # KeySetPlan: fixed factors crossed with the detected keys, then
         # any deferred algebra (filter/project/join/...) in plan order.
         keyset = plan.resolve(keyset)
     elif fixed is not None:
         keyset = fixed * keyset
-    keyset.dataframe().persist()
     concrete = dc_replace(expr, groupby_keys=keyset)
     inner = compile_measurement(concrete, ctx, agg_budget)
     return MeasurementResult(inner.df, groups.noise_infos + inner.noise_infos)
