@@ -234,6 +234,38 @@ def q_byte_histogram_features(spark, sf_dir):
     )
 
 
+def q_decode_image(spark, sf_dir):
+    # Real 24-bit BMP decode over synthesized spec-conformant payloads:
+    # per-doc dimensions and the exact decoded pixel sum (row padding and
+    # the bottom-up flip must be handled right) are recomputed in SQL
+    # from the same integer formulas.
+    from . import multimodal as M
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_bmp(1 + int(d) % 7, 1 + int(d) % 5, int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    with_bmp = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    dec = M.decode_image(with_bmp, "payload")
+    return dec.select("doc_id", "height", "width", "channels", "pixel_sum")
+
+
 def q_cosine_dedup(spark, sf_dir):
     # Embedding-cosine near-dup removal, exact pairwise path (drop a row
     # iff some smaller-id row has cosine >= 0.97). SQL-reproducible via
@@ -485,6 +517,7 @@ QUERIES = {
     "media_metadata": q_media_metadata,
     "byte_histogram_features": q_byte_histogram_features,
     "cosine_dedup": q_cosine_dedup,
+    "decode_image": q_decode_image,
     "pipeline_compose": q_pipeline_compose,
 }
 
@@ -493,6 +526,16 @@ ORACLES = {
     "minhash_dedup": _minhash_oracle_sql(),
     "ann_lsh_topk": _ann_lsh_oracle_sql(),
     "ann_ivf_topk": _ann_ivf_oracle_sql(),
+    "decode_image": """
+        SELECT doc_id,
+               CAST(1 + doc_id % 5 AS INTEGER) AS height,
+               CAST(1 + doc_id % 7 AS INTEGER) AS width,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(list_sum(list_transform(
+                   range(0, 3 * (1 + doc_id % 7) * (1 + doc_id % 5)),
+                   i -> (doc_id * 7 + i * 13) % 256)) AS BIGINT) AS pixel_sum
+        FROM documents
+    """,
     "dedup_exact": """
         SELECT CAST(count(*) AS BIGINT) AS n_unique
         FROM (SELECT DISTINCT text FROM documents)

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The decode kernels themselves are STUBS (the image/audio libraries are not
-in this container — they raise NotImplementedError or produce a
-deterministic fake), but the Spark-side plumbing is real and tested:
-schemas, Arrow batch shapes, mapInPandas signatures, and partition-size
-hygiene are exactly what a real decoder plugs into.
+``decode_image`` is a REAL decoder for the uncompressed formats feasible
+without imaging libraries (24-bit BMP, binary PPM), value-checked against
+a SQL oracle; compressed codecs (PNG/JPEG) and the video frame sampler
+remain declared stubs that plug into the same mapInPandas kernels. The
+Spark-side plumbing is real and tested throughout: schemas, Arrow batch
+shapes, mapInPandas signatures, and partition-size hygiene.
 
 At 100 TB the pattern that matters: binary payloads ride in their own
 column, metadata-only queries never touch them (Parquet column pruning),
@@ -50,12 +51,104 @@ def attach_media_metadata(
     )
 
 
-def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
-    """Decode images to (height, width, channels) + pixel tensor.
+def synthesize_bmp(width: int, height: int, seed: int) -> bytes:
+    """A real, spec-conformant 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up, 4-byte row padding). Pixel byte i of the flat RGB stream
+    is ``(seed*7 + i*13) % 256`` — plain integer arithmetic, so any SQL
+    engine can recompute exact pixel statistics for value checks."""
+    import struct
 
-    STUB: raises NotImplementedError at execution time — no imaging
-    library in this container. The plumbing (schema, mapInPandas batch
-    shape) is the real contract a decoder implements.
+    import numpy as np
+
+    n = width * height * 3
+    flat = (seed * 7 + np.arange(n, dtype=np.int64) * 13) % 256
+    rgb = flat.astype(np.uint8).reshape(height, width, 3)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    # BMP stores B,G,R bottom-up; flip both so decoding returns `rgb`.
+    bgr = rgb[::-1, :, ::-1]
+    rows[:, : width * 3] = bgr.reshape(height, width * 3)
+    pixel_data = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return header + pixel_data
+
+
+def _decode_bmp(buf: bytes):
+    """(height, width, channels, pixel_sum) for a 24-bit uncompressed BMP,
+    or None if the payload is not one."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    data_offset = struct.unpack_from("<I", buf, 10)[0]
+    width, height = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    if len(buf) < data_offset + stride * height:
+        return None
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, : width * 3]
+    img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        img = img[::-1]
+    return height, width, 3, int(img.astype(np.int64).sum())
+
+
+def _decode_ppm(buf: bytes):
+    """(height, width, channels, pixel_sum) for a binary PPM (P6)."""
+    import numpy as np
+
+    if not buf.startswith(b"P6"):
+        return None
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+    parts, i, tok = [], 2, b""
+    while len(parts) < 3 and i < len(buf):
+        c = buf[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    if len(parts) < 3:
+        return None
+    width, height, maxval = parts
+    if maxval > 255 or width <= 0 or height <= 0:
+        return None
+    n = width * height * 3
+    if len(buf) < i + n:
+        return None
+    img = np.frombuffer(buf, dtype=np.uint8, count=n, offset=i)
+    return height, width, 3, int(img.astype(np.int64).sum())
+
+
+def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
+    """Decode images to (height, width, channels, pixel_sum).
+
+    Real pure-numpy decoders for the uncompressed formats a container
+    without imaging libraries can still handle: 24-bit BMP and binary
+    PPM (P6). ``pixel_sum`` (sum of all decoded RGB bytes) proves the
+    decoder walks the actual pixel data — BMP row padding and the
+    bottom-up flip have to be right for it to match. Unrecognized
+    payloads decode to nulls. Compressed formats (PNG/JPEG) need a codec
+    library plugged into this same kernel.
     """
     out_schema = T.StructType(
         df.schema.fields
@@ -63,16 +156,30 @@ def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
             T.StructField("height", T.IntegerType(), True),
             T.StructField("width", T.IntegerType(), True),
             T.StructField("channels", T.IntegerType(), True),
+            T.StructField("pixel_sum", T.LongType(), True),
         ]
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            raise NotImplementedError(
-                "Image decoding requires an imaging library (e.g. Pillow); "
-                "not available in this environment. Plug a decoder into "
-                "this mapInPandas kernel."
-            )
+            heights, widths, chans, sums = [], [], [], []
+            for payload in pdf[binary_column]:
+                rec = None
+                if payload is not None:
+                    b = bytes(payload)
+                    rec = _decode_bmp(b) or _decode_ppm(b)
+                if rec is None:
+                    heights.append(None); widths.append(None)
+                    chans.append(None); sums.append(None)
+                else:
+                    heights.append(rec[0]); widths.append(rec[1])
+                    chans.append(rec[2]); sums.append(rec[3])
+            out = pdf.copy()
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["channels"] = pd.array(chans, dtype="Int32")
+            out["pixel_sum"] = pd.array(sums, dtype="Int64")
+            yield out
 
     return df.mapInPandas(decode, out_schema)
 
