@@ -247,6 +247,67 @@ def q_flat_map_explode(spark, sf_dir):
     return s.evaluate(q, INF)
 
 
+def q_flat_map_vectorized(spark, sf_dir):
+    # Same semantics as flat_map_explode, via the opt-in pandas-batch
+    # UDTF API (f(batch) -> (counts, new_columns)): no per-row dicts, one
+    # numpy pass per Arrow batch. Shares flat_map_explode's oracle SQL.
+    import numpy as np
+    import pandas as pd
+
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    ks = KeySet.from_dict({"l_returnflag": _RF})
+
+    def batch_units(pdf):
+        counts = np.clip(
+            pdf["l_quantity"].to_numpy().astype(np.int64), 0, 3
+        )
+        total = int(counts.sum())
+        starts = np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        units = np.arange(total) - starts
+        return counts, pd.DataFrame({"unit": units.astype(np.int32)})
+
+    q = (
+        QueryBuilder("lineitem")
+        .flat_map(
+            batch_units,
+            new_column_types={"unit": "INTEGER"},
+            augment=True,
+            max_rows=3,
+            vectorized=True,
+        )
+        .groupby(ks)
+        .count(name="n_units")
+    )
+    return s.evaluate(q, INF)
+
+
+def q_map_vectorized(spark, sf_dir):
+    # Same semantics as map_derived_column via the pandas-batch map API.
+    import pandas as pd
+
+    s = _sess(spark, sf_dir, {"orders": AddOneRow()})
+
+    def batch_kprice(pdf):
+        return pd.DataFrame(
+            {"kprice": (pdf["o_totalprice"] // 1000).astype("int64")}
+        )
+
+    q = (
+        QueryBuilder("orders")
+        .map(
+            batch_kprice,
+            new_column_types={"kprice": "INTEGER"},
+            augment=True,
+            vectorized=True,
+        )
+        .filter("kprice >= 100")
+        .sum("kprice", 0, 500, name="sum_kprice")
+    )
+    return s.evaluate(q, INF)
+
+
 def q_flat_map_by_id(spark, sf_dir):
     # Per-privacy-ID UDTF: collapse each user's events to one summary row,
     # then count heavy users (>= 67 events).
@@ -699,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_median": q_quantile_median,
         "get_bounds": q_get_bounds,
         "flat_map_explode": q_flat_map_explode,
+        "flat_map_vectorized": q_flat_map_vectorized,
+        "map_vectorized": q_map_vectorized,
         "flat_map_by_id": q_flat_map_by_id,
         "private_join_nonunique": q_private_join_nonunique,
         "replace_null_binned": q_replace_null_binned,
@@ -715,6 +778,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     except ImportError:
         pass
     return base
+
+
+_ORACLES["flat_map_vectorized"] = _ORACLES["flat_map_explode"]
+_ORACLES["map_vectorized"] = _ORACLES["map_derived_column"]
 
 
 def oracle_sql() -> dict[str, str]:

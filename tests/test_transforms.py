@@ -317,3 +317,59 @@ def test_partition_and_create(sess):
     out1 = parts["one"].evaluate(QueryBuilder("t").count(), INF)
     assert out0.collect()[0]["count"] == 1
     assert out1.collect()[0]["count"] == 3
+
+
+def test_vectorized_map_matches_row_map(spark):
+    import pandas as pd
+    from tumult_analytics_spark import AddOneRow, PureDPBudget, QueryBuilder, Session
+
+    INF = PureDPBudget(float("inf"))
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.5, 7.0, -3.0]}))
+    s = Session.from_dataframe(INF, "t", df, AddOneRow())
+    row_q = (
+        QueryBuilder("t")
+        .map(lambda r: {"y": int(r["x"] * 2)}, {"y": "INTEGER"}, augment=True)
+        .sum("y", -10, 20, name="s")
+    )
+    vec_q = (
+        QueryBuilder("t")
+        .map(
+            lambda pdf: pd.DataFrame({"y": (pdf["x"] * 2).astype("int64")}),
+            {"y": "INTEGER"},
+            augment=True,
+            vectorized=True,
+        )
+        .sum("y", -10, 20, name="s")
+    )
+    assert (
+        s.evaluate(row_q, INF).collect()[0]["s"]
+        == s.evaluate(vec_q, INF).collect()[0]["s"]
+    )
+
+
+def test_vectorized_flat_map_enforces_max_rows(spark):
+    # The engine must trim per-input-row output segments to max_rows even
+    # if the batch function over-produces (DP stability cannot trust f).
+    import numpy as np
+    import pandas as pd
+    from tumult_analytics_spark import AddOneRow, PureDPBudget, QueryBuilder, Session
+
+    INF = PureDPBudget(float("inf"))
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3]}))
+    s = Session.from_dataframe(INF, "t", df, AddOneRow())
+
+    def overproduce(pdf):
+        n = len(pdf)
+        counts = np.full(n, 5)  # claims 5 outputs per row; max_rows=2
+        out = pd.DataFrame({"u": np.tile(np.arange(5), n)})
+        return counts, out
+
+    q = (
+        QueryBuilder("t")
+        .flat_map(
+            overproduce, {"u": "INTEGER"}, augment=True,
+            max_rows=2, vectorized=True,
+        )
+        .count(name="n")
+    )
+    assert s.evaluate(q, INF).collect()[0]["n"] == 6  # 3 rows x capped 2

@@ -94,9 +94,18 @@ class QueryBuilder:
         f,
         new_column_types: Mapping[str, ColumnTypeLike],
         augment: bool = False,
+        vectorized: bool = False,
     ) -> "QueryBuilder":
+        """Row-wise UDF (reference API), or — with ``vectorized=True``,
+        an extension — an Arrow-batched pandas function: f(batch_pdf)
+        returns a DataFrame (or dict of arrays) holding exactly the new
+        columns, same length and order as the batch. ~10-100x less
+        Python overhead than per-row dicts."""
         return QueryBuilder._wrap(
-            E.Map(self._expr, f, _types_schema(new_column_types), augment),
+            E.Map(
+                self._expr, f, _types_schema(new_column_types), augment,
+                vectorized=vectorized,
+            ),
             self._source_id,
         )
 
@@ -108,7 +117,13 @@ class QueryBuilder:
         grouping: bool = False,
         max_rows: Optional[int] = None,
         max_num_rows: Optional[int] = None,
+        vectorized: bool = False,
     ) -> "QueryBuilder":
+        """Row->rows UDTF (reference API). With ``vectorized=True`` (an
+        extension), f(batch_pdf) returns (counts, new_columns_pdf):
+        counts[i] output rows for batch row i, new_columns_pdf holding
+        the new columns for all outputs in order. ``max_rows`` is still
+        enforced engine-side per input row."""
         if max_rows is None:
             max_rows = max_num_rows
         return QueryBuilder._wrap(
@@ -119,6 +134,7 @@ class QueryBuilder:
                 augment=augment,
                 grouping=grouping,
                 max_rows=max_rows,
+                vectorized=vectorized,
             ),
             self._source_id,
         )

@@ -305,22 +305,22 @@ def minhash_lsh_dedup(
     is exactly reproducible in ANSI SQL (the value-oracle path). Same
     LSH structure either way.
 
-    The banded self-join plus the final anti-join read the signature
-    pipeline several times, so it is persisted by default — measured ~30%
-    faster end-to-end despite Spark's columnar cache encoding array
-    columns row-by-row (no codegen, itself ~12x the cost of one signature
-    recompute). Disable on memory-tight clusters; the signatures are
-    recomputed per read instead. Lifecycle: the persisted signatures stay
-    cached for the lifetime of the returned (lazy) DataFrame — callers
-    running many dedups in one session should pass
-    ``cache_signatures=False`` or clear the cache between runs.
+    The banded self-join reads the signature pipeline twice, so the
+    signatures are materialized once by default — via eager
+    ``localCheckpoint`` rather than ``persist()``: Spark's columnar
+    cache encodes array columns row-by-row (measured ~12x the cost of a
+    signature recompute, SCALE.md), while checkpoint blocks store plain
+    rows and are freed by the ContextCleaner when the DataFrame is
+    garbage-collected — no unpersist bookkeeping, no cache leak across a
+    long session. Disable to keep the plan fully lazy (signatures are
+    then recomputed per read).
     """
     make_sigs = (
         minhash_signatures_md5 if signature_fn == "md5" else minhash_signatures
     )
     sigs = make_sigs(df, text_column, id_column, num_hashes, shingle_size)
     if cache_signatures:
-        sigs = sigs.persist()
+        sigs = sigs.localCheckpoint(eager=True)
     cand = minhash_lsh_candidates(
         sigs,
         id_column,
@@ -438,13 +438,13 @@ def ngram_jaccard_pairs(
         F.col(id_column).alias("__id__"),
         _grams(F.col(text_column)).alias("__grams__"),
     ).withColumn("__n__", F.size("__grams__"))
-    # persist: both sides of the self-join read this; without it the gram
-    # pipeline (scan + UDF) runs once per side. Lifecycle: the cache
-    # lives as long as the returned (lazy) DataFrame; batch pipelines
-    # that call this repeatedly should clearCache() between runs.
+    # Materialized once (both sides of the self-join read it; without
+    # this the gram pipeline runs once per side). localCheckpoint, not
+    # persist: blocks are freed when the DataFrame is garbage-collected,
+    # so repeated dedup runs in one session cannot leak executor memory.
     exploded = g.select(
         "__id__", "__n__", F.explode("__grams__").alias("__g__")
-    ).persist()
+    ).localCheckpoint(eager=True)
     a = exploded.select(
         F.col("__id__").alias("id_a"), F.col("__n__").alias("na"), "__g__"
     )

@@ -177,24 +177,48 @@ def _spread_rows(df: DataFrame) -> DataFrame:
 
 
 def compile_map(
-    df: DataFrame, f: Callable, out_schema: Schema, augment: bool, keep=None
+    df: DataFrame,
+    f: Callable,
+    out_schema: Schema,
+    augment: bool,
+    keep=None,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Row->row Python UDF via mapInPandas (Arrow batches, not per-row).
 
     ``keep`` (from the column-pruning pass) narrows the UDF OUTPUT to the
     columns the plan above consumes — Catalyst cannot see through the
     Python boundary, so this projection pushdown happens here.
+
+    ``vectorized``: f is a pandas-batch function — f(batch_pdf) returns
+    the new columns (DataFrame or dict of arrays) with the batch's
+    length/order. Skips the per-row dict conversion entirely.
     """
-    df = _spread_rows(df)
+    if not vectorized:
+        df = _spread_rows(df)
     out_schema = _restrict_schema(out_schema, keep)
     spark_schema = _spark_schema_for(out_schema)
     out_cols = list(out_schema.columns)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = pdf.to_dict("records")
-            produced = [f(dict(r)) for r in rows]
-            new_df = pd.DataFrame(produced)
+            if vectorized:
+                produced_v = f(pdf.copy())
+                new_df = (
+                    produced_v
+                    if isinstance(produced_v, pd.DataFrame)
+                    else pd.DataFrame(produced_v)
+                )
+                if len(new_df) != len(pdf):
+                    raise ValueError(
+                        "vectorized map must return one output row per "
+                        f"input row (got {len(new_df)} for {len(pdf)})"
+                    )
+                new_df = new_df.reset_index(drop=True)
+            else:
+                rows = pdf.to_dict("records")
+                produced = [f(dict(r)) for r in rows]
+                new_df = pd.DataFrame(produced)
             if augment:
                 # Columnar assembly: carry only the input columns that
                 # survive pruning, attach new columns — no per-row merges.
@@ -219,8 +243,18 @@ def compile_flat_map(
     augment: bool,
     max_rows: Optional[int],
     keep=None,
+    vectorized: bool = False,
 ) -> DataFrame:
-    df = _spread_rows(df)
+    """Row->rows UDTF via mapInPandas.
+
+    ``vectorized``: f(batch_pdf) returns (counts, new_columns) where
+    counts[i] is the number of output rows for batch row i and the new
+    columns hold all outputs in order. ``max_rows`` is enforced HERE
+    (engine-side segment trim) — the DP stability bound cannot depend on
+    the user function honoring its contract.
+    """
+    if not vectorized:
+        df = _spread_rows(df)
     out_schema = _restrict_schema(out_schema, keep)
     spark_schema = _spark_schema_for(out_schema)
     out_cols = list(out_schema.columns)
@@ -229,23 +263,47 @@ def compile_flat_map(
         import numpy as np
 
         for pdf in batches:
-            rows = pdf.to_dict("records")
-            per_row = []
-            for r in rows:
-                produced = f(dict(r))
-                if max_rows is not None:
-                    produced = produced[:max_rows]
-                per_row.append(produced)
-            flat = [res for lst in per_row for res in lst]
-            new_df = pd.DataFrame(flat)
+            if vectorized:
+                counts_v, produced_v = f(pdf.copy())
+                counts = np.asarray(counts_v, dtype=np.int64)
+                new_df = (
+                    produced_v
+                    if isinstance(produced_v, pd.DataFrame)
+                    else pd.DataFrame(produced_v)
+                ).reset_index(drop=True)
+                if counts.shape[0] != len(pdf) or counts.sum() != len(new_df):
+                    raise ValueError(
+                        "vectorized flat_map: counts must have one entry "
+                        "per input row and sum to the output length"
+                    )
+                if max_rows is not None and len(new_df):
+                    starts = np.repeat(
+                        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+                    )
+                    offsets = np.arange(len(new_df)) - starts
+                    mask = offsets < max_rows
+                    new_df = new_df[mask].reset_index(drop=True)
+                    counts = np.minimum(counts, max_rows)
+            else:
+                rows = pdf.to_dict("records")
+                per_row = []
+                for r in rows:
+                    produced = f(dict(r))
+                    if max_rows is not None:
+                        produced = produced[:max_rows]
+                    per_row.append(produced)
+                flat = [res for lst in per_row for res in lst]
+                new_df = pd.DataFrame(flat)
+                counts = np.fromiter(
+                    (len(lst) for lst in per_row),
+                    dtype=np.int64,
+                    count=len(per_row),
+                )
             if augment:
                 # Replicate each input row len(output) times with one
                 # vectorized take, then attach new columns columnar —
                 # ~10x faster than building row dicts for every output.
                 # Only the input columns that survive pruning are carried.
-                counts = np.fromiter(
-                    (len(lst) for lst in per_row), dtype=np.int64, count=len(per_row)
-                )
                 base_cols = [
                     c for c in pdf.columns
                     if c in out_cols and c not in new_df.columns
@@ -500,6 +558,7 @@ def compile_transform(expr: E.QueryExpr, ctx: CompileContext) -> CompiledTable:
         df = compile_map(
             t.df, expr.f, schema, expr.augment,
             keep=ctx.pruned_outputs.get(id(expr)),
+            vectorized=expr.vectorized,
         )
         constraints = list(t.constraints) if expr.augment else []
         return CompiledTable(df, schema, t.l1, t.l2, t.is_ids, constraints)
@@ -514,6 +573,7 @@ def compile_transform(expr: E.QueryExpr, ctx: CompileContext) -> CompiledTable:
         df = compile_flat_map(
             t.df, expr.f, schema, expr.augment, expr.max_rows,
             keep=ctx.pruned_outputs.get(id(expr)),
+            vectorized=expr.vectorized,
         )
         # Stability: x max_rows; grouping flat maps scale L2 by sqrt(max_rows)
         # (reference GroupingFlatMap / RootSumOfSquared semantics).

@@ -227,6 +227,9 @@ class Map(QueryExpr):
     f: Callable[[Row], Row]
     schema_new_columns: Schema
     augment: bool = False
+    #: Opt-in batch API: f takes/returns a pandas.DataFrame (the new
+    #: columns, same length as the batch) instead of per-row dicts.
+    vectorized: bool = False
 
     def schema(self, catalog: Catalog) -> Schema:
         cs = self.child.schema(catalog)
@@ -265,6 +268,9 @@ class FlatMap(QueryExpr):
     augment: bool = False
     grouping: bool = False
     max_rows: Optional[int] = None
+    #: Opt-in batch API: f(batch_pdf) -> (counts, new_columns_pdf) where
+    #: counts[i] = number of output rows for input row i.
+    vectorized: bool = False
 
     def schema(self, catalog: Catalog) -> Schema:
         cs = self.child.schema(catalog)
