@@ -70,3 +70,51 @@ def test_dp_windowed_counts_noise_bounded(spark, tmp_path):
     assert set(got) == set(expected)
     for k, v in got.items():
         assert abs(v - expected[k]) <= 10  # eps=5 -> scale 0.2; huge margin
+
+
+def test_document_ingest_stream_matches_batch(spark, tmp_path):
+    """The document pipeline (quality -> fingerprint dedup -> token
+    stats) runs unchanged on Structured Streaming; availableNow replay
+    must keep exactly the batch pipeline's documents (same fingerprint
+    set; one doc per fingerprint)."""
+    import shutil
+
+    from tumult_analytics_spark.streaming import (
+        document_ingest_pipeline,
+        read_document_stream,
+    )
+
+    docs_file = os.path.join(SF_DIR, "documents.parquet")
+    batch_docs = spark.read.parquet(docs_file)
+    batch_out = document_ingest_pipeline(batch_docs)
+    batch_fps = {r["fingerprint"] for r in batch_out.collect()}
+    assert batch_out.count() == len(batch_fps)  # one row per fingerprint
+
+    stage = tmp_path / "docs_dir"
+    stage.mkdir()
+    shutil.copy(docs_file, stage / "part-0.parquet")
+    stream = read_document_stream(spark, str(stage))
+    out = document_ingest_pipeline(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("doc_ingest")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM doc_ingest").collect()
+    assert {r["fingerprint"] for r in rows} == batch_fps
+    assert len(rows) == len(batch_fps)
+
+
+def test_streaming_dedup_exact_batch_degradation(spark):
+    import pandas as pd
+
+    from tumult_analytics_spark.streaming import streaming_dedup_exact
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2, 3, 3, 3], "v": range(6)})
+    )
+    out = streaming_dedup_exact(df, ["k"])
+    assert out.select("k").distinct().count() == out.count() == 3

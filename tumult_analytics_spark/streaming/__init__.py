@@ -2,6 +2,11 @@
 streaming DP counter, and stateful sessionization
 (applyInPandasWithState)."""
 
+from .documents import (
+    document_ingest_pipeline,
+    read_document_stream,
+    streaming_dedup_exact,
+)
 from .events import (
     dp_windowed_counts,
     read_event_stream,
@@ -10,8 +15,11 @@ from .events import (
 from .sessionize import sessionize_events
 
 __all__ = [
+    "document_ingest_pipeline",
     "dp_windowed_counts",
+    "read_document_stream",
     "read_event_stream",
     "sessionize_events",
+    "streaming_dedup_exact",
     "windowed_event_counts",
 ]
