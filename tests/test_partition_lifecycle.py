@@ -154,3 +154,21 @@ def test_keyset_plan_algebra_resolves(spark):
     plan3 = KeySet._detect(["b"]) - KeySet.from_dict({"b": [9]})
     out3 = s.evaluate(QueryBuilder("t").groupby(plan3).count(), budget)
     assert {r["b"]: r["count"] for r in out3.collect()} == {1: 2, 2: 1}
+
+
+def test_describe_query_prints_constraints(spark, capsys):
+    from tumult_analytics_spark import AddRowsWithID
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"uid": [1, 1, 2], "g": ["a", "b", "a"]})
+    )
+    s = (
+        Session.Builder()
+        .with_privacy_budget(PureDPBudget(float("inf")))
+        .with_id_space("ids")
+        .with_private_dataframe("t", df, AddRowsWithID("uid", "ids"))
+        .build()
+    )
+    s.describe(QueryBuilder("t").enforce(MaxRowsPerID(2)))
+    out = capsys.readouterr().out
+    assert "Constraints:" in out and "MaxRowsPerID" in out

@@ -147,3 +147,30 @@ def test_small_keyset_still_broadcast(li_sess):
     ks = KeySet.from_dict({"l_returnflag": ["A", "N", "R"]})
     out = li_sess.evaluate(QueryBuilder("lineitem").groupby(ks).count(), INF)
     assert _plan(out).count("BroadcastHashJoin") >= 2
+
+
+def test_simhash_plan_is_codegen_no_python(li_sess, spark):
+    # The md5 simhash must stay entirely JVM-side: no Python evals in the
+    # plan, one shuffle for the per-doc aggregation (plus the small
+    # rejoin), scan reading only (id, text).
+    from tumult_analytics_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(simhash(docs, "text", "doc_id"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+    assert "partial" in plan.lower()  # map-side combine of the 60 accumulators
+
+
+def test_minhash_signature_plan_is_codegen(spark):
+    from tumult_analytics_spark.operators.dedup import minhash_signatures_md5
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_signatures_md5(docs, "text", "doc_id"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text",
+    }

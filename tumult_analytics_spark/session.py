@@ -236,6 +236,18 @@ class Session:
             else query_or_source._expr
         )
         self._describe_schema(expr.schema(catalog))
+        # Transformation queries also report the constraints that hold on
+        # their output (reference session.py:710-726); measurements have
+        # no constraints.
+        if not isinstance(expr, E.MEASUREMENT_NODES):
+            try:
+                t = compile_transform(expr, self._context())
+            except Exception:
+                return
+            if t.constraints:
+                print("  Constraints:")
+                for c in t.constraints:
+                    print(f"    - {c}")
 
     @staticmethod
     def _describe_schema(schema: Schema) -> None:
