@@ -11,11 +11,23 @@ from .dedup import (
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     minhash_signatures,
+    minhash_signatures_md5,
     ngram_jaccard_pairs,
     simhash,
 )
-from .similarity import brute_force_cosine_topk, lsh_cosine_topk
+from .multimodal import (
+    attach_media_metadata,
+    decode_image,
+    extract_byte_histogram_features,
+    synthesize_bmp,
+)
+from .similarity import (
+    brute_force_cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from .text import (
+    bpe_ish_token_count,
     document_fingerprint,
     language_id,
     quality_score,
