@@ -346,3 +346,16 @@ def test_brute_force_guard_refuses_large_corpus(spark):
         ).count()
         > 0
     )
+
+
+def test_noise_info_quantile_exponential(spark):
+    # Reference reports the quantile as the EXPONENTIAL mechanism with
+    # the consumed epsilon as its parameter (_noise_info.py:195-200).
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0, 3.0]}))
+    s = Session.from_dataframe(PureDPBudget(10), "t", df, AddOneRow())
+    info = s._noise_info(
+        QueryBuilder("t").median("x", 0, 10, name="m"), PureDPBudget(2)
+    )
+    assert info == [
+        {"noise_mechanism": "EXPONENTIAL", "noise_parameter": pytest.approx(2.0)}
+    ]

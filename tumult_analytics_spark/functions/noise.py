@@ -39,6 +39,10 @@ class NoiseMechanism(Enum):
     LAPLACE = "laplace"
     GAUSSIAN = "gaussian"
     DISCRETE_GAUSSIAN = "discrete_gaussian"
+    #: Exponential mechanism (quantile): introspection-only — its
+    #: "noise_parameter" is the epsilon it consumes (reference
+    #: _noise_info.py:197), never a sampler scale.
+    EXPONENTIAL = "exponential"
 
     @property
     def is_integer_valued(self) -> bool:

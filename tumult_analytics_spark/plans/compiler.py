@@ -1386,7 +1386,7 @@ def _compile_quantile(
         pdf = pdf.rename(columns={})
         res_pdf = em_quantile((), pdf)
         res = df.sparkSession.createDataFrame(res_pdf, out_schema)
-    infos = [NoiseInfo(NoiseMechanism.GEOMETRIC, 0.0 if bspec.infinite else eps)]
+    infos = [NoiseInfo(NoiseMechanism.EXPONENTIAL, 0.0 if bspec.infinite else eps)]
     return MeasurementResult(res, infos)
 
 
