@@ -162,16 +162,25 @@ def _restrict_schema(schema: Schema, keep) -> Schema:
 
 
 def _spread_rows(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the input scan has fewer partitions
-    than cores. Row-dict UDFs cost ~10us+/row of Python; a single-file
-    parquet scan (1 partition) would serialize the whole stage on one
-    core, so the one-off shuffle pays for itself above ~50k rows. At real
-    scale the scan already has >= cores partitions and this is a no-op.
-    Not applied to vectorized (numpy-batch) kernels, where per-row cost is
-    small enough that the added AQE stage outweighs the parallelism.
+    """Round-robin repartition when the input is a few-file scan. Row-dict
+    UDFs cost ~10us+/row of Python; a single-file parquet scan would
+    serialize the whole stage on a few cores, so the one-off shuffle pays
+    for itself above ~50k rows. At real scale the scan already has >=
+    cores files and this is a no-op. Not applied to vectorized
+    (numpy-batch) kernels, where per-row cost is small enough that the
+    added AQE stage outweighs the parallelism.
+
+    The guard reads ``inputFiles()`` (a walk of the analyzed plan), NOT
+    ``df.rdd`` — converting to an RDD forced a full physical plan per UDF
+    compile and pinned the pre-AQE plan. Non-file-rooted plans (anything
+    downstream of a shuffle) are already parallel and are left alone.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, 8):
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and len(files) < min(target, 8):
         return df.repartition(target)
     return df
 
