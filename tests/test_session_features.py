@@ -359,3 +359,29 @@ def test_noise_info_quantile_exponential(spark):
     assert info == [
         {"noise_mechanism": "EXPONENTIAL", "noise_parameter": pytest.approx(2.0)}
     ]
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    import numpy as np
+
+    from tumult_analytics_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = dequantize_embeddings(quantize_embeddings(emb, "embedding", "vec_id"))
+    joined = q.join(emb, "vec_id").select("vec_id", "embedding", "embedding_deq", "scale")
+    for r in joined.limit(50).collect():
+        orig = np.asarray(r["embedding"], dtype=np.float64)
+        deq = np.asarray(r["embedding_deq"], dtype=np.float64)
+        # symmetric int8: per-element error <= scale/2 (+ eps)
+        assert np.abs(orig - deq).max() <= r["scale"] / 2 + 1e-9
+    # zero vector -> zero codes, scale 0
+    import pandas as pd
+
+    z = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[0.0, 0.0, 0.0]]})
+    )
+    row = quantize_embeddings(z, "embedding", "vec_id").collect()[0]
+    assert row["scale"] == 0.0 and list(row["codes"]) == [0, 0, 0]

@@ -234,6 +234,23 @@ def q_byte_histogram_features(spark, sf_dir):
     )
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    # int8 symmetric quantization with engine-portable floor(t + 0.5)
+    # arithmetic: per-vector code sum and rounded scale are replayed
+    # exactly in SQL (max|x| is order-independent, unlike sums).
+    emb = _read(spark, sf_dir, "embeddings")
+    q = S.quantize_embeddings(emb, "embedding", "vec_id")
+    # explode + hash-agg (codegen), NOT F.aggregate — Catalyst interprets
+    # higher-order-function lambdas per element (SCALE.md pitfall).
+    ex = q.select(
+        "vec_id", F.round("scale", 6).alias("scale_r"),
+        F.explode("codes").alias("__c__"),
+    )
+    return ex.groupBy("vec_id", "scale_r").agg(
+        F.sum(F.col("__c__").cast("long")).alias("code_sum")
+    )
+
+
 def q_decode_image(spark, sf_dir):
     # Real 24-bit BMP decode over synthesized spec-conformant payloads:
     # per-doc dimensions and the exact decoded pixel sum (row padding and
@@ -518,6 +535,7 @@ QUERIES = {
     "byte_histogram_features": q_byte_histogram_features,
     "cosine_dedup": q_cosine_dedup,
     "decode_image": q_decode_image,
+    "quantize_embeddings": q_quantize_embeddings,
     "pipeline_compose": q_pipeline_compose,
 }
 
@@ -526,6 +544,25 @@ ORACLES = {
     "minhash_dedup": _minhash_oracle_sql(),
     "ann_lsh_topk": _ann_lsh_oracle_sql(),
     "ann_ivf_topk": _ann_ivf_oracle_sql(),
+    "quantize_embeddings": """
+        WITH base AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ), m AS (
+          SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS maxabs
+          FROM base
+        )
+        SELECT vec_id,
+               CAST(CASE WHEN maxabs = 0 THEN 0 ELSE
+                 list_sum(list_transform(e, x ->
+                   least(greatest(floor(x * 127.0 / maxabs + 0.5),
+                                  -127.0), 127.0)))
+               END AS BIGINT) AS code_sum,
+               round(maxabs / 127.0, 6) AS scale_r
+        FROM m
+    """,
     "decode_image": """
         SELECT doc_id,
                CAST(1 + doc_id % 5 AS INTEGER) AS height,

@@ -288,6 +288,67 @@ def _melt_tables(prepped: DataFrame, id_column: str, tables: int) -> DataFrame:
     return prepped.select(id_column, "__nv__", F.expr(stack_expr))
 
 
+def quantize_embeddings(
+    df: DataFrame, embedding_column: str, id_column: str
+) -> DataFrame:
+    """Symmetric int8 quantization: (id, codes array<tinyint>, scale).
+
+    ``codes[i] = clamp(floor(x[i] * 127 / max|x| + 0.5), -127, 127)`` and
+    ``scale = max|x| / 127`` (so ``x ~= codes * scale``). At 100 TB this
+    cuts ANN shuffle bytes 4x; recall loss of int8 symmetric quantization
+    on unit-norm embeddings is negligible for top-k search. floor(t+0.5)
+    (not banker's rounding) keeps the arithmetic bit-identical across
+    engines — the SQL oracle replays it exactly. Zero vectors quantize to
+    all-zero codes with scale 0.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_field = df.schema[id_column]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_column, id_field.dataType, True),
+            T.StructField("codes", T.ArrayType(T.ByteType()), True),
+            T.StructField("scale", T.DoubleType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_column, "codes", "scale"])
+                continue
+            M = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
+            maxabs = np.abs(M).max(axis=1)
+            safe = np.where(maxabs == 0, 1.0, maxabs)
+            codes = np.floor(M * 127.0 / safe[:, None] + 0.5)
+            codes = np.clip(codes, -127, 127).astype(np.int8)
+            codes[maxabs == 0] = 0
+            yield pd.DataFrame(
+                {
+                    id_column: pdf[id_column],
+                    "codes": list(codes),
+                    "scale": maxabs / 127.0,
+                }
+            )
+
+    return df.select(id_column, embedding_column).mapInPandas(kernel, out_schema)
+
+
+def dequantize_embeddings(
+    df: DataFrame, codes_column: str = "codes", scale_column: str = "scale"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: adds ``embedding_deq``
+    (array<double>, codes * scale) via a Catalyst transform."""
+    return df.withColumn(
+        "embedding_deq",
+        F.transform(
+            F.col(codes_column),
+            lambda c: c.cast("double") * F.col(scale_column),
+        ),
+    )
+
+
 def _pairs_schema(df: DataFrame, id_column: str) -> T.StructType:
     id_field = df.schema[id_column]
     return T.StructType(
