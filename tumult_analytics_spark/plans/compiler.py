@@ -95,6 +95,10 @@ class CompileContext:
     #: When the evaluation budget is infinite, noise is zero, so eager Spark
     #: jobs that only refine sensitivity (public-join multiplicity) skip.
     budget_is_infinite: bool = False
+    #: Introspection compile (_noise_info): never run Spark jobs — skip
+    #: eager materialization of noisy intermediates (the plan is only
+    #: inspected, never executed).
+    introspection_only: bool = False
     #: Views: name -> already-compiled table produced by create_view.
     views: Dict[str, CompiledTable] = dc_field(default_factory=dict)
     #: id(Map/FlatMap node) -> output columns the plan above actually
@@ -1538,7 +1542,7 @@ def _compile_auto_partition(expr, ctx: CompileContext, bspec: BudgetSpec):
         E.GetGroups(expr.child, tuple(detect_cols)), ctx, sel_budget
     )
     detected_df = groups.df
-    if not bspec.infinite:
+    if not bspec.infinite and not ctx.introspection_only:
         # The detected keys come from a NOISY partition selection: the
         # aggregation plan reads them twice (semi-filter + attach), and a
         # lazy/persisted plan could recompute and redraw different keys.

@@ -423,6 +423,7 @@ class Session:
         """Mechanism + parameter per noisy quantity (reference
         session.py:1001-1048); does not spend budget."""
         ctx = self._context()
+        ctx.introspection_only = True
         expr = rewrite(query.expr, ctx.catalog)
         result = compile_measurement(expr, ctx, privacy_budget)
         return [i.as_dict() for i in result.noise_infos]
