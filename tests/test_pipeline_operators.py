@@ -1,0 +1,183 @@
+"""Tests for the round-3 pipeline operators: repetition/PII signals,
+deterministic sampling, contamination, mixing weights, and
+connected-components clustering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tumult_analytics_spark.operators import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat the cat sat again", "en"),
+        (1, "spam spam spam spam spam spam", "en"),
+        (2, "uno dos tres cuatro cinco", "es"),
+        (3, "short", "en"),
+        (4, None, "de"),
+        (5, "", "fr"),
+        (6, "mail me at bob@example.com or visit https://example.com/x "
+            "card 1234567890123456", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestNgramRepetition:
+    def test_all_identical_tokens_max_ratio(self, docs):
+        out = {
+            r["doc_id"]: (r["dup2_ratio"], r["dup3_ratio"])
+            for r in P.ngram_repetition(docs, "text").collect()
+        }
+        # "spam" x6 -> 5 bigrams all equal -> 4/5 repeats.
+        assert out[1][0] == pytest.approx(4 / 5)
+        assert out[1][1] == pytest.approx(3 / 4)
+        # all-distinct bigrams -> 0.0
+        assert out[2] == (0.0, 0.0)
+        # fewer tokens than n, null, empty -> 0.0 not error
+        assert out[3] == (0.0, 0.0)
+        assert out[4] == (0.0, 0.0)
+        assert out[5] == (0.0, 0.0)
+
+    def test_partial_repeats(self, docs):
+        row = (
+            P.ngram_repetition(docs, "text")
+            .filter("doc_id = 0")
+            .first()
+        )
+        # 10 tokens -> 9 bigrams, "the cat"/"cat sat" repeat once each.
+        assert row["dup2_ratio"] == pytest.approx(2 / 9)
+
+
+class TestPiiStats:
+    def test_counts(self, docs):
+        row = P.pii_stats(docs, "text").filter("doc_id = 6").first()
+        assert row["n_email"] == 1
+        assert row["n_url"] == 1
+        assert row["n_long_digits"] == 1
+
+    def test_null_text_zero(self, docs):
+        row = P.pii_stats(docs, "text").filter("doc_id = 4").first()
+        # regexp_count of NULL is NULL in Spark; operator contract is
+        # "count per document" so nulls surface as null (callers filter).
+        assert row["n_email"] is None or row["n_email"] == 0
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rate_bounded(self, spark):
+        df = spark.range(0, 4000).withColumn(
+            "stratum", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+        )
+        rates = {"a": 0.5, "b": 0.1}
+        s1 = P.stratified_sample(df, "stratum", rates, "id")
+        s2 = P.stratified_sample(df, "stratum", rates, "id")
+        c1 = {r["stratum"]: r["n"] for r in
+              s1.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+        c2 = {r["stratum"]: r["n"] for r in
+              s2.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+        assert c1 == c2  # same rows every run
+        assert abs(c1["a"] / 2000 - 0.5) < 0.06
+        assert abs(c1["b"] / 2000 - 0.1) < 0.04
+
+    def test_default_rate_drops_unknown_strata(self, spark):
+        df = spark.range(0, 100).withColumn("stratum", F.lit("zz"))
+        assert P.stratified_sample(df, "stratum", {"a": 1.0}, "id").count() == 0
+
+    def test_uniform_is_in_unit_interval(self, spark):
+        df = spark.range(0, 1000).select(
+            P.deterministic_uniform(F.col("id")).alias("u")
+        )
+        row = df.agg(F.min("u"), F.max("u")).first()
+        assert 0.0 <= row[0] and row[1] < 1.0
+
+
+class TestNgramContamination:
+    def test_exact_and_disjoint(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),      # grams subset-share with bench
+                (2, "x y z w q r"),      # disjoint
+                (3, "a b c d e"),        # exactly the single bench gram
+                (4, "tiny"),             # < n tokens -> 0.0
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "a b c d e")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["contamination"]
+            for r in P.ngram_contamination(
+                corpus, bench, "text", "doc_id", n=5
+            ).collect()
+        }
+        assert out[1] == pytest.approx(0.5)  # grams: abcde, bcdef
+        assert out[2] == 0.0
+        assert out[3] == pytest.approx(1.0)
+        assert out[4] == 0.0
+
+    def test_plan_broadcasts_benchmark(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(2, "a b c d e")], "doc_id long, text string"
+        )
+        plan = (
+            P.ngram_contamination(corpus, bench, "text", "doc_id", n=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+class TestDomainMixWeights:
+    def test_weights_normalize_and_flatten(self, spark):
+        df = spark.createDataFrame(
+            [("big", 900), ("small", 100)], "d string, n long"
+        )
+        out = {r["d"]: r for r in
+               P.domain_mix_weights(df, "d", "n", alpha=0.5).collect()}
+        assert out["big"]["share"] == pytest.approx(0.9)
+        tot_w = out["big"]["weight"] + out["small"]["weight"]
+        assert tot_w == pytest.approx(1.0)
+        # temperature flattening: small domain upweighted vs its share
+        assert out["small"]["weight"] > out["small"]["share"]
+        assert out["big"]["weight"] < out["big"]["share"]
+
+    def test_alpha_one_is_identity(self, spark):
+        df = spark.createDataFrame(
+            [("a", 300), ("b", 700)], "d string, n long"
+        )
+        for r in P.domain_mix_weights(df, "d", "n", alpha=1.0).collect():
+            assert r["weight"] == pytest.approx(r["share"])
+
+
+class TestConnectedComponents:
+    def test_chain_and_triangle_and_isolated_edge(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4),      # chain -> comp 1
+             (10, 11), (11, 12), (10, 12),  # triangle -> comp 10
+             (20, 21)],                   # pair -> comp 20
+            "src long, dst long",
+        )
+        cc = {r["node"]: r["component"]
+              for r in P.connected_components(edges).collect()}
+        assert {cc[1], cc[2], cc[3], cc[4]} == {1}
+        assert {cc[10], cc[11], cc[12]} == {10}
+        assert {cc[20], cc[21]} == {20}
+
+    def test_long_chain_converges(self, spark):
+        n = 33
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "src long, dst long"
+        )
+        cc = P.connected_components(edges, max_iterations=50)
+        comps = cc.select("component").distinct().collect()
+        assert [r["component"] for r in comps] == [0]
+
+    def test_self_loops_ignored(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 1), (2, 3)], "src long, dst long"
+        )
+        nodes = {r["node"] for r in P.connected_components(edges).collect()}
+        assert nodes == {2, 3}

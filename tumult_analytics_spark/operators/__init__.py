@@ -21,6 +21,15 @@ from .multimodal import (
     extract_byte_histogram_features,
     synthesize_bmp,
 )
+from .pipeline import (
+    connected_components,
+    deterministic_uniform,
+    domain_mix_weights,
+    ngram_contamination,
+    ngram_repetition,
+    pii_stats,
+    stratified_sample,
+)
 from .similarity import (
     brute_force_cosine_topk,
     ivf_cosine_topk,

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dedup as D
+from . import pipeline as P
 from . import similarity as S
 from . import text as X
 
@@ -309,6 +310,88 @@ def q_pipeline_compose(spark, sf_dir):
     )
 
 
+# --- pipeline signals, sampling, contamination, mixing, clustering ---------
+
+
+def q_repetition_stats(spark, sf_dir):
+    # Gopher-style duplicate-n-gram ratios per doc; pure Catalyst array
+    # math, exact integer-ratio doubles, so SQL-reproducible.
+    docs = _read(spark, sf_dir, "documents")
+    r = P.ngram_repetition(docs, "text", ns=(2, 3))
+    return r.groupBy("lang").agg(
+        F.round(F.sum("dup2_ratio"), 4).alias("sum_dup2"),
+        F.round(F.sum("dup3_ratio"), 4).alias("sum_dup3"),
+        F.sum((F.col("dup2_ratio") > 0.1).cast("long")).alias("n_repetitive"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_pii_stats(spark, sf_dir):
+    # regexp_count of emails / URLs / long digit runs, per source.
+    docs = _read(spark, sf_dir, "documents")
+    p = P.pii_stats(docs, "text")
+    return p.groupBy("source").agg(
+        F.sum("n_email").cast("long").alias("total_email"),
+        F.sum("n_url").cast("long").alias("total_url"),
+        F.sum("n_long_digits").cast("long").alias("total_long_digits"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+#: Per-language keep rates for the deterministic sampling query.
+SAMPLE_RATES = {"en": 0.6, "fr": 0.3, "de": 0.3, "es": 0.45, "zh": 0.2}
+
+
+def q_stratified_sample(spark, sf_dir):
+    # Deterministic md5-uniform Bernoulli sampling per language stratum;
+    # the keep decision is exactly reproducible in any engine with md5.
+    docs = _read(spark, sf_dir, "documents")
+    s = P.stratified_sample(docs, "lang", SAMPLE_RATES, "doc_id")
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+def q_ngram_contamination(spark, sf_dir):
+    # Train/test contamination: fraction of each corpus doc's distinct
+    # 5-grams present in the (broadcast) benchmark gram set.
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 97 = 0")
+    corpus = docs.filter("doc_id % 97 != 0")
+    c = P.ngram_contamination(corpus, bench, "text", "doc_id", n=5)
+    return c.groupBy("lang").agg(
+        F.sum((F.col("contamination") >= 0.5).cast("long")).alias(
+            "n_contaminated"
+        ),
+        F.round(F.sum("contamination"), 4).alias("sum_contamination"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_domain_mix_weights(spark, sf_dir):
+    # Temperature-flattened mixing weights over sources (alpha = 0.7).
+    docs = _read(spark, sf_dir, "documents")
+    w = P.domain_mix_weights(docs, "source", "n_chars", alpha=0.7)
+    return w.select(
+        "source",
+        "total_size",
+        F.round("share", 6).alias("share_r"),
+        F.round("weight", 6).alias("weight_r"),
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    # Near-dup pair graph (3-gram Jaccard >= 0.35 on first 200 docs)
+    # collapsed to connected components via min-label propagation.
+    docs = _read(spark, sf_dir, "documents").filter("doc_id < 200")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.35)
+    cc = P.connected_components(pairs, src="id_a", dst="id_b")
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
 # --- events (hypertable-style rollup, batch form) --------------------------
 
 
@@ -537,7 +620,41 @@ QUERIES = {
     "decode_image": q_decode_image,
     "quantize_embeddings": q_quantize_embeddings,
     "pipeline_compose": q_pipeline_compose,
+    "repetition_stats": q_repetition_stats,
+    "pii_stats": q_pii_stats,
+    "stratified_sample": q_stratified_sample,
+    "ngram_contamination": q_ngram_contamination,
+    "domain_mix_weights": q_domain_mix_weights,
+    "dedup_clusters": q_dedup_clusters,
 }
+
+
+def _rates_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE 0.0 END"
+
+
+#: Shared CTE fragment: distinct word 5-grams per document (matches
+#: pipeline._token_ngrams tokenization: trim + \s+ split, space-joined).
+_GRAMS5_CTE = """
+        toks AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, lang,
+                 list_distinct(CASE WHEN len(tk) >= 5 THEN
+                   list_transform(range(1, len(tk) - 3),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                          || ' ' || tk[i+3] || ' ' || tk[i+4])
+                 ELSE []::VARCHAR[] END) AS gs
+          FROM toks
+        )
+"""
 
 ORACLES = {
     "simhash_buckets": _simhash_oracle_sql(),
@@ -779,4 +896,143 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS n_docs
         FROM documents GROUP BY lang
     """,
+    "repetition_stats": """
+        WITH toks AS (
+          SELECT lang,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ), g AS (
+          SELECT lang,
+            CASE WHEN len(tk) >= 2 THEN
+              list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+            ELSE []::VARCHAR[] END AS g2,
+            CASE WHEN len(tk) >= 3 THEN
+              list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE []::VARCHAR[] END AS g3
+          FROM toks
+        ), r AS (
+          SELECT lang,
+            CASE WHEN len(g2) > 0 THEN
+              CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+            ELSE 0.0 END AS d2,
+            CASE WHEN len(g3) > 0 THEN
+              CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+            ELSE 0.0 END AS d3
+          FROM g
+        )
+        SELECT lang, round(sum(d2), 4) AS sum_dup2,
+               round(sum(d3), 4) AS sum_dup3,
+               CAST(sum(CASE WHEN d2 > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_repetitive,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM r GROUP BY lang
+    """,
+    "pii_stats": """
+        SELECT source,
+          CAST(sum(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
+            AS total_email,
+          CAST(sum(len(regexp_extract_all(text,
+            'https?://[A-Za-z0-9./_\\-?=&#%]+'))) AS BIGINT) AS total_url,
+          CAST(sum(len(regexp_extract_all(text, '[0-9]{9,}'))) AS BIGINT)
+            AS total_long_digits,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    """,
+    "domain_mix_weights": """
+        WITH g AS (
+          SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_size
+          FROM documents GROUP BY source
+        ), s AS (
+          SELECT source, total_size,
+                 CAST(total_size AS DOUBLE)
+                 / CAST((SELECT sum(total_size) FROM g) AS DOUBLE) AS share
+          FROM g
+        ), p AS (
+          SELECT source, total_size, share, pow(share, 0.7) AS pw FROM s
+        )
+        SELECT source, total_size, round(share, 6) AS share_r,
+               round(pw / (SELECT sum(pw) FROM p), 6) AS weight_r
+        FROM p
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE docs AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents WHERE doc_id < 200
+        ), g AS (
+          SELECT doc_id,
+            list_distinct(
+              CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_transform(range(1, len(tk) - 1),
+                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+              END) AS gs
+          FROM docs
+        ), ex AS (
+          SELECT doc_id, len(gs) AS n, unnest(gs) AS gr FROM g
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+                 count(*) AS i
+          FROM ex a JOIN ex b ON a.gr = b.gr AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.35
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+          SELECT a AS node, b AS r FROM edges
+          UNION
+          SELECT reach.node, edges.b
+          FROM reach JOIN edges ON reach.r = edges.a
+        ), comp AS (
+          SELECT node, least(node, min(r)) AS component
+          FROM reach GROUP BY node
+        )
+        SELECT component, CAST(count(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY component
+    """,
 }
+
+ORACLES["stratified_sample"] = f"""
+    WITH u AS (
+      SELECT lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS u,
+             {_rates_case_sql()} AS rate
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM u WHERE u < rate GROUP BY lang
+"""
+
+ORACLES["ngram_contamination"] = f"""
+    WITH {_GRAMS5_CTE},
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0
+    ),
+    corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM corpus),
+    m AS (
+      SELECT doc_id, count(*) AS matched
+      FROM ex JOIN bench USING (g) GROUP BY doc_id
+    ),
+    per AS (
+      SELECT c.doc_id, c.lang,
+        CASE WHEN len(c.gs) > 0 THEN
+          CAST(coalesce(m.matched, 0) AS DOUBLE) / len(c.gs)
+        ELSE 0.0 END AS cont
+      FROM corpus c LEFT JOIN m ON c.doc_id = m.doc_id
+    )
+    SELECT lang,
+           CAST(sum(CASE WHEN cont >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(sum(cont), 4) AS sum_contamination,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM per GROUP BY lang
+"""

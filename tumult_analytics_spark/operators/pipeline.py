@@ -1,0 +1,308 @@
+"""Training-data pipeline operators beyond dedup/similarity: repetition
+and PII quality signals, deterministic stratified sampling, benchmark
+contamination checks, domain mixing weights, and connected-components
+clustering of near-duplicate pairs.
+
+Scale design notes (100 TB):
+
+- ``ngram_repetition`` / ``pii_stats`` are pure Catalyst column
+  expressions — whole-stage codegen, zero shuffles, zero Python.
+- ``stratified_sample`` derives its keep/drop decision from md5 of a key
+  column (a pure projection): no sampling state, no driver coordination,
+  reproducible across retries/partitions — the property Spark's own
+  ``df.sample`` does NOT give you under task retry.
+- ``ngram_contamination`` broadcasts the benchmark's (small) distinct
+  gram set and inner-joins the exploded corpus grams against it: the
+  only shuffled rows are the *matched* grams (rare by construction), not
+  the corpus.
+- ``domain_mix_weights`` runs entirely on the post-aggregation table
+  (one row per domain), so the two global normalizations are broadcast
+  cross-joins of single-row DataFrames.
+- ``connected_components`` is the iterative min-label propagation used
+  for near-dup cluster collapse; each iteration is one shuffle on node
+  id, with ``localCheckpoint`` cutting the lineage so plan size stays
+  O(1) in the iteration count.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ngram_repetition",
+    "pii_stats",
+    "deterministic_uniform",
+    "stratified_sample",
+    "ngram_contamination",
+    "domain_mix_weights",
+    "connected_components",
+]
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def _token_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined token n-grams; empty when fewer than n tokens.
+
+    Pure Catalyst (sequence + transform + element_at) so the whole gram
+    computation stays inside whole-stage codegen.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    text_column: str,
+    ns: tuple = (2, 3),
+    prefix: str = "dup",
+) -> DataFrame:
+    """Per-document n-gram repetition ratios (the Gopher-style signal).
+
+    For each n in ``ns`` adds ``{prefix}{n}_ratio`` = fraction of token
+    n-grams that are repeats of an earlier gram in the same document:
+    ``(total - distinct) / total`` (0.0 when the document has fewer than
+    n tokens). High values flag boilerplate/spam for filtering.
+
+    No shuffle, no Python: per-row array math in codegen.
+    """
+    toks = _tokens(F.col(text_column))
+    out = df
+    for n in ns:
+        grams = _token_ngrams(toks, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        ratio = F.when(
+            total > 0,
+            (total - distinct).cast("double") / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(f"{prefix}{n}_ratio", ratio)
+    return out
+
+
+#: Conservative, engine-portable patterns (identical semantics in Java
+#: regex and RE2-style engines: no lookaround, no backrefs).
+PII_PATTERNS: Dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[A-Za-z0-9./_\-?=&#%]+",
+    "long_digits": r"[0-9]{9,}",
+}
+
+
+def pii_stats(
+    df: DataFrame,
+    text_column: str,
+    patterns: Optional[Mapping[str, str]] = None,
+) -> DataFrame:
+    """Count PII-ish pattern matches per document (emails, URLs, long
+    digit runs by default) as ``n_{name}`` columns.
+
+    Pure Catalyst ``regexp_count`` — scan-speed, codegen, no shuffle.
+    """
+    pats = dict(patterns) if patterns is not None else PII_PATTERNS
+    out = df
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_column), F.lit(pat))
+        )
+    return out
+
+
+def deterministic_uniform(key: Column) -> Column:
+    """Map a key column to a deterministic uniform double in [0, 1).
+
+    Uses the top 13 hex chars (52 bits) of md5 so the value is exactly
+    representable in a double and reproducible in any engine with md5
+    (DuckDB, Trino, …) — unlike ``F.rand``, identical across task
+    retries and partitionings.
+    """
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    ).cast("double") / F.lit(float(1 << 52))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_column: str,
+    rates: Mapping[str, float],
+    key_column: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling: keep a row iff
+    ``u(key) < rates[stratum]`` where ``u`` is the md5-uniform above.
+
+    The rate lookup is a Catalyst map literal (no join); the whole
+    operator is a filter — fully pushdown-friendly and reproducible,
+    the way large-scale data mixing wants it (re-running the pipeline
+    keeps exactly the same rows).
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    rate = F.coalesce(
+        mapping[F.col(strata_column)], F.lit(float(default_rate))
+    )
+    return df.filter(deterministic_uniform(F.col(key_column)) < rate)
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_column: str,
+    id_column: str,
+    n: int = 5,
+    output_column: str = "contamination",
+) -> DataFrame:
+    """Fraction of each corpus document's distinct token n-grams that
+    appear anywhere in the benchmark set (the standard train/test
+    contamination check).
+
+    Plan shape: the benchmark's distinct grams are exploded (small —
+    benchmarks are MBs, not TBs) and broadcast; corpus grams are
+    exploded and inner-joined against the broadcast, so the only rows
+    that reach the post-join shuffle are actual matches. The final
+    per-document count is a groupBy on the id — one narrow shuffle of
+    (id, 1) pairs.
+    """
+    toks = _tokens(F.col(text_column))
+    grams = F.array_distinct(_token_ngrams(toks, n))
+
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("gram")).distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_column),
+        F.size(grams).alias("_total_grams"),
+        F.explode(grams).alias("gram"),
+    )
+    matched = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_column)
+        .agg(F.count(F.lit(1)).alias("_matched_grams"))
+    )
+    total = corpus.withColumn("_total_grams", F.size(grams))
+    out = total.join(matched, id_column, "left").withColumn(
+        output_column,
+        F.when(
+            F.col("_total_grams") > 0,
+            F.coalesce(F.col("_matched_grams"), F.lit(0)).cast("double")
+            / F.col("_total_grams").cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+    return out.drop("_matched_grams")
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    group_column: str,
+    size_column: str,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Per-domain sampling weights for data mixing: aggregate
+    ``size_column`` per domain, compute each domain's share, then
+    temperature-flatten with exponent ``alpha`` and renormalize
+    (w_d ∝ share_d^alpha) — the standard multilingual/multi-source
+    mixing rule.
+
+    Everything after the first aggregation operates on one row per
+    domain; both global sums are single-row broadcast cross-joins.
+    """
+    g = df.groupBy(group_column).agg(F.sum(size_column).alias("_size"))
+    tot = g.agg(F.sum("_size").alias("_tot"))
+    g = g.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("_size").cast("double") / F.col("_tot").cast("double")
+    )
+    g = g.withColumn("_pw", F.pow(F.col("share"), F.lit(float(alpha))))
+    z = g.agg(F.sum("_pw").alias("_z"))
+    return (
+        g.crossJoin(F.broadcast(z))
+        .withColumn("weight", F.col("_pw") / F.col("_z"))
+        .select(
+            group_column,
+            F.col("_size").alias("total_size"),
+            "share",
+            "weight",
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+    output_node: str = "node",
+    output_component: str = "component",
+) -> DataFrame:
+    """Connected components of an undirected graph by iterative
+    min-label propagation: each node's label converges to the smallest
+    node id in its component. This is the cluster-collapse step after
+    near-dup pair generation (MinHash/SimHash/cosine): one document per
+    component survives.
+
+    Scale: each iteration is one shuffle on node id (the groupBy); the
+    edge list is re-used unmodified (cache it upstream for big graphs).
+    ``localCheckpoint`` truncates lineage so the logical plan doesn't
+    grow with iterations — without it, iteration k replays all k-1
+    predecessors. Converges in O(log(diameter)) iterations for the
+    near-dup graphs this is meant for (tiny, star-shaped clusters); the
+    ``max_iterations`` bound caps pathological chains.
+    """
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    # Undirected: propagate both ways.
+    bidir = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    bidir = bidir.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        bidir.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            bidir.join(
+                labels.withColumnRenamed("node", "a"), "a"
+            )
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias(output_node),
+        F.col("label").alias(output_component),
+    )
