@@ -149,25 +149,32 @@ def test_small_keyset_still_broadcast(li_sess):
     assert _plan(out).count("BroadcastHashJoin") >= 2
 
 
-def test_simhash_plan_is_codegen_no_python(li_sess, spark):
-    # The md5 simhash must stay entirely JVM-side: no Python evals in the
-    # plan, one shuffle for the per-doc aggregation (plus the small
-    # rejoin), scan reading only (id, text).
+def test_simhash_plan_is_arrow_batched_no_shuffle(li_sess, spark):
+    # The md5 simhash is an Arrow-batched kernel (the Catalyst explode +
+    # 60-accumulator aggregate measured ~6x slower, see simhash
+    # docstring): one row per input row, no aggregation shuffle, no
+    # rejoin, never row-wise BatchEvalPython.
     from tumult_analytics_spark.operators.dedup import simhash
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(simhash(docs, "text", "doc_id"))
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert "mapInPandas" not in plan.lower()
-    assert "partial" in plan.lower()  # map-side combine of the 60 accumulators
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" not in plan  # fingerprint needs no shuffle
 
 
-def test_minhash_signature_plan_is_codegen(spark):
+def test_minhash_signature_plan_is_arrow_batched_and_pruned(spark):
+    # The md5 signature kernel is deliberately an Arrow-batched pandas
+    # UDF, not codegen: the Catalyst form (explode + md5 + conv + N
+    # min-aggregates) measured ~4 s at sf0.1 vs ~0.3 s for the kernel.
+    # Lock the Arrow path (never row-wise BatchEvalPython) and the
+    # 2-column scan.
     from tumult_analytics_spark.operators.dedup import minhash_signatures_md5
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(minhash_signatures_md5(docs, "text", "doc_id"))
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
     import re
 
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)

@@ -282,6 +282,9 @@ def connected_components(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Carry the previous label through the checkpoint so convergence
+        # is a cheap filter-count over materialized blocks, not an extra
+        # join job per iteration.
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -289,16 +292,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                F.col("label").alias("_prev"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
+        labels = new_labels.drop("_prev")
         if changed == 0:
             break
 

@@ -166,27 +166,17 @@ def _restrict_schema(schema: Schema, keep) -> Schema:
 
 
 def _spread_rows(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the input is a few-file scan. Row-dict
-    UDFs cost ~10us+/row of Python; a single-file parquet scan would
-    serialize the whole stage on a few cores, so the one-off shuffle pays
-    for itself above ~50k rows. At real scale the scan already has >=
-    cores files and this is a no-op. Not applied to vectorized
-    (numpy-batch) kernels, where per-row cost is small enough that the
-    added AQE stage outweighs the parallelism.
-
-    The guard reads ``inputFiles()`` (a walk of the analyzed plan), NOT
-    ``df.rdd`` — converting to an RDD forced a full physical plan per UDF
-    compile and pinned the pre-AQE plan. Non-file-rooted plans (anything
-    downstream of a shuffle) are already parallel and are left alone.
+    """Round-robin repartition when the input is a few-file scan (shared
+    helper in utils). Row-dict UDFs cost ~10us+/row of Python; a
+    single-file parquet scan would serialize the whole stage on a few
+    cores, so the one-off shuffle pays for itself above ~50k rows. Not
+    applied to vectorized (numpy-batch) map/flat_map kernels, where
+    per-row cost is small enough that the added AQE stage outweighs the
+    parallelism.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    if files and len(files) < min(target, 8):
-        return df.repartition(target)
-    return df
+    from ..utils import spread_rows
+
+    return spread_rows(df)
 
 
 def _row_dicts(pdf: pd.DataFrame) -> list:

@@ -148,3 +148,25 @@ def salted_join(
     )
     out = salted_left.join(salted_right, on=cols + ["__salt__"], how=how)
     return out.drop("__salt__")
+
+
+def spread_rows(df: DataFrame, min_files: int = 8) -> DataFrame:
+    """Round-robin repartition when the input is a few-file scan.
+
+    Python-kernel stages (row-dict UDFs, per-row hashing kernels) cost
+    enough per row that a single-file parquet scan serializes the whole
+    stage on a few cores; the one-off shuffle pays for itself. At real
+    scale the scan already has >= cores files and this is a no-op. The
+    guard reads ``inputFiles()`` (a walk of the analyzed plan), NOT
+    ``df.rdd`` — converting to an RDD would force a physical plan per
+    compile and pin the pre-AQE plan. Non-file-rooted plans (anything
+    downstream of a shuffle) are already parallel and are left alone.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and len(files) < min(target, min_files):
+        return df.repartition(target)
+    return df
