@@ -181,3 +181,38 @@ class TestConnectedComponents:
         )
         nodes = {r["node"] for r in P.connected_components(edges).collect()}
         assert nodes == {2, 3}
+
+
+class TestTfidfTopTerms:
+    def test_scores_and_ranking(self, spark):
+        from tumult_analytics_spark.operators.text import tfidf_top_terms
+        import math
+
+        df = spark.createDataFrame(
+            [
+                (1, "apple apple banana"),
+                (2, "banana cherry"),
+                (3, "cherry cherry cherry durian"),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_top_terms(df, "text", "doc_id", k=2)
+        rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+        # every doc has ranks 1..min(k, n_terms)
+        assert (1, 1) in rows and (1, 2) in rows
+        # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+        assert rows[(1, 1)]["term"] == "apple"
+        idf_apple = math.log(4 / 2) + 1
+        assert rows[(1, 1)]["score"] == pytest.approx(2 * idf_apple)
+        assert rows[(1, 1)]["tf"] == 2 and rows[(1, 1)]["df_t"] == 1
+        # doc 3: durian (tf=1, df=1) loses to cherry (tf=3, df=2)
+        assert rows[(3, 1)]["term"] == "cherry"
+        assert rows[(3, 2)]["term"] == "durian"
+
+    def test_k_bounds_output(self, spark):
+        from tumult_analytics_spark.operators.text import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id long, text string"
+        )
+        assert tfidf_top_terms(df, "text", "doc_id", k=3).count() == 3

@@ -40,6 +40,7 @@ from .text import (
     document_fingerprint,
     language_id,
     quality_score,
+    tfidf_top_terms,
     token_count,
 )
 

@@ -381,6 +381,25 @@ def q_domain_mix_weights(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    # Top-3 smoothed TF-IDF terms per document (corpus-wide stats,
+    # output restricted to the first 100 docs). FP-robust ranking:
+    # round(score, 6) + term tie-break, values emitted rounded.
+    docs = _read(spark, sf_dir, "documents")
+    top = X.tfidf_top_terms(docs, "text", "doc_id", k=3)
+    return (
+        top.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_t",
+            F.round("score", 6).alias("score_r"),
+            "rank",
+        )
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     # Near-dup pair graph (3-gram Jaccard >= 0.35 on first 200 docs)
     # collapsed to connected components via min-label propagation.
@@ -626,6 +645,7 @@ QUERIES = {
     "ngram_contamination": q_ngram_contamination,
     "domain_mix_weights": q_domain_mix_weights,
     "dedup_clusters": q_dedup_clusters,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 
@@ -956,6 +976,35 @@ ORACLES = {
         SELECT source, total_size, round(share, 6) AS share_r,
                round(pw / (SELECT sum(pw) FROM p), 6) AS weight_r
         FROM p
+    """,
+    "tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY 1, 2
+        ), dft AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf, df_t,
+                 tf * (ln(CAST(n_docs + 1 AS DOUBLE)
+                          / CAST(df_t + 1 AS DOUBLE)) + 1.0) AS score
+          FROM tf JOIN dft USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT doc_id, term, tf, df_t, round(score, 6) AS score_r,
+                 CAST(row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY round(score, 6) DESC, term) AS INTEGER)
+                   AS "rank"
+          FROM scored
+        )
+        SELECT doc_id, term, tf, df_t, score_r, "rank"
+        FROM ranked WHERE "rank" <= 3 AND doc_id < 100
     """,
     "dedup_clusters": """
         WITH RECURSIVE docs AS (

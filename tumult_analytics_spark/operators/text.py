@@ -145,3 +145,53 @@ def document_fingerprint(
         )
     )
     return df.withColumn(output_column, F.xxhash64(normalized))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF:
+    ``score = tf * (ln((N+1)/(df_t+1)) + 1)``.
+
+    Returns (id, term, tf, df_t, score, rank) with rank 1..k per doc.
+    Plan shape: explode tokens -> one shuffle for per-(doc, term) counts
+    -> one shuffle for document frequencies (term dimension; AQE
+    broadcasts it when small) -> single-row broadcast of N -> window
+    top-k partitioned by document. Ranking uses round(score, 6) with a
+    term tie-break so the ordering is insensitive to last-ulp ln()
+    differences across engines (same trick as the ANN top-k ranking).
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(F.lower(F.col(text_column)))
+    ex = df.select(F.col(id_column), F.explode(toks).alias("term"))
+    tf = ex.groupBy(id_column, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is already distinct per (doc, term): plain count = doc frequency.
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("n_docs") + F.lit(1)).cast("double")
+                    / (F.col("df_t") + F.lit(1)).cast("double")
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_column).orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_column, "term", "tf", "df_t", "score", "rank")
+    )
