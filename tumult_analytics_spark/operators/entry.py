@@ -426,6 +426,50 @@ def q_event_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_streaming_hourly_rollup(spark, sf_dir):
+    # The SAME hourly rollup as event_hourly_rollup, but executed as a
+    # genuine Structured Streaming job: file-source readStream ->
+    # watermark -> windowed agg -> memory sink, replayed to completion
+    # with trigger(availableNow). Value-checked against the batch SQL
+    # oracle — the point is that the declarative plan is identical in
+    # both modes (Catalyst compiles it incrementally under readStream).
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import events as SE
+
+    tmp = tempfile.mkdtemp(prefix="tas_stream_")
+    stage = os.path.join(tmp, "events")
+    os.makedirs(stage)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "part-000.parquet"),
+    )
+    name = f"tas_stream_rollup_{uuid.uuid4().hex[:8]}"
+    stream = SE.read_event_stream(spark, stage)
+    win = SE.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        win.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # The memory sink holds the rows in the driver; the staged copy and
+    # checkpoint are no longer needed.
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.table(name)
+    return out.select(
+        (F.unix_timestamp("window_start") / 3600).cast("long").alias("hour_id"),
+        "event_type",
+        F.col("n"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 # --- generated oracle SQL (shares constants with the Spark operators) ------
 
 
@@ -646,6 +690,7 @@ QUERIES = {
     "domain_mix_weights": q_domain_mix_weights,
     "dedup_clusters": q_dedup_clusters,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "streaming_hourly_rollup": q_streaming_hourly_rollup,
 }
 
 
@@ -1046,6 +1091,17 @@ ORACLES = {
         FROM comp GROUP BY component
     """,
 }
+
+# The streaming rollup must equal the batch rollup row-for-row: same
+# oracle, with the hour_id derived from the window start (the tumbling
+# window floor) instead of the raw ns timestamp.
+ORACLES["streaming_hourly_rollup"] = """
+    SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_id,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
 
 ORACLES["stratified_sample"] = f"""
     WITH u AS (
