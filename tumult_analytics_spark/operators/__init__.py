@@ -19,7 +19,9 @@ from .multimodal import (
     attach_media_metadata,
     decode_image,
     extract_byte_histogram_features,
+    sample_video_frames,
     synthesize_bmp,
+    synthesize_raw_video,
 )
 from .pipeline import (
     connected_components,

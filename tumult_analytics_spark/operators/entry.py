@@ -284,6 +284,41 @@ def q_decode_image(spark, sf_dir):
     return dec.select("doc_id", "height", "width", "channels", "pixel_sum")
 
 
+def q_sample_video_frames(spark, sf_dir):
+    # Real frame sampling over synthesized codec-free raw-RGB24 videos:
+    # every 2nd frame's exact pixel sum is recomputed in SQL from the
+    # same integer formula (first 200 docs; frame counts vary per doc).
+    from . import multimodal as M
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 200"
+    )
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_raw_video(
+                    1 + int(d) % 4, 1 + int(d) % 3, 1 + int(d) % 6, int(d)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    with_vid = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    frames = M.sample_video_frames(with_vid, "payload", every_n_frames=2)
+    return frames.select(
+        "doc_id", "frame_index", "height", "width", "frame_pixel_sum"
+    )
+
+
 def q_cosine_dedup(spark, sf_dir):
     # Embedding-cosine near-dup removal, exact pairwise path (drop a row
     # iff some smaller-id row has cosine >= 0.97). SQL-reproducible via
@@ -691,6 +726,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "tfidf_top_terms": q_tfidf_top_terms,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
+    "sample_video_frames": q_sample_video_frames,
 }
 
 
@@ -754,6 +790,26 @@ ORACLES = {
                    range(0, 3 * (1 + doc_id % 7) * (1 + doc_id % 5)),
                    i -> (doc_id * 7 + i * 13) % 256)) AS BIGINT) AS pixel_sum
         FROM documents
+    """,
+    "sample_video_frames": """
+        WITH v AS (
+          SELECT doc_id,
+                 CAST(1 + doc_id % 4 AS INTEGER) AS width,
+                 CAST(1 + doc_id % 3 AS INTEGER) AS height,
+                 1 + doc_id % 6 AS n_frames
+          FROM documents WHERE doc_id < 200
+        ), fr AS (
+          SELECT doc_id, width, height,
+                 unnest(range(0, n_frames)) AS f
+          FROM v
+        )
+        SELECT doc_id,
+               CAST(f AS INTEGER) AS frame_index,
+               height, width,
+               CAST(list_sum(list_transform(range(0, 3 * width * height),
+                    i -> (doc_id * 7 + f * 19 + i * 13) % 256)) AS BIGINT)
+                 AS frame_pixel_sum
+        FROM fr WHERE f % 2 = 0
     """,
     "dedup_exact": """
         SELECT CAST(count(*) AS BIGINT) AS n_unique
