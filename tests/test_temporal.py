@@ -1,0 +1,217 @@
+"""Temporal operators: sessionize / asof_join / time_range_join.
+
+Oracles here are brute-force recomputations (pandas merge_asof, naive
+cartesian filter) on small synthetic data; the driver-facing queries in
+``operators/entry.py`` carry the DuckDB SQL oracles.
+"""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from tumult_analytics_spark.operators.temporal import (
+    asof_join,
+    sessionize,
+    time_range_join,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    rows = [
+        # user 1: sessions {0,100,1900}? gap 1800 -> 0,100 together, 1900 new
+        (1, _ts(0), "a", 1.0),
+        (1, _ts(100), "b", 2.0),
+        (1, _ts(1901), "c", 3.0),
+        (1, _ts(1950), "d", 4.0),
+        # user 2: single event
+        (2, _ts(50), "e", 5.0),
+        # user 3: exactly-at-gap boundary is NOT a new session
+        (3, _ts(0), "f", 6.0),
+        (3, _ts(1800), "g", 7.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, tag string, value double"
+    )
+
+
+def test_sessionize_gap_boundaries(events_df):
+    out = {
+        (r.user_id, r.tag): r.session_id
+        for r in sessionize(events_df, "user_id", "ts", 1800.0).collect()
+    }
+    assert out[(1, "a")] == 1
+    assert out[(1, "b")] == 1
+    assert out[(1, "c")] == 2
+    assert out[(1, "d")] == 2
+    assert out[(2, "e")] == 1
+    # delta == gap exactly: same session (strict > starts a new one)
+    assert out[(3, "f")] == 1
+    assert out[(3, "g")] == 1
+
+
+def test_sessionize_single_shuffle(events_df):
+    plan = (
+        sessionize(events_df, "user_id", "ts", 1800.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "p1"),
+            (1, _ts(30), "p2"),
+            (1, _ts(5), "p0"),  # before any right row
+            (2, _ts(100), "p3"),  # user with no right rows
+            (3, _ts(20), "p4"),  # exact-tie match
+        ],
+        "user_id long, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(8), 1.5),
+            (1, _ts(29), 2.5),
+            (1, _ts(31), 9.9),  # after p2, never matched backward
+            (3, _ts(20), 3.5),  # tie with p4
+        ],
+        "user_id long, ts timestamp, rv double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_with_ties(spark):
+    left, right = _asof_frames(spark)
+    got = {
+        r.pid: (r.rv_r, r.ts_r__asof)
+        for r in asof_join(left, right, "user_id", "ts").collect()
+    }
+    assert got["p0"] == (None, None)
+    assert got["p1"] == (1.5, _ts(8))
+    assert got["p2"] == (2.5, _ts(29))
+    assert got["p3"] == (None, None)
+    assert got["p4"] == (3.5, _ts(20))  # exact tie matches
+
+
+def test_asof_join_tolerance(spark):
+    left, right = _asof_frames(spark)
+    got = {
+        r.pid: r.rv_r
+        for r in asof_join(
+            left, right, "user_id", "ts", tolerance_seconds=1.5
+        ).collect()
+    }
+    # p1 at t=10 matched t=8 (delta 2 > 1.5) -> nulled; p2 delta 1 kept
+    assert got["p1"] is None
+    assert got["p2"] == 2.5
+    assert got["p4"] == 3.5
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10_000, 200) * 1_000_000, unit="us"
+            ),
+        }
+    ).sort_values("ts").reset_index(drop=True)
+    lpd["lid"] = range(len(lpd))
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 150),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10_000, 150) * 1_000_000, unit="us"
+            ),
+            "payload": rng.normal(size=150),
+        }
+    ).sort_values("ts").reset_index(drop=True)
+
+    want = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction="backward"
+    ).set_index("lid")["payload"]
+
+    got_df = asof_join(
+        spark.createDataFrame(lpd),
+        spark.createDataFrame(rpd),
+        "k",
+        "ts",
+        right_cols=["payload"],
+    )
+    got = {r.lid: r.payload_r for r in got_df.collect()}
+    for lid, exp in want.items():
+        g = got[lid]
+        if pd.isna(exp):
+            assert g is None, lid
+        else:
+            assert g == pytest.approx(exp), lid
+
+
+def test_time_range_join_matches_naive(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 120),
+            "ts": pd.to_datetime(
+                rng.integers(0, 5_000, 120) * 1_000_000, unit="us"
+            ),
+        }
+    )
+    lpd["lid"] = range(len(lpd))
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 120),
+            "ts": pd.to_datetime(
+                rng.integers(0, 5_000, 120) * 1_000_000, unit="us"
+            ),
+        }
+    )
+    rpd["rid"] = range(len(rpd))
+
+    # naive oracle: all pairs, same key, 0 <= r.ts - l.ts <= 60s
+    x = lpd.merge(rpd, on="k", suffixes=("_l", "_r"))
+    d = (x["ts_r"] - x["ts_l"]).dt.total_seconds()
+    want = set(zip(x.loc[(d >= 0) & (d <= 60), "lid"], x.loc[(d >= 0) & (d <= 60), "rid"]))
+
+    got_df = time_range_join(
+        spark.createDataFrame(lpd),
+        spark.createDataFrame(rpd),
+        "k",
+        "ts",
+        "ts",
+        0.0,
+        60.0,
+    )
+    got = {(r.lid, r.rid) for r in got_df.collect()}
+    assert got == want
+
+
+def test_time_range_join_no_nested_loop(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(10))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5)), (1, _ts(70))], "k long, ts timestamp"
+    )
+    plan = (
+        time_range_join(left, right, "k", "ts", "ts", 0.0, 60.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan

@@ -461,6 +461,81 @@ def q_event_hourly_rollup(spark, sf_dir):
     )
 
 
+def _events_ts(spark, sf_dir):
+    # events.parquet stores TIMESTAMP(NANOS) which Spark reads as BIGINT
+    # nanoseconds (nanosAsLong); integer-DIV to microseconds matches
+    # DuckDB's truncating ns->us conversion exactly.
+    return _read(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+def q_sessionize_stats(spark, sf_dir):
+    # Gap-based sessionization (30 min) per user, then corpus-level
+    # session statistics. One shuffle for the session assignment (lag +
+    # running sum share a window spec), one for the per-session agg.
+    from . import temporal as T
+
+    ev = _events_ts(spark, sf_dir).select("user_id", "ts")
+    sess = T.sessionize(ev, "user_id", "ts", gap_seconds=1800.0)
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+            "span_us"
+        ),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.sum("n") / F.count(F.lit(1)), 6).alias("avg_events"),
+        F.max("n").alias("max_events"),
+        F.round(
+            F.sum("span_us") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 3
+        ).alias("avg_span_sec"),
+    )
+
+
+def q_asof_join_gap(spark, sf_dir):
+    # As-of join: each purchase matched to the user's most recent prior
+    # click (union + single window pass — no nested-loop join), then
+    # exact integer-microsecond gap statistics.
+    from . import temporal as T
+
+    ev = _events_ts(spark, sf_dir)
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+    j = T.asof_join(purchases, clicks, "user_id", "ts", right_cols=[])
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r__asof"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("ts_r__asof").alias("n_matched"),
+        F.round(
+            F.sum(gap_us) / (F.count("ts_r__asof") * F.lit(1_000_000.0)), 6
+        ).alias("avg_gap_sec"),
+        F.round(F.max(gap_us) / F.lit(1_000_000.0), 6).alias("max_gap_sec"),
+    )
+
+
+def q_range_join_count(spark, sf_dir):
+    # Bounded time-range join (errors within 1 day after a purchase by
+    # the same user) via time-cell bucketing: theta-join re-expressed as
+    # an equi-join on (user, cell) + exact range filter.
+    from . import temporal as T
+
+    ev = _events_ts(spark, sf_dir)
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts")
+    errors = ev.filter("event_type = 'error'").select("user_id", "ts")
+    j = T.time_range_join(
+        purchases, errors, "user_id", "ts", "ts", 0.0, 86400.0
+    )
+    gap_us = F.unix_micros(F.col("ts_r")) - F.unix_micros(F.col("ts"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(gap_us) / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+        ).alias("avg_gap_sec"),
+    )
+
+
 def q_streaming_hourly_rollup(spark, sf_dir):
     # The SAME hourly rollup as event_hourly_rollup, but executed as a
     # genuine Structured Streaming job: file-source readStream ->
@@ -727,6 +802,9 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "sample_video_frames": q_sample_video_frames,
+    "sessionize_stats": q_sessionize_stats,
+    "asof_join_gap": q_asof_join_gap,
+    "range_join_count": q_range_join_count,
 }
 
 
@@ -1196,4 +1274,76 @@ ORACLES["ngram_contamination"] = f"""
            round(sum(cont), 4) AS sum_contamination,
            CAST(count(*) AS BIGINT) AS n_docs
     FROM per GROUP BY lang
+"""
+
+# Temporal operators: DuckDB window functions / ASOF JOIN / inequality
+# join reproduce the Spark compositions exactly (integer-microsecond
+# arithmetic on the truncated ns->us timestamps both engines share).
+ORACLES["sessionize_stats"] = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM marked
+    ),
+    per AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n,
+             max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           round(sum(n) * 1.0 / count(*), 6) AS avg_events,
+           CAST(max(n) AS BIGINT) AS max_events,
+           round(sum(span_us) / (count(*) * 1000000.0), 3) AS avg_span_sec
+    FROM per
+"""
+
+ORACLES["asof_join_gap"] = """
+    WITH p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.user_id, p.ts, c.cts,
+             epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.cts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(cts) AS BIGINT) AS n_matched,
+           round(sum(gap_us) / (count(cts) * 1000000.0), 6) AS avg_gap_sec,
+           round(max(gap_us) / 1000000.0, 6) AS max_gap_sec
+    FROM j
+"""
+
+ORACLES["range_join_count"] = """
+    WITH p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    j AS (
+      SELECT epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+      FROM p JOIN e
+        ON p.user_id = e.user_id
+       AND epoch_us(e.ts) - epoch_us(p.ts) BETWEEN 0 AND 86400000000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(gap_us) / (count(*) * 1000000.0), 6) AS avg_gap_sec
+    FROM j
 """

@@ -1,0 +1,208 @@
+"""Temporal operators Spark's DataFrame API lacks as primitives: gap-based
+sessionization, as-of (most-recent-prior) joins, and bounded time-range
+joins. All three are standard event-pipeline building blocks (cf. KDB
+``aj``, DuckDB/Pandas ``ASOF JOIN``, Flink interval joins) re-expressed as
+compositions of Spark window functions and equi-joins so Catalyst keeps
+every step in whole-stage codegen.
+
+Scale design notes (100 TB):
+
+- ``sessionize`` is ONE shuffle: both window expressions (lag + running
+  sum) share the same ``partitionBy(user).orderBy(ts)`` spec, so Spark
+  plans a single Exchange + single sort and evaluates both in one Window
+  operator. No Python, no state store.
+- ``asof_join`` uses the union-then-window formulation instead of a
+  range join: tag each side, union, and take ``last(right_payload,
+  ignorenulls=True)`` over rows up to the current one. Cost is one
+  shuffle of |L|+|R| rows on the join key — versus the
+  BroadcastNestedLoopJoin (O(|L|x|R|) comparisons) Spark would pick for
+  the naive ``l.ts >= r.ts`` theta-join. Equal timestamps order the
+  right row first, so a same-instant right row IS visible to the left
+  row (DuckDB ASOF semantics).
+- ``time_range_join`` buckets time into ``ceil(window/bucket)+1``-wide
+  coarse cells and equi-joins on (key, cell) before the exact range
+  filter: a theta-join becomes a hash join whose fan-out per left row is
+  at most 2 buckets when ``bucket >= upper-lower``. This is the
+  standard interval-join decomposition (Flink runs the same plan in its
+  interval-join operator).
+- Skew: both joins shuffle by the user-supplied key; a celebrity key
+  concentrates its events in one task. AQE skew-join splitting handles
+  moderate skew; for pathological keys, pre-salt the key and run
+  per-salt sessions/joins, or bucket time into the key as
+  ``time_range_join`` already does.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize", "asof_join", "time_range_join"]
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: float = 1800.0,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session indices per key.
+
+    A new session starts at the first event of a key and whenever the
+    time since the previous event exceeds ``gap_seconds``. The output
+    adds ``session_col`` (1-based index of the session within the key);
+    (key, session_col) identifies a session globally.
+
+    Single shuffle: lag and the running sum share one window spec.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    prev = F.lag(F.col(ts)).over(w)
+    gap_us = int(gap_seconds * 1_000_000)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts)) - F.unix_micros(prev)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(key).orderBy(ts).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(session_col, F.sum(is_new).over(running))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    left_ts: str,
+    right_ts: Optional[str] = None,
+    right_cols: Optional[List[str]] = None,
+    suffix: str = "_r",
+    tolerance_seconds: Optional[float] = None,
+) -> DataFrame:
+    """Left as-of join: attach, to every left row, the payload of the
+    most recent right row with the same key and ``right.ts <= left.ts``.
+
+    Matches DuckDB ``ASOF LEFT JOIN`` / pandas ``merge_asof``
+    (direction='backward', allow_exact_matches=True) semantics: ties on
+    the timestamp DO match, and unmatched left rows survive with null
+    payload. ``tolerance_seconds`` additionally nulls matches older
+    than the tolerance.
+
+    Implementation: union both sides with a side tag, then one window
+    pass taking the last non-null right payload at-or-before each row.
+    One shuffle of |L|+|R| rows; no nested-loop join.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    payload = right_cols or [
+        c for c in right.columns if c not in set(keys) | {rts}
+    ]
+    rts_out = (rts if rts not in left.columns else rts + suffix) + "__asof"
+
+    lstruct = F.struct(*[F.col(c) for c in left.columns])
+    rstruct = F.struct(
+        F.col(rts).alias("__rts__"), *[F.col(c) for c in payload]
+    )
+    l_type = left.select(lstruct.alias("s")).schema["s"].dataType
+    r_type = right.select(rstruct.alias("s")).schema["s"].dataType
+
+    lu = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        lstruct.alias("__l__"),
+        F.lit(None).cast(r_type).alias("__r__"),
+    )
+    ru = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        F.lit(None).cast(l_type).alias("__l__"),
+        rstruct.alias("__r__"),
+    )
+    # Right rows sort before left rows at equal __ts__ (side 0 < 1), so
+    # an exact-tie right row is inside the window of the tied left row.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts__", "__side__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = lu.unionByName(ru)
+    matched = u.withColumn(
+        "__m__", F.last("__r__", ignorenulls=True).over(w)
+    ).filter(F.col("__side__") == 1)
+
+    m: Column = F.col("__m__")
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds * 1_000_000)
+        in_tol = (
+            F.unix_micros(F.col("__ts__"))
+            - F.unix_micros(m.getField("__rts__"))
+        ) <= tol_us
+        m = F.when(m.isNotNull() & in_tol, m)
+
+    return matched.select(
+        F.col("__l__.*"),
+        *[m.getField(c).alias(c + suffix) for c in payload],
+        m.getField("__rts__").alias(rts_out),
+    )
+
+
+def time_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner join of rows with equal keys and ``right.ts - left.ts`` in
+    ``[lower_seconds, upper_seconds]`` (an interval/range join).
+
+    Implementation: quantize time into cells of width ``upper - lower``
+    (minimum 1s), explode each left row into the <= 2 cells its window
+    can touch, equi-join on (key, cell), and apply the exact range
+    predicate. Catalyst plans a plain shuffled hash/sort-merge join
+    instead of the BroadcastNestedLoopJoin a raw theta-join would get.
+    """
+    if upper_seconds < lower_seconds:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    keys = [on] if isinstance(on, str) else list(on)
+    lo_us = int(lower_seconds * 1_000_000)
+    hi_us = int(upper_seconds * 1_000_000)
+    cell_us = max(hi_us - lo_us, 1_000_000)
+
+    lus = F.unix_micros(F.col(left_ts))
+    rus = F.unix_micros(F.col(right_ts))
+    l2 = left.withColumn(
+        "__cell__",
+        F.explode(
+            F.sequence(
+                F.floor((lus + F.lit(lo_us)) / F.lit(cell_us)),
+                F.floor((lus + F.lit(hi_us)) / F.lit(cell_us)),
+            )
+        ),
+    )
+    r2 = right.withColumn("__cell__", F.floor(rus / F.lit(cell_us)))
+
+    overlap = [c for c in right.columns if c in set(left.columns)]
+    r2 = r2.select(
+        "__cell__",
+        *[
+            F.col(c).alias(c + suffix) if c in set(overlap) - set(keys) else F.col(c)
+            for c in right.columns
+        ],
+    )
+    ren = {c: (c + suffix if c in set(overlap) - set(keys) else c) for c in right.columns}
+
+    cond = [l2[k] == r2[k] for k in keys] + [l2["__cell__"] == r2["__cell__"]]
+    j = l2.join(r2, cond, "inner").drop(r2["__cell__"]).drop("__cell__")
+    for k in keys:
+        j = j.drop(r2[k])
+    delta = F.unix_micros(F.col(ren[right_ts])) - F.unix_micros(F.col(left_ts))
+    return j.filter((delta >= lo_us) & (delta <= hi_us))
