@@ -216,3 +216,116 @@ class TestTfidfTopTerms:
             [(1, "a b c d e f g h")], "doc_id long, text string"
         )
         assert tfidf_top_terms(df, "text", "doc_id", k=3).count() == 3
+
+
+class TestPackSequences:
+    def test_single_shard_layout(self, spark):
+        # tokens: 4, 3, 5 laid out contiguously; seq_len 4 cuts at 4, 8.
+        df = spark.createDataFrame(
+            [(0, 4), (1, 3), (2, 5)], "doc_id long, n_tokens long"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in P.pack_sequences(
+                df, "n_tokens", seq_len=4, n_shards=1
+            ).collect()
+        }
+        assert out[0]["start_offset"] == 0
+        assert (out[0]["first_seq"], out[0]["last_seq"]) == (0, 0)
+        assert not out[0]["spans_boundary"]
+        # doc 1: offsets 4..6 -> seq 1 only
+        assert out[1]["start_offset"] == 4
+        assert (out[1]["first_seq"], out[1]["last_seq"]) == (1, 1)
+        # doc 2: offsets 7..11 -> spans seqs 1..2
+        assert out[2]["start_offset"] == 7
+        assert (out[2]["first_seq"], out[2]["last_seq"]) == (1, 2)
+        assert out[2]["spans_boundary"]
+
+    def test_empty_doc_and_sharding(self, spark):
+        df = spark.createDataFrame(
+            [(0, 0), (1, 2), (2, 3), (3, 1)], "doc_id long, n_tokens long"
+        )
+        rows = P.pack_sequences(df, "n_tokens", seq_len=2, n_shards=2).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        # shard = doc_id % 2: shard 0 holds docs 0,2; shard 1 holds 1,3.
+        assert by_id[0]["shard"] == 0 and by_id[2]["shard"] == 0
+        assert by_id[1]["shard"] == 1 and by_id[3]["shard"] == 1
+        # empty doc: zero-width, last_seq == first_seq, no span.
+        assert by_id[0]["start_offset"] == 0
+        assert by_id[0]["first_seq"] == by_id[0]["last_seq"] == 0
+        assert not by_id[0]["spans_boundary"]
+        # shard 1: doc 1 (2 toks) then doc 3 (1 tok) at offset 2.
+        assert by_id[3]["start_offset"] == 2
+
+    def test_total_sequences_accounting(self, spark):
+        df = spark.createDataFrame(
+            [(i, 7) for i in range(20)], "doc_id long, n_tokens long"
+        )
+        packed = P.pack_sequences(df, "n_tokens", seq_len=16, n_shards=4)
+        per_shard = (
+            packed.groupBy("shard")
+            .agg(
+                F.ceil(
+                    F.max(F.col("start_offset") + F.col("n_tokens")) / 16
+                ).alias("n_seqs")
+            )
+            .collect()
+        )
+        # 5 docs x 7 tokens = 35 tokens per shard -> ceil(35/16) = 3.
+        assert sorted(r["n_seqs"] for r in per_shard) == [3, 3, 3, 3]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(0, 1)], "doc_id long, n_tokens long")
+        with pytest.raises(ValueError):
+            P.pack_sequences(df, "n_tokens", seq_len=0)
+        with pytest.raises(ValueError):
+            P.pack_sequences(df, "n_tokens", seq_len=4, n_shards=0)
+
+
+class TestSlidingChunks:
+    def test_chunk_spans(self, spark):
+        df = spark.createDataFrame(
+            [(0, 10), (1, 3), (2, 4), (3, 0)], "doc_id long, n_tokens long"
+        )
+        out = P.sliding_chunks(df, "n_tokens", window=4, stride=3)
+        rows = sorted(
+            (r["doc_id"], r["chunk_start"], r["chunk_len"])
+            for r in out.collect()
+        )
+        # doc 0 (10 toks): starts 0,3,6 len 4,4,4 — 6+4=10 reaches the end.
+        # doc 1 (3 toks): one short chunk. doc 2 (4 toks): exactly one.
+        # doc 3 (0 toks): none.
+        assert rows == [
+            (0, 0, 4), (0, 3, 4), (0, 6, 4),
+            (1, 0, 3),
+            (2, 0, 4),
+        ]
+
+    def test_full_coverage_invariant(self, spark):
+        # Every token index is covered by at least one chunk.
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate([1, 5, 8, 9, 17, 33])],
+            "doc_id long, n_tokens long",
+        )
+        out = P.sliding_chunks(df, "n_tokens", window=8, stride=5)
+        agg = (
+            out.groupBy("doc_id", "n_tokens")
+            .agg(
+                F.max(F.col("chunk_start") + F.col("chunk_len")).alias("end"),
+                F.count(F.lit(1)).alias("n_chunks"),
+            )
+            .collect()
+        )
+        for r in agg:
+            assert r["end"] == r["n_tokens"]
+            expect = 1 + max(0, -(-(r["n_tokens"] - 8) // 5))
+            assert r["n_chunks"] == expect
+
+    def test_no_shuffle_plan(self, spark):
+        df = spark.createDataFrame(
+            [(0, 10)], "doc_id long, n_tokens long"
+        )
+        plan = P.sliding_chunks(
+            df, "n_tokens", window=4, stride=2
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

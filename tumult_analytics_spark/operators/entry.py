@@ -536,6 +536,53 @@ def q_range_join_count(spark, sf_dir):
     )
 
 
+def q_pack_sequences_stats(spark, sf_dir):
+    # GPT-style concat-then-chunk packing layout over the documents
+    # table (seq_len 512, 8 independent shards), summarized: how many
+    # training sequences, how many docs straddle a cut, and the fill
+    # ratio of the packed batches.
+    from . import pipeline as P
+    from . import text as X
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.token_count(docs, "text")
+    packed = P.pack_sequences(toks, "n_tokens", seq_len=512, n_shards=8)
+    per_shard = packed.groupBy("shard").agg(
+        F.ceil(
+            F.max(F.col("start_offset") + F.col("n_tokens")) / F.lit(512)
+        ).alias("n_seqs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("spans_boundary").cast("long")).alias("spanning"),
+    )
+    return per_shard.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_seqs").cast("long").alias("n_sequences"),
+        F.sum("spanning").cast("long").alias("spanning_docs"),
+        F.round(
+            F.sum("shard_tokens") / (F.sum("n_seqs") * F.lit(512.0)), 6
+        ).alias("fill_ratio"),
+    )
+
+
+def q_sliding_chunk_stats(spark, sf_dir):
+    # Overlapping RAG-style chunk spans (window 32, stride 24) over the
+    # documents table: chunk counts and coverage, all from integer span
+    # math (no text materialized in the exploded rows).
+    from . import pipeline as P
+    from . import text as X
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.token_count(docs, "text").drop("text")
+    chunks = P.sliding_chunks(toks, "n_tokens", window=32, stride=24)
+    return chunks.agg(
+        F.count_distinct("doc_id").alias("n_docs_chunked"),
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.sum((F.col("chunk_len") == 32).cast("long")).alias("full_chunks"),
+        F.round(F.avg("chunk_len"), 6).alias("avg_chunk_len"),
+    )
+
+
 def q_streaming_hourly_rollup(spark, sf_dir):
     # The SAME hourly rollup as event_hourly_rollup, but executed as a
     # genuine Structured Streaming job: file-source readStream ->
@@ -805,6 +852,8 @@ QUERIES = {
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
     "range_join_count": q_range_join_count,
+    "pack_sequences_stats": q_pack_sequences_stats,
+    "sliding_chunk_stats": q_sliding_chunk_stats,
 }
 
 
@@ -1346,4 +1395,77 @@ ORACLES["range_join_count"] = """
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
            round(sum(gap_us) / (count(*) * 1000000.0), 6) AS avg_gap_sec
     FROM j
+"""
+
+# Sequence packing / chunking: DuckDB window functions and
+# generate_series reproduce the integer span math exactly (same
+# whitespace token count formula as the token_stats oracle).
+ORACLES["pack_sequences_stats"] = """
+    WITH toks AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    laid AS (
+      SELECT shard, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS start_offset
+      FROM toks
+    ),
+    flagged AS (
+      SELECT shard, n_tokens, start_offset,
+             CASE WHEN n_tokens > 0
+                  AND (start_offset + n_tokens - 1) // 512
+                      > start_offset // 512
+                  THEN 1 ELSE 0 END AS spans
+      FROM laid
+    ),
+    per_shard AS (
+      SELECT shard,
+             CAST(ceil(max(start_offset + n_tokens) / 512.0) AS BIGINT)
+               AS n_seqs,
+             sum(n_tokens) AS shard_tokens,
+             count(*) AS n_docs,
+             sum(spans) AS spanning
+      FROM flagged GROUP BY shard
+    )
+    SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_seqs) AS BIGINT) AS n_sequences,
+           CAST(sum(spanning) AS BIGINT) AS spanning_docs,
+           round(sum(shard_tokens) / (sum(n_seqs) * 512.0), 6)
+             AS fill_ratio
+    FROM per_shard
+"""
+
+ORACLES["sliding_chunk_stats"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n_tokens,
+             unnest(generate_series(
+               0,
+               24 * (CAST(ceil(greatest(n_tokens - 32, 0) / 24.0)
+                     AS BIGINT)),
+               24
+             )) AS chunk_start
+      FROM toks WHERE n_tokens > 0
+    ),
+    spans AS (
+      SELECT doc_id,
+             least(32, n_tokens - chunk_start) AS chunk_len
+      FROM chunks
+    )
+    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_chunked,
+           CAST(count(*) AS BIGINT) AS total_chunks,
+           CAST(sum(CASE WHEN chunk_len = 32 THEN 1 ELSE 0 END)
+                AS BIGINT) AS full_chunks,
+           round(avg(chunk_len), 6) AS avg_chunk_len
+    FROM spans
 """

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Dict, Mapping, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -39,6 +39,8 @@ __all__ = [
     "ngram_contamination",
     "domain_mix_weights",
     "connected_components",
+    "pack_sequences",
+    "sliding_chunks",
 ]
 
 
@@ -304,4 +306,111 @@ def connected_components(
     return labels.select(
         F.col("node").alias(output_node),
         F.col("label").alias(output_component),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    seq_len: int,
+    shard_key: str = "doc_id",
+    n_shards: int = 64,
+    order_col: Optional[str] = None,
+) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing layout.
+
+    Documents are hashed into ``n_shards`` independent shards
+    (``shard_key % n_shards`` — a pure projection, deterministic across
+    retries). Within a shard, documents are laid out in ``order_col``
+    order (default: ``shard_key``) into one contiguous token stream,
+    which is cut into fixed ``seq_len`` training sequences; documents may
+    span a cut (the standard packing used for LLM pre-training batches,
+    where attention masks handle document boundaries).
+
+    Adds columns:
+
+    - ``shard``: the shard id;
+    - ``start_offset``: the document's first token's offset in the
+      shard's stream;
+    - ``first_seq`` / ``last_seq``: index of the training sequence
+      containing the document's first / last token (``last_seq`` =
+      ``first_seq`` for empty docs);
+    - ``spans_boundary``: true when the document crosses a sequence cut.
+
+    Scale: one shuffle, partitioned by shard. Shards are packed
+    independently — exactly how distributed packing runs in production
+    (each worker packs its own shard) — so no global sort and no
+    single-partition bottleneck; ``n_shards`` just needs to exceed the
+    cluster's core count.
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    order = order_col or shard_key
+    toks = F.col(token_count_col).cast("long")
+    out = df.withColumn(
+        "shard", F.pmod(F.col(shard_key).cast("long"), F.lit(n_shards))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = out.withColumn(
+        "start_offset", F.coalesce(F.sum(toks).over(w), F.lit(0))
+    )
+    first_seq = F.floor(F.col("start_offset") / seq_len)
+    last_seq = F.when(
+        toks > 0, F.floor((F.col("start_offset") + toks - 1) / seq_len)
+    ).otherwise(first_seq)
+    return (
+        out.withColumn("first_seq", first_seq)
+        .withColumn("last_seq", last_seq)
+        .withColumn(
+            "spans_boundary", F.col("last_seq") > F.col("first_seq")
+        )
+    )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    token_count_col: str,
+    window: int,
+    stride: int,
+    chunk_start_col: str = "chunk_start",
+    chunk_len_col: str = "chunk_len",
+) -> DataFrame:
+    """Overlapping fixed-size chunk spans per document (RAG / embedding
+    chunking): chunks start at 0, stride, 2*stride, ... and the last
+    chunk is the first one whose window reaches the end of the document
+    (``n_chunks = 1 + ceil(max(n_tokens - window, 0) / stride)``).
+    Documents with zero tokens produce no chunks.
+
+    Emits one row per (document, chunk) with the chunk's token start
+    offset and its actual length ``min(window, n_tokens - start)``.
+
+    Pure Catalyst (sequence + explode): zero shuffles, zero Python; the
+    fan-out is bounded by ``n_tokens / stride`` per document so the
+    explode never materializes text, only integer spans.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = F.col(token_count_col).cast("long")
+    n_chunks = 1 + F.ceil(
+        F.greatest(toks - window, F.lit(0)) / F.lit(stride)
+    )
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        (F.lit(stride) * (n_chunks - 1)).cast("long"),
+        F.lit(stride).cast("long"),
+    )
+    out = df.filter(toks > 0).withColumn(
+        chunk_start_col, F.explode(starts)
+    )
+    return out.withColumn(
+        chunk_len_col,
+        F.least(F.lit(window).cast("long"), toks - F.col(chunk_start_col)),
     )
