@@ -33,11 +33,23 @@ from tumult_analytics_spark import (
 INF = PureDPBudget(float("inf"))
 
 
+#: (SparkSession id, sf_dir, table) -> DataFrame. DataFrames are immutable
+#: logical plans, so reusing one across queries is safe and skips the
+#: ~0.1s footer-read/analysis py4j round trip each bench query would
+#: otherwise pay per table.
+_READ_CACHE: dict = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores TIMESTAMP(NANOS); Spark only reads those with
-    # the legacy nanosAsLong conf (ts arrives as BIGINT nanoseconds).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (id(spark), sf_dir, name)
+    df = _READ_CACHE.get(key)
+    if df is None:
+        # events.parquet stores TIMESTAMP(NANOS); Spark only reads those
+        # with the legacy nanosAsLong conf (ts arrives as BIGINT nanos).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _READ_CACHE[key] = df
+    return df
 
 
 def _sess(spark, sf_dir, private: dict, public: dict | None = None) -> Session:

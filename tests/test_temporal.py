@@ -9,6 +9,7 @@ import datetime as dt
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from tumult_analytics_spark.operators.temporal import (
     asof_join,
@@ -215,3 +216,56 @@ def test_time_range_join_no_nested_loop(spark):
         .toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+class TestTemporalPlanShape:
+    """The whole point of these operators is the plan: no nested-loop
+    joins, minimal exchanges. Lock that in via explain output."""
+
+    def test_asof_join_no_nested_loop(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10.0)], "k long, ts double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [(1, 5.0, "x")], "k long, ts double, payload string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        plan = (
+            asof_join(left, right, "k", "ts")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # union-then-window: exactly one exchange (the window partition).
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_sessionize_single_exchange(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10.0)], "u long, ts double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        plan = (
+            sessionize(df, "u", "ts")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # lag + running sum share one window spec: one exchange, and the
+        # two window computations collapse into at most two Window nodes
+        # over the same sort (no second sort/exchange).
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Sort ") <= 1
+
+    def test_time_range_join_is_equi_join(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10.0)], "k long, ts double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [(1, 5.0)], "k long, ts2 double"
+        ).withColumn("ts2", F.col("ts2").cast("timestamp"))
+        plan = (
+            time_range_join(left, right, "k", "ts", "ts2", 0.0, 60.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # cell-bucketed equi-join: a hash-based join on (key, cell).
+        assert ("SortMergeJoin" in plan) or ("HashedRelation" in plan) or (
+            "HashJoin" in plan
+        )

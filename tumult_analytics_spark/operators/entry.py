@@ -16,9 +16,19 @@ from . import similarity as S
 from . import text as X
 
 
+#: (SparkSession id, sf_dir, table) -> DataFrame. Immutable logical plans;
+#: caching skips the per-query footer-read/analysis round trip.
+_READ_CACHE: dict = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (id(spark), sf_dir, name)
+    df = _READ_CACHE.get(key)
+    if df is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _READ_CACHE[key] = df
+    return df
 
 
 # --- dedup -----------------------------------------------------------------
