@@ -1,0 +1,89 @@
+"""Deterministic k-means: convergence on separable data, determinism
+across runs, empty-cluster handling, and plan/driver-state contracts."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tumult_analytics_spark.operators.clustering import kmeans_fit_predict
+
+
+def _mkdf(spark, arrays):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in a]) for i, a in enumerate(arrays)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_separable_clusters_recovered(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(0.0, 0.05, (20, 4)) + np.array([1, 0, 0, 0])
+    b = rng.normal(0.0, 0.05, (20, 4)) + np.array([0, 0, 1, 0])
+    df = _mkdf(spark, np.vstack([a, b]))
+    out, centroids = kmeans_fit_predict(df, k=2, n_iter=5)
+    rows = out.select("vec_id", "cluster").collect()
+    groups = {r["vec_id"]: r["cluster"] for r in rows}
+    first = {groups[i] for i in range(20)}
+    second = {groups[i] for i in range(20, 40)}
+    assert len(first) == 1 and len(second) == 1 and first != second
+    assert centroids.shape == (2, 4)
+    # centroid of the 'a' blob is near [1,0,0,0]
+    near_a = min(np.linalg.norm(centroids - np.array([1, 0, 0, 0]), axis=1))
+    assert near_a < 0.05
+
+
+def test_deterministic_across_runs(spark):
+    rng = np.random.default_rng(3)
+    df = _mkdf(spark, rng.normal(size=(50, 8)))
+    r1 = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_fit_predict(df, k=4, n_iter=3)[0].collect()
+    )
+    r2 = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_fit_predict(df, k=4, n_iter=3)[0].collect()
+    )
+    assert r1 == r2
+
+
+def test_zero_iter_assigns_to_seeds(spark):
+    df = _mkdf(spark, [[0.0, 0.0], [10.0, 10.0], [0.1, 0.0], [9.9, 10.0]])
+    out, centroids = kmeans_fit_predict(df, k=2, n_iter=0)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    # seeds are vec_id 0 and 1; 2 joins 0's cluster, 3 joins 1's.
+    assert got[2] == got[0] == 0
+    assert got[3] == got[1] == 1
+    # dist to own seed centroid
+    d = {r["vec_id"]: r["dist"] for r in out.collect()}
+    assert d[0] == 0.0 and d[2] == pytest.approx(0.1)
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    # Seeds are two coincident points at the origin plus data far away:
+    # cluster 1 gets no members after iteration 1 (ties go to cid 0),
+    # and must keep its centroid rather than crash or NaN.
+    df = _mkdf(spark, [[0.0, 0.0], [0.0, 0.0], [5.0, 5.0], [5.1, 5.0]])
+    out, centroids = kmeans_fit_predict(df, k=2, n_iter=3)
+    assert not np.isnan(centroids).any()
+    assert np.allclose(centroids[1], [0.0, 0.0])
+
+
+def test_validation(spark):
+    df = _mkdf(spark, [[0.0, 0.0]])
+    with pytest.raises(ValueError):
+        kmeans_fit_predict(df, k=0)
+    with pytest.raises(ValueError):
+        kmeans_fit_predict(df, k=5, n_iter=1)
+
+
+def test_driver_state_is_only_centroids(spark):
+    # The iteration loop must collect exactly k rows per round (the
+    # centroid update) — never the assignments. Guard via the agg shape:
+    # the grouped update frame has k rows max regardless of data size.
+    rng = np.random.default_rng(1)
+    df = _mkdf(spark, rng.normal(size=(200, 4)))
+    out, centroids = kmeans_fit_predict(df, k=3, n_iter=2)
+    assert centroids.shape == (3, 4)
+    # result stays a lazy distributed frame (no driver materialization)
+    assert out.rdd is not None
+    assert out.count() == 200

@@ -5,6 +5,7 @@ plumbing. All are plain DataFrame -> DataFrame transformations designed for
 UDFs where not, and LSH/bucketing scale paths beside every brute-force
 baseline."""
 
+from .clustering import kmeans_fit_predict
 from .dedup import (
     dedup_exact,
     embedding_cosine_dedup,
@@ -29,9 +30,12 @@ from .pipeline import (
     domain_mix_weights,
     ngram_contamination,
     ngram_repetition,
+    pack_sequences,
     pii_stats,
+    sliding_chunks,
     stratified_sample,
 )
+from .temporal import asof_join, sessionize, time_range_join
 from .similarity import (
     brute_force_cosine_topk,
     ivf_cosine_topk,

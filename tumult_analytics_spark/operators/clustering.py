@@ -1,0 +1,116 @@
+"""Embedding clustering: deterministic Lloyd's k-means over an
+``array<float>`` column — the coarse topic/domain clustering step a
+training-data pipeline runs before mixing, curriculum bucketing, or IVF
+index building (``similarity.ivf_cosine_topk`` uses the same structure
+with sampled init; this operator is the deterministic, oracle-checkable
+variant).
+
+Scale design (100 TB):
+
+- The per-iteration state that touches the driver is exactly the k
+  centroids (k x dim doubles) — same contract as Spark MLlib's KMeans.
+  Assignment is an Arrow-batched pandas UDF holding the centroid matrix
+  in its closure: one numpy kernel per Arrow batch, no shuffle.
+- The centroid update is pure Catalyst — ``dim`` ``avg()`` aggregates
+  with map-side partial aggregation, so the shuffle per iteration is
+  k rows per task, not the data.
+- Deterministic end to end: seeding takes the k smallest ids
+  (TakeOrderedAndProject — no full sort), numpy argmin breaks distance
+  ties toward the smaller cluster id, and iteration count is fixed. The
+  same run on the same data gives byte-identical assignments, which is
+  what makes the DuckDB oracle in ``operators/entry.py`` possible.
+- Distances are computed as explicit (x - c)^2 sums in float64 (not the
+  ||x||^2 - 2xc + ||c||^2 matmul expansion, which loses precision to
+  cancellation); the kernel processes rows in fixed-size slices so peak
+  temp memory is bounded at slice x k x dim doubles per worker.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_fit_predict"]
+
+#: Rows per numpy slice inside the assignment kernel; bounds temp memory
+#: at _SLICE * k * dim doubles regardless of Arrow batch size.
+_SLICE = 4096
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Scalar pandas UDF: embedding -> struct<cid, dist> against the
+    closure's centroid matrix (k x dim float64)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf("cid long, dist double")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cid": [], "dist": []})
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        cids = np.empty(len(X), dtype=np.int64)
+        dists = np.empty(len(X), dtype=np.float64)
+        for s in range(0, len(X), _SLICE):
+            xs = X[s : s + _SLICE]
+            d2 = ((xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+            cids[s : s + _SLICE] = d2.argmin(axis=1)  # first min: low cid
+            dists[s : s + _SLICE] = np.sqrt(
+                d2[np.arange(len(xs)), cids[s : s + _SLICE]]
+            )
+        return pd.DataFrame({"cid": cids, "dist": dists})
+
+    return assign
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 5,
+    cluster_col: str = "cluster",
+    dist_col: str = "dist",
+) -> Tuple[DataFrame, np.ndarray]:
+    """Run ``n_iter`` fixed Lloyd iterations and return
+    ``(df + cluster_col + dist_col, centroids)``.
+
+    Seeding is the embeddings of the ``k`` smallest ``id_col`` values; a
+    cluster that goes empty keeps its previous centroid. ``dist_col`` is
+    the Euclidean distance to the final centroid.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    seed = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(seed) < k:
+        raise ValueError(f"k={k} exceeds the number of rows ({len(seed)})")
+    centroids = np.asarray([r[1] for r in seed], dtype=np.float64)
+    dim = centroids.shape[1]
+
+    work = df.withColumn("__v__", F.col(vec_col).cast("array<double>"))
+    for _ in range(n_iter):
+        assign = _assign_udf(centroids)
+        assigned = work.withColumn("__a__", assign(F.col("__v__")))
+        stats = (
+            assigned.groupBy(F.col("__a__.cid").alias("__cid__"))
+            .agg(*[F.avg(F.col("__v__")[i]).alias(f"__c{i}__") for i in range(dim)])
+            .collect()
+        )
+        new = centroids.copy()  # empty clusters keep their centroid
+        for r in stats:
+            new[r["__cid__"]] = [r[f"__c{i}__"] for i in range(dim)]
+        centroids = new
+
+    assign = _assign_udf(centroids)
+    final = work.withColumn("__a__", assign(F.col("__v__")))
+    return (
+        final.withColumn(cluster_col, F.col("__a__.cid"))
+        .withColumn(dist_col, F.col("__a__.dist"))
+        .drop("__v__", "__a__")
+    ), centroids

@@ -593,6 +593,33 @@ def q_sliding_chunk_stats(spark, sf_dir):
     )
 
 
+def q_kmeans_cluster_stats(spark, sf_dir):
+    # Deterministic Lloyd k-means (k=4, 3 fixed iterations, seeds = the
+    # 4 smallest vec_ids) over the embeddings table; per-cluster size,
+    # majority ground-truth label, and mean distance to centroid. The
+    # oracle replays the identical iterations as unrolled DuckDB CTEs.
+    from pyspark.sql import Window
+
+    from . import clustering as C
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out, _ = C.kmeans_fit_predict(emb, k=4, n_iter=3)
+    per = out.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    maj = (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("cluster", F.col("label").cast("long").alias("majority_label"))
+    )
+    stats = out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg("dist"), 3).alias("avg_dist"),
+    )
+    return stats.join(maj, "cluster").select(
+        "cluster", "n_points", "majority_label", "avg_dist"
+    )
+
+
 def q_streaming_hourly_rollup(spark, sf_dir):
     # The SAME hourly rollup as event_hourly_rollup, but executed as a
     # genuine Structured Streaming job: file-source readStream ->
@@ -864,6 +891,7 @@ QUERIES = {
     "range_join_count": q_range_join_count,
     "pack_sequences_stats": q_pack_sequences_stats,
     "sliding_chunk_stats": q_sliding_chunk_stats,
+    "kmeans_cluster_stats": q_kmeans_cluster_stats,
 }
 
 
@@ -1479,3 +1507,65 @@ ORACLES["sliding_chunk_stats"] = """
            round(avg(chunk_len), 6) AS avg_chunk_len
     FROM spans
 """
+
+
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3) -> str:
+    """Unrolled DuckDB replay of kmeans_fit_predict: same seeding (k
+    smallest vec_ids), same float64 math, same smaller-cid tie-break
+    (lexicographic min over [distance, cid]), same empty-cluster
+    carry-forward. Generated by loop so the CTE chain always matches the
+    operator's fixed iteration count."""
+    ctes = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label"
+        " FROM embeddings)",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
+        f" AS BIGINT) AS cid, v AS c FROM (SELECT vec_id, v FROM base"
+        f" ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"a{i} AS (SELECT e.vec_id, e.v, e.label,"
+            " CAST(min([list_distance(e.v, c.c), CAST(c.cid AS DOUBLE)])[2]"
+            f" AS BIGINT) AS cid FROM base e CROSS JOIN c{i} c"
+            " GROUP BY e.vec_id, e.v, e.label)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT cid, array_agg(a ORDER BY ord) AS c FROM ("
+            "SELECT cid, ord, avg(val) AS a FROM ("
+            "SELECT cid, generate_subscripts(v, 1) AS ord, unnest(v) AS val"
+            f" FROM a{i}) GROUP BY cid, ord) GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{i + 1} AS (SELECT cid, c FROM m{i} UNION ALL"
+            f" SELECT cid, c FROM c{i}"
+            f" WHERE cid NOT IN (SELECT cid FROM m{i}))"
+        )
+    ctes.append(
+        "afin AS (SELECT e.vec_id, e.label,"
+        " CAST(min([list_distance(e.v, c.c), CAST(c.cid AS DOUBLE)])[2]"
+        " AS BIGINT) AS cid,"
+        " min(list_distance(e.v, c.c)) AS dist"
+        f" FROM base e CROSS JOIN c{n_iter} c"
+        " GROUP BY e.vec_id, e.v, e.label)"
+    )
+    ctes.append(
+        "per AS (SELECT cid, label, count(*) AS n FROM afin"
+        " GROUP BY cid, label)"
+    )
+    ctes.append(
+        "maj AS (SELECT cid, CAST(label AS BIGINT) AS majority_label FROM ("
+        "SELECT cid, label, row_number() OVER (PARTITION BY cid"
+        " ORDER BY n DESC, label ASC) AS rk FROM per) WHERE rk = 1)"
+    )
+    ctes.append(
+        "stats AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_points,"
+        " round(avg(dist), 3) AS avg_dist FROM afin GROUP BY cid)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT s.cid AS cluster, s.n_points, m.majority_label,"
+        " s.avg_dist FROM stats s JOIN maj m ON s.cid = m.cid"
+    )
+
+
+ORACLES["kmeans_cluster_stats"] = _kmeans_oracle_sql(4, 3)
