@@ -44,9 +44,12 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     df = _READ_CACHE.get(key)
     if df is None:
-        # events.parquet stores TIMESTAMP(NANOS); Spark only reads those
-        # with the legacy nanosAsLong conf (ts arrives as BIGINT nanos).
+        # events.ts has shipped as TIMESTAMP(NANOS) (needs nanosAsLong,
+        # arrives as BIGINT nanos) and as timestamp[us] (arrives as NTZ);
+        # utils.event_time normalizes both. UTC pins NTZ->epoch parity
+        # with the DuckDB oracle.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         _READ_CACHE[key] = df
     return df

@@ -119,9 +119,10 @@ def test_sessionize_events_stateful(spark, events_dir):
     from tumult_analytics_spark.streaming.events import read_event_stream
     from tumult_analytics_spark.streaming.sessionize import sessionize_events
 
-    stream = read_event_stream(spark, events_dir).withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    from tumult_analytics_spark.utils import event_time
+
+    stream = read_event_stream(spark, events_dir)
+    stream = stream.withColumn("event_time", event_time(stream, "ts"))
     sessions = sessionize_events(stream, gap="1 hour")
     q = (
         sessions.writeStream.format("memory")

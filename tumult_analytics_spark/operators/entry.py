@@ -26,6 +26,9 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _READ_CACHE.get(key)
     if df is None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NTZ timestamps (timestamp[us] parquet) are epoch-compared
+        # against DuckDB, which treats NTZ micros as raw epoch — pin UTC.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         _READ_CACHE[key] = df
     return df
@@ -460,9 +463,13 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_event_hourly_rollup(spark, sf_dir):
-    ev = _read(spark, sf_dir, "events")  # ts = BIGINT nanoseconds
+    ev = _events_ts(spark, sf_dir)
+    # floor(epoch_ns/3.6e12) == epoch_us DIV 3.6e9 for post-1970 data —
+    # integer arithmetic the DuckDB oracle replays exactly.
     return (
-        ev.withColumn("hour_id", (F.col("ts") / F.lit(3_600_000_000_000)).cast("long"))
+        ev.withColumn(
+            "hour_id", F.expr("unix_micros(ts) DIV 3600000000")
+        )
         .groupBy("hour_id", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -472,12 +479,13 @@ def q_event_hourly_rollup(spark, sf_dir):
 
 
 def _events_ts(spark, sf_dir):
-    # events.parquet stores TIMESTAMP(NANOS) which Spark reads as BIGINT
-    # nanoseconds (nanosAsLong); integer-DIV to microseconds matches
-    # DuckDB's truncating ns->us conversion exactly.
-    return _read(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    # Normalize events.ts to TimestampType whatever the parquet encoding
+    # (BIGINT nanos under nanosAsLong, timestamp[us] as NTZ, or plain
+    # TIMESTAMP) — utils.event_time handles all three.
+    from ..utils import event_time
+
+    ev = _read(spark, sf_dir, "events")
+    return ev.withColumn("ts", event_time(ev, "ts"))
 
 
 def q_sessionize_stats(spark, sf_dir):

@@ -21,11 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Event schema as stored (ts = nanoseconds since epoch, BIGINT).
+#: Event schema as stored (ts = timestamp[us] parquet, read as NTZ).
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -48,10 +48,10 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    # ts is BIGINT nanoseconds -> proper timestamp for windowing.
-    return df.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # Normalize ts (BIGINT nanos / NTZ / TIMESTAMP) for windowing.
+    from ..utils import event_time
+
+    return df.withColumn("event_time", event_time(df, "ts"))
 
 
 def windowed_event_counts(

@@ -73,6 +73,26 @@ def disambiguate_columns(
     return left.withColumnsRenamed(lren), right.withColumnsRenamed(rren), shared
 
 
+def event_time(df: DataFrame, col: str = "ts") -> "F.Column":
+    """``TimestampType`` column from any physical encoding of an event
+    timestamp column:
+
+    - BIGINT nanoseconds — TIMESTAMP(NANOS) parquet read under
+      ``spark.sql.legacy.parquet.nanosAsLong`` (integer-DIV to
+      microseconds, matching DuckDB's truncating ns->us conversion);
+    - TIMESTAMP_NTZ — timestamp[us] parquet under Spark 4's NTZ
+      inference (cast; requires ``spark.sql.session.timeZone=UTC`` for
+      epoch parity with engines that treat NTZ micros as raw epoch);
+    - TIMESTAMP — used as-is.
+    """
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.timestamp_micros(F.expr(f"`{col}` DIV 1000"))
+    return F.col(col).cast("timestamp")
+
+
 def cleanup() -> None:
     """Release cached DataFrames held by this engine's sessions/keysets
     (reference utils.py:20-26 analogue). Call before ``spark.stop()``.
