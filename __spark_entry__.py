@@ -171,6 +171,52 @@ def q_histogram(spark, sf_dir):
     return s.evaluate(q, INF)
 
 
+#: Yearly bin edges for the o_orderdate timestamp histogram.
+_ORDERDATE_EDGES = [
+    __import__("datetime").datetime(y, 1, 1) for y in range(1995, 2003)
+]
+
+
+def q_histogram_timestamp(spark, sf_dir):
+    # BinningSpec over TIMESTAMP edges (right-closed, both endpoints):
+    # binning timestamp columns compiles to the same Catalyst CASE WHEN
+    # chain as numeric bins — no Python boundary.
+    s = _sess(spark, sf_dir, {"orders": AddOneRow()})
+    spec = ta.BinningSpec(_ORDERDATE_EDGES, include_both_endpoints=True)
+    q = QueryBuilder("orders").histogram("o_orderdate", spec, name="year_bin")
+    return s.evaluate(q, INF)
+
+
+def _orderdate_oracle_sql() -> str:
+    e = [d.isoformat(sep=" ", timespec="minutes") for d in _ORDERDATE_EDGES]
+    # DuckDB TIMESTAMP literals need seconds; bin labels keep the
+    # BinningSpec rendering (minutes).
+    lit = [d.isoformat(sep=" ", timespec="seconds") for d in _ORDERDATE_EDGES]
+    whens = [
+        f"WHEN o_orderdate >= TIMESTAMP '{lit[0]}' AND o_orderdate <= "
+        f"TIMESTAMP '{lit[1]}' THEN '[{e[0]}, {e[1]}]'"
+    ]
+    for i in range(1, len(e) - 1):
+        whens.append(
+            f"WHEN o_orderdate > TIMESTAMP '{lit[i]}' AND o_orderdate <= "
+            f"TIMESTAMP '{lit[i + 1]}' THEN '({e[i]}, {e[i + 1]}]'"
+        )
+    case = "CASE " + " ".join(whens) + " ELSE NULL END"
+    bins = ", ".join(
+        [f"('[{e[0]}, {e[1]}]')"]
+        + [f"('({e[i]}, {e[i + 1]}]')" for i in range(1, len(e) - 1)]
+    )
+    return f"""
+        WITH binned AS (SELECT {case} AS year_bin FROM orders),
+        keys(year_bin) AS (VALUES {bins})
+        SELECT k.year_bin, CAST(coalesce(c.n, 0) AS BIGINT) AS count
+        FROM keys k LEFT JOIN (
+          SELECT year_bin, count(*) AS n FROM binned
+          WHERE year_bin IS NOT NULL GROUP BY 1
+        ) c USING (year_bin)
+    """
+
+
 def q_suppress(spark, sf_dir):
     s = _sess(spark, sf_dir, {"orders": AddOneRow()})
     ks = KeySet.from_dict({"o_orderpriority": [
@@ -768,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "private_join_count": q_private_join_count,
         "ids_truncated_count": q_ids_truncated_count,
         "histogram": q_histogram,
+        "histogram_timestamp": q_histogram_timestamp,
         "suppress": q_suppress,
         "keyset_algebra": q_keyset_algebra,
         "map_derived_column": q_map_derived_column,
@@ -796,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _ORACLES["flat_map_vectorized"] = _ORACLES["flat_map_explode"]
+_ORACLES["histogram_timestamp"] = _orderdate_oracle_sql()
 _ORACLES["map_vectorized"] = _ORACLES["map_derived_column"]
 
 

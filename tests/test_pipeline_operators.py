@@ -329,3 +329,62 @@ class TestSlidingChunks:
             df, "n_tokens", window=4, stride=2
         )._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestCapPerGroup:
+    def test_cap_and_determinism(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"d{i % 3}") for i in range(100)], "k long, g string"
+        )
+        out = P.cap_per_group(df, "g", "k", max_rows=10)
+        sizes = {r["g"]: r["n"] for r in
+                 out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert all(n == 10 for n in sizes.values())
+        # Deterministic: identical selection on a re-run.
+        a = sorted(r["k"] for r in out.collect())
+        b = sorted(
+            r["k"] for r in P.cap_per_group(df, "g", "k", 10).collect()
+        )
+        assert a == b
+
+    def test_small_groups_untouched(self, spark):
+        df = spark.createDataFrame(
+            [(i, "only") for i in range(5)], "k long, g string"
+        )
+        assert P.cap_per_group(df, "g", "k", max_rows=10).count() == 5
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "k long, g string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            P.cap_per_group(df, "g", "k", max_rows=0)
+
+
+class TestExportShards:
+    def test_round_trip_and_assignment(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(200)], "k long, v long"
+        )
+        back = P.export_shards(
+            df, str(tmp_path / "out"), "k", n_shards=4, format="json"
+        )
+        assert back.count() == 200
+        # Written shard dirs carry exactly the md5 assignment.
+        expect = df.withColumn("shard", P.shard_id(F.col("k"), 4))
+        diff = back.select("k", "shard").exceptAll(
+            expect.select("k", "shard")
+        )
+        assert diff.count() == 0
+        shards = {r["shard"] for r in back.select("shard").distinct().collect()}
+        assert shards <= set(range(4))
+
+    def test_parquet_format(self, spark, tmp_path):
+        df = spark.createDataFrame([(i, f"t{i}") for i in range(20)],
+                                   "k long, t string")
+        back = P.export_shards(
+            df, str(tmp_path / "pq"), "k", n_shards=2, format="parquet"
+        )
+        assert sorted(r["t"] for r in back.collect()) == sorted(
+            f"t{i}" for i in range(20)
+        )

@@ -94,6 +94,11 @@ def kmeans_fit_predict(
     dim = centroids.shape[1]
 
     work = df.withColumn("__v__", F.col(vec_col).cast("array<double>"))
+    # Each Lloyd iteration is a full pass; persist the casted vectors so
+    # iterations 2..n and the final assignment read memory, not parquet.
+    # Unpersisted below once the returned plan is materialized.
+    if n_iter > 0:
+        work = work.persist()
     for _ in range(n_iter):
         assign = _assign_udf(centroids)
         assigned = work.withColumn("__a__", assign(F.col("__v__")))
@@ -109,8 +114,14 @@ def kmeans_fit_predict(
 
     assign = _assign_udf(centroids)
     final = work.withColumn("__a__", assign(F.col("__v__")))
-    return (
+    out = (
         final.withColumn(cluster_col, F.col("__a__.cid"))
         .withColumn(dist_col, F.col("__a__.dist"))
         .drop("__v__", "__a__")
-    ), centroids
+    )
+    if n_iter > 0:
+        # Materialize the assignment once, then release the cached
+        # vectors — no persisted RDDs outlive the call.
+        out = out.localCheckpoint(eager=True)
+        work.unpersist(blocking=False)
+    return out, centroids

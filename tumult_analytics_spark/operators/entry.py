@@ -865,6 +865,36 @@ def _minhash_oracle_sql(
     """
 
 
+def q_domain_capped_stats(spark, sf_dir):
+    # Per-domain document cap (40 docs/source, md5-rank selection), then
+    # per-source counts + kept characters. The sum over kept n_chars
+    # proves WHICH rows were selected, not just how many.
+    docs = _read(spark, sf_dir, "documents")
+    capped = P.cap_per_group(docs, "source", "doc_id", max_rows=40)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_export_shard_stats(spark, sf_dir):
+    # Genuine sink round-trip: write documents as 8 deterministic JSONL
+    # shards, read them back, and aggregate per shard. The oracle
+    # replays the md5 shard assignment on the source table — matching
+    # values prove the written files carry exactly the assigned rows.
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="shard_export_")
+    back = P.export_shards(docs, path, "doc_id", n_shards=8, format="json")
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
@@ -900,6 +930,8 @@ QUERIES = {
     "pack_sequences_stats": q_pack_sequences_stats,
     "sliding_chunk_stats": q_sliding_chunk_stats,
     "kmeans_cluster_stats": q_kmeans_cluster_stats,
+    "domain_capped_stats": q_domain_capped_stats,
+    "export_shard_stats": q_export_shard_stats,
 }
 
 
@@ -1577,3 +1609,26 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3) -> str:
 
 
 ORACLES["kmeans_cluster_stats"] = _kmeans_oracle_sql(4, 3)
+
+ORACLES["domain_capped_stats"] = """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked WHERE rk <= 40 GROUP BY source
+"""
+
+ORACLES["export_shard_stats"] = """
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                AS BIGINT) % 8 AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1
+"""

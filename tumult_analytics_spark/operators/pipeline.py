@@ -41,6 +41,8 @@ __all__ = [
     "connected_components",
     "pack_sequences",
     "sliding_chunks",
+    "cap_per_group",
+    "export_shards",
 ]
 
 
@@ -157,6 +159,83 @@ def stratified_sample(
         mapping[F.col(strata_column)], F.lit(float(default_rate))
     )
     return df.filter(deterministic_uniform(F.col(key_column)) < rate)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_columns,
+    key_column: str,
+    max_rows: int,
+) -> DataFrame:
+    """Deterministically cap each group at ``max_rows`` rows (the
+    per-domain document cap every crawl-derived corpus applies).
+
+    Rows within a group are ranked by ``md5(key)`` (ties broken by the
+    key itself), so the kept subset is a stable pseudo-random sample —
+    identical across retries, partitionings, and engines, and exactly
+    replayable in SQL (``row_number() OVER (... ORDER BY md5(key), key)``).
+
+    Scale: one window shuffle on the group columns; the rank predicate
+    is evaluated streamingly per group (no full-group buffering) and
+    AQE's skew split handles pathological domains. For heavy-hitter
+    groups orders of magnitude above ``max_rows``, pre-filter with a
+    per-partition local cap first — the same two-phase trick as the
+    truncation path in ``constraints.py``.
+    """
+    if max_rows < 1:
+        raise ValueError("max_rows must be >= 1")
+    if isinstance(group_columns, str):
+        group_columns = [group_columns]
+    key = F.col(key_column)
+    w = Window.partitionBy(*group_columns).orderBy(
+        F.md5(key.cast("string")), key
+    )
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= max_rows)
+        .drop("__rk__")
+    )
+
+
+def shard_id(key: Column, n_shards: int) -> Column:
+    """Deterministic shard assignment in ``[0, n_shards)`` from md5 of a
+    key column — 52 md5 bits mod n, reproducible in any engine with md5."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        % F.lit(int(n_shards))
+    ).cast("int")
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    key_column: str,
+    n_shards: int = 16,
+    format: str = "json",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write ``df`` as ``n_shards`` deterministic shards under ``path``
+    (``shard=K/`` directories) and return the read-back DataFrame.
+
+    The shard of a row is ``md5(key) mod n_shards`` — stable across
+    reruns, so downstream trainers can address shards by number and
+    resume mid-export. ``format="json"`` writes JSONL, the interchange
+    format most training stacks ingest; parquet/csv/orc also work.
+
+    Scale: the write is a single pass — the shard column is a pure
+    projection and ``partitionBy`` splits files without a shuffle (each
+    task writes up to ``n_shards`` files; for very large exports,
+    ``repartition(n_shards, "shard")`` first to get exactly one file
+    per shard per final task, at the cost of that one shuffle).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    out = df.withColumn("shard", shard_id(F.col(key_column), n_shards))
+    out.write.partitionBy("shard").mode(mode).format(format).save(path)
+    spark = df.sparkSession
+    back = spark.read.format(format).schema(out.schema).load(path)
+    return back
 
 
 def ngram_contamination(
