@@ -388,3 +388,66 @@ class TestExportShards:
         assert sorted(r["t"] for r in back.collect()) == sorted(
             f"t{i}" for i in range(20)
         )
+
+
+class TestMixToTokenBudget:
+    def test_rates_and_determinism(self, spark):
+        rows = [(i, "a" if i < 60 else "b", 100) for i in range(100)]
+        df = spark.createDataFrame(rows, "k long, d string, tok long")
+        # budget 4000, w_a=0.5 -> rate_a = 2000/6000 = 1/3; w_b=0 -> drop.
+        out = P.mix_to_token_budget(df, "d", "tok", "k", {"a": 0.5}, 4000)
+        got = out.groupBy("d").count().collect()
+        assert {r["d"] for r in got} == {"a"}
+        n = got[0]["count"]
+        assert 0 < n < 60
+        again = P.mix_to_token_budget(
+            df, "d", "tok", "k", {"a": 0.5}, 4000
+        ).count()
+        assert again == n
+
+    def test_under_allocated_domain_keeps_all(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a", 10) for i in range(20)], "k long, d string, tok long"
+        )
+        # budget*w = 10_000 >> 200 total tokens -> rate clamps to 1.
+        out = P.mix_to_token_budget(df, "d", "tok", "k", {"a": 1.0}, 10_000)
+        assert out.count() == 20
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a", 1)], "k long, d string, tok long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            P.mix_to_token_budget(df, "d", "tok", "k", {"a": 1.0}, -1)
+
+
+class TestQualityLogit:
+    def test_logit_and_keep(self, spark):
+        from tumult_analytics_spark.operators import text as X
+
+        df = spark.createDataFrame(
+            [
+                (0, " ".join(["the quick brown fox jumps over a lazy dog"] * 5)),
+                (1, "!!! ??? ... !!! ??? ... !!!"),
+                (2, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               X.quality_logit(df, "text").collect()}
+        # Real sentence: positive logit; punctuation soup: negative.
+        assert out[0]["keep"] is True and out[0]["logit"] > 0
+        assert out[1]["keep"] is False and out[1]["logit"] < 0
+        # Empty text: only the bias term.
+        assert abs(out[2]["logit"] - (-1.0)) < 1e-12
+
+    def test_pure_catalyst_plan(self, spark):
+        from tumult_analytics_spark.operators import text as X
+
+        df = spark.createDataFrame([(1, "hello world")],
+                                   "doc_id long, text string")
+        plan = (
+            X.quality_logit(df, "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

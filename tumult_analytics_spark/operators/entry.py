@@ -895,6 +895,41 @@ def q_export_shard_stats(spark, sf_dir):
     )
 
 
+#: Target mixture for the token-budget mixing query: five domains at
+#: equal weight, everything else dropped.
+MIX_WEIGHTS = {f"src{i}": 0.2 for i in range(5)}
+MIX_BUDGET = 20_000
+
+
+def q_mix_budget_stats(spark, sf_dir):
+    # Epoch mixing: downsample each weighted domain to its share of a
+    # 20k-char budget (md5-deterministic keeps); unweighted domains get
+    # rate 0. The oracle recomputes rates from the same totals and
+    # replays the md5 uniform.
+    docs = _read(spark, sf_dir, "documents")
+    mixed = P.mix_to_token_budget(
+        docs, "source", "n_chars", "doc_id", MIX_WEIGHTS, MIX_BUDGET
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_quality_logit_stats(spark, sf_dir):
+    # Linear quality-classifier inference (rational features only, so
+    # the logits replay bit-for-bit in SQL); min/max are order-
+    # independent, unlike a float sum.
+    docs = _read(spark, sf_dir, "documents")
+    scored = X.quality_logit(docs, "text")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.round(F.min("logit"), 6).alias("min_logit"),
+        F.round(F.max("logit"), 6).alias("max_logit"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
@@ -932,6 +967,8 @@ QUERIES = {
     "kmeans_cluster_stats": q_kmeans_cluster_stats,
     "domain_capped_stats": q_domain_capped_stats,
     "export_shard_stats": q_export_shard_stats,
+    "mix_budget_stats": q_mix_budget_stats,
+    "quality_logit_stats": q_quality_logit_stats,
 }
 
 
@@ -1609,6 +1646,64 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3) -> str:
 
 
 ORACLES["kmeans_cluster_stats"] = _kmeans_oracle_sql(4, 3)
+
+def _mix_weights_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items()
+    )
+    return f"CASE source {whens} ELSE 0.0 END"
+
+
+ORACLES["mix_budget_stats"] = f"""
+    WITH totals AS (
+      SELECT source, sum(n_chars) AS tok FROM documents GROUP BY 1
+    ),
+    rates AS (
+      SELECT source,
+             least(1.0, ({float(MIX_BUDGET)} * ({_mix_weights_case_sql()}))
+                        / CAST(tok AS DOUBLE)) AS rate
+      FROM totals
+    ),
+    kept AS (
+      SELECT d.source, d.n_chars
+      FROM documents d JOIN rates r USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) / 4503599627370496.0 < r.rate
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM kept GROUP BY source
+"""
+
+ORACLES["quality_logit_stats"] = """
+    WITH feats AS (
+      SELECT lang,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> x <> '')) AS n_tokens,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+          AS n_punct
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+        (-1.0
+         + 2.5 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+         + 1.5 * (least(CASE WHEN n_tokens > 0
+                        THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END, 10.0) / 10.0)
+         + (-4.0) * (CASE WHEN n_chars > 0
+                     THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                     ELSE 0.0 END)
+        ) AS logit
+      FROM feats
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           round(min(logit), 6) AS min_logit,
+           round(max(logit), 6) AS max_logit
+    FROM scored GROUP BY lang
+"""
 
 ORACLES["domain_capped_stats"] = """
     WITH ranked AS (

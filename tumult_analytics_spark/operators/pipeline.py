@@ -43,6 +43,8 @@ __all__ = [
     "sliding_chunks",
     "cap_per_group",
     "export_shards",
+    "shard_id",
+    "mix_to_token_budget",
 ]
 
 
@@ -159,6 +161,55 @@ def stratified_sample(
         mapping[F.col(strata_column)], F.lit(float(default_rate))
     )
     return df.filter(deterministic_uniform(F.col(key_column)) < rate)
+
+
+def mix_to_token_budget(
+    df: DataFrame,
+    domain_column: str,
+    token_column: str,
+    key_column: str,
+    weights: Mapping[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Downsample each domain so the corpus approaches ``budget_tokens``
+    total tokens mixed at the target ``weights`` — the epoch-mixing step
+    of a pre-training data pipeline ("40% web, 30% code, ..." at a
+    100B-token budget).
+
+    Per-domain keep rate is ``min(1, budget * w_d / tokens_d)``
+    (domains under their allocation keep everything — no upsampling),
+    and the keep decision is the md5-deterministic uniform from
+    :func:`deterministic_uniform`, so the realized mixture is
+    reproducible row-for-row across retries and engines.
+
+    Scale: one partial-aggregated ``groupBy(domain)`` over the corpus,
+    then a broadcast join of the tiny (one row per domain) rates table
+    and a pushdown-friendly filter — no driver collect, no second
+    shuffle. The rate arithmetic stays in fixed expression order
+    (``(budget * w) / tokens``) so any IEEE-754 engine replays it
+    bit-for-bit.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    totals = df.groupBy(domain_column).agg(
+        F.sum(token_column).alias("__tok__")
+    )
+    rates = totals.select(
+        domain_column,
+        F.least(
+            F.lit(1.0),
+            (
+                F.lit(float(budget_tokens))
+                * F.coalesce(wmap[F.col(domain_column)], F.lit(0.0))
+            )
+            / F.col("__tok__").cast("double"),
+        ).alias("__rate__"),
+    )
+    joined = df.join(F.broadcast(rates), domain_column)
+    return joined.filter(
+        deterministic_uniform(F.col(key_column)) < F.col("__rate__")
+    ).drop("__rate__")
 
 
 def cap_per_group(

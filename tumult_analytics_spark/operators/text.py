@@ -131,6 +131,63 @@ def quality_score(
     )
 
 
+#: Default linear quality-filter weights over the capped features
+#: (tokens_capped, mean_tok_capped, punct_ratio).
+QUALITY_LOGIT_WEIGHTS = {
+    "tokens_capped": 2.5,
+    "mean_tok_capped": 1.5,
+    "punct_ratio": -4.0,
+}
+
+
+def quality_logit(
+    df: DataFrame,
+    text_column: str,
+    weights: dict = None,
+    bias: float = -1.0,
+    output_column: str = "logit",
+    keep_column: str = "keep",
+) -> DataFrame:
+    """Linear quality-classifier inference (the serving shape of a
+    trained logreg/fastText quality filter) as a pure Catalyst
+    expression — whole-stage codegen, no Python, no model runtime.
+
+    Features (all rational arithmetic, no transcendentals, so any
+    IEEE-754 engine replays the scores bit-for-bit):
+
+    - ``tokens_capped``  = least(n_tokens, 100) / 100.0
+    - ``mean_tok_capped`` = least(n_chars/n_tokens, 10) / 10.0
+    - ``punct_ratio``    = punctuation chars / chars
+
+    ``logit = bias + sum_i w_i * f_i``; ``keep = logit > 0``. Swap in
+    the weights of a real trained filter via ``weights``/``bias``.
+    """
+    w = dict(QUALITY_LOGIT_WEIGHTS)
+    w.update(weights or {})
+    text = F.col(text_column)
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    mean_tok = F.when(
+        n_tokens > 0, n_chars.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = F.when(
+        n_chars > 0, punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    f1 = F.least(n_tokens, F.lit(100)).cast("double") / F.lit(100.0)
+    f2 = F.least(mean_tok, F.lit(10.0)) / F.lit(10.0)
+    logit = (
+        F.lit(float(bias))
+        + F.lit(float(w["tokens_capped"])) * f1
+        + F.lit(float(w["mean_tok_capped"])) * f2
+        + F.lit(float(w["punct_ratio"])) * punct_ratio
+    )
+    return df.withColumn(output_column, logit).withColumn(
+        keep_column, logit > F.lit(0.0)
+    )
+
+
 def document_fingerprint(
     df: DataFrame, text_column: str, output_column: str = "fingerprint"
 ) -> DataFrame:
