@@ -128,3 +128,30 @@ def test_empty_keyset_is_global_group(spark):
     ks = KeySet.from_dict({})
     assert ks.columns() == ()
     assert ks.is_empty()
+
+
+def test_is_equivalent_cheap_paths(spark):
+    a = KeySet.from_dict({"x": [1, 2], "y": ["p", "q"]})
+    b = KeySet.from_dict({"y": ["p", "q"], "x": [1, 2]})
+    c = KeySet.from_dict({"x": [1, 3], "y": ["p", "q"]})
+    assert a.is_equivalent(a) is True
+    # Same rows, different construction order: decidable driver-side.
+    assert a.is_equivalent(b) is True
+    assert a.is_equivalent(c) is False
+    # Different columns -> definitely not equivalent.
+    assert a.is_equivalent(KeySet.from_dict({"z": [1]})) is False
+    # A plan is never equivalent to a concrete KeySet.
+    plan = KeySet._detect(["x"]) if hasattr(KeySet, "_detect") else None
+    if plan is not None:
+        assert a.is_equivalent(plan) is False
+
+
+def test_query_equality():
+    from tumult_analytics_spark import QueryBuilder
+
+    q1 = QueryBuilder("t").filter("a > 1").count(name="n")
+    q2 = QueryBuilder("t").filter("a > 1").count(name="n")
+    q3 = QueryBuilder("t").filter("a > 2").count(name="n")
+    assert q1 == q2
+    assert hash(q1) == hash(q2)
+    assert q1 != q3

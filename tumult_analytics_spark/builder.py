@@ -40,6 +40,19 @@ class Query:
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
         return f"Query({self._expr!r})"
 
+    def __eq__(self, other: object) -> bool:
+        """Equality on the underlying query expression (reference
+        query_builder.py:129-134); expression trees are frozen
+        dataclasses, so comparison is structural."""
+        if not isinstance(other, Query):
+            return NotImplemented
+        return self._expr == other._expr
+
+    def __hash__(self) -> int:
+        # Expr trees can hold unhashable fields (dicts, callables'
+        # closures); hash coarsely, keeping the eq/hash contract.
+        return hash(type(self._expr).__name__)
+
 
 class GroupbyCountQuery(Query):
     """A groupby-count query; supports post-aggregation suppression."""

@@ -484,6 +484,30 @@ class KeySet:
             return len(rows)
         return self.dataframe().count()
 
+    def is_equivalent(self, other) -> Optional[bool]:
+        """Cheap equivalence check that never evaluates the full keyset
+        DataFrame (reference ``keyset/_keyset.py:506-533``): returns
+        True/False when decidable from the op tree / driver-side rows /
+        column types, else None.
+        """
+        if not isinstance(other, KeySet):
+            # A KeySet and a KeySetPlan are never equivalent, but
+            # accepting either avoids user confusion (reference :516).
+            return False
+        if self._op == other._op:
+            return True
+        if set(self.columns()) != set(other.columns()):
+            return False
+        a, b = self.local_rows(), other.local_rows()
+        if a is not None and b is not None:
+            # Driver-side rows: exact, still cheap.
+            return self == other
+        if self.column_types() != {
+            c: other.column_types()[c] for c in self.columns()
+        }:
+            return False
+        return None
+
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, KeySet):
             return NotImplemented
@@ -588,6 +612,35 @@ class KeySetPlan:
 
     def filter(self, condition: Union[str, Column]) -> "KeySetPlan":
         return self._with_post("filter", condition)
+
+    def is_equivalent(self, other) -> Optional[bool]:
+        """Cheap equivalence check that never evaluates any DataFrame
+        (reference ``keyset/_keyset.py:809-833``): True when the plans
+        are structurally identical, False when clearly different, None
+        when undecidable without detection."""
+        if not isinstance(other, KeySetPlan):
+            return False
+        if set(self.detect_columns) != set(other.detect_columns):
+            return False
+        if len(self.post) != len(other.post):
+            return None
+        for (op_a, arg_a), (op_b, arg_b) in zip(self.post, other.post):
+            if op_a != op_b:
+                return None
+            if isinstance(arg_a, KeySet) and isinstance(arg_b, KeySet):
+                if arg_a.is_equivalent(arg_b) is not True:
+                    return None
+            elif arg_a != arg_b:
+                return None
+        if (self.fixed is None) != (other.fixed is None):
+            return None
+        if self.fixed is not None:
+            eq = self.fixed.is_equivalent(other.fixed)
+            if eq is False:
+                return False
+            if eq is None:
+                return None
+        return True
 
     def __getitem__(self, cols: Union[str, Sequence[str]]) -> "KeySetPlan":
         cols = (cols,) if isinstance(cols, str) else tuple(cols)
