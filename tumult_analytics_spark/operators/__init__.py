@@ -25,13 +25,17 @@ from .multimodal import (
     synthesize_raw_video,
 )
 from .pipeline import (
+    cap_per_group,
     connected_components,
     deterministic_uniform,
     domain_mix_weights,
+    export_shards,
+    mix_to_token_budget,
     ngram_contamination,
     ngram_repetition,
     pack_sequences,
     pii_stats,
+    shard_id,
     sliding_chunks,
     stratified_sample,
 )
@@ -45,6 +49,7 @@ from .text import (
     bpe_ish_token_count,
     document_fingerprint,
     language_id,
+    quality_logit,
     quality_score,
     tfidf_top_terms,
     token_count,
