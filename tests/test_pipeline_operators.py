@@ -451,3 +451,51 @@ class TestQualityLogit:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestDedupSegments:
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from tumult_analytics_spark.operators import dedup as D
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),       # segments (k=2): "a b", "c d"
+                (2, "c d e f a b"),   # "c d" and "a b" already seen
+                (3, ""),              # no segments at all
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["text_dedup"]
+            for r in D.dedup_segments(df, "text", "doc_id", 2).collect()
+        }
+        assert out[1] == "a b c d"
+        assert out[2] == "e f"
+        assert out[3] == ""
+
+    def test_position_ties_within_doc(self, spark):
+        from tumult_analytics_spark.operators import dedup as D
+
+        # The same segment twice within one document: only the earlier
+        # position survives.
+        df = spark.createDataFrame(
+            [(7, "x y x y")], "doc_id long, text string"
+        )
+        out = D.dedup_segments(df, "text", "doc_id", 2).collect()[0]
+        assert out["text_dedup"] == "x y"
+
+    def test_short_tail_segment(self, spark):
+        from tumult_analytics_spark.operators import dedup as D
+
+        df = spark.createDataFrame(
+            [(1, "p q r")], "doc_id long, text string"
+        )
+        out = D.dedup_segments(df, "text", "doc_id", 2).collect()[0]
+        assert out["text_dedup"] == "p q r"
+
+    def test_validation(self, spark):
+        from tumult_analytics_spark.operators import dedup as D
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            D.dedup_segments(df, "text", "doc_id", 0)

@@ -513,3 +513,68 @@ def embedding_cosine_dedup(
     )
     to_drop = pairs.select(F.col("id_b").alias(id_column)).distinct()
     return df.join(to_drop, on=id_column, how="left_anti")
+
+
+def dedup_segments(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    seg_tokens: int = 10,
+    output_column: str = "text_dedup",
+) -> DataFrame:
+    """C4-style span deduplication: split each document into consecutive
+    ``seg_tokens``-token segments, keep only the globally FIRST
+    occurrence of every distinct segment (smallest ``(id, position)``),
+    and reassemble each document from its surviving segments.
+
+    This is the "remove boilerplate repeated across the corpus" pass of
+    a crawl pipeline (C4 did it at line granularity; token windows make
+    it robust to missing line structure).
+
+    Scale: tokenize/segment is a pure projection (no shuffle); the
+    first-occurrence winner per segment is a ``groupBy(segment).min(
+    struct(id, pos))`` — partial-aggregatable, so a boilerplate segment
+    with millions of copies is combined map-side instead of flooding
+    one window task (the row_number formulation would skew exactly
+    there); reassembly is one shuffle on the document id. Returns the
+    input plus ``output_column`` (empty string when every segment of a
+    document was seen earlier elsewhere).
+    """
+    if seg_tokens < 1:
+        raise ValueError("seg_tokens must be >= 1")
+    k = int(seg_tokens)
+    toks = F.filter(
+        F.split(F.trim(F.col(text_column)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    n_segs = F.ceil(n.cast("double") / F.lit(float(k))).cast("int")
+    segs = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(
+        F.col(id_column), F.posexplode(segs).alias("__pos__", "__seg__")
+    )
+    winners = ex.groupBy("__seg__").agg(
+        F.min(F.struct(id_column, "__pos__")).alias("__first__")
+    )
+    kept = ex.join(winners, "__seg__").filter(
+        (F.col(id_column) == F.col(f"__first__.{id_column}"))
+        & (F.col("__pos__") == F.col("__first__.__pos__"))
+    )
+    reassembled = kept.groupBy(id_column).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__seg__"))),
+                lambda s: s["__seg__"],
+            ),
+            " ",
+        ).alias(output_column)
+    )
+    out = df.join(reassembled, id_column, "left")
+    return out.withColumn(
+        output_column, F.coalesce(F.col(output_column), F.lit(""))
+    )

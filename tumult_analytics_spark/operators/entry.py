@@ -930,6 +930,22 @@ def q_quality_logit_stats(spark, sf_dir):
     )
 
 
+def q_segment_dedup_stats(spark, sf_dir):
+    # C4-style span dedup (8-token segments, global first occurrence):
+    # per-lang surviving-character totals prove exactly which segments
+    # were kept. min/count are order-independent aggregates.
+    docs = _read(spark, sf_dir, "documents")
+    out = D.dedup_segments(docs, "text", "doc_id", seg_tokens=8)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text_dedup")).alias("sum_kept_chars"),
+        F.sum(
+            (F.length("text_dedup") == F.length(F.trim(F.col("text"))))
+            .cast("long")
+        ).alias("n_untouched"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
@@ -969,6 +985,7 @@ QUERIES = {
     "export_shard_stats": q_export_shard_stats,
     "mix_budget_stats": q_mix_budget_stats,
     "quality_logit_stats": q_quality_logit_stats,
+    "segment_dedup_stats": q_segment_dedup_stats,
 }
 
 
@@ -1703,6 +1720,44 @@ ORACLES["quality_logit_stats"] = """
            round(min(logit), 6) AS min_logit,
            round(max(logit), 6) AS max_logit
     FROM scored GROUP BY lang
+"""
+
+ORACLES["segment_dedup_stats"] = """
+    WITH toks AS (
+      SELECT doc_id, lang, trim(text) AS t0,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x <> '') AS tk
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, lang, t0,
+             CASE WHEN len(tk) > 0 THEN
+               list_transform(range(0, CAST(ceil(len(tk)/8.0) AS INT)),
+                 i -> array_to_string(tk[(i*8+1):(i*8+8)], ' '))
+             ELSE []::VARCHAR[] END AS sg
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, generate_subscripts(sg, 1) AS pos, unnest(sg) AS seg
+      FROM segs
+    ),
+    kept AS (
+      SELECT doc_id, seg, pos,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM ex
+    ),
+    re AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(coalesce(r.text_dedup, ''))) AS BIGINT)
+             AS sum_kept_chars,
+           CAST(sum(CASE WHEN length(coalesce(r.text_dedup, ''))
+                              = length(s.t0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_untouched
+    FROM segs s LEFT JOIN re r USING (doc_id)
+    GROUP BY s.lang
 """
 
 ORACLES["domain_capped_stats"] = """
