@@ -181,3 +181,39 @@ def test_minhash_signature_plan_is_arrow_batched_and_pruned(spark):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "doc_id", "text",
     }
+
+
+def test_cap_per_group_single_exchange(spark):
+    # One window shuffle on the group column, nothing else.
+    from tumult_analytics_spark.operators.pipeline import cap_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(cap_per_group(docs, "source", "doc_id", 40))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_to_token_budget_broadcasts_rates(spark):
+    # The per-domain rates side (one row per domain) must broadcast;
+    # the corpus side must not shuffle for the join.
+    from tumult_analytics_spark.operators.pipeline import mix_to_token_budget
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = mix_to_token_budget(
+        docs, "source", "n_chars", "doc_id", {"src0": 0.5}, 10_000
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    # Only the rates aggregation shuffles (partial agg over the corpus).
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_dedup_segments_no_window_over_segments(spark):
+    # Winner selection must be a partial-aggregatable HashAggregate,
+    # not a Window over the segment key (boilerplate skew).
+    from tumult_analytics_spark.operators.dedup import dedup_segments
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dedup_segments(docs, "text", "doc_id", 8))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
