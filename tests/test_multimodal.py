@@ -88,3 +88,59 @@ class TestSampleVideoFrames:
 
         out = sample_video_frames(self._videos(spark), "payload", 2)
         assert "payload" not in out.columns
+
+
+class TestDecodeAudio:
+    def test_wav_round_trip(self, spark):
+        from tumult_analytics_spark.operators.multimodal import (
+            decode_audio,
+            synthesize_wav,
+        )
+
+        payloads = [
+            (0, bytearray(synthesize_wav(10, 8000, 0))),
+            (1, bytearray(synthesize_wav(25, 16000, 1))),
+            (2, bytearray(b"not audio at all")),
+            (3, None),
+        ]
+        df = spark.createDataFrame(payloads, "k long, payload binary")
+        rows = {r["k"]: r for r in decode_audio(df, "payload").collect()}
+        assert rows[0]["sample_rate"] == 8000 and rows[0]["n_samples"] == 10
+        assert rows[1]["sample_rate"] == 16000 and rows[1]["n_samples"] == 25
+        exp = sum(abs(((1 * 31 + i * 17) % 65536) - 32768) for i in range(25))
+        assert rows[1]["sum_abs"] == exp
+        assert rows[2]["sample_rate"] is None
+        assert rows[3]["sample_rate"] is None
+
+    def test_stereo_frames(self, spark):
+        from tumult_analytics_spark.operators.multimodal import (
+            decode_audio,
+            synthesize_wav,
+        )
+
+        df = spark.createDataFrame(
+            [(0, bytearray(synthesize_wav(8, 44100, 5, channels=2)))],
+            "k long, payload binary",
+        )
+        row = decode_audio(df, "payload").first()
+        assert row["n_channels"] == 2
+        assert row["n_samples"] == 8  # frames, not raw samples
+
+    def test_extra_chunks_are_skipped(self, spark):
+        import struct
+
+        from tumult_analytics_spark.operators.multimodal import (
+            decode_audio,
+            synthesize_wav,
+        )
+
+        wav = synthesize_wav(6, 8000, 9)
+        # Splice a LIST chunk between fmt and data.
+        fmt_end = 12 + 8 + 16
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        spliced = wav[:fmt_end] + extra + wav[fmt_end:]
+        df = spark.createDataFrame(
+            [(0, bytearray(spliced))], "k long, payload binary"
+        )
+        row = decode_audio(df, "payload").first()
+        assert row["n_samples"] == 6 and row["sample_rate"] == 8000

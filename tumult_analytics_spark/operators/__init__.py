@@ -18,11 +18,13 @@ from .dedup import (
 )
 from .multimodal import (
     attach_media_metadata,
+    decode_audio,
     decode_image,
     extract_byte_histogram_features,
     sample_video_frames,
     synthesize_bmp,
     synthesize_raw_video,
+    synthesize_wav,
 )
 from .pipeline import (
     cap_per_group,

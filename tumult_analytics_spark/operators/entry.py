@@ -930,6 +930,40 @@ def q_quality_logit_stats(spark, sf_dir):
     )
 
 
+def q_decode_audio(spark, sf_dir):
+    # Real PCM16 WAV decode over synthesized spec-conformant payloads:
+    # frame counts and exact |sample| sums are recomputed in SQL from
+    # the same integer formulas (RIFF chunk walk must be right).
+    from . import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_wav(
+                    50 + int(d) % 40, 8000 + (int(d) % 3) * 4000, int(d)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_wav = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields
+            + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    return M.decode_audio(with_wav, "payload").select(
+        "doc_id", "sample_rate", "n_samples", "sum_abs", "peak"
+    )
+
+
 def q_segment_dedup_stats(spark, sf_dir):
     # C4-style span dedup (8-token segments, global first occurrence):
     # per-lang surviving-character totals prove exactly which segments
@@ -986,6 +1020,7 @@ QUERIES = {
     "mix_budget_stats": q_mix_budget_stats,
     "quality_logit_stats": q_quality_logit_stats,
     "segment_dedup_stats": q_segment_dedup_stats,
+    "decode_audio": q_decode_audio,
 }
 
 
@@ -1720,6 +1755,21 @@ ORACLES["quality_logit_stats"] = """
            round(min(logit), 6) AS min_logit,
            round(max(logit), 6) AS max_logit
     FROM scored GROUP BY lang
+"""
+
+ORACLES["decode_audio"] = """
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+           CAST(50 + doc_id % 40 AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(
+               range(0, 50 + doc_id % 40),
+               i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768)))
+             AS BIGINT) AS sum_abs,
+           CAST(list_max(list_transform(
+               range(0, 50 + doc_id % 40),
+               i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768)))
+             AS BIGINT) AS peak
+    FROM documents
 """
 
 ORACLES["segment_dedup_stats"] = """

@@ -327,3 +327,107 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(sample, out_schema)
+
+
+def synthesize_wav(
+    n_samples: int, sample_rate: int, seed: int, channels: int = 1
+) -> bytes:
+    """Spec-conformant 16-bit PCM RIFF/WAVE payload with deterministic
+    samples ``((seed*31 + i*17) mod 65536) - 32768`` — an integer
+    formula a SQL oracle can replay exactly."""
+    import struct
+
+    import numpy as np
+
+    i = np.arange(n_samples * channels, dtype=np.int64)
+    samples = ((seed * 31 + i * 17) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def _decode_wav(buf: bytes):
+    """Parse a PCM16 RIFF/WAVE payload by walking its chunk list; returns
+    (sample_rate, channels, n_samples, sum_abs, peak) or None."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_tag != 1:
+                return None  # compressed WAV needs a codec
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None or bits != 16 or not channels:
+        return None
+    samples = np.frombuffer(
+        data[: len(data) - (len(data) % 2)], dtype="<i2"
+    ).astype(np.int64)
+    n_frames = samples.shape[0] // channels
+    return (
+        int(rate),
+        int(channels),
+        int(n_frames),
+        int(np.abs(samples).sum()),
+        int(np.abs(samples).max()) if samples.size else 0,
+    )
+
+
+def decode_audio(df: DataFrame, binary_column: str) -> DataFrame:
+    """Decode PCM16 WAV payloads to (sample_rate, channels, n_samples,
+    sum_abs, peak).
+
+    A real pure-numpy decoder (RIFF chunk walk + int16 frame math) for
+    the one audio container a codec-free environment can still read;
+    ``sum_abs``/``peak`` prove the kernel touches every decoded sample.
+    Compressed formats (mp3/flac/ogg) need a codec library plugged into
+    this same Arrow-batched kernel. Unrecognized payloads decode to
+    nulls; the binary column is untouched (Parquet keeps pruning it
+    when downstream plans drop the column).
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("sum_abs", T.LongType(), True),
+            T.StructField("peak", T.LongType(), True),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("sample_rate", "n_channels", "n_samples",
+                     "sum_abs", "peak")}
+            for payload in pdf[binary_column]:
+                rec = _decode_wav(bytes(payload)) if payload is not None else None
+                vals = rec if rec is not None else (None,) * 5
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            out = pdf.copy()
+            out["sample_rate"] = pd.array(cols["sample_rate"], dtype="Int32")
+            out["n_channels"] = pd.array(cols["n_channels"], dtype="Int32")
+            out["n_samples"] = pd.array(cols["n_samples"], dtype="Int64")
+            out["sum_abs"] = pd.array(cols["sum_abs"], dtype="Int64")
+            out["peak"] = pd.array(cols["peak"], dtype="Int64")
+            yield out
+
+    return df.mapInPandas(decode, out_schema)
