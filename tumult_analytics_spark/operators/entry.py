@@ -887,7 +887,9 @@ def q_export_shard_stats(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    path = tempfile.mkdtemp(prefix="shard_export_")
+    # Fixed path + overwrite: repeated bench/driver runs reuse the same
+    # directory instead of leaking one temp dir per invocation.
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_shard_export")
     back = P.export_shards(docs, path, "doc_id", n_shards=8, format="json")
     return back.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
