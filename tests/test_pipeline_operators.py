@@ -499,3 +499,25 @@ class TestDedupSegments:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError):
             D.dedup_segments(df, "text", "doc_id", 0)
+
+
+class TestTopNgrams:
+    def test_counts_and_ties(self, spark):
+        from tumult_analytics_spark.operators.text import top_ngrams
+
+        df = spark.createDataFrame(
+            [(1, "a b c a b c"), (2, "a b c d"), (3, "x")],
+            "doc_id long, text string",
+        )
+        rows = top_ngrams(df, "text", n=3, k=10).collect()
+        got = {(r["ngram"], r["count"], r["rank"]) for r in rows}
+        # doc1 grams: "a b c","b c a","c a b","a b c"; doc2: "a b c","b c d"
+        assert ("a b c", 3, 1) in got
+        assert len(rows) == 4  # doc3 too short contributes nothing
+
+    def test_validation(self, spark):
+        from tumult_analytics_spark.operators.text import top_ngrams
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            top_ngrams(df, "text", n=0, k=5)

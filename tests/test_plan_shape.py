@@ -217,3 +217,14 @@ def test_dedup_segments_no_window_over_segments(spark):
     plan = _plan(dedup_segments(docs, "text", "doc_id", 8))
     assert "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_top_ngrams_uses_take_ordered(spark):
+    # Global top-k must be per-partition heaps (TakeOrderedAndProject),
+    # never a full global sort.
+    from tumult_analytics_spark.operators.text import top_ngrams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(top_ngrams(docs, "text", n=5, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan

@@ -932,6 +932,14 @@ def q_quality_logit_stats(spark, sf_dir):
     )
 
 
+def q_top_ngrams(spark, sf_dir):
+    # Corpus-wide boilerplate mining: the 15 most frequent word 5-grams
+    # (deterministic gram tie-break). Global top-k compiles to
+    # TakeOrderedAndProject — per-partition heaps, no full sort.
+    docs = _read(spark, sf_dir, "documents")
+    return X.top_ngrams(docs, "text", n=5, k=15)
+
+
 def q_decode_audio(spark, sf_dir):
     # Real PCM16 WAV decode over synthesized spec-conformant payloads:
     # frame counts and exact |sample| sums are recomputed in SQL from
@@ -1023,6 +1031,7 @@ QUERIES = {
     "quality_logit_stats": q_quality_logit_stats,
     "segment_dedup_stats": q_segment_dedup_stats,
     "decode_audio": q_decode_audio,
+    "top_ngrams": q_top_ngrams,
 }
 
 
@@ -1757,6 +1766,30 @@ ORACLES["quality_logit_stats"] = """
            round(min(logit), 6) AS min_logit,
            round(max(logit), 6) AS max_logit
     FROM scored GROUP BY lang
+"""
+
+ORACLES["top_ngrams"] = """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT unnest(CASE WHEN len(tk) >= 5 THEN
+               list_transform(range(0, len(tk) - 4),
+                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                      || ' ' || tk[i+4] || ' ' || tk[i+5])
+             ELSE []::VARCHAR[] END) AS ngram
+      FROM toks
+    ),
+    counts AS (
+      SELECT ngram, CAST(count(*) AS BIGINT) AS count
+      FROM grams GROUP BY 1
+    )
+    SELECT ngram, count,
+           CAST(row_number() OVER (ORDER BY count DESC, ngram) AS INTEGER)
+             AS rank
+    FROM counts ORDER BY count DESC, ngram LIMIT 15
 """
 
 ORACLES["decode_audio"] = """

@@ -252,3 +252,44 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_column, "term", "tf", "df_t", "score", "rank")
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_column: str,
+    n: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide top-``k`` most frequent word ``n``-grams — the
+    boilerplate-mining pass that feeds span-dedup blocklists.
+
+    Returns (ngram, count, rank), rank 1..k, ties broken by the gram
+    itself so the result is deterministic across engines and runs.
+
+    Scale: explode is a projection; the count is one partial-aggregated
+    shuffle on the gram; the global top-k compiles to Spark's
+    TakeOrderedAndProject (per-partition heaps of k, merged on the
+    driver) — no global sort, no single-task bottleneck. Token-level
+    heavy hitters (a gram present in half the corpus) are precisely
+    what map-side combine flattens.
+    """
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be >= 1")
+    toks = _tokens(F.col(text_column))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    top = counts.orderBy(F.desc("count"), F.asc("ngram")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("count"), F.asc("ngram"))
+    return top.withColumn("rank", F.row_number().over(w))
