@@ -55,6 +55,7 @@ from .text import (
     quality_score,
     tfidf_top_terms,
     token_count,
+    top_ngrams,
 )
 
 
