@@ -521,3 +521,30 @@ class TestTopNgrams:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError):
             top_ngrams(df, "text", n=0, k=5)
+
+
+class TestCapPerGroupTwoPhase:
+    def test_identical_output(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"g{i % 4}") for i in range(400)], "k long, g string"
+        ).repartition(8)
+        a = sorted(
+            (r["g"], r["k"])
+            for r in P.cap_per_group(df, "g", "k", 7).collect()
+        )
+        b = sorted(
+            (r["g"], r["k"])
+            for r in P.cap_per_group(df, "g", "k", 7, two_phase=True).collect()
+        )
+        assert a == b and len(a) == 28
+
+    def test_string_keys(self, spark):
+        df = spark.createDataFrame(
+            [(f"id{i}", "only") for i in range(50)], "k string, g string"
+        ).repartition(4)
+        a = sorted(r["k"] for r in P.cap_per_group(df, "g", "k", 5).collect())
+        b = sorted(
+            r["k"]
+            for r in P.cap_per_group(df, "g", "k", 5, two_phase=True).collect()
+        )
+        assert a == b

@@ -217,6 +217,7 @@ def cap_per_group(
     group_columns,
     key_column: str,
     max_rows: int,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Deterministically cap each group at ``max_rows`` rows (the
     per-domain document cap every crawl-derived corpus applies).
@@ -228,15 +229,19 @@ def cap_per_group(
 
     Scale: one window shuffle on the group columns; the rank predicate
     is evaluated streamingly per group (no full-group buffering) and
-    AQE's skew split handles pathological domains. For heavy-hitter
-    groups orders of magnitude above ``max_rows``, pre-filter with a
-    per-partition local cap first — the same two-phase trick as the
-    truncation path in ``constraints.py``.
+    AQE's skew split handles pathological domains. ``two_phase=True``
+    prepends a shuffle-free batch-local cap (same md5 order) so a
+    heavy-hitter group ships at most ``max_rows`` rows per input
+    partition into the window exchange instead of all of them — output
+    is identical (the local top-n is a superset of each partition's
+    contribution to the global top-n).
     """
     if max_rows < 1:
         raise ValueError("max_rows must be >= 1")
     if isinstance(group_columns, str):
         group_columns = [group_columns]
+    if two_phase:
+        df = _local_cap(df, list(group_columns), key_column, max_rows)
     key = F.col(key_column)
     w = Window.partitionBy(*group_columns).orderBy(
         F.md5(key.cast("string")), key
@@ -246,6 +251,43 @@ def cap_per_group(
         .filter(F.col("__rk__") <= max_rows)
         .drop("__rk__")
     )
+
+
+def _local_cap(
+    df: DataFrame, group_columns, key_column: str, max_rows: int
+) -> DataFrame:
+    """Shuffle-free pre-cap: keep at most ``max_rows`` rows per group
+    WITHIN each Arrow batch, ranked by the same md5-of-key order the
+    global window uses.
+
+    Every batch-local top-``max_rows`` set is a superset of that batch's
+    contribution to the global top-``max_rows``, so the subsequent
+    window produces identical output — but a heavy-hitter group now
+    ships at most ``max_rows x n_partitions`` rows into the window
+    exchange instead of all of its rows.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    schema = df.schema
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            h = pdf[key_column].map(
+                lambda v: hashlib.md5(str(v).encode()).hexdigest()
+            )
+            order = pd.DataFrame(
+                {"__h__": h, "__k__": pdf[key_column]}
+            ).sort_values(["__h__", "__k__"], kind="mergesort")
+            ranked = pdf.loc[order.index]
+            kept = ranked.groupby(group_columns, sort=False).head(max_rows)
+            yield kept.sort_index()
+
+    return df.mapInPandas(fn, schema)
 
 
 def shard_id(key: Column, n_shards: int) -> Column:
