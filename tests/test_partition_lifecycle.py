@@ -46,16 +46,18 @@ def test_children_in_order_no_warning(spark):
     parts = s.partition_and_create(
         "t", PureDPBudget(2), "a", {"p0": "0", "p1": "1"}
     )
-    with warnings.catch_warnings():
-        # Only escalate UserWarning (the lifecycle-warning category): a
-        # blanket "error" filter also trips on unrelated ResourceWarnings
-        # GC'd mid-block during full-suite runs.
-        warnings.simplefilter("error", UserWarning)
+    with warnings.catch_warnings(record=True) as caught:
+        # Record everything and assert specifically that no LIFECYCLE
+        # warning fired: escalating all UserWarnings also trips on
+        # unrelated library warnings during full-suite runs.
+        warnings.simplefilter("always")
         out0 = parts["p0"].evaluate(QueryBuilder("t").count(), PureDPBudget(1))
         assert out0.collect()[0]["count"] >= 0
         parts["p0"].stop()
         out1 = parts["p1"].evaluate(QueryBuilder("t").count(), PureDPBudget(1))
         assert out1.collect()[0]["count"] >= 0
+    lifecycle = [w for w in caught if "waiting for" in str(w.message)]
+    assert not lifecycle, [str(w.message) for w in lifecycle]
 
 
 def test_out_of_order_child_warns_and_retires_sibling(spark):
