@@ -5,6 +5,7 @@ The reference has no property tests (SURVEY §5); these close that gap.
 Examples are kept small and few — each example runs real Spark jobs."""
 
 import pandas as pd
+from pyspark.sql import functions as F
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -78,3 +79,79 @@ def test_clamped_sum_matches_pandas(spark, rows, low, high):
         sub = pdf[pdf["g"] == g]["x"].clip(low, high) if len(pdf) else []
         expected[g] = int(pd.Series(sub).sum()) if len(sub) else 0
     assert got == expected
+
+
+_WORDS = ["aa", "bb", "cc", "dd"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy)
+def test_dedup_segments_invariants(spark, texts):
+    from tumult_analytics_spark.operators.dedup import dedup_segments
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = dedup_segments(df, "text", "doc_id", seg_tokens=3).collect()
+    k = 3
+    segments = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        segs = [
+            " ".join(toks[j : j + k]) for j in range(0, len(toks), k)
+        ]
+        for pos, s in enumerate(segs):
+            segments.setdefault(s, (i, pos))
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        toks = texts[r["doc_id"]].split()
+        segs = [
+            " ".join(toks[j : j + k]) for j in range(0, len(toks), k)
+        ]
+        expect = " ".join(
+            s for pos, s in enumerate(segs)
+            if segments[s] == (r["doc_id"], pos)
+        )
+        # Every document keeps exactly its globally-first segments, in
+        # original order.
+        assert r["text_dedup"] == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=15), min_size=1, max_size=4
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_cap_per_group_sizes(spark, sizes, cap):
+    from tumult_analytics_spark.operators.pipeline import cap_per_group
+
+    rows = [
+        (g * 1000 + i, f"g{g}")
+        for g, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = cap_per_group(df, "g", "k", cap)
+    got = {
+        r["g"]: r["n"]
+        for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    for g, n in enumerate(sizes):
+        assert got.get(f"g{g}", 0) == min(n, cap)
