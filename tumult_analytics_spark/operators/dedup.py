@@ -543,19 +543,26 @@ def dedup_segments(
     if seg_tokens < 1:
         raise ValueError("seg_tokens must be >= 1")
     k = int(seg_tokens)
-    toks = F.filter(
-        F.split(F.trim(F.col(text_column)), r"\s+"), lambda t: t != ""
+    # Bind tokens to a column before the slicing lambda — slicing the
+    # raw split/filter expression re-tokenizes the text once per
+    # segment (same interpreted-HOF pitfall as top_ngrams).
+    tk = F.col("__tk__")
+    toked = df.select(
+        F.col(id_column),
+        F.filter(
+            F.split(F.trim(F.col(text_column)), r"\s+"), lambda t: t != ""
+        ).alias("__tk__"),
     )
-    n = F.size(toks)
+    n = F.size(tk)
     n_segs = F.ceil(n.cast("double") / F.lit(float(k))).cast("int")
     segs = F.when(
         n > 0,
         F.transform(
             F.sequence(F.lit(0), n_segs - 1),
-            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+            lambda i: F.array_join(F.slice(tk, i * k + 1, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(
+    ex = toked.select(
         F.col(id_column), F.posexplode(segs).alias("__pos__", "__seg__")
     )
     winners = ex.groupBy("__seg__").agg(

