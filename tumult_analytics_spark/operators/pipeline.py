@@ -84,18 +84,21 @@ def ngram_repetition(
 
     No shuffle, no Python: per-row array math in codegen.
     """
-    toks = _tokens(F.col(text_column))
-    out = df
+    # Bind tokens (and each gram array) to columns before reusing them:
+    # feeding the raw split expression to the slicing lambdas would
+    # re-tokenize the text once per gram (interpreted-HOF O(tokens^2)).
+    out = df.withColumn("__tk__", _tokens(F.col(text_column)))
+    toks = F.col("__tk__")
     for n in ns:
-        grams = _token_ngrams(toks, n)
-        total = F.size(grams)
-        distinct = F.size(F.array_distinct(grams))
+        out = out.withColumn("__g__", _token_ngrams(toks, n))
+        total = F.size(F.col("__g__"))
+        distinct = F.size(F.array_distinct(F.col("__g__")))
         ratio = F.when(
             total > 0,
             (total - distinct).cast("double") / total.cast("double"),
         ).otherwise(F.lit(0.0))
-        out = out.withColumn(f"{prefix}{n}_ratio", ratio)
-    return out
+        out = out.withColumn(f"{prefix}{n}_ratio", ratio).drop("__g__")
+    return out.drop("__tk__")
 
 
 #: Conservative, engine-portable patterns (identical semantics in Java
