@@ -548,3 +548,35 @@ class TestCapPerGroupTwoPhase:
             for r in P.cap_per_group(df, "g", "k", 5, two_phase=True).collect()
         )
         assert a == b
+
+
+class TestSplitDataset:
+    def test_partition_and_stability(self, spark):
+        df = spark.range(0, 3000).withColumnRenamed("id", "k")
+        out = P.split_dataset(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert sum(counts.values()) == 3000
+        assert abs(counts["train"] / 3000 - 0.8) < 0.05
+        # Adding rows never moves an existing assignment.
+        bigger = P.split_dataset(
+            spark.range(0, 6000).withColumnRenamed("id", "k"),
+            "k", {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        a = {r["k"]: r["split"] for r in out.collect()}
+        b = {r["k"]: r["split"] for r in bigger.collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+    def test_partial_fractions_leave_holdout(self, spark):
+        df = spark.range(0, 500).withColumnRenamed("id", "k")
+        out = P.split_dataset(df, "k", {"train": 0.5})
+        n_null = out.filter("split IS NULL").count()
+        assert 0 < n_null < 500
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError):
+            P.split_dataset(df, "k", {"a": 0.7, "b": 0.5})
+        with pytest.raises(ValueError):
+            P.split_dataset(df, "k", {})

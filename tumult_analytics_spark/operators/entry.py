@@ -932,6 +932,19 @@ def q_quality_logit_stats(spark, sf_dir):
     )
 
 
+def q_dataset_split_stats(spark, sf_dir):
+    # Deterministic 80/10/10 split on md5(doc_id); per-split counts and
+    # kept characters prove exactly which rows landed where.
+    docs = _read(spark, sf_dir, "documents")
+    out = P.split_dataset(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_top_ngrams(spark, sf_dir):
     # Corpus-wide boilerplate mining: the 15 most frequent word 5-grams
     # (deterministic gram tie-break). Global top-k compiles to
@@ -1032,6 +1045,7 @@ QUERIES = {
     "segment_dedup_stats": q_segment_dedup_stats,
     "decode_audio": q_decode_audio,
     "top_ngrams": q_top_ngrams,
+    "dataset_split_stats": q_dataset_split_stats,
 }
 
 
@@ -1767,6 +1781,34 @@ ORACLES["quality_logit_stats"] = """
            round(max(logit), 6) AS max_logit
     FROM scored GROUP BY lang
 """
+
+def _split_oracle_sql() -> str:
+    # Replay the exact cumulative float thresholds split_dataset builds
+    # (inlined via repr so both engines compare against identical
+    # doubles).
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total, whens = 0.0, []
+    for name, frac in fracs.items():
+        lo, total = total, total + float(frac)
+        whens.append(
+            f"WHEN u >= {lo!r} AND u < {total!r} THEN '{name}'"
+        )
+    case = "CASE " + " ".join(whens) + " ELSE NULL END"
+    return f"""
+        WITH u AS (
+          SELECT n_chars,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                      AS BIGINT) / 4503599627370496.0 AS u
+          FROM documents
+        )
+        SELECT {case} AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM u GROUP BY 1
+    """
+
+
+ORACLES["dataset_split_stats"] = _split_oracle_sql()
 
 ORACLES["top_ngrams"] = """
     WITH toks AS (

@@ -45,6 +45,7 @@ __all__ = [
     "export_shards",
     "shard_id",
     "mix_to_token_budget",
+    "split_dataset",
 ]
 
 
@@ -589,3 +590,37 @@ def sliding_chunks(
         chunk_len_col,
         F.least(F.lit(window).cast("long"), toks - F.col(chunk_start_col)),
     )
+
+
+def split_dataset(
+    df: DataFrame,
+    key_column: str,
+    fractions: Mapping[str, float],
+    output_column: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5-uniform of the
+    key is bucketed by cumulative fraction thresholds, so every row
+    lands in exactly one split, assignments survive reruns/retries/
+    repartitioning, and adding a new row never moves an existing one
+    (the property random split utilities lack).
+
+    ``fractions`` must sum to <= 1; rows with u >= sum(fractions) get
+    null (callers can treat the remainder as holdout). Pure projection:
+    no shuffle, no state, filter-pushdown friendly.
+    """
+    total = 0.0
+    expr = None
+    u = deterministic_uniform(F.col(key_column))
+    for name, frac in fractions.items():
+        if frac < 0:
+            raise ValueError(f"negative fraction for {name!r}")
+        lo, total = total, total + float(frac)
+        cond = (u >= F.lit(lo)) & (u < F.lit(total))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    if expr is None:
+        raise ValueError("fractions must not be empty")
+    return df.withColumn(output_column, expr)
