@@ -228,3 +228,14 @@ def test_top_ngrams_uses_take_ordered(spark):
     plan = _plan(top_ngrams(docs, "text", n=5, k=10))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_cap_per_group_two_phase_shape(spark):
+    # The pre-cap is a MapInPandas stage BEFORE the single window
+    # exchange — still exactly one shuffle.
+    from tumult_analytics_spark.operators.pipeline import cap_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(cap_per_group(docs, "source", "doc_id", 40, two_phase=True))
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
