@@ -354,23 +354,40 @@ def ngram_contamination(
     per-document count is a groupBy on the id — one narrow shuffle of
     (id, 1) pairs.
     """
-    toks = _tokens(F.col(text_column))
-    grams = F.array_distinct(_token_ngrams(toks, n))
+    # Bind tokens to a column before the gram-slicing lambda on BOTH
+    # sides (see SCALE.md: slicing an unbound split expression inside
+    # transform() re-tokenizes the text once per gram).
+    grams_of = lambda c: F.array_distinct(_token_ngrams(c, n))  # noqa: E731
 
     bench_grams = (
-        benchmark.select(F.explode(grams).alias("gram")).distinct()
+        benchmark.select(_tokens(F.col(text_column)).alias("__tk__"))
+        .select(F.explode(grams_of(F.col("__tk__"))).alias("gram"))
+        .distinct()
     )
-    doc_grams = corpus.select(
-        F.col(id_column),
-        F.size(grams).alias("_total_grams"),
-        F.explode(grams).alias("gram"),
+    # The explode pass is column-pruned to (id, text); the totals pass
+    # keeps the full corpus row. Both bind __tk__ before slicing.
+    doc_grams = (
+        corpus.select(
+            F.col(id_column), _tokens(F.col(text_column)).alias("__tk__")
+        )
+        .select(F.col(id_column), grams_of(F.col("__tk__")).alias("__g__"))
+        .select(
+            F.col(id_column),
+            F.size("__g__").alias("_total_grams"),
+            F.explode("__g__").alias("gram"),
+        )
     )
     matched = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_column)
         .agg(F.count(F.lit(1)).alias("_matched_grams"))
     )
-    total = corpus.withColumn("_total_grams", F.size(grams))
+    total = (
+        corpus.withColumn("__tk__", _tokens(F.col(text_column)))
+        .withColumn("__g__", grams_of(F.col("__tk__")))
+        .withColumn("_total_grams", F.size("__g__"))
+        .drop("__tk__", "__g__")
+    )
     out = total.join(matched, id_column, "left").withColumn(
         output_column,
         F.when(
