@@ -187,3 +187,23 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bucket_a")
         spark.sql("DROP TABLE IF EXISTS bucket_b")
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    from tumult_analytics_spark.sources.readers import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    # Fragment: 16 small files.
+    df.repartition(16).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 16
+    n = compact_table(spark, path, target_file_mb=256)
+    after = glob.glob(f"{path}/*.parquet")
+    assert n == 1 and len(after) == 1
+    # Data survives the rewrite byte-for-byte.
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg({"k": "sum"}).first()[0] == sum(range(10_000))

@@ -9,6 +9,7 @@ pushdown and partition pruning on the way in.
 """
 
 from .readers import (
+    compact_table,
     read_table,
     read_warehouse_table,
     session_from_files,
@@ -17,6 +18,7 @@ from .readers import (
 )
 
 __all__ = [
+    "compact_table",
     "read_table",
     "read_warehouse_table",
     "session_from_files",

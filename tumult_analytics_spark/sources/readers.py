@@ -133,3 +133,40 @@ def read_warehouse_table(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a (possibly bucketed) warehouse table registered by
     ``write_bucketed_table``; bucket metadata flows into join planning."""
     return coerce_spark_schema(spark.table(table_name))
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    format: str = "parquet",
+) -> int:
+    """Rewrite a table directory into evenly sized files (the
+    small-files compaction every long-lived lake needs: streaming
+    ingests and per-trigger writes leave thousands of KB-scale files
+    whose open/footer costs dominate scans at 100 TB).
+
+    Sizes the output file count from the CURRENT on-disk bytes (driver
+    listing only — no data read), rewrites via ``coalesce`` (no
+    shuffle; merging small files never needs one), and replaces the
+    directory atomically-enough for batch lakes (write to a sibling
+    temp dir, then swap). Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(format).load(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.coalesce(n_files).write.mode("overwrite").format(format).save(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
