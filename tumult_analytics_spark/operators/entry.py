@@ -932,6 +932,25 @@ def q_quality_logit_stats(spark, sf_dir):
     )
 
 
+def q_prep_pipeline_stats(spark, sf_dir):
+    # Full training-data prep pipeline, composed end-to-end: classifier
+    # filter -> C4 span dedup -> per-domain cap -> train/val split ->
+    # per-split stats. Every stage is the real operator; the oracle
+    # chains the stages' proven SQL replays.
+    docs = _read(spark, sf_dir, "documents")
+    kept = (
+        X.quality_logit(docs, "text").filter("keep").drop("logit", "keep")
+    )
+    dd = D.dedup_segments(kept, "text", "doc_id", seg_tokens=8)
+    nonempty = dd.filter(F.length("text_dedup") > 0)
+    capped = P.cap_per_group(nonempty, "source", "doc_id", max_rows=15)
+    split = P.split_dataset(capped, "doc_id", {"train": 0.9, "val": 0.1})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text_dedup")).alias("sum_chars"),
+    )
+
+
 def q_dataset_split_stats(spark, sf_dir):
     # Deterministic 80/10/10 split on md5(doc_id); per-split counts and
     # kept characters prove exactly which rows landed where.
@@ -1046,6 +1065,7 @@ QUERIES = {
     "decode_audio": q_decode_audio,
     "top_ngrams": q_top_ngrams,
     "dataset_split_stats": q_dataset_split_stats,
+    "prep_pipeline_stats": q_prep_pipeline_stats,
 }
 
 
@@ -1797,7 +1817,8 @@ def _split_oracle_sql() -> str:
     return f"""
         WITH u AS (
           SELECT n_chars,
-                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || ':split'), 1, 13))
                       AS BIGINT) / 4503599627370496.0 AS u
           FROM documents
         )
@@ -1809,6 +1830,93 @@ def _split_oracle_sql() -> str:
 
 
 ORACLES["dataset_split_stats"] = _split_oracle_sql()
+
+
+def _prep_pipeline_oracle_sql() -> str:
+    # Chain the proven stage replays: logit filter -> 8-token span
+    # dedup -> md5-rank cap (15/source) -> cumulative-threshold split.
+    t_train = 0.0 + 0.9
+    t_val = t_train + 0.1
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> x <> '')) AS n_tokens,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+          AS n_punct
+      FROM documents
+    ), keep0 AS (
+      SELECT doc_id FROM feats
+      WHERE (-1.0
+         + 2.5 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+         + 1.5 * (least(CASE WHEN n_tokens > 0
+                        THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END, 10.0) / 10.0)
+         + (-4.0) * (CASE WHEN n_chars > 0
+                     THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                     ELSE 0.0 END)) > 0
+    ),
+    ktoks AS (
+      SELECT d.doc_id, d.source,
+             list_filter(string_split_regex(trim(d.text), '\\s+'),
+                 x -> x <> '') AS tk
+      FROM documents d JOIN keep0 USING (doc_id)
+    ),
+    segs AS (
+      SELECT doc_id, source,
+             CASE WHEN len(tk) > 0 THEN
+               list_transform(range(0, CAST(ceil(len(tk)/8.0) AS INT)),
+                 i -> array_to_string(tk[(i*8+1):(i*8+8)], ' '))
+             ELSE []::VARCHAR[] END AS sg
+      FROM ktoks
+    ),
+    ex AS (
+      SELECT doc_id, generate_subscripts(sg, 1) AS pos, unnest(sg) AS seg
+      FROM segs
+    ),
+    firsts AS (
+      SELECT doc_id, seg, pos,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM ex
+    ),
+    re AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+      FROM firsts WHERE rn = 1 GROUP BY doc_id
+    ),
+    nonempty AS (
+      SELECT s.doc_id, s.source, r.text_dedup
+      FROM segs s JOIN re r USING (doc_id)
+      WHERE length(r.text_dedup) > 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM nonempty
+    ),
+    capped AS (SELECT * FROM ranked WHERE rk <= 15),
+    split AS (
+      SELECT CASE
+               WHEN u >= 0.0 AND u < {t_train!r} THEN 'train'
+               WHEN u >= {t_train!r} AND u < {t_val!r} THEN 'val'
+               ELSE NULL END AS split,
+             length(text_dedup) AS chars
+      FROM (
+        SELECT text_dedup,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || ':split'), 1, 13))
+                    AS BIGINT) / 4503599627370496.0 AS u
+        FROM capped
+      )
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS sum_chars
+    FROM split GROUP BY 1
+    """
+
+
+ORACLES["prep_pipeline_stats"] = _prep_pipeline_oracle_sql()
 
 ORACLES["top_ngrams"] = """
     WITH toks AS (

@@ -614,6 +614,7 @@ def split_dataset(
     key_column: str,
     fractions: Mapping[str, float],
     output_column: str = "split",
+    salt: str = ":split",
 ) -> DataFrame:
     """Deterministic train/val/test assignment: the md5-uniform of the
     key is bucketed by cumulative fraction thresholds, so every row
@@ -624,10 +625,18 @@ def split_dataset(
     ``fractions`` must sum to <= 1; rows with u >= sum(fractions) get
     null (callers can treat the remainder as holdout). Pure projection:
     no shuffle, no state, filter-pushdown friendly.
+
+    ``salt`` decorrelates this stage's hash from every OTHER
+    md5-of-key decision in the pipeline. Without it, composing with
+    e.g. ``cap_per_group`` (which keeps the smallest-md5 rows per
+    group) would funnel the survivors into the low-u splits — the
+    classic correlated-hash pipeline bug.
     """
     total = 0.0
     expr = None
-    u = deterministic_uniform(F.col(key_column))
+    u = deterministic_uniform(
+        F.concat(F.col(key_column).cast("string"), F.lit(salt))
+    )
     for name, frac in fractions.items():
         if frac < 0:
             raise ValueError(f"negative fraction for {name!r}")
