@@ -580,3 +580,50 @@ class TestSplitDataset:
             P.split_dataset(df, "k", {"a": 0.7, "b": 0.5})
         with pytest.raises(ValueError):
             P.split_dataset(df, "k", {})
+
+
+class TestCrosscorpusDecontaminate:
+    def test_near_dup_of_benchmark_dropped(self, spark):
+        from tumult_analytics_spark.operators.dedup import (
+            crosscorpus_decontaminate,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        corpus = spark.createDataFrame(
+            [
+                (1, base),                       # exact copy of benchmark
+                (2, base.replace("lazy", "idle")),  # near-dup
+                (3, "completely different content about spark plans " * 6),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, base)], "doc_id long, text string"
+        )
+        kept = {
+            r["doc_id"]
+            for r in crosscorpus_decontaminate(
+                corpus, bench, "text", "doc_id",
+                min_signature_similarity=0.5,
+            ).collect()
+        }
+        assert 1 not in kept
+        assert 2 not in kept
+        assert 3 in kept
+
+    def test_benchmark_side_broadcast(self, spark):
+        from tumult_analytics_spark.operators.dedup import (
+            crosscorpus_decontaminate,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "aaaa bbbb cccc dddd")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(2, "eeee ffff gggg hhhh")], "doc_id long, text string"
+        )
+        plan = (
+            crosscorpus_decontaminate(corpus, bench, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan

@@ -7,7 +7,9 @@ baseline."""
 
 from .clustering import kmeans_fit_predict
 from .dedup import (
+    crosscorpus_decontaminate,
     dedup_exact,
+    dedup_segments,
     embedding_cosine_dedup,
     minhash_lsh_candidates,
     minhash_lsh_dedup,

@@ -585,3 +585,67 @@ def dedup_segments(
     return out.withColumn(
         output_column, F.coalesce(F.col(output_column), F.lit(""))
     )
+
+
+def crosscorpus_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_column: str,
+    id_column: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_signature_similarity: float = 0.7,
+    shingle_size: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Drop every corpus document that NEAR-duplicates any benchmark
+    document (MinHash banded LSH across two corpora) — the fuzzy
+    companion to exact n-gram contamination checks: paraphrased or
+    lightly edited benchmark leakage still collides in signature space.
+
+    Scale: signatures are the Arrow md5 kernel on both sides; the
+    benchmark's band table (bands x |benchmark| rows — benchmarks are
+    MBs) is broadcast, so the corpus side joins without a shuffle and
+    only band-collisions reach the agreement check; the contaminated-id
+    set is a distinct projection driving one left_anti join.
+    """
+    rpb = max(num_hashes // bands, 1)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.element_at("signature", b * rpb + j + 1)
+                    for j in range(rpb)
+                ]
+            )
+            for b in range(bands)
+        ]
+    )
+
+    def _banded(df: DataFrame, tag: str) -> DataFrame:
+        sig = minhash_signatures_md5(
+            df, text_column, id_column, num_hashes, shingle_size, seed
+        )
+        return sig.select(
+            F.col(id_column).alias(f"id_{tag}"),
+            F.col("signature").alias(f"sig_{tag}"),
+            F.posexplode(band_hashes).alias("__band__", "__bh__"),
+        )
+
+    bc = _banded(corpus, "c")
+    bb = _banded(benchmark, "b").drop("id_b")
+    agree = sum(
+        (F.element_at("sig_c", i + 1) == F.element_at("sig_b", i + 1))
+        .cast("int")
+        for i in range(num_hashes)
+    )
+    contaminated = (
+        bc.join(F.broadcast(bb), on=["__band__", "__bh__"])
+        .filter(
+            agree.cast("double") / F.lit(float(num_hashes))
+            >= min_signature_similarity
+        )
+        .select(F.col("id_c").alias(id_column))
+        .distinct()
+    )
+    return corpus.join(contaminated, on=id_column, how="left_anti")

@@ -865,6 +865,76 @@ def _minhash_oracle_sql(
     """
 
 
+def _crosscorpus_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    tau: float = 0.7,
+    seed: int = 42,
+) -> str:
+    # Same signature/band/agreement replay as _minhash_oracle_sql, but
+    # corpus (doc_id % 10 != 0) joined against benchmark (% 10 = 0).
+    coeffs = D.minhash_coefficients(num_hashes, seed)
+    M = (1 << 31) - 1
+    mins = ",\n                 ".join(
+        f"min(({a} * hm + {b}) % {M}) AS s{p}"
+        for p, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_conds = "\n             OR ".join(
+        "("
+        + " AND ".join(
+            f"a.s{b * rpb + j} = b.s{b * rpb + j}" for j in range(rpb)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    agree = "\n               + ".join(
+        f"(CASE WHEN a.s{p} = b.s{p} THEN 1 ELSE 0 END)"
+        for p in range(num_hashes)
+    )
+    return f"""
+        WITH ex AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, greatest(length(text) - {shingle - 1}, 1) + 1),
+                     i -> ('0x' || substr(md5(substr(text, i, {shingle})),
+                                          1, 15))::BIGINT % {M}
+                 )) AS hm
+          FROM documents
+        ), sig AS (
+          SELECT doc_id,
+                 {mins}
+          FROM ex GROUP BY doc_id
+        ), dropped AS (
+          SELECT DISTINCT a.doc_id
+          FROM sig a JOIN sig b
+            ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+           AND ({band_conds})
+          WHERE CAST({agree} AS DOUBLE) / {num_hashes} >= {tau}
+        )
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents d
+        WHERE d.doc_id % 10 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        GROUP BY d.lang
+    """
+
+
+def q_crosscorpus_decontaminated(spark, sf_dir):
+    # Near-dup DECONTAMINATION across corpora: drop training docs whose
+    # MinHash signature band-collides AND agrees >= 0.7 with any
+    # held-out benchmark doc (doc_id % 10 == 0 plays the benchmark).
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 != 0")
+    benchmark = docs.filter("doc_id % 10 = 0")
+    kept = D.crosscorpus_decontaminate(
+        corpus, benchmark, "text", "doc_id",
+        num_hashes=32, bands=8, min_signature_similarity=0.7,
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def q_domain_capped_stats(spark, sf_dir):
     # Per-domain document cap (40 docs/source, md5-rank selection), then
     # per-source counts + kept characters. The sum over kept n_chars
@@ -1066,6 +1136,7 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "dataset_split_stats": q_dataset_split_stats,
     "prep_pipeline_stats": q_prep_pipeline_stats,
+    "crosscorpus_decontaminated": q_crosscorpus_decontaminated,
 }
 
 
@@ -1099,6 +1170,7 @@ _GRAMS5_CTE = """
 ORACLES = {
     "simhash_buckets": _simhash_oracle_sql(),
     "minhash_dedup": _minhash_oracle_sql(),
+    "crosscorpus_decontaminated": _crosscorpus_oracle_sql(),
     "ann_lsh_topk": _ann_lsh_oracle_sql(),
     "ann_ivf_topk": _ann_ivf_oracle_sql(),
     "quantize_embeddings": """
