@@ -626,6 +626,10 @@ def crosscorpus_decontaminate(
         sig = minhash_signatures_md5(
             df, text_column, id_column, num_hashes, shingle_size, seed
         )
+        # Materialize once: the signature kernel otherwise re-executes
+        # in every plan branch that references it (same pattern as
+        # minhash_lsh_dedup; blocks freed when the DataFrame is GC'd).
+        sig = sig.localCheckpoint(eager=True)
         return sig.select(
             F.col(id_column).alias(f"id_{tag}"),
             F.col("signature").alias(f"sig_{tag}"),
