@@ -207,3 +207,17 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg({"k": "sum"}).first()[0] == sum(range(10_000))
+
+
+def test_compact_table_respects_target_size(spark, tmp_path):
+    from tumult_analytics_spark.sources.readers import compact_table
+
+    path = str(tmp_path / "frag2")
+    spark.range(0, 200_000).write.parquet(path)
+    # Tiny target forces multiple output files sized from on-disk bytes.
+    n = compact_table(spark, path, target_file_mb=1)
+    import glob
+
+    files = glob.glob(f"{path}/*.parquet")
+    assert n >= 1 and len(files) == n
+    assert spark.read.parquet(path).count() == 200_000
