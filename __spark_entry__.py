@@ -586,9 +586,14 @@ _ORACLES = {
         FROM ks LEFT JOIN agg USING (c_mktsegment)
     """,
     "private_join_count": """
+        -- DropExcess(15) on the lineitem side DOES bite at sf >= 0.1
+        -- (a few orders carry 16-17 lines): cap per join key. The
+        -- orders side's DropExcess(1) is a no-op (o_orderkey unique).
         WITH ks AS (SELECT * FROM (VALUES ('F'),('O'),('P')) t(o_orderstatus)),
-        agg AS (SELECT o.o_orderstatus, count(*) AS c
-                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        lt AS (SELECT l_orderkey, least(count(*), 15) AS n
+               FROM lineitem GROUP BY 1),
+        agg AS (SELECT o.o_orderstatus, sum(lt.n) AS c
+                FROM lt JOIN orders o ON lt.l_orderkey = o.o_orderkey
                 GROUP BY 1)
         SELECT ks.o_orderstatus, CAST(coalesce(agg.c, 0) AS BIGINT) AS count
         FROM ks LEFT JOIN agg USING (o_orderstatus)
