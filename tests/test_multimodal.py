@@ -144,3 +144,20 @@ class TestDecodeAudio:
         )
         row = decode_audio(df, "payload").first()
         assert row["n_samples"] == 6 and row["sample_rate"] == 8000
+
+    def test_truncated_fmt_chunk_decodes_to_nulls(self, spark):
+        # A fmt chunk that DECLARES 16+ bytes but whose body is cut off
+        # by the end of the buffer must yield nulls (the documented
+        # contract), not crash the task with struct.error.
+        from tumult_analytics_spark.operators.multimodal import (
+            decode_audio,
+            synthesize_wav,
+        )
+
+        wav = synthesize_wav(6, 8000, 9)
+        truncated = wav[: 12 + 8 + 7]  # fmt declares 16, body has 7
+        df = spark.createDataFrame(
+            [(0, bytearray(truncated))], "k long, payload binary"
+        )
+        row = decode_audio(df, "payload").first()
+        assert row["sample_rate"] is None and row["n_samples"] is None

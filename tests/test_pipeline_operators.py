@@ -182,6 +182,44 @@ class TestConnectedComponents:
         nodes = {r["node"] for r in P.connected_components(edges).collect()}
         assert nodes == {2, 3}
 
+    def test_long_path_converges_in_log_rounds(self, spark):
+        # 200-node path: plain min-label propagation needs ~200 rounds;
+        # pointer jumping must finish well inside 10.
+        n = 200
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "src long, dst long"
+        )
+        cc = P.connected_components(edges, max_iterations=10)
+        comps = cc.select("component").distinct().collect()
+        assert [r["component"] for r in comps] == [0]
+        assert cc.count() == n + 1
+
+    def test_nonconvergence_raises_by_default(self, spark):
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "src long, dst long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            P.connected_components(edges, max_iterations=1)
+
+    def test_nonconvergence_warn_returns_partial(self, spark):
+        import warnings
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "src long, dst long"
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = P.connected_components(
+                edges, max_iterations=1, on_nonconvergence="warn"
+            )
+            assert out.count() == 41
+        assert any("did not converge" in str(w.message) for w in caught)
+
+    def test_bad_nonconvergence_mode(self, spark):
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            P.connected_components(edges, on_nonconvergence="ignore")
+
 
 class TestTfidfTopTerms:
     def test_scores_and_ranking(self, spark):
@@ -501,6 +539,34 @@ class TestDedupSegments:
             D.dedup_segments(df, "text", "doc_id", 0)
 
 
+class TestNgramJaccardGuard:
+    def test_over_limit_refused(self, spark):
+        from tumult_analytics_spark.operators import dedup as D
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i} text here") for i in range(5)],
+            "doc_id long, text string",
+        )
+        with pytest.raises(ValueError, match="minhash_lsh_dedup"):
+            D.ngram_jaccard_pairs(df, "text", "doc_id", max_rows=3)
+
+    def test_explicit_override_runs(self, spark):
+        from tumult_analytics_spark.operators import dedup as D
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),
+                (2, "the quick brown fox jumps"),
+                (3, "entirely different words instead"),
+            ],
+            "doc_id long, text string",
+        )
+        out = D.ngram_jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold=0.9, max_rows=3
+        ).collect()
+        assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
 class TestTopNgrams:
     def test_counts_and_ties(self, spark):
         from tumult_analytics_spark.operators.text import top_ngrams
@@ -548,6 +614,63 @@ class TestCapPerGroupTwoPhase:
             for r in P.cap_per_group(df, "g", "k", 5, two_phase=True).collect()
         )
         assert a == b
+
+    def test_null_group_keys_identical(self, spark):
+        # A null group key is a real group: the window path partitions
+        # all null-keyed rows together and keeps max_rows of them. The
+        # two-phase pre-cap must do the same (pandas groupby dropna=False),
+        # not silently drop them.
+        rows = [(i, "g" if i % 5 else None) for i in range(60)]
+        df = spark.createDataFrame(rows, "k long, g string").repartition(6)
+        key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+        a = sorted(
+            (
+                (r["g"], r["k"])
+                for r in P.cap_per_group(df, "g", "k", 8).collect()
+            ),
+            key=key,
+        )
+        b = sorted(
+            (
+                (r["g"], r["k"])
+                for r in P.cap_per_group(
+                    df, "g", "k", 8, two_phase=True
+                ).collect()
+            ),
+            key=key,
+        )
+        assert a == b
+        assert sum(1 for g, _ in b if g is None) == 8
+
+    def test_null_key_values_identical(self, spark):
+        # Null KEY values: Spark orders md5(NULL)=NULL first (NULLS
+        # FIRST); the local kernel must mirror that, not hash str(None).
+        rows = [(i if i % 7 else None, f"g{i % 3}") for i in range(60)]
+        df = spark.createDataFrame(rows, "k long, g string").repartition(6)
+        a = sorted(
+            (r["g"], r["k"] if r["k"] is not None else -1)
+            for r in P.cap_per_group(df, "g", "k", 6).collect()
+        )
+        b = sorted(
+            (r["g"], r["k"] if r["k"] is not None else -1)
+            for r in P.cap_per_group(df, "g", "k", 6, two_phase=True).collect()
+        )
+        assert a == b
+
+    def test_local_cap_rank_is_catalyst_side(self, spark):
+        # The pre-cap's md5 rank must be computed JVM-side BEFORE the
+        # mapInPandas boundary: the analyzed plan of the kernel input
+        # carries an md5 projection, and the kernel itself imports no
+        # hashlib (sort/group/head only).
+        import inspect
+
+        df = spark.createDataFrame(
+            [(i, f"g{i % 3}") for i in range(30)], "k long, g string"
+        )
+        capped = P._local_cap(df, ["g"], "k", 3)
+        plan = capped._jdf.queryExecution().analyzed().toString()
+        assert "md5" in plan.lower()
+        assert "hashlib" not in inspect.getsource(P._local_cap)
 
 
 class TestSplitDataset:

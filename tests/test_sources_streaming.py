@@ -221,3 +221,41 @@ def test_compact_table_respects_target_size(spark, tmp_path):
     files = glob.glob(f"{path}/*.parquet")
     assert n >= 1 and len(files) == n
     assert spark.read.parquet(path).count() == 200_000
+
+
+def test_compact_table_rejects_non_local_path(spark, tmp_path):
+    from tumult_analytics_spark.sources.readers import compact_table
+
+    with pytest.raises(ValueError, match="LOCAL directory"):
+        compact_table(spark, "s3://bucket/table")
+    with pytest.raises(ValueError, match="LOCAL directory"):
+        compact_table(spark, str(tmp_path / "does_not_exist"))
+
+
+def test_compact_table_preserves_partition_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tumult_analytics_spark.sources.readers import compact_table
+
+    path = str(tmp_path / "part_frag")
+    df = (
+        spark.range(0, 5_000)
+        .withColumnRenamed("id", "k")
+        .withColumn("day", (F.col("k") % 3).cast("string"))
+    )
+    df.repartition(8).write.partitionBy("day").parquet(path)
+    import glob
+    import os
+
+    assert len(glob.glob(f"{path}/day=*/")) == 3
+    compact_table(spark, path, target_file_mb=256)
+    # Hive layout survives: day=K directories still exist, so readers
+    # keep partition pruning; data is intact and the column round-trips.
+    assert sorted(os.path.basename(d.rstrip("/"))
+                  for d in glob.glob(f"{path}/day=*/")) == [
+        "day=0", "day=1", "day=2"
+    ]
+    back = spark.read.parquet(path)
+    assert back.count() == 5_000
+    assert back.filter("day = '1'").count() == df.filter("day = '1'").count()
+    assert "day" in back.columns

@@ -421,21 +421,44 @@ def simhash(
     )
 
 
+#: Ceiling for the exact pairwise verifier below: it materializes the
+#: full exploded doc×gram table and self-joins it (quadratic within each
+#: gram bucket). Refuse beyond this many input documents.
+NGRAM_PAIRS_MAX_ROWS = 100_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_column: str,
     id_column: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_rows: int = NGRAM_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Exact pairwise n-gram (word) Jaccard similarity >= threshold.
 
     explode n-grams (distinct per doc) -> self-join on gram (shuffled
     equi-join) -> intersection counts -> Jaccard via |A|+|B|-|A∩B|.
     Exact; quadratic in bucket sizes, so use after LSH at scale.
+
+    Guarded like the brute-force ANN paths: this is a post-LSH exact
+    VERIFIER, not a corpus-scale dedup — it eagerly materializes the
+    exploded gram table and self-joins it, so running it on a full
+    corpus would be quadratic in the largest gram bucket. Inputs with
+    more than ``max_rows`` documents are refused with a pointer at
+    ``minhash_lsh_dedup``; raise ``max_rows`` explicitly to override.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    n_docs = df.count()
+    if n_docs > max_rows:
+        raise ValueError(
+            f"ngram_jaccard_pairs is an exact pairwise verifier and got "
+            f"{n_docs} input documents (limit {max_rows}). Run "
+            "minhash_lsh_dedup first and verify only the candidate "
+            "buckets, or raise max_rows explicitly."
+        )
 
     def _gram_hashes(texts):
         # Distinct word n-grams, hashed to int64 (Python's 64-bit string

@@ -957,9 +957,16 @@ def q_export_shard_stats(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    # Fixed path + overwrite: repeated bench/driver runs reuse the same
-    # directory instead of leaking one temp dir per invocation.
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_shard_export")
+    # Per-application path: repeated runs WITHIN one Spark session reuse
+    # the directory (no temp-dir leak per invocation), while concurrent
+    # bench/driver runs on the same host get distinct directories — a
+    # fixed shared path would let one run's read-back observe another's
+    # partially rewritten files (or collide with another user's
+    # pre-created /tmp entry).
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_shard_export_{spark.sparkContext.applicationId}",
+    )
     back = P.export_shards(docs, path, "doc_id", n_shards=8, format="json")
     return back.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),

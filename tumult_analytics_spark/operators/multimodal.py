@@ -365,7 +365,10 @@ def _decode_wav(buf: bytes):
         cid = buf[pos : pos + 4]
         (size,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8 : pos + 8 + size]
-        if cid == b"fmt " and size >= 16:
+        # Check the ACTUAL body length, not the declared chunk size: a
+        # truncated buffer whose fmt chunk declares 16+ bytes but ends
+        # early must decode to nulls, not crash the task.
+        if cid == b"fmt " and len(body) >= 16:
             fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
@@ -418,7 +421,17 @@ def decode_audio(df: DataFrame, binary_column: str) -> DataFrame:
                     ("sample_rate", "n_channels", "n_samples",
                      "sum_abs", "peak")}
             for payload in pdf[binary_column]:
-                rec = _decode_wav(bytes(payload)) if payload is not None else None
+                # The documented contract is "unrecognized payloads
+                # decode to nulls" — a malformed container must never
+                # kill the Spark task.
+                try:
+                    rec = (
+                        _decode_wav(bytes(payload))
+                        if payload is not None
+                        else None
+                    )
+                except Exception:
+                    rec = None
                 vals = rec if rec is not None else (None,) * 5
                 for k, v in zip(cols, vals):
                     cols[k].append(v)

@@ -269,29 +269,40 @@ def _local_cap(
     window produces identical output — but a heavy-hitter group now
     ships at most ``max_rows x n_partitions`` rows into the window
     exchange instead of all of its rows.
+
+    The rank key ``md5(key)`` is computed JVM-side (Catalyst ``F.md5``)
+    BEFORE the ``mapInPandas`` boundary, so the Python kernel only
+    sorts/groups/heads — no per-row interpreter hashing. It is the
+    byte-identical expression the global window orders by, including
+    null semantics: Spark's ``md5(NULL)`` is NULL and ascending order
+    is NULLS FIRST, which the kernel mirrors with
+    ``na_position="first"``. Null GROUP keys are real groups (the
+    window partitions them together), so the pandas groupby uses
+    ``dropna=False`` — without it every null-keyed row would silently
+    vanish from the two-phase path.
     """
-    import hashlib
-
-    import pandas as pd
-
     schema = df.schema
+    rank_col = "__cap_md5__"
+    with_rank = df.withColumn(
+        rank_col, F.md5(F.col(key_column).cast("string"))
+    )
 
     def fn(batches):
         for pdf in batches:
             if not len(pdf):
-                yield pdf
+                yield pdf.drop(columns=[rank_col])
                 continue
-            h = pdf[key_column].map(
-                lambda v: hashlib.md5(str(v).encode()).hexdigest()
+            ranked = pdf.sort_values(
+                [rank_col, key_column],
+                kind="mergesort",
+                na_position="first",
             )
-            order = pd.DataFrame(
-                {"__h__": h, "__k__": pdf[key_column]}
-            ).sort_values(["__h__", "__k__"], kind="mergesort")
-            ranked = pdf.loc[order.index]
-            kept = ranked.groupby(group_columns, sort=False).head(max_rows)
-            yield kept.sort_index()
+            kept = ranked.groupby(
+                group_columns, sort=False, dropna=False
+            ).head(max_rows)
+            yield kept.sort_index().drop(columns=[rank_col])
 
-    return df.mapInPandas(fn, schema)
+    return with_rank.mapInPandas(fn, schema)
 
 
 def shard_id(key: Column, n_shards: int) -> Column:
@@ -440,21 +451,35 @@ def connected_components(
     max_iterations: int = 20,
     output_node: str = "node",
     output_component: str = "component",
+    on_nonconvergence: str = "raise",
 ) -> DataFrame:
-    """Connected components of an undirected graph by iterative
-    min-label propagation: each node's label converges to the smallest
-    node id in its component. This is the cluster-collapse step after
-    near-dup pair generation (MinHash/SimHash/cosine): one document per
-    component survives.
+    """Connected components of an undirected graph: each node's label
+    converges to the smallest node id in its component. This is the
+    cluster-collapse step after near-dup pair generation
+    (MinHash/SimHash/cosine): one document per component survives.
 
-    Scale: each iteration is one shuffle on node id (the groupBy); the
-    edge list is re-used unmodified (cache it upstream for big graphs).
-    ``localCheckpoint`` truncates lineage so the logical plan doesn't
-    grow with iterations — without it, iteration k replays all k-1
-    predecessors. Converges in O(log(diameter)) iterations for the
-    near-dup graphs this is meant for (tiny, star-shaped clusters); the
-    ``max_iterations`` bound caps pathological chains.
+    Algorithm: min-label propagation WITH pointer jumping — each round,
+    a node takes the min over its own label and its neighbors' labels,
+    then additionally chases one extra hop through the candidate map
+    (label := label-of-label). The jump halves the remaining pointer
+    path every round, so convergence is O(log(diameter)) iterations
+    even for chain-shaped components (plain propagation is
+    O(diameter) and would silently split a chain longer than
+    ``max_iterations`` hops).
+
+    If the loop exhausts ``max_iterations`` with labels still moving,
+    the result would be WRONG (split components) — by default this
+    raises; pass ``on_nonconvergence="warn"`` to get the partial
+    labels with a warning instead.
+
+    Scale: each iteration is two shuffles (the neighbor-min groupBy and
+    the jump self-join), both on node id; the edge list is re-used
+    unmodified. ``localCheckpoint`` truncates lineage so the logical
+    plan doesn't grow with iterations — without it, iteration k
+    replays all k-1 predecessors.
     """
+    if on_nonconvergence not in ("raise", "warn"):
+        raise ValueError("on_nonconvergence must be 'raise' or 'warn'")
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b"))
@@ -469,6 +494,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = 0
     for _ in range(max_iterations):
         nbr_min = (
             bidir.join(
@@ -477,17 +503,30 @@ def connected_components(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        # Carry the previous label through the checkpoint so convergence
-        # is a cheap filter-count over materialized blocks, not an extra
-        # join job per iteration.
+        cand = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", "label")
+            ).alias("cand"),
+            F.col("label").alias("_prev"),
+        )
+        # Pointer jump: label(node) := cand(cand(node)). Every cand
+        # value is itself a node id (labels start as node ids and only
+        # min-combine), so the self-join is total; the left join +
+        # coalesce is belt-and-braces. Carry the previous label through
+        # the checkpoint so convergence is a cheap filter-count over
+        # materialized blocks, not an extra join job per iteration.
+        parent = cand.select(
+            F.col("node").alias("cand"), F.col("cand").alias("_jumped")
+        )
         new_labels = (
-            labels.join(nbr_min, "node", "left")
+            cand.join(parent, "cand", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
+                F.coalesce(
+                    F.least("cand", "_jumped"), F.col("cand")
                 ).alias("label"),
-                F.col("label").alias("_prev"),
+                "_prev",
             )
             .localCheckpoint(eager=True)
         )
@@ -495,6 +534,20 @@ def connected_components(
         labels = new_labels.drop("_prev")
         if changed == 0:
             break
+
+    if changed > 0:
+        msg = (
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations ({changed} labels still "
+            "moving) — the returned components would be split. Raise "
+            "max_iterations (rounds needed ~ log2 of the graph "
+            "diameter)."
+        )
+        if on_nonconvergence == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     return labels.select(
         F.col("node").alias(output_node),

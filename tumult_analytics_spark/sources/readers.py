@@ -149,24 +149,87 @@ def compact_table(
     Sizes the output file count from the CURRENT on-disk bytes (driver
     listing only — no data read), rewrites via ``coalesce`` (no
     shuffle; merging small files never needs one), and replaces the
-    directory atomically-enough for batch lakes (write to a sibling
-    temp dir, then swap). Returns the new file count.
+    directory via write-to-sibling-then-swap. Returns the new file
+    count.
+
+    Safety contract:
+
+    - LOCAL filesystems only — the swap uses POSIX renames, which do
+      not exist on object stores. Non-directory paths (s3://, hdfs://)
+      are rejected up front; compact cloud tables with a cluster-native
+      rewrite (write a new prefix, swap the catalog pointer).
+    - The rewritten copy's row count is verified against the source
+      BEFORE the original is touched; a mismatch aborts with the
+      original intact.
+    - If the process dies between the two renames, the data is intact
+      at ``<path>__old`` — recovery is ``mv <path>__old <path>``. The
+      old copy is deleted only after the new one is in place.
+    - Hive-style ``key=value`` partition layouts are preserved (the
+      rewrite re-applies ``partitionBy`` on the inferred partition
+      columns), so downstream readers keep partition pruning.
     """
     import math
     import os
     import shutil
 
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"compact_table requires a LOCAL directory; got {path!r}. "
+            "For object-store/HDFS tables use a cluster-native rewrite "
+            "(write to a new prefix, then swap the catalog pointer)."
+        )
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+
+    # Hive-style partition directories (key=value) nest one level per
+    # partition column, in order.
+    part_cols = []
+    probe = path
+    while True:
+        sub = sorted(
+            d
+            for d in os.listdir(probe)
+            if "=" in d and os.path.isdir(os.path.join(probe, d))
+        )
+        if not sub:
+            break
+        part_cols.append(sub[0].split("=", 1)[0])
+        probe = os.path.join(probe, sub[0])
+
     df = spark.read.format(format).load(path)
+    src_count = df.count()
     tmp = path.rstrip("/") + "__compacting"
-    df.coalesce(n_files).write.mode("overwrite").format(format).save(tmp)
+    if part_cols:
+        # One shuffle on the partition columns so each output task holds
+        # whole partition values; partitionBy keeps the pruning layout.
+        (
+            df.repartition(n_files, *part_cols)
+            .write.mode("overwrite")
+            .format(format)
+            .partitionBy(*part_cols)
+            .save(tmp)
+        )
+    else:
+        df.coalesce(n_files).write.mode("overwrite").format(format).save(tmp)
+
+    new_count = spark.read.format(format).load(tmp).count()
+    if new_count != src_count:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_table verification failed: rewrote {new_count} rows "
+            f"but source has {src_count}; original left untouched at "
+            f"{path!r}."
+        )
     old = path.rstrip("/") + "__old"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back; original restored
+        raise
     shutil.rmtree(old)
     return n_files
