@@ -90,6 +90,61 @@ class TestSampleVideoFrames:
         assert "payload" not in out.columns
 
 
+class TestDecodePng:
+    def test_roundtrip_all_color_types_and_filters(self):
+        from tumult_analytics_spark.operators.multimodal import (
+            _PNG_CHANNELS,
+            _decode_png,
+            synthesize_png,
+        )
+
+        # Heights >= 5 exercise every scanline filter (they cycle r % 5).
+        for w, h, seed, ct in [
+            (3, 5, 5, 2), (1, 6, 0, 0), (7, 11, 123, 6),
+            (4, 7, 9, 4), (16, 9, 42, 2),
+        ]:
+            buf = synthesize_png(w, h, seed, ct)
+            c = _PNG_CHANNELS[ct]
+            n = w * h * c
+            expect = int(
+                ((seed * 7 + np.arange(n, dtype=np.int64) * 13) % 256).sum()
+            )
+            assert _decode_png(buf) == (h, w, c, expect)
+
+    def test_rejects_non_png_and_truncated(self):
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_png,
+            synthesize_png,
+        )
+
+        assert _decode_png(b"definitely not a png") is None
+        buf = synthesize_png(4, 4, 3, 2)
+        assert _decode_png(buf[:20]) is None
+        # Corrupt the IDAT payload: zlib must fail cleanly -> None.
+        bad = bytearray(buf)
+        bad[45] ^= 0xFF
+        assert _decode_png(bytes(bad)) is None
+
+    def test_decode_image_handles_png_bmp_mix(self, spark):
+        from tumult_analytics_spark.operators.multimodal import (
+            decode_image,
+            synthesize_bmp,
+            synthesize_png,
+        )
+
+        rows = [
+            (0, bytearray(synthesize_png(3, 5, 7, 2))),
+            (1, bytearray(synthesize_bmp(3, 2, 5))),
+            (2, bytearray(b"junk")),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "k long, payload binary")
+        out = {r["k"]: r for r in decode_image(df, "payload").collect()}
+        assert (out[0]["height"], out[0]["width"], out[0]["channels"]) == (5, 3, 3)
+        assert (out[1]["height"], out[1]["width"]) == (2, 3)
+        assert out[2]["height"] is None and out[3]["height"] is None
+
+
 class TestDecodeAudio:
     def test_wav_round_trip(self, spark):
         from tumult_analytics_spark.operators.multimodal import (

@@ -297,6 +297,43 @@ def q_decode_image(spark, sf_dir):
     return dec.select("doc_id", "height", "width", "channels", "pixel_sum")
 
 
+def q_decode_image_png(spark, sf_dir):
+    # Real 8-bit PNG decode (stdlib zlib inflate + Sub/Up/Average/Paeth
+    # unfiltering) over synthesized spec-conformant payloads whose
+    # scanline filters cycle through all five types; color type varies
+    # per doc (gray / RGB / RGBA). The exact decoded sample sum is
+    # recomputed in SQL from the same integer formula — it only matches
+    # if every filter inverse is right.
+    from . import multimodal as M
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_png(
+                    1 + int(d) % 7,
+                    1 + int(d) % 5,
+                    int(d),
+                    color_type=[0, 2, 6][int(d) % 3],
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    with_png = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    dec = M.decode_image(with_png, "payload")
+    return dec.select("doc_id", "height", "width", "channels", "pixel_sum")
+
+
 def q_sample_video_frames(spark, sf_dir):
     # Real frame sampling over synthesized codec-free raw-RGB24 videos:
     # every 2nd frame's exact pixel sum is recomputed in SQL from the
@@ -1117,6 +1154,7 @@ QUERIES = {
     "byte_histogram_features": q_byte_histogram_features,
     "cosine_dedup": q_cosine_dedup,
     "decode_image": q_decode_image,
+    "decode_image_png": q_decode_image_png,
     "quantize_embeddings": q_quantize_embeddings,
     "pipeline_compose": q_pipeline_compose,
     "repetition_stats": q_repetition_stats,
@@ -1206,6 +1244,20 @@ ORACLES = {
                CAST(3 AS INTEGER) AS channels,
                CAST(list_sum(list_transform(
                    range(0, 3 * (1 + doc_id % 7) * (1 + doc_id % 5)),
+                   i -> (doc_id * 7 + i * 13) % 256)) AS BIGINT) AS pixel_sum
+        FROM documents
+    """,
+    "decode_image_png": """
+        SELECT doc_id,
+               CAST(1 + doc_id % 5 AS INTEGER) AS height,
+               CAST(1 + doc_id % 7 AS INTEGER) AS width,
+               CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                    AS INTEGER) AS channels,
+               CAST(list_sum(list_transform(
+                   range(0, (CASE CAST(doc_id % 3 AS INTEGER)
+                             WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+                            * (1 + doc_id % 7) * (1 + doc_id % 5)),
                    i -> (doc_id * 7 + i * 13) % 256)) AS BIGINT) AS pixel_sum
         FROM documents
     """,
