@@ -45,9 +45,14 @@ from .pipeline import (
 )
 from .temporal import asof_join, sessionize, time_range_join
 from .similarity import (
+    AnnIndex,
     brute_force_cosine_topk,
+    build_ivf_index,
+    build_lsh_index,
     ivf_cosine_topk,
     lsh_cosine_topk,
+    query_ivf_index,
+    query_lsh_index,
 )
 from .text import (
     bpe_ish_token_count,

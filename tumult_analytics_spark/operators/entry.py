@@ -205,6 +205,57 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_lsh_index_topk(spark, sf_dir):
+    # Same search as ann_lsh_topk but through the persisted-index API:
+    # build_lsh_index materializes the bucketed signatures once, then
+    # query_lsh_index buckets only the query side and cogroups against
+    # the stored signatures. Must produce bit-identical results to the
+    # one-shot path, so it shares its SQL oracle.
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings").filter("vec_id < 2000")
+    idx = S.build_lsh_index(
+        emb, "embedding", "vec_id",
+        bits=ANN_LSH_BITS, tables=ANN_LSH_TABLES, plane_kind="rademacher",
+    )
+    allk = S.query_lsh_index(idx, emb, k=3, deterministic=True, rank_k=10**6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        allk.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("query_id", "neighbor_id", F.col("rnk").alias("rank"))
+    )
+
+
+def q_ann_ivf_index_topk(spark, sf_dir):
+    # IVF through the persisted-index API with the same deterministic
+    # centroids as ann_ivf_topk: build once (cells materialized), query
+    # many. Shares ann_ivf_topk's SQL oracle.
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.filter(f"vec_id < {ANN_IVF_NLIST}").orderBy("vec_id").collect()
+    ]
+    idx = S.build_ivf_index(
+        emb, "embedding", "vec_id", nlist=ANN_IVF_NLIST, centroids=cents
+    )
+    allk = S.query_ivf_index(
+        idx, emb, k=3, nprobe=ANN_IVF_NPROBE, deterministic=True, rank_k=10**6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        allk.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("query_id", "neighbor_id", F.col("rnk").alias("rank"))
+    )
+
+
 def q_bpe_token_count(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     tc = X.bpe_ish_token_count(docs, "text")
@@ -1148,6 +1199,8 @@ QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_index_topk": q_ann_lsh_index_topk,
+    "ann_ivf_index_topk": q_ann_ivf_index_topk,
     "event_hourly_rollup": q_event_hourly_rollup,
     "bpe_token_count": q_bpe_token_count,
     "media_metadata": q_media_metadata,
@@ -1218,6 +1271,8 @@ ORACLES = {
     "crosscorpus_decontaminated": _crosscorpus_oracle_sql(),
     "ann_lsh_topk": _ann_lsh_oracle_sql(),
     "ann_ivf_topk": _ann_ivf_oracle_sql(),
+    "ann_lsh_index_topk": _ann_lsh_oracle_sql(),
+    "ann_ivf_index_topk": _ann_ivf_oracle_sql(),
     "quantize_embeddings": """
         WITH base AS (
           SELECT vec_id,

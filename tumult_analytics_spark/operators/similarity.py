@@ -288,6 +288,180 @@ def _melt_tables(prepped: DataFrame, id_column: str, tables: int) -> DataFrame:
     return prepped.select(id_column, "__nv__", F.expr(stack_expr))
 
 
+def _block_topk_fn(id_column: str, k: int, deterministic: bool):
+    """Cogrouped (queries x corpus-block) top-k: one matmul per group,
+    self-matches excluded. Shared by the IVF cell search and the
+    persisted-index query paths."""
+    import numpy as np
+    import pandas as pd
+
+    def block_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+        Q = np.stack(qpdf["__nv__"].to_numpy())
+        C = np.stack(cpdf["__nv__"].to_numpy())
+        S = Q @ C.T
+        qids = qpdf[id_column].to_numpy()
+        cids = cpdf[id_column].to_numpy()
+        S[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+        kk = min(k, S.shape[1])
+        idx = _topk_indices(S, cids, kk, deterministic)
+        flat = idx.ravel()
+        rows = np.repeat(np.arange(len(qids)), kk)
+        keep = np.isfinite(S[rows, flat])
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kk)[keep],
+                "neighbor_id": cids[flat][keep],
+                "cosine": S[rows, flat][keep],
+            }
+        )
+
+    return block_topk
+
+
+def _topk_out_schema(id_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType, True),
+            T.StructField("neighbor_id", id_field.dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+
+
+def _rank_topk(best: DataFrame, k: int, rank_k) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return best.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= (k if rank_k is None else rank_k)
+    )
+
+
+class AnnIndex:
+    """A persisted approximate-nearest-neighbor index: the bucketed
+    signature/cell DataFrame plus the parameters needed to bucket future
+    queries identically (``build once, query many``).
+
+    ``df`` is an ordinary DataFrame — write it as a table, checkpoint
+    it, or pass it straight to the matching ``query_*_index`` function.
+    ``save``/``load`` round-trip both the data and the parameters
+    through any Spark-writable filesystem (parquet + a one-line JSON
+    text file), so a 100 TB pipeline builds the index in one job and
+    serves many query batches from it without recomputing signatures or
+    cell assignments.
+    """
+
+    def __init__(self, kind: str, df: DataFrame, params: dict):
+        self.kind = kind
+        self.df = df
+        self.params = params
+
+    def save(self, path: str) -> None:
+        import json
+
+        self.df.write.mode("overwrite").parquet(f"{path}/data")
+        spark = self.df.sparkSession
+        meta = {"kind": self.kind, "params": self.params}
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "meta string"
+        ).coalesce(1).write.mode("overwrite").text(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "AnnIndex":
+        import json
+
+        meta = json.loads(spark.read.text(f"{path}/meta").first()[0])
+        df = spark.read.parquet(f"{path}/data")
+        return cls(meta["kind"], df, meta["params"])
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    embedding_column: str,
+    id_column: str,
+    bits: int = 8,
+    tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    plane_kind: str = "gauss",
+    materialize: bool = True,
+) -> AnnIndex:
+    """Build a sign-LSH index: one Arrow pass computes every table's
+    bucket id per row; the melted (id, vector, table, bucket) DataFrame
+    is materialized once (eager localCheckpoint) so repeated
+    :func:`query_lsh_index` calls never recompute signatures. Planes are
+    derived deterministically from (bits, tables, dim, seed,
+    plane_kind), so a saved index can bucket queries identically after
+    reload without storing the planes themselves."""
+    planes = _planes_for(plane_kind, dim, bits, tables, seed)
+    melted = _melt_tables(
+        _normalize_and_bucket(corpus, embedding_column, id_column, planes),
+        id_column,
+        tables,
+    )
+    if materialize:
+        melted = melted.localCheckpoint(eager=True)
+    params = {
+        "embedding_column": embedding_column,
+        "id_column": id_column,
+        "bits": bits,
+        "tables": tables,
+        "dim": dim,
+        "seed": seed,
+        "plane_kind": plane_kind,
+    }
+    return AnnIndex("lsh", melted, params)
+
+
+def _planes_for(
+    plane_kind: str, dim: int, bits: int, tables: int, seed: int
+) -> List[List[List[float]]]:
+    if plane_kind == "rademacher":
+        return [_hyperplanes_rademacher(dim, bits, t) for t in range(tables)]
+    return [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
+
+
+def query_lsh_index(
+    index: AnnIndex,
+    queries: DataFrame,
+    k: int = 10,
+    deterministic: bool = False,
+    rank_k=None,
+) -> DataFrame:
+    """Top-k cosine search against a prebuilt LSH index. Buckets only
+    the QUERY rows (one Arrow pass), cogroups with the index on
+    (table, bucket), scores each block with one matmul, then merges the
+    per-table candidates (max cosine per pair) and ranks. The index
+    side is read as-is — no signature recomputation."""
+    if index.kind != "lsh":
+        raise ValueError(f"expected an lsh index, got {index.kind!r}")
+    p = index.params
+    planes = _planes_for(
+        p["plane_kind"], p["dim"], p["bits"], p["tables"], p["seed"]
+    )
+    id_column = p["id_column"]
+    q_melted = _melt_tables(
+        _normalize_and_bucket(
+            queries, p["embedding_column"], id_column, planes
+        ),
+        id_column,
+        p["tables"],
+    )
+    id_field = queries.schema[id_column]
+    fn = _block_topk_fn(id_column, k, deterministic)
+    cand = (
+        q_melted.groupBy("__t__", "__bkt__")
+        .cogroup(index.df.groupBy("__t__", "__bkt__"))
+        .applyInPandas(fn, _topk_out_schema(id_field))
+    )
+    best = cand.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    return _rank_topk(best, k, rank_k)
+
+
 def quantize_embeddings(
     df: DataFrame, embedding_column: str, id_column: str
 ) -> DataFrame:
@@ -483,32 +657,73 @@ def ivf_cosine_topk(
     SQL-checkable runs; recall depends on centroid quality only, the
     search mechanics are identical.
     """
+    cents = _ivf_centroids(
+        corpus, embedding_column, nlist, sample_size, seed, centroids
+    )
+    bc_C = corpus.sparkSession.sparkContext.broadcast(cents)
+    base = corpus.select(id_column, embedding_column)
+    corpus_cells = _ivf_assign(base, embedding_column, id_column, bc_C, 1)
+    query_probes = _ivf_assign(base, embedding_column, id_column, bc_C, nprobe)
+
+    id_field = corpus.schema[id_column]
+    fn = _block_topk_fn(id_column, k, deterministic)
+    cand = (
+        query_probes.groupBy("__cell__")
+        .cogroup(corpus_cells.groupBy("__cell__"))
+        .applyInPandas(fn, _topk_out_schema(id_field))
+    )
+    best = cand.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    return _rank_topk(best, k, rank_k)
+
+
+def _ivf_centroids(
+    corpus: DataFrame,
+    embedding_column: str,
+    nlist: int,
+    sample_size: int,
+    seed: int,
+    centroids,
+):
+    """Unit-normalized centroid matrix: fixed centers if given, else
+    k-means over a true random sample of the corpus."""
     import numpy as np
-    import pandas as pd
 
     if centroids is not None:
         cents = np.asarray(centroids, dtype=np.float64)
-        cents = cents / np.maximum(
+        return cents / np.maximum(
             np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
         )
-    else:
-        # A true random sample, not limit(): limit() takes whatever
-        # partition answers first, and a skewed sample makes bad centroids.
-        n = corpus.count()
-        frac = min(1.0, (1.2 * sample_size) / max(n, 1))
-        sample = (
-            corpus.select(embedding_column)
-            .sample(fraction=frac, seed=seed)
-            .limit(sample_size)
-            .collect()
-        )
-        X = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        cents = _kmeans_centroids(X, nlist, seed=seed)
-    sc = corpus.sparkSession.sparkContext
-    bc_C = sc.broadcast(cents)
+    # A true random sample, not limit(): limit() takes whatever
+    # partition answers first, and a skewed sample makes bad centroids.
+    n = corpus.count()
+    frac = min(1.0, (1.2 * sample_size) / max(n, 1))
+    sample = (
+        corpus.select(embedding_column)
+        .sample(fraction=frac, seed=seed)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return _kmeans_centroids(X, nlist, seed=seed)
 
-    id_field = corpus.schema[id_column]
+
+def _ivf_assign(
+    df: DataFrame,
+    embedding_column: str,
+    id_column: str,
+    bc_C,
+    nprobe: int,
+) -> DataFrame:
+    """One Arrow pass: (id, __nv__ unit vector, __cell__) — each row
+    repeated for its ``nprobe`` nearest cells, probe order deterministic
+    (rounded score, stable sort, lowest centroid index on ties)."""
+    import numpy as np
+    import pandas as pd
+
+    id_field = df.schema[id_column]
     assigned_schema = T.StructType(
         [
             T.StructField(id_field.name, id_field.dataType, True),
@@ -517,83 +732,102 @@ def ivf_cosine_topk(
         ]
     )
 
-    def assign_kernel(nprobe_local: int):
-        def kernel(batches):
-            cents_m = bc_C.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pd.DataFrame(
-                        columns=[id_field.name, "__nv__", "__cell__"]
-                    )
-                    continue
-                M = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
-                M = M / np.maximum(
-                    np.linalg.norm(M, axis=1, keepdims=True), 1e-12
-                )
-                S = M @ cents_m.T  # (rows, nlist)
-                p = min(nprobe_local, S.shape[1])
-                # Deterministic probe order: rank cells on the ROUNDED
-                # score with a stable sort (ties -> lowest centroid index)
-                # so the assignment is reproducible across engines.
-                cells = np.argsort(-np.round(S, 6), axis=1, kind="stable")[:, :p]
-                n = len(pdf)
-                yield pd.DataFrame(
-                    {
-                        id_field.name: np.repeat(
-                            pdf[id_column].to_numpy(), p
-                        ),
-                        "__nv__": [v for v in M for _ in range(p)],
-                        "__cell__": cells.ravel().astype(np.int32),
-                    }
-                )
+    def kernel(batches):
+        cents_m = bc_C.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_field.name, "__nv__", "__cell__"])
+                continue
+            M = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            S = M @ cents_m.T  # (rows, nlist)
+            p = min(nprobe, S.shape[1])
+            cells = np.argsort(-np.round(S, 6), axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    id_field.name: np.repeat(pdf[id_column].to_numpy(), p),
+                    "__nv__": [v for v in M for _ in range(p)],
+                    "__cell__": cells.ravel().astype(np.int32),
+                }
+            )
 
-        return kernel
-
-    base = corpus.select(id_column, embedding_column)
-    corpus_cells = base.mapInPandas(assign_kernel(1), assigned_schema)
-    query_probes = base.mapInPandas(assign_kernel(nprobe), assigned_schema)
-
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", id_field.dataType, True),
-            T.StructField("neighbor_id", id_field.dataType, True),
-            T.StructField("cosine", T.DoubleType(), True),
-        ]
+    return df.select(id_column, embedding_column).mapInPandas(
+        kernel, assigned_schema
     )
 
-    def cell_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(cpdf) == 0:
-            return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
-        Q = np.stack(qpdf["__nv__"].to_numpy())
-        C = np.stack(cpdf["__nv__"].to_numpy())
-        S = Q @ C.T
-        qids = qpdf[id_column].to_numpy()
-        cids = cpdf[id_column].to_numpy()
-        S[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
-        kk = min(k, S.shape[1])
-        idx = _topk_indices(S, cids, kk, deterministic)
-        flat = idx.ravel()
-        rows = np.repeat(np.arange(len(qids)), kk)
-        keep = np.isfinite(S[rows, flat])
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(qids, kk)[keep],
-                "neighbor_id": cids[flat][keep],
-                "cosine": S[rows, flat][keep],
-            }
-        )
 
+def build_ivf_index(
+    corpus: DataFrame,
+    embedding_column: str,
+    id_column: str,
+    nlist: int = 32,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    centroids=None,
+    materialize: bool = True,
+) -> AnnIndex:
+    """Build an IVF index: train (or accept) the coarse quantizer, assign
+    every corpus row to its nearest cell in one Arrow pass, and
+    materialize the (id, vector, cell) DataFrame so repeated
+    :func:`query_ivf_index` calls never re-assign the corpus. The
+    centroid matrix rides in ``params`` (it is nlist x dim floats —
+    tiny), so a saved index reloads fully self-contained."""
+    cents = _ivf_centroids(
+        corpus, embedding_column, nlist, sample_size, seed, centroids
+    )
+    bc_C = corpus.sparkSession.sparkContext.broadcast(cents)
+    cells = _ivf_assign(
+        corpus.select(id_column, embedding_column),
+        embedding_column,
+        id_column,
+        bc_C,
+        1,
+    )
+    if materialize:
+        cells = cells.localCheckpoint(eager=True)
+    params = {
+        "embedding_column": embedding_column,
+        "id_column": id_column,
+        "centroids": [[float(v) for v in row] for row in cents],
+    }
+    return AnnIndex("ivf", cells, params)
+
+
+def query_ivf_index(
+    index: AnnIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    deterministic: bool = False,
+    rank_k=None,
+) -> DataFrame:
+    """Top-k cosine search against a prebuilt IVF index: assign only the
+    QUERY rows to their ``nprobe`` nearest cells (broadcast centroids
+    from the index params), cogroup with the stored cells, score each
+    block with one matmul, rank. The corpus side is read as-is."""
+    import numpy as np
+
+    if index.kind != "ivf":
+        raise ValueError(f"expected an ivf index, got {index.kind!r}")
+    p = index.params
+    id_column = p["id_column"]
+    cents = np.asarray(p["centroids"], dtype=np.float64)
+    bc_C = queries.sparkSession.sparkContext.broadcast(cents)
+    probes = _ivf_assign(
+        queries.select(id_column, p["embedding_column"]),
+        p["embedding_column"],
+        id_column,
+        bc_C,
+        nprobe,
+    )
+    id_field = queries.schema[id_column]
+    fn = _block_topk_fn(id_column, k, deterministic)
     cand = (
-        query_probes.groupBy("__cell__")
-        .cogroup(corpus_cells.groupBy("__cell__"))
-        .applyInPandas(cell_topk, out_schema)
+        probes.groupBy("__cell__")
+        .cogroup(index.df.groupBy("__cell__"))
+        .applyInPandas(fn, _topk_out_schema(id_field))
     )
     best = cand.groupBy("query_id", "neighbor_id").agg(
         F.max("cosine").alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return best.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= (k if rank_k is None else rank_k)
-    )
+    return _rank_topk(best, k, rank_k)
