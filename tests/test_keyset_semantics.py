@@ -155,3 +155,105 @@ def test_query_equality():
     assert q1 == q2
     assert hash(q1) == hash(q2)
     assert q1 != q3
+
+
+class TestCanonicalEquivalence:
+    """Rewrite/normalization parity with reference keyset/_ops/_rules.py
+    240-465 (cases ported from reference test/unit/keysets/test_rewrite.py):
+    structurally different assemblies of the same keys must decide
+    is_equivalent True WITHOUT evaluating any DataFrame, and the decision
+    must agree with real (materialized) equality."""
+
+    def _check(self, a, b):
+        assert a.is_equivalent(b) is True
+        assert b.is_equivalent(a) is True
+        assert a == b  # canonical decision agrees with the data
+
+    def test_crossjoin_reorder(self):
+        # from_dict insertion order is irrelevant (order_cross_joins).
+        a = KeySet.from_dict({"A": [1], "C": [2], "B": [3]})
+        b = KeySet.from_dict({"B": [3], "A": [1], "C": [2]})
+        self._check(a, b)
+
+    def test_crossjoin_merge(self):
+        # (A*C)*(D*B) == ((A*B)*C)*D (merge + order_cross_joins).
+        A = KeySet.from_dict({"A": [1]})
+        B = KeySet.from_dict({"B": [2]})
+        C = KeySet.from_dict({"C": [3]})
+        D = KeySet.from_dict({"D": [4]})
+        self._check((A * C) * (D * B), ((A * B) * C) * D)
+
+    def test_total_aggregation_factor_dropped(self):
+        # Crossing with the empty keyset adds nothing (merge_cross_joins
+        # drops zero-column factors).
+        A = KeySet.from_dict({"A": [1, 2]})
+        self._check(A * KeySet.from_dict({}), A)
+
+    def test_nested_and_noop_projection(self):
+        ks = KeySet.from_tuples([(1, 2, 3)], columns=["A", "B", "C"])
+        self._check(ks["A", "B"]["A"], ks["A"])
+        self._check(ks["A", "B", "C"], ks)
+
+    def test_crossjoin_projection_drops_factor(self):
+        # Projecting one side of a cross product equals never crossing
+        # (project_across_crossjoin).
+        left = KeySet.from_tuples([(1, 2), (3, 4)], columns=["A", "B"])
+        right = KeySet.from_tuples([(5,), (6,)], columns=["C"])
+        self._check((left * right)["A", "B"], left)
+        self._check((left * right)["C"], right)
+
+    def test_join_reorder_and_linearize(self):
+        BC = KeySet.from_dict({"B": [2], "C": [3]})
+        AB = KeySet.from_dict({"A": [1], "B": [2]})
+        CD = KeySet.from_dict({"C": [3], "D": [4]})
+        DE = KeySet.from_dict({"D": [4], "E": [5]})
+        # join is commutative (normalize_joins sorts the leaves).
+        self._check(BC.join(AB), AB.join(BC))
+        # nested joins linearize to the same canonical chain.
+        self._check(BC.join(AB).join(CD.join(DE)), AB.join(BC).join(CD).join(DE))
+
+    def test_union_reorder_and_linearize(self):
+        A1 = KeySet.from_tuples([(1,), (2,)], columns=["A"])
+        A2 = KeySet.from_tuples([(2,), (3,)], columns=["A"])
+        A3 = KeySet.from_tuples([(4,), (5,)], columns=["A"])
+        self._check(A1.union(A2), A2.union(A1))
+        self._check(A1.union(A2).union(A3), A3.union(A1.union(A2)))
+
+    def test_subtract_chain_reorder(self):
+        base = KeySet.from_dict({"A": [1, 2, 3, 4], "B": [1, 2]})
+        s1 = KeySet.from_dict({"A": [1]})
+        s2 = KeySet.from_dict({"B": [2]})
+        self._check((base - s1) - s2, (base - s2) - s1)
+
+    def test_subtract_crossjoin_extraction(self):
+        # Subtract(CrossJoin(A, B), A') == CrossJoin(Subtract(A, A'), B)
+        # (extract_crossjoin_from_subtract).
+        A = KeySet.from_dict({"A": [1, 2, 3]})
+        B = KeySet.from_dict({"B": [7, 8]})
+        sub = KeySet.from_dict({"A": [2]})
+        self._check((A * B) - sub, (A - sub) * B)
+
+    def test_different_keys_stay_false_or_none(self):
+        a = KeySet.from_dict({"A": [1, 2]})
+        b = KeySet.from_dict({"A": [1, 3]})
+        # Driver-side rows: decidable, and definitely not equal.
+        assert a.is_equivalent(b) is False
+        assert a.is_equivalent(KeySet.from_dict({"Z": [1]})) is False
+
+    def test_dataframe_sources_undecidable_is_none(self, spark):
+        df1 = spark.createDataFrame([(1,), (2,)], "A long")
+        df2 = spark.createDataFrame([(1,), (2,)], "A long")
+        a = KeySet.from_dataframe(df1)
+        b = KeySet.from_dataframe(df2)
+        # Distinct DataFrame objects with same contents: not cheaply
+        # decidable -> None (never evaluates the frames).
+        assert a.is_equivalent(b) is None
+        # Identical object: decidable True.
+        assert a.is_equivalent(KeySet.from_dataframe(df1)) is True
+
+    def test_mixed_df_crossjoin_merge(self, spark):
+        dfB = spark.createDataFrame([(2,)], "B long")
+        A = KeySet.from_dict({"A": [1]})
+        Bk = KeySet.from_dataframe(dfB)
+        C = KeySet.from_dict({"C": [3]})
+        self._check((A * Bk) * C, (C * A) * Bk)

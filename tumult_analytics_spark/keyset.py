@@ -307,6 +307,223 @@ def _reorder(op: _Op, cols: Tuple[str, ...]) -> _Op:
 
 
 # ---------------------------------------------------------------------------
+# Canonicalization for equivalence checks (reference keyset/_ops/_rules.py:
+# 240-465). These rewrites are used ONLY to decide is_equivalent — the
+# canonical tree is never executed, so rules are free to restructure joins
+# and unions without worrying about physical plan shape. Column order and
+# row order are deliberately erased: two keysets with the same keys compare
+# equal regardless of how they were assembled.
+
+
+def _op_key(op: _Op):
+    """Deterministic, hashable structural key for a CANONICAL op tree.
+
+    FromTuples rows are reordered into sorted-column order and frozenset'd
+    (row/column order is irrelevant to the key set); DataFrame sources key
+    on object identity (same DataFrame object -> equal; different objects
+    are undecidable and simply compare unequal here, which makes
+    is_equivalent fall through to its None path)."""
+    if isinstance(op, _FromTuples):
+        scols = tuple(sorted(op.cols))
+        idx = [op.cols.index(c) for c in scols]
+        rows = frozenset(tuple(r[i] for i in idx) for r in op.rows)
+        types = tuple((c, op.types[c].name) for c in scols)
+        return ("T", scols, types, rows)
+    if isinstance(op, _FromDataFrame):
+        scols = tuple(sorted(op.types))
+        types = tuple((c, op.types[c].name) for c in scols)
+        return ("D", scols, types, id(op.df))
+    if isinstance(op, _CrossJoin):
+        return ("X", _op_key(op.left), _op_key(op.right))
+    if isinstance(op, _Join):
+        return ("J", _op_key(op.left), _op_key(op.right))
+    if isinstance(op, _Subtract):
+        return ("S", _op_key(op.left), _op_key(op.right))
+    if isinstance(op, _Union):
+        return ("U", _op_key(op.left), _op_key(op.right))
+    if isinstance(op, _Project):
+        return ("P", frozenset(op.cols), _op_key(op.child))
+    if isinstance(op, _Filter):
+        return ("F", str(op.condition), _op_key(op.child))
+    raise TypeError(f"unknown op {type(op).__name__}")  # pragma: no cover
+
+
+def _sort_key(op: _Op):
+    """Ordering key for commutative reassembly: sorted columns first (the
+    reference's rule), then the structural hash as a tiebreak."""
+    return (tuple(sorted(op.columns())), hash(_op_key(op)))
+
+
+def _cross_factors(op: _Op) -> List[_Op]:
+    if isinstance(op, _CrossJoin):
+        return _cross_factors(op.left) + _cross_factors(op.right)
+    return [op]
+
+
+def _canonical(op: _Op) -> _Op:
+    """Rewrite an op tree into the canonical form used for equivalence:
+
+    - nested / no-op projections collapse; projections split across
+      cross-join factors, dropping factors that contribute nothing
+      (project_across_crossjoin, collapse/remove projections);
+    - cross joins flatten, drop empty (total-aggregation) factors, and
+      sort their factors (merge_cross_joins + order_cross_joins);
+    - cross-join factors sharing no columns with the other side are
+      pulled out of joins and subtracts (extract_crossjoin_from_*);
+    - join / union chains flatten and re-nest in sorted leaf order
+      (normalize_joins, normalize_unions); subtract chains reorder
+      their subtracted values (normalize_subtracts).
+    """
+    if isinstance(op, _Project):
+        child = _canonical(op.child)
+        if set(child.columns()) == set(op.cols):
+            return child  # no-op up to column order
+        if isinstance(child, _Project):
+            return _canonical(_Project(child.child, op.cols))
+        if isinstance(child, _CrossJoin):
+            kept = []
+            want = set(op.cols)
+            for f in _cross_factors(child):
+                fcols = tuple(c for c in f.columns() if c in want)
+                if fcols:
+                    kept.append(
+                        f
+                        if set(f.columns()) <= want
+                        else _Project(f, fcols)
+                    )
+            if not kept:
+                return _FromTuples((), {}, ((),))
+            out = kept[0]
+            for f in kept[1:]:
+                out = _CrossJoin(out, f)
+            return _canonical(out)
+        return _Project(child, tuple(sorted(op.cols)))
+    if isinstance(op, _CrossJoin):
+        factors = [
+            _canonical(f)
+            for f in _cross_factors(op)
+        ]
+        # Flatten again: canonicalizing a factor may surface a CrossJoin.
+        factors = [g for f in factors for g in _cross_factors(f)]
+        nonempty = [f for f in factors if f.columns()]
+        if not nonempty:
+            return factors[0]
+        nonempty.sort(key=_sort_key)
+        out = nonempty[0]
+        for f in nonempty[1:]:
+            out = _CrossJoin(out, f)
+        return out
+    if isinstance(op, _Join):
+        left, right = _canonical(op.left), _canonical(op.right)
+        # Pull cross-join factors that share no columns with the other
+        # side out of the join.
+        extracted: List[_Op] = []
+        for side_name, side, other in (
+            ("L", left, right),
+            ("R", right, left),
+        ):
+            if isinstance(side, _CrossJoin):
+                other_cols = set(other.columns())
+                stay = [
+                    f
+                    for f in _cross_factors(side)
+                    if set(f.columns()) & other_cols
+                ]
+                out_f = [
+                    f
+                    for f in _cross_factors(side)
+                    if not (set(f.columns()) & other_cols)
+                ]
+                if out_f and stay:
+                    extracted.extend(out_f)
+                    rebuilt = stay[0]
+                    for f in stay[1:]:
+                        rebuilt = _CrossJoin(rebuilt, f)
+                    if side_name == "L":
+                        left = rebuilt
+                    else:
+                        right = rebuilt
+        if extracted:
+            out = _Join(left, right)
+            for f in extracted:
+                out = _CrossJoin(out, f)
+            return _canonical(out)
+        # Flatten nested joins, sort leaves, re-nest right-deep.
+        leaves: List[_Op] = []
+        stack = [_Join(left, right)]
+        while stack:
+            cur = stack.pop()
+            for child in (cur.left, cur.right):
+                if isinstance(child, _Join):
+                    stack.append(child)
+                else:
+                    leaves.append(child)
+        leaves.sort(key=_sort_key, reverse=True)
+        out = leaves[0]
+        for leaf in leaves[1:]:
+            out = _Join(leaf, out)
+        return out
+    if isinstance(op, _Union):
+        leaves = []
+        stack = [op]
+        while stack:
+            cur = stack.pop()
+            for child in (cur.left, cur.right):
+                if isinstance(child, _Union):
+                    stack.append(child)
+                else:
+                    leaves.append(_canonical(child))
+        leaves.sort(key=lambda o: hash(_op_key(o)), reverse=True)
+        out = leaves[0]
+        for leaf in leaves[1:]:
+            out = _Union(leaf, out)
+        return out
+    if isinstance(op, _Subtract):
+        rights = [_canonical(op.right)]
+        cur = op.left
+        while isinstance(cur, _Subtract):
+            rights.append(_canonical(cur.right))
+            cur = cur.left
+        base = _canonical(cur)
+        # Extract cross-join factors untouched by any subtraction.
+        sub_cols = set().union(*(set(r.columns()) for r in rights))
+        if isinstance(base, _CrossJoin):
+            stay = [
+                f
+                for f in _cross_factors(base)
+                if set(f.columns()) & sub_cols
+            ]
+            out_f = [
+                f
+                for f in _cross_factors(base)
+                if not (set(f.columns()) & sub_cols)
+            ]
+            if out_f and stay:
+                rebuilt = stay[0]
+                for f in stay[1:]:
+                    rebuilt = _CrossJoin(rebuilt, f)
+                inner: _Op = rebuilt
+                for r in sorted(rights, key=_sort_key):
+                    inner = _Subtract(inner, r)
+                out = inner
+                for f in out_f:
+                    out = _CrossJoin(out, f)
+                return _canonical(out)
+        rights.sort(key=_sort_key)
+        out = base
+        for r in rights:
+            out = _Subtract(out, r)
+        return out
+    if isinstance(op, _Filter):
+        return _Filter(_canonical(op.child), op.condition)
+    return op
+
+
+def _canonical_key(op: _Op):
+    return _op_key(_canonical(op))
+
+
+# ---------------------------------------------------------------------------
 
 
 class KeySet:
@@ -494,7 +711,12 @@ class KeySet:
             # A KeySet and a KeySetPlan are never equivalent, but
             # accepting either avoids user confusion (reference :516).
             return False
-        if self._op == other._op:
+        # Canonicalize both op trees (cross-join merge/order, projection
+        # pushdown, join/union/subtract normalization — reference
+        # keyset/_ops/_rules.py:240-465) and compare structural keys:
+        # structurally different assemblies of the same keys decide True
+        # here without touching any DataFrame.
+        if _canonical_key(self._op) == _canonical_key(other._op):
             return True
         if set(self.columns()) != set(other.columns()):
             return False
