@@ -145,6 +145,104 @@ class TestDecodePng:
         assert out[2]["height"] is None and out[3]["height"] is None
 
 
+class TestDecodeJpeg:
+    def test_dc_only_roundtrip(self):
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_jpeg,
+            synthesize_jpeg,
+        )
+
+        for w, h, seed in [(8, 8, 0), (16, 8, 5), (24, 16, 123), (32, 32, 7)]:
+            buf = synthesize_jpeg(w, h, seed)
+            nb = (w // 8) * (h // 8)
+            expect = sum(
+                64 * (128 + ((seed * 7 + b * 13) % 101 - 50))
+                for b in range(nb)
+            )
+            assert _decode_jpeg(buf) == (h, w, 1, expect)
+
+    def test_ac_runlength_path(self):
+        # Hand-encode a block with AC coefficients (runs + EOB) through
+        # the same bit plumbing; decode must match an independent IDCT.
+        import struct
+
+        import numpy as np
+
+        from tumult_analytics_spark.operators.multimodal import (
+            _JPEG_AC_LUM_BITS,
+            _JPEG_AC_LUM_VALS,
+            _JPEG_DC_LUM_BITS,
+            _JPEG_DC_LUM_VALS,
+            _JPEG_ZIGZAG,
+            _BitWriter,
+            _decode_jpeg,
+            _huff_codes,
+            _idct_matrix,
+        )
+
+        dc_codes = _huff_codes(_JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS)
+        ac_codes = _huff_codes(_JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS)
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        out += bytes([1, 0x11, 0])
+        for cls, bits_, vals in (
+            (0, _JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS),
+            (1, _JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS),
+        ):
+            out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
+            out += bytes([cls << 4]) + bytes(bits_) + bytes(vals)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0, 0, 63, 0])
+        w = _BitWriter()
+        c, l = dc_codes[6]
+        w.write(c, l)
+        w.write(40, 6)  # DC = 40
+        c, l = ac_codes[0x02]
+        w.write(c, l)
+        w.write(0, 2)  # zz[1] = -3 (negative amplitude encoding)
+        c, l = ac_codes[0x33]
+        w.write(c, l)
+        w.write(7, 3)  # 3 zeros then zz[5] = 7
+        c, l = ac_codes[0x00]
+        w.write(c, l)  # EOB
+        w.flush()
+        out += w.out + b"\xff\xd9"
+
+        zz = np.zeros(64)
+        zz[0], zz[1], zz[5] = 40, -3, 7
+        co = np.zeros(64)
+        co[list(_JPEG_ZIGZAG)] = zz
+        M = _idct_matrix()
+        blk = np.clip(np.round(M @ co.reshape(8, 8) @ M.T + 128), 0, 255)
+        assert _decode_jpeg(bytes(out)) == (8, 8, 1, int(blk.sum()))
+
+    def test_rejects_malformed(self):
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_jpeg,
+            synthesize_jpeg,
+        )
+
+        assert _decode_jpeg(b"not a jpeg") is None
+        buf = synthesize_jpeg(16, 8, 3)
+        assert _decode_jpeg(buf[:12]) is None
+        with pytest.raises(ValueError):
+            synthesize_jpeg(10, 8, 0)  # not a multiple of 8
+
+    def test_decode_image_jpeg_in_kernel(self, spark):
+        from tumult_analytics_spark.operators.multimodal import (
+            decode_image,
+            synthesize_jpeg,
+        )
+
+        df = spark.createDataFrame(
+            [(0, bytearray(synthesize_jpeg(16, 8, 9))), (1, None)],
+            "k long, payload binary",
+        )
+        out = {r["k"]: r for r in decode_image(df, "payload").collect()}
+        assert (out[0]["height"], out[0]["width"], out[0]["channels"]) == (8, 16, 1)
+        assert out[1]["height"] is None
+
+
 class TestDecodeAudio:
     def test_wav_round_trip(self, spark):
         from tumult_analytics_spark.operators.multimodal import (

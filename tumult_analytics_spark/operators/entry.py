@@ -385,6 +385,42 @@ def q_decode_image_png(spark, sf_dir):
     return dec.select("doc_id", "height", "width", "channels", "pixel_sum")
 
 
+def q_decode_image_jpeg(spark, sf_dir):
+    # Real baseline grayscale JPEG decode (canonical-Huffman entropy
+    # decode + dequantize + exact IDCT) over synthesized spec-conformant
+    # DC-only payloads: a DC-only block IDCTs to an exactly uniform
+    # 128 + k surface, so the decoded pixel sum is replayable in SQL
+    # with no lossy-codec ambiguity. First 300 docs (the entropy decode
+    # is a per-payload bit loop, the documented non-production path).
+    from . import multimodal as M
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 300"
+    )
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_jpeg(
+                    8 * (1 + int(d) % 3), 8 * (1 + int(d) % 2), int(d)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    with_jpeg = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    dec = M.decode_image(with_jpeg, "payload")
+    return dec.select("doc_id", "height", "width", "channels", "pixel_sum")
+
+
 def q_sample_video_frames(spark, sf_dir):
     # Real frame sampling over synthesized codec-free raw-RGB24 videos:
     # every 2nd frame's exact pixel sum is recomputed in SQL from the
@@ -1208,6 +1244,7 @@ QUERIES = {
     "cosine_dedup": q_cosine_dedup,
     "decode_image": q_decode_image,
     "decode_image_png": q_decode_image_png,
+    "decode_image_jpeg": q_decode_image_jpeg,
     "quantize_embeddings": q_quantize_embeddings,
     "pipeline_compose": q_pipeline_compose,
     "repetition_stats": q_repetition_stats,
@@ -1315,6 +1352,17 @@ ORACLES = {
                             * (1 + doc_id % 7) * (1 + doc_id % 5)),
                    i -> (doc_id * 7 + i * 13) % 256)) AS BIGINT) AS pixel_sum
         FROM documents
+    """,
+    "decode_image_jpeg": """
+        SELECT doc_id,
+               CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+               CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(list_sum(list_transform(
+                   range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+                   b -> 64 * (128 + (doc_id * 7 + b * 13) % 101 - 50)))
+                 AS BIGINT) AS pixel_sum
+        FROM documents WHERE doc_id < 300
     """,
     "sample_video_frames": """
         WITH v AS (

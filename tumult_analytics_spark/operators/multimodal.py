@@ -319,18 +319,333 @@ def _decode_png(buf: bytes):
     return height, width, bpp, total
 
 
+# --- Baseline JPEG (grayscale) ---------------------------------------------
+# Standard Huffman tables from the JPEG spec (ITU-T T.81 Annex K) — public
+# constants, the ones every baseline encoder ships.
+
+_JPEG_DC_LUM_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_LUM_VALS = tuple(range(12))
+_JPEG_AC_LUM_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_LUM_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+#: Zig-zag scan order: zigzag index -> (row, col) flat index.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman assignment (T.81 C.2): {symbol: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """{(length, code): symbol} for bit-serial decoding."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _huff_codes(bits, vals).items()
+    }
+
+
+def _idct_matrix():
+    import numpy as np
+
+    M = np.zeros((8, 8))
+    for x in range(8):
+        for u in range(8):
+            c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+            M[x, u] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return M
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int):
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated entropy data")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.buf) and self.buf[self.pos] == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("marker inside entropy data")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `cat` magnitude bits to a signed value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def synthesize_jpeg(width: int, height: int, seed: int) -> bytes:
+    """A real, spec-conformant baseline GRAYSCALE JPEG (SOI/DQT/SOF0/
+    DHT/SOS, standard Annex-K Huffman tables, quant table all ones)
+    whose blocks carry ONLY a DC coefficient. The DC of raster block b
+    is ``8 * k_b`` with ``k_b = (seed*7 + b*13) % 101 - 50``; the IDCT
+    of a DC-only block is exactly uniform, so every pixel of block b
+    decodes to exactly ``128 + k_b`` — an integer formula a SQL oracle
+    replays with no lossy-codec ambiguity. Width/height must be
+    multiples of 8 (no partial blocks)."""
+    import struct
+
+    if width % 8 or height % 8 or width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive multiples of 8")
+    dc_codes = _huff_codes(_JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS)
+    eob_code, eob_len = ac_codes[0x00]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: Pq=0/Tq=0, 64 ones in zigzag order.
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    # SOF0: 8-bit, 1 component (id 1, 1x1 sampling, quant table 0).
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 11, 8, height, width, 1
+    ) + bytes([1, 0x11, 0])
+    # DHT: DC table (class 0, id 0) then AC table (class 1, id 0).
+    for cls, bits, vals in (
+        (0, _JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS),
+        (1, _JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
+        out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    # SOS: 1 component, DC/AC table 0, full spectral range.
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+
+    w = _BitWriter()
+    n_blocks = (width // 8) * (height // 8)
+    prev_dc = 0
+    for b in range(n_blocks):
+        k = (seed * 7 + b * 13) % 101 - 50
+        dc = 8 * k
+        diff = dc - prev_dc
+        prev_dc = dc
+        mag = abs(diff)
+        cat = mag.bit_length()
+        code, length = dc_codes[cat]
+        w.write(code, length)
+        if cat:
+            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+            w.write(amp, cat)
+        w.write(eob_code, eob_len)  # all-zero AC
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _decode_jpeg(buf: bytes):
+    """(height, width, channels, pixel_sum) for a baseline GRAYSCALE
+    JPEG (SOF0, one component, 8-bit, no restart markers), or None.
+
+    A real pure-numpy baseline decoder: marker walk, DQT/DHT/SOF0/SOS
+    parsing, canonical-Huffman entropy decode (DC diffs + AC
+    run-length/EOB/ZRL), dequantization, exact float64 IDCT, level
+    shift and clamp. Color (multi-component) and progressive JPEGs
+    return None — chroma upsampling and successive approximation are
+    where a codec library earns its keep; the single-component baseline
+    path is the verifiable core of the format.
+
+    The entropy decode is a per-payload Python bit loop — fine for the
+    thumbnail/synthetic scale this runs at in tests and oracles; wire a
+    codec library into the same mapInPandas kernel for production
+    corpora.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables = {}
+    hufftabs = {}
+    frame = None
+    scan = None
+    while pos + 2 <= len(buf):
+        if buf[pos] != 0xFF:
+            return None
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            if marker == 0xD9:
+                break
+            continue
+        if pos + 2 > len(buf):
+            return None
+        seglen = struct.unpack_from(">H", buf, pos)[0]
+        data = buf[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq != 0:
+                    return None  # 16-bit tables: not baseline
+                qtables[tq] = np.array(list(data[i + 1 : i + 65]), dtype=np.int64)
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 0xF
+                bits = tuple(data[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(data[i + 17 : i + 17 + n])
+                hufftabs[(cls, tid)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0: baseline
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", data, 0)
+            if precision != 8 or ncomp != 1:
+                return None  # grayscale baseline only
+            comp_id, sampling, tq = data[6], data[7], data[8]
+            if sampling != 0x11:
+                return None
+            frame = (h, w, tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / extended / arithmetic
+        elif marker == 0xDD:
+            return None  # restart intervals unsupported
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            if ns != 1 or frame is None:
+                return None
+            td, ta = data[2] >> 4, data[2] & 0xF
+            scan = (td, ta, pos + seglen)
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        return None
+    h, w, tq = frame
+    td, ta, entropy_pos = scan
+    if tq not in qtables or (0, td) not in hufftabs or (1, ta) not in hufftabs:
+        return None
+    q = qtables[tq]
+    dc_tab, ac_tab = hufftabs[(0, td)], hufftabs[(1, ta)]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    reader = _BitReader(buf, entropy_pos)
+    M = _idct_matrix()
+    img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    prev_dc = 0
+    try:
+        for by in range(bh):
+            for bx in range(bw):
+                zz = np.zeros(64, dtype=np.int64)
+                cat = reader.read_huff(dc_tab)
+                prev_dc += _jpeg_extend(reader.read_bits(cat), cat)
+                zz[0] = prev_dc
+                i = 1
+                while i < 64:
+                    rs = reader.read_huff(ac_tab)
+                    run, size = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL: 16 zeros
+                        i += 16
+                        continue
+                    i += run
+                    if i >= 64:
+                        return None
+                    zz[i] = _jpeg_extend(reader.read_bits(size), size)
+                    i += 1
+                coeffs = np.zeros(64, dtype=np.float64)
+                coeffs[list(_JPEG_ZIGZAG)] = zz * q
+                block = M @ coeffs.reshape(8, 8) @ M.T
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(block + 128.0), 0, 255
+                ).astype(np.int64)
+    except ValueError:
+        return None
+    img = img[:h, :w]
+    return h, w, 1, int(img.sum())
+
+
 def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
     """Decode images to (height, width, channels, pixel_sum).
 
     Real pure-numpy decoders for the formats a container without
     imaging libraries can still handle: 8-bit PNG (gray / RGB /
     gray+alpha / RGBA, full Sub/Up/Average/Paeth unfiltering via stdlib
-    ``zlib``), 24-bit BMP, and binary PPM (P6). ``pixel_sum`` (sum of
-    all decoded sample bytes) proves the decoder walks the actual pixel
-    data — PNG unfiltering, BMP row padding, and the bottom-up flip all
-    have to be right for it to match. Unrecognized payloads (including
-    palette/16-bit/interlaced PNG and JPEG, which need a codec library)
-    decode to nulls.
+    ``zlib``), baseline grayscale JPEG (canonical-Huffman entropy
+    decode, dequantize, exact IDCT), 24-bit BMP, and binary PPM (P6).
+    ``pixel_sum`` (sum of all decoded sample bytes) proves the decoder
+    walks the actual pixel data — PNG unfiltering, JPEG entropy/IDCT,
+    BMP row padding, and the bottom-up flip all have to be right for it
+    to match. Unrecognized payloads (palette/16-bit/interlaced PNG,
+    color/progressive JPEG — codec-library territory) decode to nulls.
     """
     out_schema = T.StructType(
         df.schema.fields
@@ -352,6 +667,7 @@ def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
                     try:
                         rec = (
                             _decode_png(b)
+                            or _decode_jpeg(b)
                             or _decode_bmp(b)
                             or _decode_ppm(b)
                         )
