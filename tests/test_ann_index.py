@@ -74,6 +74,87 @@ class TestLshIndex:
             S.query_lsh_index(idx, df)
 
 
+class TestMinhashIndex:
+    def _docs(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        rows = [
+            (1, base),
+            (2, "completely different content about spark physical plans " * 5),
+            (3, "another unrelated document that talks about parquet files " * 5),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_batch_dedup_and_extend(self, spark):
+        from tumult_analytics_spark.operators import dedup as D
+
+        corpus = self._docs(spark)
+        idx = D.build_minhash_index(corpus, "text", "doc_id")
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        batch1 = spark.createDataFrame(
+            [
+                (10, base.replace("lazy", "idle")),  # near-dup of corpus 1
+                (11, "fresh new material never seen before anywhere " * 5),
+            ],
+            "doc_id long, text string",
+        )
+        kept1 = D.dedup_against_index(idx, batch1, 0.7)
+        assert [r["doc_id"] for r in kept1.collect()] == [11]
+        # Batch2 near-dups doc 11 (kept from batch1): only the EXTENDED
+        # index catches it.
+        batch2 = spark.createDataFrame(
+            [
+                (20, "fresh new material never seen before anywhere " * 5),
+                (21, "and one genuinely novel document about bit readers " * 5),
+            ],
+            "doc_id long, text string",
+        )
+        kept2_stale = D.dedup_against_index(idx, batch2, 0.7)
+        assert {r["doc_id"] for r in kept2_stale.collect()} == {20, 21}
+        idx2 = D.extend_minhash_index(idx, kept1)
+        kept2 = D.dedup_against_index(idx2, batch2, 0.7)
+        assert {r["doc_id"] for r in kept2.collect()} == {21}
+
+    def test_query_reports_matches(self, spark):
+        from tumult_analytics_spark.operators import dedup as D
+
+        corpus = self._docs(spark)
+        idx = D.build_minhash_index(corpus, "text", "doc_id")
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        batch = spark.createDataFrame(
+            [(10, base)], "doc_id long, text string"
+        )
+        m = D.query_minhash_index(idx, batch, 0.7).collect()
+        assert [(r["new_id"], r["index_id"]) for r in m] == [(10, 1)]
+        assert m[0]["signature_similarity"] == 1.0
+
+    def test_index_materialized_and_saveable(self, spark, tmp_path):
+        from tumult_analytics_spark.operators import dedup as D
+        from tumult_analytics_spark.operators.similarity import AnnIndex
+
+        corpus = self._docs(spark)
+        idx = D.build_minhash_index(corpus, "text", "doc_id")
+        plan = idx.df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+        path = str(tmp_path / "mh_index")
+        idx.save(path)
+        loaded = AnnIndex.load(spark, path)
+        assert loaded.kind == "minhash"
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        batch = spark.createDataFrame([(10, base)], "doc_id long, text string")
+        kept = D.dedup_against_index(loaded, batch, 0.7)
+        assert kept.count() == 0
+
+    def test_kind_mismatch(self, spark):
+        from tumult_analytics_spark.operators import dedup as D
+
+        idx = S.build_lsh_index(_emb_df(spark, n=40), "embedding", "vec_id", dim=8)
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="expected a minhash index"):
+            D.query_minhash_index(idx, docs)
+        with pytest.raises(ValueError, match="expected a minhash index"):
+            D.extend_minhash_index(idx, docs)
+
+
 class TestIvfIndex:
     def test_matches_one_shot_path(self, spark):
         df = _emb_df(spark)

@@ -7,15 +7,19 @@ baseline."""
 
 from .clustering import kmeans_fit_predict
 from .dedup import (
+    build_minhash_index,
     crosscorpus_decontaminate,
+    dedup_against_index,
     dedup_exact,
     dedup_segments,
     embedding_cosine_dedup,
+    extend_minhash_index,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     minhash_signatures,
     minhash_signatures_md5,
     ngram_jaccard_pairs,
+    query_minhash_index,
     simhash,
 )
 from .multimodal import (
@@ -25,6 +29,8 @@ from .multimodal import (
     extract_byte_histogram_features,
     sample_video_frames,
     synthesize_bmp,
+    synthesize_jpeg,
+    synthesize_png,
     synthesize_raw_video,
     synthesize_wav,
 )

@@ -237,6 +237,39 @@ def minhash_lsh_candidates(
     stay inside whole-stage codegen. Without it, array HOFs are used,
     which Spark interprets per-row (measurably slower).
     """
+    banded = _banded_signatures(signatures, id_column, bands, num_hashes)
+    left = banded.select(
+        F.col("__band__"), F.col("__bh__"), F.col("__id__").alias("id_a"),
+        F.col("signature").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("__band__"), F.col("__bh__"), F.col("__id__").alias("id_b"),
+        F.col("signature").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, on=["__band__", "__bh__"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+    )
+    if dedup_pairs:
+        # A pair colliding in k bands appears k times; callers that only
+        # need the distinct dropped-id set skip this shuffle entirely.
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    sim = _signature_similarity(num_hashes)
+    return pairs.select(
+        "id_a", "id_b", sim.alias("signature_similarity")
+    ).filter(F.col("signature_similarity") >= min_signature_similarity)
+
+
+def _banded_signatures(
+    signatures: DataFrame,
+    id_column: str,
+    bands: int,
+    num_hashes: Optional[int] = None,
+) -> DataFrame:
+    """(__id__, signature, __band__, __bh__): one row per (doc, band).
+    With ``num_hashes`` known the band hash is an unrolled
+    ``xxhash64(element_at(...), ...)`` that stays in codegen."""
     if num_hashes is not None:
         rows_per_band = max(num_hashes // bands, 1)
         band_hashes = F.array(
@@ -261,28 +294,16 @@ def minhash_lsh_candidates(
                 ).cast("string")
             ),
         )
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_column).alias("__id__"),
         F.col("signature"),
         F.posexplode(band_hashes).alias("__band__", "__bh__"),
     )
-    left = banded.select(
-        F.col("__band__"), F.col("__bh__"), F.col("__id__").alias("id_a"),
-        F.col("signature").alias("sig_a"),
-    )
-    right = banded.select(
-        F.col("__band__"), F.col("__bh__"), F.col("__id__").alias("id_b"),
-        F.col("signature").alias("sig_b"),
-    )
-    pairs = (
-        left.join(right, on=["__band__", "__bh__"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-    )
-    if dedup_pairs:
-        # A pair colliding in k bands appears k times; callers that only
-        # need the distinct dropped-id set skip this shuffle entirely.
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def _signature_similarity(num_hashes: Optional[int]) -> Column:
+    """Fraction of agreeing signature positions between sig_a and sig_b
+    (unrolled equality sum when the length is statically known)."""
     if num_hashes is not None:
         agree = sum(
             (
@@ -290,18 +311,14 @@ def minhash_lsh_candidates(
             ).cast("int")
             for i in range(num_hashes)
         )
-        sim = agree.cast("double") / F.lit(float(num_hashes))
-    else:
-        agree = F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
+        return agree.cast("double") / F.lit(float(num_hashes))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
         )
-        sim = agree.cast("double") / F.size("sig_a").cast("double")
-    return pairs.select(
-        "id_a", "id_b", sim.alias("signature_similarity")
-    ).filter(F.col("signature_similarity") >= min_signature_similarity)
+    )
+    return agree.cast("double") / F.size("sig_a").cast("double")
 
 
 def minhash_lsh_dedup(
@@ -352,6 +369,152 @@ def minhash_lsh_dedup(
     to_drop = cand.select(F.col("id_b").alias(id_column))
     out = df.join(to_drop, on=id_column, how="left_anti")
     return out
+
+
+# --- Incremental dedup index -----------------------------------------------
+# A 100 TB crawl pipeline ingests batches continuously; recomputing the
+# whole corpus's MinHash signatures per batch is O(corpus) work for an
+# O(batch) question. The index below persists the BANDED signature table
+# (build once / extend per batch), so deduping a new batch costs one
+# signature pass over the batch plus an equi-join against the stored
+# bands — never touching corpus text again.
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+    bands: int = 8,
+    seed: int = 42,
+    signature_fn: str = "md5",
+    materialize: bool = True,
+) -> "AnnIndex":
+    """Build a reusable near-dup index: the banded MinHash signature
+    table (id, signature, band, band-hash), materialized once. Returns
+    an :class:`~..similarity.AnnIndex` (kind ``"minhash"``) — save/load
+    it like the ANN indexes to persist across jobs."""
+    from .similarity import AnnIndex
+
+    make_sigs = (
+        minhash_signatures_md5 if signature_fn == "md5" else minhash_signatures
+    )
+    sigs = make_sigs(
+        df, text_column, id_column, num_hashes, shingle_size, seed=seed
+    )
+    banded = _banded_signatures(sigs, id_column, bands, num_hashes)
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
+    params = {
+        "text_column": text_column,
+        "id_column": id_column,
+        "num_hashes": num_hashes,
+        "shingle_size": shingle_size,
+        "bands": bands,
+        "seed": seed,
+        "signature_fn": signature_fn,
+    }
+    return AnnIndex("minhash", banded, params)
+
+
+def query_minhash_index(
+    index: "AnnIndex",
+    new_docs: DataFrame,
+    min_signature_similarity: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate matches of ``new_docs`` against a prebuilt index:
+    (new doc id, matching index id, signature_similarity), distinct per
+    pair. Only the new batch is signed and banded; the index side is an
+    equi-join on (band, band-hash) against the stored table."""
+    if index.kind != "minhash":
+        raise ValueError(f"expected a minhash index, got {index.kind!r}")
+    p = index.params
+    make_sigs = (
+        minhash_signatures_md5
+        if p["signature_fn"] == "md5"
+        else minhash_signatures
+    )
+    sigs = make_sigs(
+        new_docs,
+        p["text_column"],
+        p["id_column"],
+        p["num_hashes"],
+        p["shingle_size"],
+        seed=p["seed"],
+    )
+    banded_new = _banded_signatures(
+        sigs, p["id_column"], p["bands"], p["num_hashes"]
+    )
+    left = banded_new.select(
+        "__band__", "__bh__",
+        F.col("__id__").alias("id_a"),
+        F.col("signature").alias("sig_a"),
+    )
+    right = index.df.select(
+        "__band__", "__bh__",
+        F.col("__id__").alias("id_b"),
+        F.col("signature").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, on=["__band__", "__bh__"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = _signature_similarity(p["num_hashes"])
+    return pairs.select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("index_id"),
+        sim.alias("signature_similarity"),
+    ).filter(F.col("signature_similarity") >= min_signature_similarity)
+
+
+def dedup_against_index(
+    index: "AnnIndex",
+    new_docs: DataFrame,
+    min_signature_similarity: float = 0.5,
+) -> DataFrame:
+    """Drop rows of ``new_docs`` that are near-duplicates of anything in
+    the index. The incremental-crawl contract: dedup each batch against
+    the corpus index, then :func:`extend_minhash_index` with the KEPT
+    rows so later batches see them."""
+    id_column = index.params["id_column"]
+    matched = query_minhash_index(
+        index, new_docs, min_signature_similarity
+    ).select(F.col("new_id").alias(id_column)).distinct()
+    return new_docs.join(matched, on=id_column, how="left_anti")
+
+
+def extend_minhash_index(
+    index: "AnnIndex", new_docs: DataFrame, materialize: bool = True
+) -> "AnnIndex":
+    """A new index covering the old corpus plus ``new_docs``: only the
+    new rows are signed/banded; the stored table is reused as-is."""
+    from .similarity import AnnIndex
+
+    if index.kind != "minhash":
+        raise ValueError(f"expected a minhash index, got {index.kind!r}")
+    p = index.params
+    make_sigs = (
+        minhash_signatures_md5
+        if p["signature_fn"] == "md5"
+        else minhash_signatures
+    )
+    sigs = make_sigs(
+        new_docs,
+        p["text_column"],
+        p["id_column"],
+        p["num_hashes"],
+        p["shingle_size"],
+        seed=p["seed"],
+    )
+    banded_new = _banded_signatures(
+        sigs, p["id_column"], p["bands"], p["num_hashes"]
+    )
+    if materialize:
+        banded_new = banded_new.localCheckpoint(eager=True)
+    return AnnIndex("minhash", index.df.unionByName(banded_new), dict(p))
 
 
 #: SimHash fingerprint width. 60 = 15 hex digits of md5, so the token

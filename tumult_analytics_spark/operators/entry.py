@@ -1059,6 +1059,102 @@ def q_crosscorpus_decontaminated(spark, sf_dir):
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def _incremental_dedup_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    tau: float = 0.7,
+    seed: int = 42,
+) -> str:
+    # Same signature/band/agreement replay as _minhash_oracle_sql, but
+    # modelling two incremental batches: batch1 (doc_id % 7 = 1) dedups
+    # against the corpus (% 7 not in (1,2)); batch2 (% 7 = 2) dedups
+    # against corpus + the KEPT part of batch1 (the extended index).
+    coeffs = D.minhash_coefficients(num_hashes, seed)
+    M = (1 << 31) - 1
+    mins = ",\n                 ".join(
+        f"min(({a} * hm + {b}) % {M}) AS s{p}"
+        for p, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_conds = "\n             OR ".join(
+        "("
+        + " AND ".join(
+            f"a.s{b * rpb + j} = b.s{b * rpb + j}" for j in range(rpb)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    agree = "\n               + ".join(
+        f"(CASE WHEN a.s{p} = b.s{p} THEN 1 ELSE 0 END)"
+        for p in range(num_hashes)
+    )
+    return f"""
+        WITH ex AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, greatest(length(text) - {shingle - 1}, 1) + 1),
+                     i -> ('0x' || substr(md5(substr(text, i, {shingle})),
+                                          1, 15))::BIGINT % {M}
+                 )) AS hm
+          FROM documents
+        ), sig AS (
+          SELECT doc_id,
+                 {mins}
+          FROM ex GROUP BY doc_id
+        ), drop1 AS (
+          SELECT DISTINCT a.doc_id
+          FROM sig a JOIN sig b
+            ON a.doc_id % 7 = 1 AND b.doc_id % 7 NOT IN (1, 2)
+           AND ({band_conds})
+          WHERE CAST({agree} AS DOUBLE) / {num_hashes} >= {tau}
+        ), kept1 AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id % 7 = 1 AND doc_id NOT IN (SELECT doc_id FROM drop1)
+        ), drop2 AS (
+          SELECT DISTINCT a.doc_id
+          FROM sig a JOIN sig b
+            ON a.doc_id % 7 = 2
+           AND (b.doc_id % 7 NOT IN (1, 2)
+                OR b.doc_id IN (SELECT doc_id FROM kept1))
+           AND ({band_conds})
+          WHERE CAST({agree} AS DOUBLE) / {num_hashes} >= {tau}
+        ), kept AS (
+          SELECT doc_id FROM kept1
+          UNION ALL
+          SELECT doc_id FROM documents
+          WHERE doc_id % 7 = 2 AND doc_id NOT IN (SELECT doc_id FROM drop2)
+        )
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM kept)
+        GROUP BY d.lang
+    """
+
+
+def q_incremental_dedup(spark, sf_dir):
+    # Incremental-crawl dedup through the persisted MinHash index:
+    # build the index on the corpus once, dedup batch1 against it,
+    # EXTEND the index with batch1's kept rows (only they are signed),
+    # then dedup batch2 against the extended index. The oracle replays
+    # both rounds in SQL.
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 7 NOT IN (1, 2)")
+    batch1 = docs.filter("doc_id % 7 = 1")
+    batch2 = docs.filter("doc_id % 7 = 2")
+    idx = D.build_minhash_index(
+        corpus, "text", "doc_id", num_hashes=32, bands=8, signature_fn="md5"
+    )
+    kept1 = D.dedup_against_index(idx, batch1, min_signature_similarity=0.7)
+    idx2 = D.extend_minhash_index(idx, kept1)
+    kept2 = D.dedup_against_index(idx2, batch2, min_signature_similarity=0.7)
+    return (
+        kept1.unionByName(kept2)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
 def q_domain_capped_stats(spark, sf_dir):
     # Per-domain document cap (40 docs/source, md5-rank selection), then
     # per-source counts + kept characters. The sum over kept n_chars
@@ -1227,6 +1323,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,
+    "incremental_dedup": q_incremental_dedup,
     "simhash_buckets": q_simhash_buckets,
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
@@ -1305,6 +1402,7 @@ _GRAMS5_CTE = """
 ORACLES = {
     "simhash_buckets": _simhash_oracle_sql(),
     "minhash_dedup": _minhash_oracle_sql(),
+    "incremental_dedup": _incremental_dedup_oracle_sql(),
     "crosscorpus_decontaminated": _crosscorpus_oracle_sql(),
     "ann_lsh_topk": _ann_lsh_oracle_sql(),
     "ann_ivf_topk": _ann_ivf_oracle_sql(),
