@@ -111,6 +111,24 @@ class TestDecodePng:
             )
             assert _decode_png(buf) == (h, w, c, expect)
 
+    def test_palette_roundtrip(self):
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_png,
+            synthesize_png,
+        )
+
+        for w, h, seed in [(3, 5, 5), (7, 11, 123), (16, 9, 42)]:
+            buf = synthesize_png(w, h, seed, color_type=3)
+            idx = (seed * 7 + np.arange(w * h, dtype=np.int64) * 13) % 256
+            expect = int(
+                sum(
+                    (p * 5 + c * 11 + 3) % 256
+                    for p in idx
+                    for c in range(3)
+                )
+            )
+            assert _decode_png(buf) == (h, w, 3, expect)
+
     def test_rejects_non_png_and_truncated(self):
         from tumult_analytics_spark.operators.multimodal import (
             _decode_png,
@@ -215,6 +233,75 @@ class TestDecodeJpeg:
         M = _idct_matrix()
         blk = np.clip(np.round(M @ co.reshape(8, 8) @ M.T + 128), 0, 255)
         assert _decode_jpeg(bytes(out)) == (8, 8, 1, int(blk.sum()))
+
+    def test_color_neutral_chroma(self):
+        # 3-component 4:4:4 with Cb=Cr=128: BT.601 gives R=G=B=Y
+        # exactly, so the color sum is exactly 3x the grayscale sum.
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_jpeg,
+            synthesize_jpeg,
+        )
+
+        for w, h, seed in [(8, 8, 0), (24, 16, 123)]:
+            nb = (w // 8) * (h // 8)
+            gray = sum(
+                64 * (128 + ((seed * 7 + b * 13) % 101 - 50))
+                for b in range(nb)
+            )
+            assert _decode_jpeg(synthesize_jpeg(w, h, seed, color=True)) == (
+                h, w, 3, 3 * gray,
+            )
+
+    def test_color_nonneutral_chroma(self):
+        # Shift the Cr DC away from neutral by patching the entropy
+        # stream: decode must apply the BT.601 matrix, not just copy Y.
+        import numpy as np
+
+        from tumult_analytics_spark.operators.multimodal import (
+            _JPEG_AC_LUM_BITS,
+            _JPEG_AC_LUM_VALS,
+            _JPEG_DC_LUM_BITS,
+            _JPEG_DC_LUM_VALS,
+            _BitWriter,
+            _decode_jpeg,
+            _huff_codes,
+            synthesize_jpeg,
+        )
+
+        # Rebuild an 8x8 color payload but with Cr DC = 8*10 (Cr=138).
+        base = synthesize_jpeg(8, 8, 0, color=True)
+        # Re-emit the scan: Y block (k_0 = (0*7+0)%101-50 = -50),
+        # Cb neutral, Cr at +10.
+        dc_codes = _huff_codes(_JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS)
+        ac_codes = _huff_codes(_JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS)
+        w = _BitWriter()
+
+        def emit_dc(diff):
+            cat = abs(diff).bit_length()
+            c, l = dc_codes[cat]
+            w.write(c, l)
+            if cat:
+                amp = diff if diff >= 0 else diff + (1 << cat) - 1
+                w.write(amp, cat)
+            c, l = ac_codes[0x00]
+            w.write(c, l)
+
+        emit_dc(8 * -50)  # Y
+        emit_dc(0)        # Cb neutral
+        emit_dc(8 * 10)   # Cr + 10
+        w.flush()
+        # Scan data starts right after the SOS segment; find it by
+        # locating the SOS marker and its length.
+        sos = base.index(b"\xff\xda")
+        seglen = int.from_bytes(base[sos + 2 : sos + 4], "big")
+        patched = base[: sos + 2 + seglen] + bytes(w.out) + b"\xff\xd9"
+        h, width, ch, total = _decode_jpeg(patched)
+        assert (h, width, ch) == (8, 8, 3)
+        y, cr = 128 - 50, 10.0
+        r = np.clip(round(y + 1.402 * cr), 0, 255)
+        g = np.clip(round(y - 0.714136 * cr), 0, 255)
+        b = y  # Cb neutral
+        assert total == 64 * (int(r) + int(g) + int(b))
 
     def test_rejects_malformed(self):
         from tumult_analytics_spark.operators.multimodal import (

@@ -350,11 +350,12 @@ def q_decode_image(spark, sf_dir):
 
 def q_decode_image_png(spark, sf_dir):
     # Real 8-bit PNG decode (stdlib zlib inflate + Sub/Up/Average/Paeth
-    # unfiltering) over synthesized spec-conformant payloads whose
-    # scanline filters cycle through all five types; color type varies
-    # per doc (gray / RGB / RGBA). The exact decoded sample sum is
-    # recomputed in SQL from the same integer formula — it only matches
-    # if every filter inverse is right.
+    # unfiltering, PLTE palette mapping) over synthesized
+    # spec-conformant payloads whose scanline filters cycle through all
+    # five types; color type varies per doc (gray / RGB / RGBA /
+    # palette). The exact decoded sample sum is recomputed in SQL from
+    # the same integer formulas — it only matches if every filter
+    # inverse and the palette lookup are right.
     from . import multimodal as M
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
@@ -367,7 +368,7 @@ def q_decode_image_png(spark, sf_dir):
                     1 + int(d) % 7,
                     1 + int(d) % 5,
                     int(d),
-                    color_type=[0, 2, 6][int(d) % 3],
+                    color_type=[0, 2, 6, 3][int(d) % 4],
                 )
                 for d in pdf["doc_id"]
             ]
@@ -386,12 +387,15 @@ def q_decode_image_png(spark, sf_dir):
 
 
 def q_decode_image_jpeg(spark, sf_dir):
-    # Real baseline grayscale JPEG decode (canonical-Huffman entropy
-    # decode + dequantize + exact IDCT) over synthesized spec-conformant
-    # DC-only payloads: a DC-only block IDCTs to an exactly uniform
-    # 128 + k surface, so the decoded pixel sum is replayable in SQL
-    # with no lossy-codec ambiguity. First 300 docs (the entropy decode
-    # is a per-payload bit loop, the documented non-production path).
+    # Real baseline JPEG decode (canonical-Huffman entropy decode +
+    # dequantize + exact IDCT; interleaved-MCU 4:4:4 color with BT.601
+    # conversion) over synthesized spec-conformant DC-only payloads: a
+    # DC-only block IDCTs to an exactly uniform 128 + k surface, and
+    # color payloads carry neutral chroma (R=G=B=Y exactly), so decoded
+    # pixel sums replay in SQL with no lossy-codec ambiguity. Docs with
+    # doc_id % 5 < 2 are color (channels 3, pixel sum 3x). First 300
+    # docs (the entropy decode is a per-payload bit loop, the
+    # documented non-production path).
     from . import multimodal as M
 
     docs = _read(spark, sf_dir, "documents").select("doc_id").filter(
@@ -403,7 +407,10 @@ def q_decode_image_jpeg(spark, sf_dir):
             pdf = pdf.copy()
             pdf["payload"] = [
                 M.synthesize_jpeg(
-                    8 * (1 + int(d) % 3), 8 * (1 + int(d) % 2), int(d)
+                    8 * (1 + int(d) % 3),
+                    8 * (1 + int(d) % 2),
+                    int(d),
+                    color=int(d) % 5 < 2,
                 )
                 for d in pdf["doc_id"]
             ]
@@ -1441,24 +1448,36 @@ ORACLES = {
         SELECT doc_id,
                CAST(1 + doc_id % 5 AS INTEGER) AS height,
                CAST(1 + doc_id % 7 AS INTEGER) AS width,
-               CAST(CASE CAST(doc_id % 3 AS INTEGER)
-                    WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
-                    AS INTEGER) AS channels,
-               CAST(list_sum(list_transform(
-                   range(0, (CASE CAST(doc_id % 3 AS INTEGER)
-                             WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
-                            * (1 + doc_id % 7) * (1 + doc_id % 5)),
-                   i -> (doc_id * 7 + i * 13) % 256)) AS BIGINT) AS pixel_sum
+               CAST(CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4
+                    ELSE 3 END AS INTEGER) AS channels,
+               CAST(CASE WHEN doc_id % 4 = 3 THEN
+                      -- palette: formula stream is indices p; PLTE maps
+                      -- (p, c) -> (p*5 + c*11 + 3) % 256
+                      list_sum(list_transform(
+                        range(0, (1 + doc_id % 7) * (1 + doc_id % 5)),
+                        i -> ((((doc_id * 7 + i * 13) % 256) * 5 + 3) % 256)
+                           + ((((doc_id * 7 + i * 13) % 256) * 5 + 14) % 256)
+                           + ((((doc_id * 7 + i * 13) % 256) * 5 + 25) % 256)))
+                    ELSE
+                      list_sum(list_transform(
+                        range(0, (CASE CAST(doc_id % 4 AS INTEGER)
+                                  WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+                               * (1 + doc_id % 7) * (1 + doc_id % 5)),
+                        i -> (doc_id * 7 + i * 13) % 256))
+                    END AS BIGINT) AS pixel_sum
         FROM documents
     """,
     "decode_image_jpeg": """
         SELECT doc_id,
                CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
                CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
-               CAST(1 AS INTEGER) AS channels,
-               CAST(list_sum(list_transform(
-                   range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
-                   b -> 64 * (128 + (doc_id * 7 + b * 13) % 101 - 50)))
+               CAST(CASE WHEN doc_id % 5 < 2 THEN 3 ELSE 1 END
+                    AS INTEGER) AS channels,
+               CAST((CASE WHEN doc_id % 5 < 2 THEN 3 ELSE 1 END)
+                    * list_sum(list_transform(
+                        range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+                        b -> 64 * (128 + (doc_id * 7 + b * 13) % 101 - 50)))
                  AS BIGINT) AS pixel_sum
         FROM documents WHERE doc_id < 300
     """,

@@ -156,15 +156,19 @@ def synthesize_png(
     formula as :func:`synthesize_bmp`, so a SQL oracle can recompute the
     exact ``pixel_sum``. Scanline filters CYCLE through all five types
     (row r uses filter ``r % 5``), so a decoder only matches the oracle
-    if its Sub/Up/Average/Paeth unfiltering is correct."""
+    if its Sub/Up/Average/Paeth unfiltering is correct.
+
+    ``color_type=3`` emits a PALETTE image: the formula stream becomes
+    palette indices and a PLTE chunk maps index p, channel c to
+    ``(p*5 + c*11 + 3) % 256`` — also SQL-replayable."""
     import struct
     import zlib
 
     import numpy as np
 
-    if color_type not in _PNG_CHANNELS:
+    if color_type not in _PNG_CHANNELS and color_type != 3:
         raise ValueError(f"unsupported color_type {color_type}")
-    bpp = _PNG_CHANNELS[color_type]
+    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     stride = width * bpp
     n = stride * height
     flat = ((seed * 7 + np.arange(n, dtype=np.int64) * 13) % 256).reshape(
@@ -208,9 +212,20 @@ def synthesize_png(
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    plte = b""
+    if color_type == 3:
+        plte = chunk(
+            b"PLTE",
+            bytes(
+                (p * 5 + c * 11 + 3) % 256
+                for p in range(256)
+                for c in range(3)
+            ),
+        )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -218,12 +233,13 @@ def synthesize_png(
 
 def _decode_png(buf: bytes):
     """(height, width, channels, pixel_sum) for an 8-bit non-interlaced
-    gray / RGB / gray+alpha / RGBA PNG, or None.
+    gray / RGB / gray+alpha / RGBA / palette (PLTE) PNG, or None.
 
     Pure stdlib + numpy: chunk walk, ``zlib`` inflate, and full
-    None/Sub/Up/Average/Paeth scanline unfiltering. Palette (color type
-    3), 16-bit, and Adam7-interlaced images return None. Unfiltering is
-    O(pixels); the sequential filters (Sub/Average/Paeth) loop over
+    None/Sub/Up/Average/Paeth scanline unfiltering; palette images
+    unfilter the index plane then map through PLTE (channels reported
+    as 3). 16-bit and Adam7-interlaced images return None. Unfiltering
+    is O(pixels); the sequential filters (Sub/Average/Paeth) loop over
     pixels with the channel lanes vectorized, so cost is ``width``
     iterations per row, not ``width*channels``."""
     import struct
@@ -233,7 +249,7 @@ def _decode_png(buf: bytes):
 
     if len(buf) < 8 + 25 or buf[:8] != _PNG_SIG:
         return None
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
         ctype = buf[pos + 4 : pos + 8]
@@ -242,6 +258,8 @@ def _decode_png(buf: bytes):
             return None  # truncated chunk
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -252,9 +270,16 @@ def _decode_png(buf: bytes):
     width, height, depth, color_type, comp, filt, interlace = (
         struct.unpack(">IIBBBBB", ihdr[:13])
     )
+    palette = None
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            return None
+        palette = np.frombuffer(plte, dtype=np.uint8).astype(
+            np.int64
+        ).reshape(-1, 3)
     if (
         depth != 8
-        or color_type not in _PNG_CHANNELS
+        or (color_type not in _PNG_CHANNELS and color_type != 3)
         or comp != 0
         or filt != 0
         or interlace != 0
@@ -262,7 +287,7 @@ def _decode_png(buf: bytes):
         or height <= 0
     ):
         return None
-    bpp = _PNG_CHANNELS[color_type]
+    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     stride = width * bpp
     try:
         raw = zlib.decompress(b"".join(idat))
@@ -314,9 +339,14 @@ def _decode_png(buf: bytes):
             recon = recon2.reshape(stride)
         else:
             return None  # invalid filter type
-        total += int(recon.sum())
+        if palette is not None:
+            if int(recon.max()) >= len(palette):
+                return None  # index past the palette
+            total += int(palette[recon].sum())
+        else:
+            total += int(recon.sum())
         prev = recon
-    return height, width, bpp, total
+    return height, width, (3 if palette is not None else bpp), total
 
 
 # --- Baseline JPEG (grayscale) ---------------------------------------------
@@ -452,14 +482,20 @@ def _jpeg_extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def synthesize_jpeg(width: int, height: int, seed: int) -> bytes:
-    """A real, spec-conformant baseline GRAYSCALE JPEG (SOI/DQT/SOF0/
-    DHT/SOS, standard Annex-K Huffman tables, quant table all ones)
-    whose blocks carry ONLY a DC coefficient. The DC of raster block b
-    is ``8 * k_b`` with ``k_b = (seed*7 + b*13) % 101 - 50``; the IDCT
-    of a DC-only block is exactly uniform, so every pixel of block b
+def synthesize_jpeg(
+    width: int, height: int, seed: int, color: bool = False
+) -> bytes:
+    """A real, spec-conformant baseline JPEG (SOI/DQT/SOF0/DHT/SOS,
+    standard Annex-K Huffman tables, quant table all ones) whose blocks
+    carry ONLY a DC coefficient. The luma DC of raster block b is
+    ``8 * k_b`` with ``k_b = (seed*7 + b*13) % 101 - 50``; the IDCT of
+    a DC-only block is exactly uniform, so every pixel of block b
     decodes to exactly ``128 + k_b`` — an integer formula a SQL oracle
-    replays with no lossy-codec ambiguity. Width/height must be
+    replays with no lossy-codec ambiguity. With ``color=True`` the
+    image is 3-component 4:4:4 YCbCr with NEUTRAL chroma (Cb=Cr=128),
+    so the BT.601 conversion yields R=G=B=Y exactly and the color
+    pixel sum is exactly 3x the grayscale one — the conversion path is
+    exercised without float rounding ambiguity. Width/height must be
     multiples of 8 (no partial blocks)."""
     import struct
 
@@ -468,25 +504,33 @@ def synthesize_jpeg(width: int, height: int, seed: int) -> bytes:
     dc_codes = _huff_codes(_JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS)
     ac_codes = _huff_codes(_JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS)
     eob_code, eob_len = ac_codes[0x00]
+    ncomp = 3 if color else 1
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT: Pq=0/Tq=0, 64 ones in zigzag order.
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
-    # SOF0: 8-bit, 1 component (id 1, 1x1 sampling, quant table 0).
+    # SOF0: 8-bit, 1x1 sampling (4:4:4), all components on quant table 0.
     out += b"\xff\xc0" + struct.pack(
-        ">HBHHB", 11, 8, height, width, 1
-    ) + bytes([1, 0x11, 0])
-    # DHT: DC table (class 0, id 0) then AC table (class 1, id 0).
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    )
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0])
+    # DHT: DC table (class 0, id 0) then AC table (class 1, id 0),
+    # shared by every component.
     for cls, bits, vals in (
         (0, _JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS),
         (1, _JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS),
     ):
         out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
         out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
-    # SOS: 1 component, DC/AC table 0, full spectral range.
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    # SOS: all components on DC/AC table 0, full spectral range.
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([0, 63, 0])
 
     w = _BitWriter()
+    zero_cat_code, zero_cat_len = dc_codes[0]
     n_blocks = (width // 8) * (height // 8)
     prev_dc = 0
     for b in range(n_blocks):
@@ -502,6 +546,11 @@ def synthesize_jpeg(width: int, height: int, seed: int) -> bytes:
             amp = diff if diff >= 0 else diff + (1 << cat) - 1
             w.write(amp, cat)
         w.write(eob_code, eob_len)  # all-zero AC
+        if color:
+            # Neutral chroma: Cb and Cr blocks are all zero (DC diff 0).
+            for _ in range(2):
+                w.write(zero_cat_code, zero_cat_len)
+                w.write(eob_code, eob_len)
     w.flush()
     out += w.out
     out += b"\xff\xd9"  # EOI
@@ -568,12 +617,17 @@ def _decode_jpeg(buf: bytes):
                 i += 17 + n
         elif marker == 0xC0:  # SOF0: baseline
             precision, h, w, ncomp = struct.unpack_from(">BHHB", data, 0)
-            if precision != 8 or ncomp != 1:
-                return None  # grayscale baseline only
-            comp_id, sampling, tq = data[6], data[7], data[8]
-            if sampling != 0x11:
+            if precision != 8 or ncomp not in (1, 3):
                 return None
-            frame = (h, w, tq)
+            comps = []
+            for ci in range(ncomp):
+                comp_id = data[6 + 3 * ci]
+                sampling = data[7 + 3 * ci]
+                ctq = data[8 + 3 * ci]
+                if sampling != 0x11:
+                    return None  # 4:4:4 only (no chroma subsampling)
+                comps.append((comp_id, ctq))
+            frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # progressive / extended / arithmetic
@@ -581,56 +635,75 @@ def _decode_jpeg(buf: bytes):
             return None  # restart intervals unsupported
         elif marker == 0xDA:  # SOS
             ns = data[0]
-            if ns != 1 or frame is None:
+            if frame is None or ns != len(frame[2]):
                 return None
-            td, ta = data[2] >> 4, data[2] & 0xF
-            scan = (td, ta, pos + seglen)
+            tabs = []
+            for ci in range(ns):
+                tabs.append((data[2 + 2 * ci] >> 4, data[2 + 2 * ci] & 0xF))
+            scan = (tabs, pos + seglen)
             break
         pos += seglen
     if frame is None or scan is None:
         return None
-    h, w, tq = frame
-    td, ta, entropy_pos = scan
-    if tq not in qtables or (0, td) not in hufftabs or (1, ta) not in hufftabs:
-        return None
-    q = qtables[tq]
-    dc_tab, ac_tab = hufftabs[(0, td)], hufftabs[(1, ta)]
+    h, w, comps = frame
+    tabs, entropy_pos = scan
+    for (_, ctq), (td, ta) in zip(comps, tabs):
+        if ctq not in qtables or (0, td) not in hufftabs or (1, ta) not in hufftabs:
+            return None
+    ncomp = len(comps)
     bw, bh = (w + 7) // 8, (h + 7) // 8
     reader = _BitReader(buf, entropy_pos)
     M = _idct_matrix()
-    img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
-    prev_dc = 0
+    planes = np.zeros((ncomp, bh * 8, bw * 8), dtype=np.int64)
+    prev_dc = [0] * ncomp
     try:
+        # Interleaved MCUs: with 1x1 sampling every MCU is one block per
+        # component, in component order; each component keeps its own DC
+        # predictor.
         for by in range(bh):
             for bx in range(bw):
-                zz = np.zeros(64, dtype=np.int64)
-                cat = reader.read_huff(dc_tab)
-                prev_dc += _jpeg_extend(reader.read_bits(cat), cat)
-                zz[0] = prev_dc
-                i = 1
-                while i < 64:
-                    rs = reader.read_huff(ac_tab)
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL: 16 zeros
-                        i += 16
-                        continue
-                    i += run
-                    if i >= 64:
-                        return None
-                    zz[i] = _jpeg_extend(reader.read_bits(size), size)
-                    i += 1
-                coeffs = np.zeros(64, dtype=np.float64)
-                coeffs[list(_JPEG_ZIGZAG)] = zz * q
-                block = M @ coeffs.reshape(8, 8) @ M.T
-                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(block + 128.0), 0, 255
-                ).astype(np.int64)
+                for ci, ((_, ctq), (td, ta)) in enumerate(zip(comps, tabs)):
+                    q = qtables[ctq]
+                    dc_tab, ac_tab = hufftabs[(0, td)], hufftabs[(1, ta)]
+                    zz = np.zeros(64, dtype=np.int64)
+                    cat = reader.read_huff(dc_tab)
+                    prev_dc[ci] += _jpeg_extend(reader.read_bits(cat), cat)
+                    zz[0] = prev_dc[ci]
+                    i = 1
+                    while i < 64:
+                        rs = reader.read_huff(ac_tab)
+                        run, size = rs >> 4, rs & 0xF
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL: 16 zeros
+                            i += 16
+                            continue
+                        i += run
+                        if i >= 64:
+                            return None
+                        zz[i] = _jpeg_extend(reader.read_bits(size), size)
+                        i += 1
+                    coeffs = np.zeros(64, dtype=np.float64)
+                    coeffs[list(_JPEG_ZIGZAG)] = zz * q
+                    block = M @ coeffs.reshape(8, 8) @ M.T
+                    planes[
+                        ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = np.clip(np.round(block + 128.0), 0, 255).astype(
+                        np.int64
+                    )
     except ValueError:
         return None
-    img = img[:h, :w]
-    return h, w, 1, int(img.sum())
+    planes = planes[:, :h, :w]
+    if ncomp == 1:
+        return h, w, 1, int(planes.sum())
+    # JFIF YCbCr -> RGB (BT.601 full range), rounded and clamped.
+    Y = planes[0].astype(np.float64)
+    Cb = planes[1].astype(np.float64) - 128.0
+    Cr = planes[2].astype(np.float64) - 128.0
+    r = np.clip(np.round(Y + 1.402 * Cr), 0, 255)
+    g = np.clip(np.round(Y - 0.344136 * Cb - 0.714136 * Cr), 0, 255)
+    b = np.clip(np.round(Y + 1.772 * Cb), 0, 255)
+    return h, w, 3, int(r.sum() + g.sum() + b.sum())
 
 
 def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
