@@ -1152,7 +1152,9 @@ def q_incremental_dedup(spark, sf_dir):
     idx = D.build_minhash_index(
         corpus, "text", "doc_id", num_hashes=32, bands=8, signature_fn="md5"
     )
-    kept1 = D.dedup_against_index(idx, batch1, min_signature_similarity=0.7)
+    kept1 = D.dedup_against_index(
+        idx, batch1, min_signature_similarity=0.7
+    ).localCheckpoint(eager=True)  # read by extend AND the union below
     idx2 = D.extend_minhash_index(idx, kept1)
     kept2 = D.dedup_against_index(idx2, batch2, min_signature_similarity=0.7)
     return (
