@@ -252,6 +252,29 @@ class TestDecodeJpeg:
                 h, w, 3, 3 * gray,
             )
 
+    def test_420_subsampling(self):
+        # 4:2:0: interleaved 4-luma+Cb+Cr MCUs with box-upsampled
+        # neutral chroma decode to the same pixels as 4:4:4.
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_jpeg,
+            synthesize_jpeg,
+        )
+
+        for w, h, seed in [(16, 16, 0), (48, 32, 123), (16, 48, 42)]:
+            nb = (w // 8) * (h // 8)
+            gray = sum(
+                64 * (128 + ((seed * 7 + b * 13) % 101 - 50))
+                for b in range(nb)
+            )
+            rec = _decode_jpeg(
+                synthesize_jpeg(w, h, seed, color=True, subsampling="420")
+            )
+            assert rec == (h, w, 3, 3 * gray)
+        with pytest.raises(ValueError):
+            synthesize_jpeg(16, 16, 0, subsampling="420")  # needs color
+        with pytest.raises(ValueError):
+            synthesize_jpeg(8, 8, 0, color=True, subsampling="420")
+
     def test_color_nonneutral_chroma(self):
         # Shift the Cr DC away from neutral by patching the entropy
         # stream: decode must apply the BT.601 matrix, not just copy Y.

@@ -388,12 +388,13 @@ def q_decode_image_png(spark, sf_dir):
 
 def q_decode_image_jpeg(spark, sf_dir):
     # Real baseline JPEG decode (canonical-Huffman entropy decode +
-    # dequantize + exact IDCT; interleaved-MCU 4:4:4 color with BT.601
-    # conversion) over synthesized spec-conformant DC-only payloads: a
-    # DC-only block IDCTs to an exactly uniform 128 + k surface, and
-    # color payloads carry neutral chroma (R=G=B=Y exactly), so decoded
-    # pixel sums replay in SQL with no lossy-codec ambiguity. Docs with
-    # doc_id % 5 < 2 are color (channels 3, pixel sum 3x). First 300
+    # dequantize + exact IDCT; interleaved-MCU color with BT.601
+    # conversion and box chroma upsampling) over synthesized
+    # spec-conformant DC-only payloads: a DC-only block IDCTs to an
+    # exactly uniform 128 + k surface, and color payloads carry neutral
+    # chroma (R=G=B=Y exactly), so decoded pixel sums replay in SQL
+    # with no lossy-codec ambiguity. doc_id % 5 == 0 -> 4:4:4 color,
+    # == 1 -> 4:2:0 color (16-multiple dims), else grayscale. First 300
     # docs (the entropy decode is a per-payload bit loop, the
     # documented non-production path).
     from . import multimodal as M
@@ -405,15 +406,24 @@ def q_decode_image_jpeg(spark, sf_dir):
     def make(batches):
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["payload"] = [
-                M.synthesize_jpeg(
-                    8 * (1 + int(d) % 3),
-                    8 * (1 + int(d) % 2),
-                    int(d),
-                    color=int(d) % 5 < 2,
-                )
-                for d in pdf["doc_id"]
-            ]
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 5 == 1:  # 4:2:0 needs 16-multiple dimensions
+                    payloads.append(
+                        M.synthesize_jpeg(
+                            16 * (1 + d % 3), 16 * (1 + d % 2), d,
+                            color=True, subsampling="420",
+                        )
+                    )
+                else:
+                    payloads.append(
+                        M.synthesize_jpeg(
+                            8 * (1 + d % 3), 8 * (1 + d % 2), d,
+                            color=d % 5 == 0,
+                        )
+                    )
+            pdf["payload"] = payloads
             yield pdf
 
     from pyspark.sql import types as T
@@ -1471,14 +1481,20 @@ ORACLES = {
         FROM documents
     """,
     "decode_image_jpeg": """
+        -- doc_id % 5 = 1 is 4:2:0 color at 16-multiple dims (4x the
+        -- blocks); % 5 = 0 is 4:4:4 color; else grayscale. The per-
+        -- block DC formula is shared by all layouts.
         SELECT doc_id,
-               CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
-               CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+               CAST((CASE WHEN doc_id % 5 = 1 THEN 16 ELSE 8 END)
+                    * (1 + doc_id % 2) AS INTEGER) AS height,
+               CAST((CASE WHEN doc_id % 5 = 1 THEN 16 ELSE 8 END)
+                    * (1 + doc_id % 3) AS INTEGER) AS width,
                CAST(CASE WHEN doc_id % 5 < 2 THEN 3 ELSE 1 END
                     AS INTEGER) AS channels,
                CAST((CASE WHEN doc_id % 5 < 2 THEN 3 ELSE 1 END)
                     * list_sum(list_transform(
-                        range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+                        range(0, (CASE WHEN doc_id % 5 = 1 THEN 4 ELSE 1 END)
+                                 * (1 + doc_id % 3) * (1 + doc_id % 2)),
                         b -> 64 * (128 + (doc_id * 7 + b * 13) % 101 - 50)))
                  AS BIGINT) AS pixel_sum
         FROM documents WHERE doc_id < 300

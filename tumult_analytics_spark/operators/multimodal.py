@@ -483,7 +483,11 @@ def _jpeg_extend(v: int, cat: int) -> int:
 
 
 def synthesize_jpeg(
-    width: int, height: int, seed: int, color: bool = False
+    width: int,
+    height: int,
+    seed: int,
+    color: bool = False,
+    subsampling: str = "444",
 ) -> bytes:
     """A real, spec-conformant baseline JPEG (SOI/DQT/SOF0/DHT/SOS,
     standard Annex-K Huffman tables, quant table all ones) whose blocks
@@ -495,26 +499,38 @@ def synthesize_jpeg(
     image is 3-component 4:4:4 YCbCr with NEUTRAL chroma (Cb=Cr=128),
     so the BT.601 conversion yields R=G=B=Y exactly and the color
     pixel sum is exactly 3x the grayscale one — the conversion path is
-    exercised without float rounding ambiguity. Width/height must be
-    multiples of 8 (no partial blocks)."""
+    exercised without float rounding ambiguity. ``subsampling="420"``
+    (color only) emits 2x2-sampled luma with 1x1 chroma — the
+    interleaved 4-luma+Cb+Cr MCU layout real encoders default to;
+    neutral chroma keeps the oracle formula identical (luma DC still
+    follows the full-resolution raster block index). Width/height must
+    be multiples of 8 (16 for 4:2:0 — no partial blocks)."""
     import struct
 
-    if width % 8 or height % 8 or width <= 0 or height <= 0:
-        raise ValueError("width and height must be positive multiples of 8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling == "420" and not color:
+        raise ValueError("4:2:0 requires color=True")
+    mult = 16 if subsampling == "420" else 8
+    if width % mult or height % mult or width <= 0 or height <= 0:
+        raise ValueError(
+            f"width and height must be positive multiples of {mult}"
+        )
     dc_codes = _huff_codes(_JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS)
     ac_codes = _huff_codes(_JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS)
     eob_code, eob_len = ac_codes[0x00]
     ncomp = 3 if color else 1
+    luma_sampling = 0x22 if subsampling == "420" else 0x11
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT: Pq=0/Tq=0, 64 ones in zigzag order.
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
-    # SOF0: 8-bit, 1x1 sampling (4:4:4), all components on quant table 0.
+    # SOF0: 8-bit, all components on quant table 0.
     out += b"\xff\xc0" + struct.pack(
         ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
     )
     for ci in range(ncomp):
-        out += bytes([ci + 1, 0x11, 0])
+        out += bytes([ci + 1, luma_sampling if ci == 0 else 0x11, 0])
     # DHT: DC table (class 0, id 0) then AC table (class 1, id 0),
     # shared by every component.
     for cls, bits, vals in (
@@ -531,26 +547,44 @@ def synthesize_jpeg(
 
     w = _BitWriter()
     zero_cat_code, zero_cat_len = dc_codes[0]
-    n_blocks = (width // 8) * (height // 8)
+
     prev_dc = 0
-    for b in range(n_blocks):
+
+    def emit_luma(b: int):
+        nonlocal prev_dc
         k = (seed * 7 + b * 13) % 101 - 50
         dc = 8 * k
         diff = dc - prev_dc
         prev_dc = dc
-        mag = abs(diff)
-        cat = mag.bit_length()
+        cat = abs(diff).bit_length()
         code, length = dc_codes[cat]
         w.write(code, length)
         if cat:
             amp = diff if diff >= 0 else diff + (1 << cat) - 1
             w.write(amp, cat)
         w.write(eob_code, eob_len)  # all-zero AC
-        if color:
-            # Neutral chroma: Cb and Cr blocks are all zero (DC diff 0).
-            for _ in range(2):
-                w.write(zero_cat_code, zero_cat_len)
-                w.write(eob_code, eob_len)
+
+    def emit_neutral_chroma_pair():
+        for _ in range(2):
+            w.write(zero_cat_code, zero_cat_len)
+            w.write(eob_code, eob_len)
+
+    bw = width // 8
+    if subsampling == "420":
+        # MCU = 4 luma blocks (raster within the 16x16 MCU) + Cb + Cr;
+        # the luma DC formula still indexes the FULL-resolution raster
+        # block grid, so the decoded image is identical to 4:4:4.
+        for my in range(height // 16):
+            for mx in range(width // 16):
+                for by in range(2):
+                    for bx in range(2):
+                        emit_luma((my * 2 + by) * bw + (mx * 2 + bx))
+                emit_neutral_chroma_pair()
+    else:
+        for b in range(bw * (height // 8)):
+            emit_luma(b)
+            if color:
+                emit_neutral_chroma_pair()
     w.flush()
     out += w.out
     out += b"\xff\xd9"  # EOI
@@ -558,16 +592,17 @@ def synthesize_jpeg(
 
 
 def _decode_jpeg(buf: bytes):
-    """(height, width, channels, pixel_sum) for a baseline GRAYSCALE
-    JPEG (SOF0, one component, 8-bit, no restart markers), or None.
+    """(height, width, channels, pixel_sum) for a baseline JPEG —
+    grayscale or YCbCr color with 4:4:4 / 4:2:0 / 4:2:2 sampling
+    (SOF0, 8-bit, no restart markers) — or None.
 
     A real pure-numpy baseline decoder: marker walk, DQT/DHT/SOF0/SOS
-    parsing, canonical-Huffman entropy decode (DC diffs + AC
-    run-length/EOB/ZRL), dequantization, exact float64 IDCT, level
-    shift and clamp. Color (multi-component) and progressive JPEGs
-    return None — chroma upsampling and successive approximation are
-    where a codec library earns its keep; the single-component baseline
-    path is the verifiable core of the format.
+    parsing, canonical-Huffman entropy decode of interleaved MCUs (DC
+    diffs per component + AC run-length/EOB/ZRL), dequantization, exact
+    float64 IDCT, box chroma upsampling (the upsampling filter is not
+    normative in T.81), BT.601 YCbCr->RGB, level shift and clamp.
+    Progressive/arithmetic JPEGs and restart markers return None —
+    successive approximation is where a codec library earns its keep.
 
     The entropy decode is a per-payload Python bit loop — fine for the
     thumbnail/synthetic scale this runs at in tests and oracles; wire a
@@ -623,10 +658,17 @@ def _decode_jpeg(buf: bytes):
             for ci in range(ncomp):
                 comp_id = data[6 + 3 * ci]
                 sampling = data[7 + 3 * ci]
+                hi, vi = sampling >> 4, sampling & 0xF
                 ctq = data[8 + 3 * ci]
-                if sampling != 0x11:
-                    return None  # 4:4:4 only (no chroma subsampling)
-                comps.append((comp_id, ctq))
+                if hi not in (1, 2) or vi not in (1, 2):
+                    return None
+                comps.append((comp_id, hi, vi, ctq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            # Sampling grids must divide evenly (true for 4:4:4, 4:2:0,
+            # 4:2:2 — the layouts that exist in the wild).
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                return None
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -647,59 +689,82 @@ def _decode_jpeg(buf: bytes):
         return None
     h, w, comps = frame
     tabs, entropy_pos = scan
-    for (_, ctq), (td, ta) in zip(comps, tabs):
+    for (_, _, _, ctq), (td, ta) in zip(comps, tabs):
         if ctq not in qtables or (0, td) not in hufftabs or (1, ta) not in hufftabs:
             return None
     ncomp = len(comps)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     reader = _BitReader(buf, entropy_pos)
     M = _idct_matrix()
-    planes = np.zeros((ncomp, bh * 8, bw * 8), dtype=np.int64)
+    # One plane per component at its own (subsampled) resolution.
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.int64)
+        for (_, hi, vi, _) in comps
+    ]
     prev_dc = [0] * ncomp
+
+    def read_block(dc_tab, ac_tab, q, ci):
+        zz = np.zeros(64, dtype=np.int64)
+        cat = reader.read_huff(dc_tab)
+        prev_dc[ci] += _jpeg_extend(reader.read_bits(cat), cat)
+        zz[0] = prev_dc[ci]
+        i = 1
+        while i < 64:
+            rs = reader.read_huff(ac_tab)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL: 16 zeros
+                i += 16
+                continue
+            i += run
+            if i >= 64:
+                raise ValueError("AC run past block end")
+            zz[i] = _jpeg_extend(reader.read_bits(size), size)
+            i += 1
+        coeffs = np.zeros(64, dtype=np.float64)
+        coeffs[list(_JPEG_ZIGZAG)] = zz * q
+        block = M @ coeffs.reshape(8, 8) @ M.T
+        return np.clip(np.round(block + 128.0), 0, 255).astype(np.int64)
+
     try:
-        # Interleaved MCUs: with 1x1 sampling every MCU is one block per
-        # component, in component order; each component keeps its own DC
-        # predictor.
-        for by in range(bh):
-            for bx in range(bw):
-                for ci, ((_, ctq), (td, ta)) in enumerate(zip(comps, tabs)):
+        # Interleaved MCUs (T.81 A.2.3): per MCU, each component
+        # contributes vi x hi blocks in raster order; each component
+        # keeps its own DC predictor.
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, ((_, hi, vi, ctq), (td, ta)) in enumerate(
+                    zip(comps, tabs)
+                ):
                     q = qtables[ctq]
-                    dc_tab, ac_tab = hufftabs[(0, td)], hufftabs[(1, ta)]
-                    zz = np.zeros(64, dtype=np.int64)
-                    cat = reader.read_huff(dc_tab)
-                    prev_dc[ci] += _jpeg_extend(reader.read_bits(cat), cat)
-                    zz[0] = prev_dc[ci]
-                    i = 1
-                    while i < 64:
-                        rs = reader.read_huff(ac_tab)
-                        run, size = rs >> 4, rs & 0xF
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL: 16 zeros
-                            i += 16
-                            continue
-                        i += run
-                        if i >= 64:
-                            return None
-                        zz[i] = _jpeg_extend(reader.read_bits(size), size)
-                        i += 1
-                    coeffs = np.zeros(64, dtype=np.float64)
-                    coeffs[list(_JPEG_ZIGZAG)] = zz * q
-                    block = M @ coeffs.reshape(8, 8) @ M.T
-                    planes[
-                        ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                    ] = np.clip(np.round(block + 128.0), 0, 255).astype(
-                        np.int64
-                    )
+                    dc_tab = hufftabs[(0, td)]
+                    ac_tab = hufftabs[(1, ta)]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blk = read_block(dc_tab, ac_tab, q, ci)
+                            y0 = (my * vi + by) * 8
+                            x0 = (mx * hi + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
     except ValueError:
         return None
-    planes = planes[:, :h, :w]
+    # Upsample subsampled chroma by pixel replication (box upsampling —
+    # the upsampling filter is not normative in T.81; replication keeps
+    # neutral-chroma payloads exact) and crop to the frame size.
+    full = []
+    for ci, (_, hi, vi, _) in enumerate(comps):
+        p = planes[ci]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
     if ncomp == 1:
-        return h, w, 1, int(planes.sum())
+        return h, w, 1, int(full[0].sum())
     # JFIF YCbCr -> RGB (BT.601 full range), rounded and clamped.
-    Y = planes[0].astype(np.float64)
-    Cb = planes[1].astype(np.float64) - 128.0
-    Cr = planes[2].astype(np.float64) - 128.0
+    Y = full[0].astype(np.float64)
+    Cb = full[1].astype(np.float64) - 128.0
+    Cr = full[2].astype(np.float64) - 128.0
     r = np.clip(np.round(Y + 1.402 * Cr), 0, 255)
     g = np.clip(np.round(Y - 0.344136 * Cb - 0.714136 * Cr), 0, 255)
     b = np.clip(np.round(Y + 1.772 * Cb), 0, 255)
