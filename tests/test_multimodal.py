@@ -275,6 +275,35 @@ class TestDecodeJpeg:
         with pytest.raises(ValueError):
             synthesize_jpeg(8, 8, 0, color=True, subsampling="420")
 
+    def test_restart_markers(self):
+        # DRI/RSTn: byte alignment, DC-predictor resets, and the RSTn
+        # cycle wrapping past RST7 (24 MCUs at interval 2 -> 11 markers).
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_jpeg,
+            synthesize_jpeg,
+        )
+
+        def gray_sum(w, h, seed):
+            nb = (w // 8) * (h // 8)
+            return sum(
+                64 * (128 + ((seed * 7 + b * 13) % 101 - 50))
+                for b in range(nb)
+            )
+
+        for w, h, seed, kwargs, ch in [
+            (16, 16, 0, {"restart_interval": 2}, 1),
+            (32, 24, 5, {"restart_interval": 1}, 1),
+            (48, 32, 123, {"color": True, "restart_interval": 3}, 3),
+            (48, 32, 7, {"restart_interval": 2}, 1),  # cycles past RST7
+            (
+                48, 32, 123,
+                {"color": True, "subsampling": "420", "restart_interval": 2},
+                3,
+            ),
+        ]:
+            rec = _decode_jpeg(synthesize_jpeg(w, h, seed, **kwargs))
+            assert rec == (h, w, ch, ch * gray_sum(w, h, seed)), (w, h, kwargs)
+
     def test_color_nonneutral_chroma(self):
         # Shift the Cr DC away from neutral by patching the entropy
         # stream: decode must apply the BT.601 matrix, not just copy Y.

@@ -394,9 +394,10 @@ def q_decode_image_jpeg(spark, sf_dir):
     # exactly uniform 128 + k surface, and color payloads carry neutral
     # chroma (R=G=B=Y exactly), so decoded pixel sums replay in SQL
     # with no lossy-codec ambiguity. doc_id % 5 == 0 -> 4:4:4 color,
-    # == 1 -> 4:2:0 color (16-multiple dims), else grayscale. First 300
-    # docs (the entropy decode is a per-payload bit loop, the
-    # documented non-production path).
+    # == 1 -> 4:2:0 color (16-multiple dims), == 2 -> grayscale with
+    # restart markers every 2 MCUs (byte alignment + DC resets), else
+    # plain grayscale. First 300 docs (the entropy decode is a
+    # per-payload bit loop, the documented non-production path).
     from . import multimodal as M
 
     docs = _read(spark, sf_dir, "documents").select("doc_id").filter(
@@ -421,6 +422,7 @@ def q_decode_image_jpeg(spark, sf_dir):
                         M.synthesize_jpeg(
                             8 * (1 + d % 3), 8 * (1 + d % 2), d,
                             color=d % 5 == 0,
+                            restart_interval=2 if d % 5 == 2 else 0,
                         )
                     )
             pdf["payload"] = payloads

@@ -474,6 +474,18 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code")
 
+    def sync_restart(self, n: int) -> None:
+        """Consume an RSTn marker: discard padding bits to the byte
+        boundary, then expect 0xFF 0xD(n%8)."""
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.buf)
+            or self.buf[self.pos] != 0xFF
+            or self.buf[self.pos + 1] != 0xD0 + (n % 8)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
 
 def _jpeg_extend(v: int, cat: int) -> int:
     """T.81 F.2.2.1 EXTEND: map `cat` magnitude bits to a signed value."""
@@ -488,6 +500,7 @@ def synthesize_jpeg(
     seed: int,
     color: bool = False,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """A real, spec-conformant baseline JPEG (SOI/DQT/SOF0/DHT/SOS,
     standard Annex-K Huffman tables, quant table all ones) whose blocks
@@ -503,8 +516,12 @@ def synthesize_jpeg(
     (color only) emits 2x2-sampled luma with 1x1 chroma — the
     interleaved 4-luma+Cb+Cr MCU layout real encoders default to;
     neutral chroma keeps the oracle formula identical (luma DC still
-    follows the full-resolution raster block index). Width/height must
-    be multiples of 8 (16 for 4:2:0 — no partial blocks)."""
+    follows the full-resolution raster block index).
+    ``restart_interval=N`` emits a DRI marker and an RSTn (cycling)
+    every N MCUs with byte alignment and DC-predictor resets — the
+    error-resilience layout most camera/libjpeg output uses.
+    Width/height must be multiples of 8 (16 for 4:2:0 — no partial
+    blocks)."""
     import struct
 
     if subsampling not in ("444", "420"):
@@ -539,6 +556,8 @@ def synthesize_jpeg(
     ):
         out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
         out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS: all components on DC/AC table 0, full spectral range.
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
@@ -549,6 +568,23 @@ def synthesize_jpeg(
     zero_cat_code, zero_cat_len = dc_codes[0]
 
     prev_dc = 0
+    mcu_count = 0
+    n_restarts = 0
+
+    def maybe_restart():
+        # Called at the START of each MCU: every `restart_interval`
+        # MCUs, byte-align, emit RSTn (cycling), reset DC predictors.
+        nonlocal prev_dc, mcu_count, n_restarts
+        if (
+            restart_interval
+            and mcu_count
+            and mcu_count % restart_interval == 0
+        ):
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + (n_restarts % 8)])
+            n_restarts += 1
+            prev_dc = 0
+        mcu_count += 1
 
     def emit_luma(b: int):
         nonlocal prev_dc
@@ -576,12 +612,14 @@ def synthesize_jpeg(
         # block grid, so the decoded image is identical to 4:4:4.
         for my in range(height // 16):
             for mx in range(width // 16):
+                maybe_restart()
                 for by in range(2):
                     for bx in range(2):
                         emit_luma((my * 2 + by) * bw + (mx * 2 + bx))
                 emit_neutral_chroma_pair()
     else:
         for b in range(bw * (height // 8)):
+            maybe_restart()
             emit_luma(b)
             if color:
                 emit_neutral_chroma_pair()
@@ -620,6 +658,7 @@ def _decode_jpeg(buf: bytes):
     hufftabs = {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             return None
@@ -673,8 +712,10 @@ def _decode_jpeg(buf: bytes):
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # progressive / extended / arithmetic
-        elif marker == 0xDD:
-            return None  # restart intervals unsupported
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            if len(data) < 2:
+                return None
+            restart_interval = struct.unpack_from(">H", data, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = data[0]
             if frame is None or ns != len(frame[2]):
@@ -733,21 +774,32 @@ def _decode_jpeg(buf: bytes):
     try:
         # Interleaved MCUs (T.81 A.2.3): per MCU, each component
         # contributes vi x hi blocks in raster order; each component
-        # keeps its own DC predictor.
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci, ((_, hi, vi, ctq), (td, ta)) in enumerate(
-                    zip(comps, tabs)
-                ):
-                    q = qtables[ctq]
-                    dc_tab = hufftabs[(0, td)]
-                    ac_tab = hufftabs[(1, ta)]
-                    for by in range(vi):
-                        for bx in range(hi):
-                            blk = read_block(dc_tab, ac_tab, q, ci)
-                            y0 = (my * vi + by) * 8
-                            x0 = (mx * hi + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+        # keeps its own DC predictor. At each restart interval the
+        # entropy stream byte-aligns, an RSTn marker (cycling n) is
+        # consumed, and every DC predictor resets.
+        n_restarts = 0
+        for mcu_index in range(mcuy * mcux):
+            my, mx = divmod(mcu_index, mcux)
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                reader.sync_restart(n_restarts)
+                n_restarts += 1
+                prev_dc = [0] * ncomp
+            for ci, ((_, hi, vi, ctq), (td, ta)) in enumerate(
+                zip(comps, tabs)
+            ):
+                q = qtables[ctq]
+                dc_tab = hufftabs[(0, td)]
+                ac_tab = hufftabs[(1, ta)]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = read_block(dc_tab, ac_tab, q, ci)
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
     except ValueError:
         return None
     # Upsample subsampled chroma by pixel replication (box upsampling —
