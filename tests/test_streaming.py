@@ -118,3 +118,58 @@ def test_streaming_dedup_exact_batch_degradation(spark):
     )
     out = streaming_dedup_exact(df, ["k"])
     assert out.select("k").distinct().count() == out.count() == 3
+
+
+def test_streaming_index_dedup_extends_across_batches(spark, tmp_path):
+    import os
+
+    from tumult_analytics_spark.operators import dedup as D
+    from tumult_analytics_spark.streaming import make_index_dedup_batch_fn
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    novel = "fresh new material never seen before anywhere " * 5
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated corpus text about physical plans " * 5)],
+        "doc_id long, text string",
+    )
+    idx = D.build_minhash_index(corpus, "text", "doc_id")
+
+    # batch0: a near-dup of corpus doc 1 (dropped) + a novel doc (kept).
+    # batch1: a near-dup of the NOVEL doc — only dropped if the index
+    # was extended after batch0 — plus another new doc.
+    stage = tmp_path / "batches"
+    stage.mkdir()
+    batches = [
+        [(10, base.replace("lazy", "idle")), (11, novel)],
+        [(20, novel), (21, "genuinely new content about bit readers " * 5)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        p = str(tmp_path / f"b{i}")
+        df.coalesce(1).write.parquet(p)
+        part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+        dst = str(stage / f"batch-{i}.parquet")
+        os.rename(os.path.join(p, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+
+    kept_ids = []
+
+    def write_kept(kept, batch_id):
+        kept_ids.append((batch_id, sorted(r["doc_id"] for r in kept.collect())))
+
+    fn = make_index_dedup_batch_fn(idx, write_kept, 0.7)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert kept_ids == [(0, [11]), (1, [21])]
+    # The extended index is exposed on the batch fn.
+    assert fn.state["index"].kind == "minhash"

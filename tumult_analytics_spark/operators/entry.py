@@ -1176,6 +1176,66 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def q_streaming_incremental_dedup(spark, sf_dir):
+    # The SAME two-batch incremental dedup as incremental_dedup, but
+    # executed as a genuine Structured Streaming job: the two batches
+    # are staged as separate files (mtime-ordered), readStream with
+    # maxFilesPerTrigger=1 delivers them as two micro-batches, and a
+    # foreachBatch dedup (stream-stream anti joins are unsupported —
+    # foreachBatch is the idiomatic escape hatch) extends the index
+    # between batches. Value-checked against the identical SQL oracle.
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .. import streaming as ST
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 7 NOT IN (1, 2)")
+    idx = D.build_minhash_index(
+        corpus, "text", "doc_id", num_hashes=32, bands=8, signature_fn="md5"
+    )
+
+    tmp = tempfile.mkdtemp(prefix="tas_stream_dedup_")
+    stage = os.path.join(tmp, "batches")
+    out_dir = os.path.join(tmp, "kept")
+    os.makedirs(stage)
+    # Stage batch1 then batch2 as single files with increasing mtimes so
+    # the file source (oldest first) delivers them in order.
+    for i, pred in enumerate(["doc_id % 7 = 1", "doc_id % 7 = 2"]):
+        p = os.path.join(stage, f"b{i}")
+        docs.filter(pred).coalesce(1).write.parquet(p)
+        part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"batch-{i}.parquet")
+        shutil.move(os.path.join(p, part), dst)
+        shutil.rmtree(p)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+
+    def write_kept(kept, batch_id):
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    fn = ST.make_index_dedup_batch_fn(
+        idx, write_kept, min_signature_similarity=0.7
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    kept = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def q_domain_capped_stats(spark, sf_dir):
     # Per-domain document cap (40 docs/source, md5-rank selection), then
     # per-source counts + kept characters. The sum over kept n_chars
@@ -1345,6 +1405,7 @@ QUERIES = {
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,
     "incremental_dedup": q_incremental_dedup,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "simhash_buckets": q_simhash_buckets,
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
@@ -1424,6 +1485,7 @@ ORACLES = {
     "simhash_buckets": _simhash_oracle_sql(),
     "minhash_dedup": _minhash_oracle_sql(),
     "incremental_dedup": _incremental_dedup_oracle_sql(),
+    "streaming_incremental_dedup": _incremental_dedup_oracle_sql(),
     "crosscorpus_decontaminated": _crosscorpus_oracle_sql(),
     "ann_lsh_topk": _ann_lsh_oracle_sql(),
     "ann_ivf_topk": _ann_ivf_oracle_sql(),

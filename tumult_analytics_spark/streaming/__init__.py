@@ -4,6 +4,7 @@ streaming DP counter, and stateful sessionization
 
 from .documents import (
     document_ingest_pipeline,
+    make_index_dedup_batch_fn,
     read_document_stream,
     streaming_dedup_exact,
 )
@@ -17,6 +18,7 @@ from .sessionize import sessionize_events
 __all__ = [
     "document_ingest_pipeline",
     "dp_windowed_counts",
+    "make_index_dedup_batch_fn",
     "read_document_stream",
     "read_event_stream",
     "sessionize_events",

@@ -69,6 +69,58 @@ def streaming_dedup_exact(
     )
 
 
+def make_index_dedup_batch_fn(
+    index,
+    write_kept,
+    min_signature_similarity: float = 0.5,
+    extend_index: bool = True,
+):
+    """Incremental near-dup dedup of a document stream against a
+    persisted MinHash index, as a ``foreachBatch`` function.
+
+    Near-dup dedup needs an anti-join plus per-document aggregation over
+    the band join — shapes Structured Streaming cannot run natively
+    (stream-stream anti joins are unsupported). ``foreachBatch`` is the
+    idiomatic Spark answer: each micro-batch is an ordinary DataFrame,
+    so the full batch operator (:func:`~..operators.dedup
+    .dedup_against_index`) runs unchanged, and between batches the
+    index is EXTENDED with the kept rows — so a document that survives
+    batch k dedups its near-duplicates in batch k+1.
+
+    ``write_kept(kept_df, batch_id)`` receives the kept rows (already
+    materialized) — write them to your sink idempotently (foreachBatch
+    is at-least-once; overwrite-by-batch_id or dedup-on-read).
+
+    State note: the extended index lives in this process for the run.
+    On restart, rebuild it with ``build_minhash_index`` over the sink's
+    accumulated output plus the original corpus — cheaper than it
+    sounds, since signatures are one Arrow pass and the sink holds
+    exactly the kept documents.
+
+    Usage::
+
+        fn = make_index_dedup_batch_fn(index, write_kept)
+        stream.writeStream.foreachBatch(fn).trigger(availableNow=True)...
+
+    The current (possibly extended) index is readable as ``fn.state
+    ["index"]``.
+    """
+    from ..operators.dedup import dedup_against_index, extend_minhash_index
+
+    state = {"index": index}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        kept = dedup_against_index(
+            state["index"], batch_df, min_signature_similarity
+        ).localCheckpoint(eager=True)  # read by the sink AND the extend
+        write_kept(kept, batch_id)
+        if extend_index:
+            state["index"] = extend_minhash_index(state["index"], kept)
+
+    process.state = state
+    return process
+
+
 def document_ingest_pipeline(
     df: DataFrame,
     min_quality: float = 0.99,
