@@ -539,6 +539,78 @@ class TestDedupSegments:
             D.dedup_segments(df, "text", "doc_id", 0)
 
 
+class TestPiiRedact:
+    def test_typed_placeholders_and_order(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jo.doe+x@site.co or visit https://a.b/c?d=1"),
+                (2, "card 1234567890123456 plain text"),
+                (3, "nothing sensitive here"),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["text_redacted"]
+               for r in P.pii_redact(df, "text").collect()}
+        assert out[1] == "mail me at <PII:email> or visit <PII:url>"
+        assert out[2] == "card <PII:long_digits> plain text"
+        assert out[3] == "nothing sensitive here"
+        assert out[4] is None
+
+    def test_custom_token_and_column(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a@b.io")], "doc_id long, text string"
+        )
+        out = P.pii_redact(
+            df, "text", output_column="clean", token="[{name}]"
+        ).first()
+        assert out["clean"] == "[email]"
+        assert out["text"] == "a@b.io"  # original untouched
+
+
+class TestClusterRepresentatives:
+    def test_best_preference_survives(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 10, "a"), (2, 99, "a"), (3, 50, "a"),
+             (7, 5, "b"), (8, 5, "b"),
+             (9, 42, "c")],  # singleton
+            "doc_id long, quality long, lang string",
+        )
+        # {1,2,3} one cluster, {7,8} another, 9 alone.
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in P.cluster_representatives(
+                docs, pairs, "doc_id", "quality"
+            ).collect()
+        )
+        # 2 wins {1,2,3} on quality; 7 wins {7,8} on the id tie; 9 stays.
+        assert kept == [2, 7, 9]
+
+    def test_ascending_preference(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 99)], "doc_id long, cost long"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        kept = [
+            r["doc_id"]
+            for r in P.cluster_representatives(
+                docs, pairs, "doc_id", "cost", ascending=True
+            ).collect()
+        ]
+        assert kept == [1]
+
+    def test_empty_pairs_keeps_everything(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 20)], "doc_id long, q long"
+        )
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        kept = P.cluster_representatives(docs, pairs, "doc_id", "q")
+        assert kept.count() == 2
+
+
 class TestNgramJaccardGuard:
     def test_over_limit_refused(self, spark):
         from tumult_analytics_spark.operators import dedup as D

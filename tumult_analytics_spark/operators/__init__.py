@@ -36,8 +36,10 @@ from .multimodal import (
 )
 from .pipeline import (
     cap_per_group,
+    cluster_representatives,
     connected_components,
     deterministic_uniform,
+    pii_redact,
     domain_mix_weights,
     export_shards,
     mix_to_token_budget,

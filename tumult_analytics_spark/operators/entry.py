@@ -591,6 +591,38 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+def q_pii_redacted_stats(spark, sf_dir):
+    # Typed-placeholder PII redaction (emails -> <PII:email> etc., pure
+    # Catalyst regexp_replace chain); per-source changed-doc counts and
+    # length deltas prove WHICH characters were replaced. The oracle
+    # replays the identical RE2-compatible patterns with DuckDB's
+    # regexp_replace(..., 'g').
+    docs = _read(spark, sf_dir, "documents")
+    red = P.pii_redact(docs, "text")
+    return red.groupBy("source").agg(
+        F.sum(
+            (F.col("text_redacted") != F.col("text")).cast("long")
+        ).alias("n_redacted"),
+        F.sum(
+            F.length("text_redacted") - F.length("text")
+        ).cast("long").alias("len_delta"),
+    )
+
+
+def q_cluster_representative_stats(spark, sf_dir):
+    # Near-dup collapse keeping the BEST doc per cluster (longest
+    # n_chars, ties to smallest id) instead of the smallest id — the
+    # survivor rule real dedup pipelines use. Components via the same
+    # pair graph as dedup_clusters; singletons survive unconditionally.
+    docs = _read(spark, sf_dir, "documents").filter("doc_id < 200")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.35)
+    kept = P.cluster_representatives(docs, pairs, "doc_id", "n_chars")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     # Near-dup pair graph (3-gram Jaccard >= 0.35 on first 200 docs)
     # collapsed to connected components via min-label propagation.
@@ -1432,6 +1464,8 @@ QUERIES = {
     "ngram_contamination": q_ngram_contamination,
     "domain_mix_weights": q_domain_mix_weights,
     "dedup_clusters": q_dedup_clusters,
+    "pii_redacted_stats": q_pii_redacted_stats,
+    "cluster_representative_stats": q_cluster_representative_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "sample_video_frames": q_sample_video_frames,
@@ -1923,6 +1957,79 @@ ORACLES = {
 # The streaming rollup must equal the batch rollup row-for-row: same
 # oracle, with the hour_id derived from the window start (the tumbling
 # window floor) instead of the raw ns timestamp.
+def _pii_redact_oracle_sql() -> str:
+    # Nested regexp_replace in the same dict order pii_redact applies;
+    # the default patterns are RE2-compatible so DuckDB replays them.
+    expr = "text"
+    for name, pat in P.PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<PII:{name}>', 'g')"
+    return f"""
+        WITH r AS (
+          SELECT source, text, {expr} AS red FROM documents
+        )
+        SELECT source,
+               CAST(sum(CASE WHEN red <> text THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_redacted,
+               CAST(sum(length(red) - length(text)) AS BIGINT) AS len_delta
+        FROM r GROUP BY source
+    """
+
+
+ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
+
+# Same component construction as dedup_clusters, then the survivor is
+# the per-component argmax on (n_chars DESC, doc_id ASC); docs in no
+# pair are singleton components.
+ORACLES["cluster_representative_stats"] = """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    ), g AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+          ELSE list_transform(range(1, len(tk) - 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+          END) AS gs
+      FROM docs
+    ), ex AS (
+      SELECT doc_id, len(gs) AS n, unnest(gs) AS gr FROM g
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS i
+      FROM ex a JOIN ex b ON a.gr = b.gr AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.35
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b
+      FROM reach JOIN edges ON reach.r = edges.a
+    ), comp AS (
+      SELECT node, least(node, min(r)) AS component
+      FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             coalesce(c.component, d.doc_id) AS comp
+      FROM (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 200) d
+      LEFT JOIN comp c ON d.doc_id = c.node
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY comp ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM labeled
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked WHERE rk = 1 GROUP BY lang
+"""
+
 ORACLES["streaming_hourly_rollup"] = """
     SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_id,
            event_type,

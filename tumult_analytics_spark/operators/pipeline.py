@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "ngram_repetition",
     "pii_stats",
+    "pii_redact",
+    "cluster_representatives",
     "deterministic_uniform",
     "stratified_sample",
     "ngram_contamination",
@@ -128,6 +130,31 @@ def pii_stats(
             f"n_{name}", F.regexp_count(F.col(text_column), F.lit(pat))
         )
     return out
+
+
+def pii_redact(
+    df: DataFrame,
+    text_column: str,
+    patterns: Optional[Mapping[str, str]] = None,
+    output_column: Optional[str] = None,
+    token: str = "<PII:{name}>",
+) -> DataFrame:
+    """Replace PII-ish pattern matches with typed placeholder tokens
+    (``<PII:email>`` etc.) — the redaction step every
+    training-corpus release applies, not just the counting.
+
+    Patterns apply in dict order (so e.g. emails are replaced before a
+    bare long-digit rule could eat their local part). Pure Catalyst
+    ``regexp_replace`` chain — scan-speed, codegen, no shuffle, and the
+    default patterns are RE2-compatible so any engine replays them.
+    The original column is kept; the redacted text lands in
+    ``output_column`` (default ``{text_column}_redacted``).
+    """
+    pats = dict(patterns) if patterns is not None else PII_PATTERNS
+    col = F.col(text_column)
+    for name, pat in pats.items():
+        col = F.regexp_replace(col, F.lit(pat), F.lit(token.format(name=name)))
+    return df.withColumn(output_column or f"{text_column}_redacted", col)
 
 
 def deterministic_uniform(key: Column) -> Column:
@@ -552,6 +579,53 @@ def connected_components(
     return labels.select(
         F.col("node").alias(output_node),
         F.col("label").alias(output_component),
+    )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_column: str,
+    preference_column: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """Collapse near-duplicate clusters keeping ONE representative per
+    connected component — the best by ``preference_column`` (ties break
+    to the smallest id) instead of the smallest id. This is how real
+    dedup pipelines pick survivors: keep the longest / highest-quality
+    copy, not an arbitrary one.
+
+    ``pairs`` is a near-dup pair table (``id_a``, ``id_b``) from any of
+    the pair generators (MinHash LSH, n-gram Jaccard, cosine).
+    Documents not in any pair are their own singleton component and
+    always survive.
+
+    Scale: one connected-components run over the (small) pair graph,
+    one broadcast-or-shuffled join to label docs, one window over
+    components for the argmax — component cardinality is near-dup
+    cluster size, so the window partitions are tiny.
+    """
+    cc = connected_components(
+        pairs,
+        src="id_a",
+        dst="id_b",
+        output_node="__node__",
+        output_component="__comp__",
+    )
+    labeled = docs.join(
+        cc, docs[id_column] == F.col("__node__"), "left"
+    ).drop("__node__")
+    comp = F.coalesce(F.col("__comp__"), F.col(id_column))
+    pref = (
+        F.col(preference_column).asc()
+        if ascending
+        else F.col(preference_column).desc()
+    )
+    w = Window.partitionBy(comp).orderBy(pref, F.col(id_column).asc())
+    return (
+        labeled.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+        .drop("__rk__", "__comp__")
     )
 
 
