@@ -373,3 +373,30 @@ def test_vectorized_flat_map_enforces_max_rows(spark):
         .count(name="n")
     )
     assert s.evaluate(q, INF).collect()[0]["n"] == 6  # 3 rows x capped 2
+
+
+class TestUnigramLogprobScore:
+    def test_scores_match_hand_computation(self, spark):
+        import math
+
+        from tumult_analytics_spark.operators.text import (
+            unigram_logprob_score,
+        )
+
+        # Corpus: 6 tokens total; counts: a=3, b=2, c=1.
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a b c"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["lm_nll"]
+               for r in unigram_logprob_score(df, "text", "doc_id").collect()}
+        n = 6.0
+        exp1 = round((2 * (math.log(n) - math.log(3))
+                      + (math.log(n) - math.log(2))) / 3, 6)
+        exp2 = round((math.log(n / 3) + math.log(n / 2) + math.log(n / 1)) / 3, 6)
+        assert out[1] == exp1
+        assert out[2] == exp2
+        assert out[3] is None  # no tokens -> no score
+        # The common-token doc scores better (lower NLL) than the one
+        # with a rare token.
+        assert out[1] < out[2]

@@ -71,6 +71,7 @@ from .text import (
     tfidf_top_terms,
     token_count,
     top_ngrams,
+    unigram_logprob_score,
 )
 
 

@@ -591,6 +591,22 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+def q_unigram_lm_stats(spark, sf_dir):
+    # Corpus-unigram LM quality signal (CCNet-style): per-language doc
+    # counts and average negative log-likelihood. Integer counts through
+    # ln, per-doc rounding to 6 decimals replayed identically in SQL.
+    docs = _read(spark, sf_dir, "documents")
+    scored = X.unigram_logprob_score(docs, "text", "doc_id")
+    return (
+        scored.filter(F.col("lm_nll").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("lm_nll"), 4).alias("avg_nll"),
+        )
+    )
+
+
 def q_pii_redacted_stats(spark, sf_dir):
     # Typed-placeholder PII redaction (emails -> <PII:email> etc., pure
     # Catalyst regexp_replace chain); per-source changed-doc counts and
@@ -1465,6 +1481,7 @@ QUERIES = {
     "domain_mix_weights": q_domain_mix_weights,
     "dedup_clusters": q_dedup_clusters,
     "pii_redacted_stats": q_pii_redacted_stats,
+    "unigram_lm_stats": q_unigram_lm_stats,
     "cluster_representative_stats": q_cluster_representative_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
@@ -1976,6 +1993,28 @@ def _pii_redact_oracle_sql() -> str:
 
 
 ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
+
+ORACLES["unigram_lm_stats"] = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS t
+      FROM documents
+    ), freqs AS (
+      SELECT t, count(*) AS c FROM toks GROUP BY t
+    ), tot AS (
+      SELECT sum(c) AS N FROM freqs
+    ), doc AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             round(avg(ln((SELECT N FROM tot)) - ln(c)), 6) AS nll
+      FROM toks JOIN freqs USING (t)
+      GROUP BY doc_id
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(nll), 4) AS avg_nll
+    FROM doc GROUP BY lang
+"""
 
 # Same component construction as dedup_clusters, then the survivor is
 # the per-component argmax on (n_chars DESC, doc_id ASC); docs in no

@@ -44,6 +44,51 @@ def bpe_ish_token_count(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    output_column: str = "lm_nll",
+) -> DataFrame:
+    """Per-document average unigram negative log-likelihood under the
+    corpus's OWN unigram distribution — the CCNet-style LM quality
+    signal with the corpus itself as the language model: documents
+    whose token distribution diverges from the corpus (gibberish,
+    boilerplate, wrong language) score HIGHER (worse).
+
+    ``score(d) = avg over tokens t of d of [ln N - ln c(t)]`` where
+    ``c(t)`` is the corpus token count and ``N`` the corpus token
+    total — exact integer counts through ``ln``, rounded to 6 decimals
+    so any engine replays it. Tokens are lowercased whitespace tokens;
+    every document token is in the vocabulary by construction (no OOV
+    smoothing needed).
+
+    Scale: one explode + groupBy builds the frequency table (shuffle on
+    token, map-side combine absorbs Zipf skew); scoring equi-joins the
+    exploded tokens against it (Catalyst broadcasts when the vocab is
+    small) and aggregates once per document. The text is scanned twice
+    (frequency pass + scoring pass) — at 100 TB, persist the (tiny)
+    frequency table and reuse it across runs instead.
+    """
+    toks = df.select(
+        F.col(id_column),
+        F.explode(_tokens(F.lower(F.col(text_column)))).alias("__t__"),
+    )
+    freqs = toks.groupBy("__t__").agg(F.count(F.lit(1)).alias("__c__"))
+    tot = freqs.agg(F.sum("__c__").alias("__N__"))
+    scored = (
+        toks.join(freqs, "__t__")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_column)
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("__N__")) - F.log("__c__")), 6
+            ).alias(output_column)
+        )
+    )
+    return df.join(scored, id_column, "left")
+
+
 def language_id(
     df: DataFrame, text_column: str, output_column: str = "lang_pred"
 ) -> DataFrame:
