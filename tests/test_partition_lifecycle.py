@@ -52,10 +52,12 @@ def test_children_in_order_no_warning(spark):
         # unrelated library warnings during full-suite runs.
         warnings.simplefilter("always")
         out0 = parts["p0"].evaluate(QueryBuilder("t").count(), PureDPBudget(1))
-        assert out0.collect()[0]["count"] >= 0
+        # A noisy count at eps=1 can legitimately be negative — assert
+        # the evaluation produced a row, not the noise's sign.
+        assert out0.collect()[0]["count"] is not None
         parts["p0"].stop()
         out1 = parts["p1"].evaluate(QueryBuilder("t").count(), PureDPBudget(1))
-        assert out1.collect()[0]["count"] >= 0
+        assert out1.collect()[0]["count"] is not None
     lifecycle = [w for w in caught if "waiting for" in str(w.message)]
     assert not lifecycle, [str(w.message) for w in lifecycle]
 

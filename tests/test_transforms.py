@@ -400,3 +400,43 @@ class TestUnigramLogprobScore:
         # The common-token doc scores better (lower NLL) than the one
         # with a rare token.
         assert out[1] < out[2]
+
+
+class TestBpeLearnMerges:
+    def test_classic_example(self, spark):
+        from tumult_analytics_spark.operators.text import bpe_learn_merges
+
+        df = spark.createDataFrame(
+            [(1, "low low low lower lower newest newest newest newest "
+                 "widest a")],
+            "doc_id long, text string",
+        )
+        out = [tuple(r) for r in bpe_learn_merges(df, "text", 5).collect()]
+        # we=6 (lower x2 + newest x4); lo vs ow tie -> 'l' < 'o';
+        # after 'we', es is gone so st=5; then e+we, ewe+st.
+        assert out == [
+            (1, "w", "e", "we", 6),
+            (2, "l", "o", "lo", 5),
+            (3, "s", "t", "st", 5),
+            (4, "e", "we", "ewe", 4),
+            (5, "ewe", "st", "ewest", 4),
+        ]
+
+    def test_greedy_nonoverlapping_application(self, spark):
+        from tumult_analytics_spark.operators.text import bpe_learn_merges
+
+        # 'aaa': pair (a,a) counts 2 adjacencies but merges greedily
+        # left-to-right into (aa, a); step 2 then pairs aa with a.
+        df = spark.createDataFrame(
+            [(1, "aaa aaa")], "doc_id long, text string"
+        )
+        out = [tuple(r) for r in bpe_learn_merges(df, "text", 2).collect()]
+        assert out[0] == (1, "a", "a", "aa", 4)
+        assert out[1] == (2, "aa", "a", "aaa", 2)
+
+    def test_validation(self, spark):
+        from tumult_analytics_spark.operators.text import bpe_learn_merges
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bpe_learn_merges(df, "text", 0)

@@ -607,6 +607,78 @@ def q_unigram_lm_stats(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    # Distributed BPE vocab induction: the first 6 learned merges over
+    # the documents corpus (word-histogram formulation — iterations
+    # never touch the corpus). The oracle unrolls all 6 steps in SQL:
+    # same pair counts, same (count DESC, left, right) argmax, same
+    # greedy left-to-right merge application via non-overlapping
+    # replace on a unit-separator representation.
+    docs = _read(spark, sf_dir, "documents")
+    return X.bpe_learn_merges(docs, "text", num_merges=6)
+
+
+def _bpe_oracle_sql(num_merges: int = 6) -> str:
+    # Every CTE is MATERIALIZED: the chain w0 -> p1 -> m1 -> w1 -> ...
+    # references each step several times (w{i} reads m{i} four times),
+    # and DuckDB's default inlining would re-expand the whole prefix
+    # exponentially.
+    s = "chr(31)"
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+          SELECT {s} || array_to_string(string_split_regex(w, ''), {s})
+                 || {s} AS w, n
+          FROM (
+            SELECT w, count(*) AS n FROM (
+              SELECT unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x <> '')) AS w
+              FROM documents
+            ) GROUP BY w
+          )
+        )"""
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+          SELECT pr[1] AS l, pr[2] AS r, sum(n) AS cnt
+          FROM (
+            SELECT n, unnest(list_transform(range(1, len(sy)),
+                             j -> [sy[j], sy[j+1]])) AS pr
+            FROM (
+              SELECT list_filter(string_split(w, {s}), x -> x <> '') AS sy, n
+              FROM w{p}
+            )
+          ) GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+          SELECT l, r, cnt FROM p{i}
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+        )"""
+        )
+        if i < num_merges:
+            ctes.append(
+                f"""w{i} AS MATERIALIZED (
+          SELECT replace(w,
+                   {s} || (SELECT l FROM m{i}) || {s}
+                       || (SELECT r FROM m{i}) || {s},
+                   {s} || (SELECT l FROM m{i})
+                       || (SELECT r FROM m{i}) || {s}) AS w, n
+          FROM w{p}
+        )"""
+            )
+    selects = "\n        UNION ALL ".join(
+        f"""SELECT CAST({i} AS INTEGER) AS step, l AS "left", r AS "right",
+               l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
+        FROM m{i}"""
+        for i in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + selects
+
+
 def q_pii_redacted_stats(spark, sf_dir):
     # Typed-placeholder PII redaction (emails -> <PII:email> etc., pure
     # Catalyst regexp_replace chain); per-source changed-doc counts and
@@ -1482,6 +1554,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "pii_redacted_stats": q_pii_redacted_stats,
     "unigram_lm_stats": q_unigram_lm_stats,
+    "bpe_merges": q_bpe_merges,
     "cluster_representative_stats": q_cluster_representative_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
@@ -1993,6 +2066,7 @@ def _pii_redact_oracle_sql() -> str:
 
 
 ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
+ORACLES["bpe_merges"] = _bpe_oracle_sql()
 
 ORACLES["unigram_lm_stats"] = """
     WITH toks AS (

@@ -89,6 +89,119 @@ def unigram_logprob_score(
     return df.join(scored, id_column, "left")
 
 
+#: Separator used in BPE oracle string representations; U+001F (unit
+#: separator) cannot appear in whitespace-split tokens.
+_BPE_SEP = "\x1f"
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_column: str,
+    num_merges: int = 8,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al.): learn the
+    top ``num_merges`` byte-pair merges over the corpus. Returns one row
+    per merge step: (step, left, right, merged, pair_count).
+
+    Spark-first shape — the classic scale trick is that BPE never
+    iterates over the corpus: ONE pass builds the word-frequency
+    histogram (explode tokens -> groupBy word), and every merge
+    iteration runs on that histogram only (thousands-to-millions of
+    rows, not TBs). Per step: explode adjacent symbol pairs (weighted
+    by word count, pure Catalyst), aggregate, take the argmax
+    (count DESC, then left/right lexicographic — a 1-row driver
+    action), and apply the merge to the symbol arrays with an
+    Arrow-batched kernel (greedy left-to-right non-overlapping, the
+    standard BPE application order). ``localCheckpoint`` per iteration
+    keeps the plan O(1) in the step count.
+
+    Symbols are characters (no end-of-word marker — document-level
+    token streams, not word-piece suffix modeling); deterministic
+    given the corpus, so an unrolled SQL oracle replays every step.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    text = F.col(text_column)
+    if lowercase:
+        text = F.lower(text)
+    words = (
+        df.select(F.explode(_tokens(text)).alias("__w__"))
+        .groupBy("__w__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .select(
+            F.split("__w__", "").alias("__syms__"), F.col("__n__")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    spark = df.sparkSession
+    merges = []
+    for step in range(1, num_merges + 1):
+        pairs = (
+            # size >= 2: a single-symbol word has no pairs, and Spark's
+            # sequence(0, -1) would DESCEND ([0, -1]) instead of being
+            # empty.
+            words.filter(F.size("__syms__") >= 2)
+            .select(
+                F.col("__n__"),
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.size("__syms__") - F.lit(2)
+                        ),
+                        lambda i: F.struct(
+                            F.element_at(
+                                "__syms__", (i + 1).cast("int")
+                            ).alias("l"),
+                            F.element_at(
+                                "__syms__", (i + 2).cast("int")
+                            ).alias("r"),
+                        ),
+                    )
+                ).alias("__p__"),
+            )
+            .groupBy(F.col("__p__.l").alias("l"), F.col("__p__.r").alias("r"))
+            .agg(F.sum("__n__").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.desc("cnt"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((step, a, b, a + b, cnt))
+
+        def _merge_udf(a, b):
+            def _merge(col):
+                out = []
+                for syms in col:
+                    res = []
+                    i, L = 0, list(syms)
+                    while i < len(L):
+                        if i + 1 < len(L) and L[i] == a and L[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(L[i])
+                            i += 1
+                    out.append(res)
+                return pd.Series(out)
+
+            return pandas_udf(_merge, "array<string>")
+
+        words = words.select(
+            _merge_udf(a, b)("__syms__").alias("__syms__"), "__n__"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    )
+
+
 def language_id(
     df: DataFrame, text_column: str, output_column: str = "lang_pred"
 ) -> DataFrame:
