@@ -453,3 +453,73 @@ class TestDecodeAudio:
         )
         row = decode_audio(df, "payload").first()
         assert row["sample_rate"] is None and row["n_samples"] is None
+
+
+class TestDecoderFuzz:
+    # The decode contract is "unrecognized payloads decode to nulls":
+    # no byte string may crash a decoder. Fuzz with arbitrary bytes AND
+    # truncated/corrupted valid payloads.
+
+    def test_arbitrary_bytes_never_raise(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_bmp,
+            _decode_jpeg,
+            _decode_png,
+            _decode_ppm,
+            _decode_wav,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=300))
+        def run(buf):
+            for dec in (_decode_png, _decode_jpeg, _decode_bmp,
+                        _decode_ppm, _decode_wav):
+                rec = dec(buf)
+                assert rec is None or isinstance(rec, tuple)
+
+        run()
+
+    def test_corrupted_valid_payloads_never_raise(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_jpeg,
+            _decode_png,
+            _decode_wav,
+            synthesize_jpeg,
+            synthesize_png,
+            synthesize_wav,
+        )
+
+        samples = [
+            (_decode_png, synthesize_png(5, 7, 3, 2)),
+            (_decode_png, synthesize_png(4, 4, 1, 3)),
+            (_decode_jpeg, synthesize_jpeg(16, 8, 5)),
+            (_decode_jpeg, synthesize_jpeg(16, 16, 5, color=True,
+                                           subsampling="420")),
+            (_decode_wav, synthesize_wav(20, 8000, 1)),
+        ]
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            idx=st.integers(0, len(samples) - 1),
+            cut=st.integers(0, 400),
+            flip_pos=st.integers(0, 400),
+            flip_val=st.integers(1, 255),
+        )
+        def run(idx, cut, flip_pos, flip_val):
+            dec, payload = samples[idx]
+            trunc = payload[: max(0, len(payload) - cut)]
+            rec = dec(trunc)
+            assert rec is None or isinstance(rec, tuple)
+            if flip_pos < len(payload):
+                corrupted = bytearray(payload)
+                corrupted[flip_pos] ^= flip_val
+                rec = dec(bytes(corrupted))
+                assert rec is None or isinstance(rec, tuple)
+
+        run()

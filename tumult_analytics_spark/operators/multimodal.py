@@ -630,6 +630,17 @@ def synthesize_jpeg(
 
 
 def _decode_jpeg(buf: bytes):
+    """No-raise wrapper for :func:`_decode_jpeg_unsafe`: the decode
+    contract is "unrecognized payloads decode to nulls", and a
+    truncated DHT/SOF segment must not crash a Spark task (fuzz-tested
+    in tests/test_multimodal.py)."""
+    try:
+        return _decode_jpeg_unsafe(buf)
+    except Exception:
+        return None
+
+
+def _decode_jpeg_unsafe(buf: bytes):
     """(height, width, channels, pixel_sum) for a baseline JPEG —
     grayscale or YCbCr color with 4:4:4 / 4:2:0 / 4:2:2 sampling
     (SOF0, 8-bit, no restart markers) — or None.
