@@ -440,3 +440,40 @@ class TestBpeLearnMerges:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             bpe_learn_merges(df, "text", 0)
+
+
+class TestBpeApply:
+    def test_tokenize_with_learned_merges(self, spark):
+        from tumult_analytics_spark.operators.text import (
+            bpe_apply,
+            bpe_learn_merges,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "low low low lower lower newest newest newest newest "
+                 "widest a")],
+            "doc_id long, text string",
+        )
+        merges = bpe_learn_merges(corpus, "text", 5)
+        out = bpe_apply(
+            spark.createDataFrame(
+                [(1, "lowest newest"), (2, None)],
+                "doc_id long, text string",
+            ),
+            "text", merges,
+        )
+        rows = {r["doc_id"]: r["bpe_tokens"] for r in out.collect()}
+        # merges: we, lo, st, ewe, ewest.
+        # lowest: l,o,w,e,s,t -> we -> lo,we? no: 'we' merges w+e ->
+        #   lo? step2 merges l,o -> [lo, we?]... trace: [l,o,w,e,s,t]
+        #   we: [l,o,we,s,t]; lo: [lo,we,s,t]; st: [lo,we,st];
+        #   ewe: no 'e','we' pair (we preceded by lo); ewest: no.
+        assert rows[1] == ["lo", "we", "st", "n", "ewest"]
+        assert rows[2] is None
+
+    def test_merges_as_tuples(self, spark):
+        from tumult_analytics_spark.operators.text import bpe_apply
+
+        df = spark.createDataFrame([(1, "abab")], "doc_id long, text string")
+        out = bpe_apply(df, "text", [("a", "b"), ("ab", "ab")]).first()
+        assert out["bpe_tokens"] == ["abab"]

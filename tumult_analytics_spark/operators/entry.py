@@ -618,7 +618,7 @@ def q_bpe_merges(spark, sf_dir):
     return X.bpe_learn_merges(docs, "text", num_merges=6)
 
 
-def _bpe_oracle_sql(num_merges: int = 6) -> str:
+def _bpe_oracle_sql(num_merges: int = 6, mode: str = "merges") -> str:
     # Every CTE is MATERIALIZED: the chain w0 -> p1 -> m1 -> w1 -> ...
     # references each step several times (w{i} reads m{i} four times),
     # and DuckDB's default inlining would re-expand the whole prefix
@@ -659,7 +659,7 @@ def _bpe_oracle_sql(num_merges: int = 6) -> str:
           ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
         )"""
         )
-        if i < num_merges:
+        if i < num_merges or mode == "apply":
             ctes.append(
                 f"""w{i} AS MATERIALIZED (
           SELECT replace(w,
@@ -670,13 +670,44 @@ def _bpe_oracle_sql(num_merges: int = 6) -> str:
           FROM w{p}
         )"""
             )
-    selects = "\n        UNION ALL ".join(
-        f"""SELECT CAST({i} AS INTEGER) AS step, l AS "left", r AS "right",
+    if mode == "apply":
+        # Corpus stats of the FULLY MERGED word table: total subword
+        # tokens (word frequency x symbols per word) and vocab size.
+        ctes.append(
+            f"""syms AS MATERIALIZED (
+          SELECT list_filter(string_split(w, {s}), x -> x <> '') AS sy, n
+          FROM w{num_merges}
+        )"""
+        )
+        selects = """SELECT
+          (SELECT CAST(sum(n * len(sy)) AS BIGINT) FROM syms) AS n_tokens,
+          (SELECT CAST(count(DISTINCT t) AS BIGINT)
+           FROM (SELECT unnest(sy) AS t FROM syms)) AS n_types"""
+    else:
+        selects = "\n        UNION ALL ".join(
+            f"""SELECT CAST({i} AS INTEGER) AS step, l AS "left", r AS "right",
                l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
         FROM m{i}"""
-        for i in range(1, num_merges + 1)
-    )
+            for i in range(1, num_merges + 1)
+        )
     return "WITH " + ",\n        ".join(ctes) + "\n        " + selects
+
+
+def q_bpe_tokenized_stats(spark, sf_dir):
+    # The serving side: learn 6 merges, then TOKENIZE the corpus with
+    # them (single Arrow pass, merge table closure-captured) and report
+    # total subword tokens + vocab size. The oracle re-learns the same
+    # merges in SQL and reads the stats off the fully merged word
+    # histogram — equal only if the Spark tokenizer applies the learned
+    # merges identically.
+    docs = _read(spark, sf_dir, "documents")
+    merges = X.bpe_learn_merges(docs, "text", num_merges=6)
+    tok = X.bpe_apply(docs, "text", merges)
+    ex = tok.select(F.explode("bpe_tokens").alias("t"))
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("t").alias("n_types"),
+    )
 
 
 def q_pii_redacted_stats(spark, sf_dir):
@@ -1555,6 +1586,7 @@ QUERIES = {
     "pii_redacted_stats": q_pii_redacted_stats,
     "unigram_lm_stats": q_unigram_lm_stats,
     "bpe_merges": q_bpe_merges,
+    "bpe_tokenized_stats": q_bpe_tokenized_stats,
     "cluster_representative_stats": q_cluster_representative_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
@@ -2067,6 +2099,7 @@ def _pii_redact_oracle_sql() -> str:
 
 ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
+ORACLES["bpe_tokenized_stats"] = _bpe_oracle_sql(mode="apply")
 
 ORACLES["unigram_lm_stats"] = """
     WITH toks AS (

@@ -202,6 +202,71 @@ def bpe_learn_merges(
     )
 
 
+def bpe_apply(
+    df: DataFrame,
+    text_column: str,
+    merges,
+    output_column: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize text with learned BPE merges (the serving side of
+    :func:`bpe_learn_merges`): each whitespace word starts as its
+    characters and the merge list applies IN LEARNED ORDER, each merge
+    greedy left-to-right — the standard BPE encode. Adds
+    ``output_column`` (array<string> of subword tokens across the
+    document's words).
+
+    ``merges``: the DataFrame returned by :func:`bpe_learn_merges` (its
+    (left, right) pairs are collected — it has ``num_merges`` rows), or
+    a list of (left, right) tuples. The merge table is closure-captured
+    into the Arrow kernel (tiny — ships with the serialized task), so
+    tokenization is a single mapInPandas pass: no joins, no shuffles,
+    scan-speed at any corpus size.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("step").collect()
+        ]
+    merges = [(str(a), str(b)) for a, b in merges]
+
+    def _tok(col):
+        out = []
+        for t in col:
+            if t is None:
+                out.append(None)
+                continue
+            if lowercase:
+                t = t.lower()
+            toks = []
+            for word in t.split():
+                syms = list(word)
+                for a, b in merges:
+                    res = []
+                    i = 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == a
+                            and syms[i + 1] == b
+                        ):
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                toks.extend(syms)
+            out.append(toks)
+        return pd.Series(out)
+
+    _udf = pandas_udf(_tok, "array<string>")
+    return df.withColumn(output_column, _udf(F.col(text_column)))
+
+
 def language_id(
     df: DataFrame, text_column: str, output_column: str = "lang_pred"
 ) -> DataFrame:
