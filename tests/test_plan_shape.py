@@ -295,3 +295,54 @@ def test_plan_shape_stable_across_shuffle_partitions(spark, shuffle_partitions):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_unigram_lm_single_freq_shuffle(spark):
+    # Frequency build: one exchange for the token groupBy; scoring: the
+    # freq join plus one per-doc aggregate. No cartesian products, and
+    # the single-row total attaches via broadcast.
+    from tumult_analytics_spark.operators.text import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(unigram_logprob_score(docs, "text", "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # Bounded shuffle count: token freq agg + score join/agg + final
+    # join back — but never one per document or per token type.
+    assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_bpe_iterations_read_histogram_not_corpus(spark):
+    # After the first histogram pass, every BPE iteration's pair-count
+    # plan must scan the materialized word histogram (checkpoint RDD),
+    # never the corpus parquet again.
+    from pyspark.sql import functions as F
+
+    from tumult_analytics_spark.operators.text import _tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    words = (
+        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.split("w", "").alias("syms"), "n")
+        .localCheckpoint(eager=True)
+    )
+    pairs_plan = _plan(
+        words.filter(F.size("syms") >= 2).select(
+            F.col("n"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - F.lit(2)),
+                    lambda i: F.struct(
+                        F.element_at("syms", (i + 1).cast("int")).alias("l"),
+                        F.element_at("syms", (i + 2).cast("int")).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    assert "Scan ExistingRDD" in pairs_plan
+    assert "parquet" not in pairs_plan.lower()
