@@ -87,3 +87,58 @@ def test_driver_state_is_only_centroids(spark):
     # result stays a lazy distributed frame (no driver materialization)
     assert out.rdd is not None
     assert out.count() == 200
+
+
+class TestSemanticDedup:
+    def test_exact_copies_dropped(self, spark):
+        from tumult_analytics_spark.operators.clustering import semantic_dedup
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(30, 6))
+        # ids 100..109 are exact copies of ids 0..9
+        arrays = np.vstack([base, base[:10]])
+        df = spark.createDataFrame(
+            [
+                (i if i < 30 else 100 + (i - 30), [float(x) for x in a])
+                for i, a in enumerate(arrays)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        kept = semantic_dedup(
+            df, "embedding", "vec_id", k=3, n_iter=2, threshold=0.99
+        )
+        ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+        assert ids == set(range(30))  # every copy dropped, originals kept
+        assert "cluster" in kept.columns
+
+    def test_no_neighbors_keeps_all(self, spark):
+        from tumult_analytics_spark.operators.clustering import semantic_dedup
+
+        eye = np.eye(8)  # orthogonal: cosine 0 between all pairs
+        df = _mkdf(spark, eye)
+        kept = semantic_dedup(
+            df, "embedding", "vec_id", k=2, n_iter=1, threshold=0.5
+        )
+        assert kept.count() == 8
+
+    def test_cluster_size_guard(self, spark):
+        from tumult_analytics_spark.operators.clustering import semantic_dedup
+        from py4j.protocol import Py4JJavaError
+
+        rng = np.random.default_rng(5)
+        df = _mkdf(spark, rng.normal(size=(40, 4)))
+        with pytest.raises(Exception) as ei:
+            semantic_dedup(
+                df, "embedding", "vec_id", k=1, n_iter=0,
+                threshold=0.999, max_cluster_rows=10,
+            ).count()
+        assert "max_cluster_rows" in str(ei.value)
+
+    def test_threshold_validation(self, spark):
+        from tumult_analytics_spark.operators.clustering import semantic_dedup
+
+        df = _mkdf(spark, np.eye(4))
+        with pytest.raises(ValueError):
+            semantic_dedup(df, threshold=0.0)
+        with pytest.raises(ValueError):
+            semantic_dedup(df, threshold=1.5)

@@ -5,7 +5,7 @@ plumbing. All are plain DataFrame -> DataFrame transformations designed for
 UDFs where not, and LSH/bucketing scale paths beside every brute-force
 baseline."""
 
-from .clustering import kmeans_fit_predict
+from .clustering import kmeans_fit_predict, semantic_dedup
 from .dedup import (
     build_minhash_index,
     crosscorpus_decontaminate,

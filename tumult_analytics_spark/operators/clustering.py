@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_fit_predict"]
+__all__ = ["kmeans_fit_predict", "semantic_dedup"]
 
 #: Rows per numpy slice inside the assignment kernel; bounds temp memory
 #: at _SLICE * k * dim doubles regardless of Arrow batch size.
@@ -125,3 +125,85 @@ def kmeans_fit_predict(
         out = out.localCheckpoint(eager=True)
         work.unpersist(blocking=False)
     return out, centroids
+
+
+#: Hard ceiling on the rows a single cluster may hold in
+#: :func:`semantic_dedup` — the within-cluster pass is pairwise, so a
+#: cluster this large means k was chosen far too small for the corpus.
+SEMANTIC_DEDUP_MAX_CLUSTER_ROWS = 100_000
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.95,
+    cluster_col: str = "cluster",
+    max_cluster_rows: int = SEMANTIC_DEDUP_MAX_CLUSTER_ROWS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): cluster the
+    embeddings with deterministic k-means, then within each cluster drop
+    every row whose cosine similarity to a smaller-``id_col`` row in the
+    same cluster is ``>= threshold``. Returns the surviving rows with
+    ``cluster_col`` attached.
+
+    The drop rule is a pure predicate (EXISTS a smaller-id in-cluster
+    neighbor above threshold), not a greedy chain — deterministic,
+    order-independent, and exactly replayable in ANSI SQL, which is what
+    the ``semantic_dedup_stats`` oracle does.
+
+    Scale design (100 TB): the pairwise work is confined to clusters —
+    one ``groupBy(cluster).applyInPandas`` shuffle; SemDeDup's contract
+    is to pick k large enough that N/k is small (the paper uses ~11k
+    clusters for LAION). The kernel refuses clusters above
+    ``max_cluster_rows`` with a message naming the fix (raise k), the
+    same guard contract as ``similarity.BRUTE_FORCE_MAX_ROWS``; within a
+    cluster the similarity matrix is computed in ``_SLICE``-row blocks
+    so peak temp memory is bounded at _SLICE x cluster_rows doubles.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    assigned, _ = kmeans_fit_predict(
+        df, vec_col, id_col, k=k, n_iter=n_iter, cluster_col=cluster_col
+    )
+    import pandas as pd  # noqa: F811 — local for the serialized kernel
+
+    cap = int(max_cluster_rows)
+
+    def dropped_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cap:
+            raise ValueError(
+                f"semantic_dedup: cluster {key[0]} has {len(pdf)} rows "
+                f"(> max_cluster_rows={cap}); raise k so clusters are "
+                "small enough for the pairwise pass"
+            )
+        if len(pdf) < 2:
+            return pd.DataFrame({"__drop_id__": pd.Series([], dtype="int64")})
+        order = pdf[id_col].to_numpy().argsort(kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        M = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+        )[order]
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        drop = np.zeros(len(ids), dtype=bool)
+        # Rows sorted by id: j is dropped iff any i < j has S[i, j] >= t.
+        # Dropped rows still count as "smaller-id neighbors" (EXISTS
+        # semantics, not greedy-survivor semantics).
+        for s in range(0, len(ids), _SLICE):
+            blk = M[s : s + _SLICE] @ M.T
+            hit = blk >= threshold
+            for r in range(hit.shape[0]):
+                j = s + r
+                if hit[r, :j].any():
+                    drop[j] = True
+        return pd.DataFrame({"__drop_id__": ids[drop]})
+
+    dropped = (
+        assigned.select(cluster_col, id_col, vec_col)
+        .groupBy(cluster_col)
+        .applyInPandas(dropped_fn, "__drop_id__ long")
+        .withColumnRenamed("__drop_id__", id_col)
+    )
+    return assigned.join(dropped, on=id_col, how="left_anti")

@@ -922,6 +922,34 @@ def q_kmeans_cluster_stats(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_stats(spark, sf_dir):
+    # SemDeDup: deterministic k-means (k=4, 2 iterations), then drop
+    # rows with an in-cluster smaller-id cosine neighbor >= 0.9. The
+    # synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51), so semantic duplicates are injected deterministically:
+    # every vec_id % 5 == 0 row is re-added as vec_id + 100000 — an
+    # exact copy that lands in the same cluster and MUST be dropped
+    # (cosine 1.0 to its smaller-id twin). Oracle: shared k-means CTE
+    # replay over the same unioned base + the EXISTS cosine predicate.
+    from . import clustering as C
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    dups = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    kept = C.semantic_dedup(
+        emb.unionByName(dups), "embedding", "vec_id", k=4, n_iter=2,
+        threshold=0.9,
+    )
+    return kept.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("vec_id").cast("long").alias("min_kept_id"),
+        F.max("vec_id").cast("long").alias("max_kept_id"),
+    )
+
+
 def q_streaming_hourly_rollup(spark, sf_dir):
     # The SAME hourly rollup as event_hourly_rollup, but executed as a
     # genuine Structured Streaming job: file-source readStream ->
@@ -1597,6 +1625,7 @@ QUERIES = {
     "pack_sequences_stats": q_pack_sequences_stats,
     "sliding_chunk_stats": q_sliding_chunk_stats,
     "kmeans_cluster_stats": q_kmeans_cluster_stats,
+    "semantic_dedup_stats": q_semantic_dedup_stats,
     "domain_capped_stats": q_domain_capped_stats,
     "export_shard_stats": q_export_shard_stats,
     "mix_budget_stats": q_mix_budget_stats,
@@ -2369,15 +2398,23 @@ ORACLES["sliding_chunk_stats"] = """
 """
 
 
-def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3) -> str:
-    """Unrolled DuckDB replay of kmeans_fit_predict: same seeding (k
-    smallest vec_ids), same float64 math, same smaller-cid tie-break
-    (lexicographic min over [distance, cid]), same empty-cluster
-    carry-forward. Generated by loop so the CTE chain always matches the
-    operator's fixed iteration count."""
+def _kmeans_ctes(
+    k: int, n_iter: int, keep_v: bool = False, base_sql: str = None
+) -> list:
+    """Shared unrolled DuckDB replay of kmeans_fit_predict (same
+    seeding, float64 math, smaller-cid tie-break, empty-cluster
+    carry-forward), ending at ``afin(vec_id, label, cid, dist)`` —
+    plus ``v`` when ``keep_v`` (the semantic-dedup oracle needs the
+    vectors for its within-cluster cosine pass). ``base_sql`` overrides
+    the default base relation (must yield ``vec_id, v DOUBLE[], label``)."""
     ctes = [
-        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label"
-        " FROM embeddings)",
+        "base AS ("
+        + (
+            base_sql
+            or "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label"
+            " FROM embeddings"
+        )
+        + ")",
         "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
         f" AS BIGINT) AS cid, v AS c FROM (SELECT vec_id, v FROM base"
         f" ORDER BY vec_id LIMIT {k}))",
@@ -2400,14 +2437,22 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3) -> str:
             f" SELECT cid, c FROM c{i}"
             f" WHERE cid NOT IN (SELECT cid FROM m{i}))"
         )
+    keep = " e.v," if keep_v else ""
     ctes.append(
-        "afin AS (SELECT e.vec_id, e.label,"
+        f"afin AS (SELECT e.vec_id, e.label,{keep}"
         " CAST(min([list_distance(e.v, c.c), CAST(c.cid AS DOUBLE)])[2]"
         " AS BIGINT) AS cid,"
         " min(list_distance(e.v, c.c)) AS dist"
         f" FROM base e CROSS JOIN c{n_iter} c"
         " GROUP BY e.vec_id, e.v, e.label)"
     )
+    return ctes
+
+
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3) -> str:
+    """Per-cluster size / majority-label / mean-distance stats on the
+    shared k-means replay (see _kmeans_ctes)."""
+    ctes = _kmeans_ctes(k, n_iter)
     ctes.append(
         "per AS (SELECT cid, label, count(*) AS n FROM afin"
         " GROUP BY cid, label)"
@@ -2429,6 +2474,41 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3) -> str:
 
 
 ORACLES["kmeans_cluster_stats"] = _kmeans_oracle_sql(4, 3)
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 4, n_iter: int = 2, threshold: float = 0.9
+) -> str:
+    """SemDeDup replay: the shared k-means CTEs (with vectors kept) over
+    the duplicate-injected base, then drop rows with an in-cluster
+    smaller-id cosine neighbor above threshold — the same EXISTS
+    predicate the kernel evaluates."""
+    base = (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label"
+        " FROM embeddings UNION ALL"
+        " SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]), label"
+        " FROM embeddings WHERE vec_id % 5 = 0"
+    )
+    ctes = _kmeans_ctes(k, n_iter, keep_v=True, base_sql=base)
+    ctes.append(
+        "dropped AS (SELECT DISTINCT b.vec_id FROM afin a"
+        " JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id"
+        f" WHERE list_cosine_similarity(a.v, b.v) >= {threshold})"
+    )
+    ctes.append(
+        "kept AS (SELECT * FROM afin WHERE vec_id NOT IN"
+        " (SELECT vec_id FROM dropped))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_kept,"
+        " CAST(min(vec_id) AS BIGINT) AS min_kept_id,"
+        " CAST(max(vec_id) AS BIGINT) AS max_kept_id"
+        " FROM kept GROUP BY cid"
+    )
+
+
+ORACLES["semantic_dedup_stats"] = _semantic_dedup_oracle_sql(4, 2, 0.9)
 
 def _mix_weights_case_sql() -> str:
     whens = " ".join(
