@@ -822,3 +822,66 @@ class TestCrosscorpusDecontaminate:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestBloomContamination:
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),   # shares grams with bench
+                (2, "x y z w q r"),   # disjoint
+                (3, "a b c d e"),     # fully contained in bench
+                (4, "tiny"),          # < n tokens -> 0.0
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "a b c d e")], "doc_id long, text string"
+        )
+        return corpus, bench
+
+    def test_no_false_negatives_and_huge_m_exact(self, spark):
+        # With a huge filter the FP rate is ~0, so bloom == exact.
+        corpus, bench = self._frames(spark)
+        m, k = 1 << 30, 3
+        bloom = P.bloom_filter_build(bench, "text", n=5, m_bits=m, k_hashes=k)
+        out = {
+            r["doc_id"]: r["bloom_hit_fraction"]
+            for r in P.bloom_contamination(
+                corpus, bloom, "text", "doc_id", n=5, m_bits=m, k_hashes=k
+            ).collect()
+        }
+        assert out[1] == pytest.approx(0.5)
+        assert out[2] == 0.0
+        assert out[3] == pytest.approx(1.0)
+        assert out[4] == 0.0
+
+    def test_dense_filter_flags_everything(self, spark):
+        # m=2 with any gram in bench sets both bits eventually -> every
+        # corpus gram's positions are set (deterministic "false
+        # positives" at saturation).
+        corpus, bench = self._frames(spark)
+        bloom = P.bloom_filter_build(bench, "text", n=5, m_bits=2, k_hashes=4)
+        out = {
+            r["doc_id"]: r["bloom_hit_fraction"]
+            for r in P.bloom_contamination(
+                corpus, bloom, "text", "doc_id", n=5, m_bits=2, k_hashes=4
+            ).collect()
+        }
+        assert out[2] == pytest.approx(1.0)  # disjoint doc still flagged
+
+    def test_plan_broadcasts_bloom(self, spark):
+        corpus, bench = self._frames(spark)
+        bloom = P.bloom_filter_build(bench, "text", n=5)
+        plan = (
+            P.bloom_contamination(corpus, bloom, "text", "doc_id", n=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_validation(self, spark):
+        _, bench = self._frames(spark)
+        with pytest.raises(ValueError):
+            P.bloom_filter_build(bench, "text", m_bits=1)
+        with pytest.raises(ValueError):
+            P.bloom_filter_build(bench, "text", k_hashes=0)

@@ -560,6 +560,29 @@ def q_ngram_contamination(spark, sf_dir):
     )
 
 
+def q_bloom_contamination(spark, sf_dir):
+    # Dolma-style Bloom decontamination: benchmark 3-grams hashed into a
+    # 2^16-bit filter (k=3 md5-derived positions); corpus docs scored by
+    # the fraction of grams with all 3 positions set. The small m makes
+    # the filter dense enough that deterministic false positives occur —
+    # the oracle replays the identical md5 arithmetic, so they match.
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 97 = 0")
+    corpus = docs.filter("doc_id % 97 != 0")
+    m, k = 1 << 16, 3
+    bloom = P.bloom_filter_build(bench, "text", n=3, m_bits=m, k_hashes=k)
+    c = P.bloom_contamination(
+        corpus, bloom, "text", "doc_id", n=3, m_bits=m, k_hashes=k
+    )
+    return c.groupBy("lang").agg(
+        F.sum((F.col("bloom_hit_fraction") >= 0.5).cast("long")).alias(
+            "n_flagged"
+        ),
+        F.round(F.sum("bloom_hit_fraction"), 4).alias("sum_fraction"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_domain_mix_weights(spark, sf_dir):
     # Temperature-flattened mixing weights over sources (alpha = 0.7).
     docs = _read(spark, sf_dir, "documents")
@@ -1609,6 +1632,7 @@ QUERIES = {
     "pii_stats": q_pii_stats,
     "stratified_sample": q_stratified_sample,
     "ngram_contamination": q_ngram_contamination,
+    "bloom_contamination": q_bloom_contamination,
     "domain_mix_weights": q_domain_mix_weights,
     "dedup_clusters": q_dedup_clusters,
     "pii_redacted_stats": q_pii_redacted_stats,
@@ -2248,6 +2272,59 @@ ORACLES["ngram_contamination"] = f"""
            CAST(sum(CASE WHEN cont >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_contaminated,
            round(sum(cont), 4) AS sum_contamination,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM per GROUP BY lang
+"""
+
+_BLOOM_POS_SQL = (
+    "CAST(('0x' || substr(md5(g || '#' || CAST(i AS VARCHAR)), 1, 13))"
+    " AS BIGINT) % 65536"
+)
+
+ORACLES["bloom_contamination"] = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(tk) >= 3 THEN
+               list_transform(range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             ELSE []::VARCHAR[] END) AS gs
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0
+    ),
+    hashes AS (SELECT unnest([0, 1, 2]) AS i),
+    bpos AS (
+      SELECT DISTINCT {_BLOOM_POS_SQL} AS pos FROM bench CROSS JOIN hashes
+    ),
+    corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM corpus),
+    cand AS (
+      SELECT doc_id, g, i, {_BLOOM_POS_SQL} AS pos
+      FROM ex CROSS JOIN hashes
+    ),
+    hit AS (
+      SELECT doc_id, g FROM cand JOIN bpos USING (pos)
+      GROUP BY doc_id, g HAVING count(*) = 3
+    ),
+    fl AS (SELECT doc_id, count(*) AS flagged FROM hit GROUP BY doc_id),
+    per AS (
+      SELECT c.doc_id, c.lang,
+        CASE WHEN len(c.gs) > 0 THEN
+          CAST(coalesce(f.flagged, 0) AS DOUBLE) / len(c.gs)
+        ELSE 0.0 END AS frac
+      FROM corpus c LEFT JOIN fl f ON c.doc_id = f.doc_id
+    )
+    SELECT lang,
+           CAST(sum(CASE WHEN frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           round(sum(frac), 4) AS sum_fraction,
            CAST(count(*) AS BIGINT) AS n_docs
     FROM per GROUP BY lang
 """

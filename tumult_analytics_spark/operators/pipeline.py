@@ -39,6 +39,8 @@ __all__ = [
     "deterministic_uniform",
     "stratified_sample",
     "ngram_contamination",
+    "bloom_filter_build",
+    "bloom_contamination",
     "domain_mix_weights",
     "connected_components",
     "pack_sequences",
@@ -435,6 +437,128 @@ def ngram_contamination(
         ).otherwise(F.lit(0.0)),
     )
     return out.drop("_matched_grams")
+
+
+def _bloom_positions(gram: Column, k_hashes: int, m_bits: int) -> Column:
+    """Array of ``k_hashes`` bit positions for a gram. Each position is
+    the first 52 bits of ``md5(gram || '#' || i)`` mod ``m_bits`` — pure
+    Catalyst, and exactly reproducible in ANSI SQL as
+    ``('0x' || substr(md5(g || '#' || i), 1, 13))::BIGINT % m``."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(gram, F.lit(f"#{i}"))), 1, 13
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_filter_build(
+    benchmark: DataFrame,
+    text_column: str,
+    n: int = 5,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over the benchmark's token n-grams, returned
+    as a DataFrame of distinct set bit positions (``pos`` bigint) — the
+    representation that joins, broadcasts, and persists as a table.
+
+    This is the Dolma-style decontamination structure: at 100 TB the
+    benchmark side stays a fixed-size bit set (≤ ``m_bits`` rows ~ MBs)
+    no matter how many grams feed it, where the exact gram set of
+    :func:`ngram_contamination` grows with the benchmark. The trade is a
+    deterministic false-positive rate ≈ (k·G/m)^k — both engines replay
+    the same md5 arithmetic, so even the false positives are
+    reproducible and oracle-checkable.
+    """
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError("m_bits must be >= 2 and k_hashes >= 1")
+    grams = (
+        benchmark.select(_tokens(F.col(text_column)).alias("__tk__"))
+        .select(
+            F.explode(F.array_distinct(_token_ngrams(F.col("__tk__"), n))).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
+    return (
+        grams.select(
+            F.explode(_bloom_positions(F.col("gram"), k_hashes, m_bits)).alias(
+                "pos"
+            )
+        )
+        .distinct()
+    )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    bloom: DataFrame,
+    text_column: str,
+    id_column: str,
+    n: int = 5,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 3,
+    output_column: str = "bloom_hit_fraction",
+) -> DataFrame:
+    """Fraction of each document's distinct token n-grams whose
+    ``k_hashes`` Bloom positions are ALL set in ``bloom`` (as built by
+    :func:`bloom_filter_build` with the same ``n``/``m_bits``/
+    ``k_hashes``).
+
+    Plan shape: corpus grams explode ×``k_hashes`` position rows; the
+    (small, fixed-size) bloom is broadcast and inner-joined on ``pos``,
+    so only *matching* position rows reach the first shuffle; a gram is
+    flagged iff all ``k_hashes`` of its rows matched (count == k per
+    (id, gram)), then one narrow per-id count. Unmatched grams never
+    shuffle at all.
+    """
+    grams_of = lambda c: F.array_distinct(_token_ngrams(c, n))  # noqa: E731
+    doc_grams = (
+        corpus.select(
+            F.col(id_column), _tokens(F.col(text_column)).alias("__tk__")
+        )
+        .select(F.col(id_column), F.explode(grams_of(F.col("__tk__"))).alias("gram"))
+        .select(
+            F.col(id_column),
+            F.col("gram"),
+            F.explode(
+                _bloom_positions(F.col("gram"), k_hashes, m_bits)
+            ).alias("pos"),
+        )
+    )
+    flagged = (
+        doc_grams.join(F.broadcast(bloom), "pos")
+        .groupBy(id_column, "gram")
+        .agg(F.count(F.lit(1)).alias("__k__"))
+        .filter(F.col("__k__") == k_hashes)
+        .groupBy(id_column)
+        .agg(F.count(F.lit(1)).alias("_flagged_grams"))
+    )
+    total = (
+        corpus.withColumn("__tk__", _tokens(F.col(text_column)))
+        .withColumn("_total_grams", F.size(grams_of(F.col("__tk__"))))
+        .drop("__tk__")
+    )
+    out = total.join(flagged, id_column, "left").withColumn(
+        output_column,
+        F.when(
+            F.col("_total_grams") > 0,
+            F.coalesce(F.col("_flagged_grams"), F.lit(0)).cast("double")
+            / F.col("_total_grams").cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+    return out.drop("_flagged_grams")
 
 
 def domain_mix_weights(
