@@ -885,3 +885,44 @@ class TestBloomContamination:
             P.bloom_filter_build(bench, "text", m_bits=1)
         with pytest.raises(ValueError):
             P.bloom_filter_build(bench, "text", k_hashes=0)
+
+
+class TestLengthBucketedBatches:
+    def test_buckets_batches_and_pad(self, spark):
+        rows = [(i, n) for i, n in enumerate([5, 10, 20, 25, 30, 40, 70, 100])]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = P.length_bucketed_batches(
+            df, "n_tokens", batch_size=2, bucket_edges=(16, 64), n_shards=1
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        # buckets: <16 -> 0, <64 -> 1, >=64 -> 2
+        assert [by_id[i]["bucket"] for i in range(8)] == [0, 0, 1, 1, 1, 1, 2, 2]
+        # bucket 1 in doc order: 20,25 | 30,40 -> two batches of 2
+        b1 = sorted(
+            (r["doc_id"], r["batch_id"], r["batch_pad"])
+            for r in out if r["bucket"] == 1
+        )
+        assert b1 == [(2, 0, 5), (3, 0, 0), (4, 1, 10), (5, 1, 0)]
+
+    def test_sharding_bounds_batch_members(self, spark):
+        df = spark.createDataFrame(
+            [(i, 10) for i in range(40)], "doc_id long, n_tokens long"
+        )
+        out = P.length_bucketed_batches(
+            df, "n_tokens", batch_size=4, n_shards=4
+        )
+        sizes = (
+            out.groupBy("shard", "bucket", "batch_id")
+            .count().select("count").collect()
+        )
+        assert all(r["count"] <= 4 for r in sizes)
+        assert out.select("shard").distinct().count() == 4
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+        with pytest.raises(ValueError):
+            P.length_bucketed_batches(df, "n_tokens", batch_size=0)
+        with pytest.raises(ValueError):
+            P.length_bucketed_batches(
+                df, "n_tokens", 2, bucket_edges=(64, 16)
+            )

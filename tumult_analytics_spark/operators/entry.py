@@ -560,6 +560,23 @@ def q_ngram_contamination(spark, sf_dir):
     )
 
 
+def q_length_bucket_stats(spark, sf_dir):
+    # Pad-efficiency batching: docs bucketed by token length (fixed
+    # integer edges), batched 8-at-a-time within (shard, bucket); per
+    # bucket: docs, batches, total padding cost, max length.
+    docs = _read(spark, sf_dir, "documents")
+    tc = X.token_count(docs, "text")
+    out = P.length_bucketed_batches(
+        tc, "n_tokens", batch_size=8, shard_key="doc_id", n_shards=8
+    )
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("shard", "batch_id").alias("n_batches"),
+        F.sum("batch_pad").cast("long").alias("total_pad"),
+        F.max(F.col("n_tokens").cast("long")).alias("max_len"),
+    )
+
+
 def q_bloom_contamination(spark, sf_dir):
     # Dolma-style Bloom decontamination: benchmark 3-grams hashed into a
     # 2^16-bit filter (k=3 md5-derived positions); corpus docs scored by
@@ -1633,6 +1650,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "ngram_contamination": q_ngram_contamination,
     "bloom_contamination": q_bloom_contamination,
+    "length_bucket_stats": q_length_bucket_stats,
     "domain_mix_weights": q_domain_mix_weights,
     "dedup_clusters": q_dedup_clusters,
     "pii_redacted_stats": q_pii_redacted_stats,
@@ -2275,6 +2293,48 @@ ORACLES["ngram_contamination"] = f"""
            CAST(count(*) AS BIGINT) AS n_docs
     FROM per GROUP BY lang
 """
+
+def _length_bucket_case_sql() -> str:
+    from .pipeline import LENGTH_BUCKET_EDGES
+
+    whens = " ".join(
+        f"WHEN n_tokens < {e} THEN {i}"
+        for i, e in enumerate(LENGTH_BUCKET_EDGES)
+    )
+    return f"CASE {whens} ELSE {len(LENGTH_BUCKET_EDGES)} END"
+
+
+ORACLES["length_bucket_stats"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             {_length_bucket_case_sql()} AS bucket,
+             doc_id % 8 AS shard
+      FROM toks
+    ),
+    r AS (
+      SELECT *, CAST(floor((row_number() OVER (
+               PARTITION BY shard, bucket ORDER BY doc_id) - 1) / 8)
+             AS BIGINT) AS batch_id
+      FROM b
+    ),
+    p AS (
+      SELECT *, max(n_tokens) OVER (
+               PARTITION BY shard, bucket, batch_id) - n_tokens AS pad
+      FROM r
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT [shard, batch_id]) AS BIGINT) AS n_batches,
+           CAST(sum(pad) AS BIGINT) AS total_pad,
+           CAST(max(n_tokens) AS BIGINT) AS max_len
+    FROM p GROUP BY bucket
+"""
+
 
 _BLOOM_POS_SQL = (
     "CAST(('0x' || substr(md5(g || '#' || CAST(i AS VARCHAR)), 1, 13))"

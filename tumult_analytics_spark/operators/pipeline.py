@@ -44,6 +44,7 @@ __all__ = [
     "domain_mix_weights",
     "connected_components",
     "pack_sequences",
+    "length_bucketed_batches",
     "sliding_chunks",
     "cap_per_group",
     "export_shards",
@@ -815,6 +816,65 @@ def pack_sequences(
             "spans_boundary", F.col("last_seq") > F.col("first_seq")
         )
     )
+
+
+#: Default token-length bucket edges for :func:`length_bucketed_batches`
+#: (left-closed; lengths >= the last edge share the top bucket). Fixed
+#: integers, not log2 floats — bucket assignment must be bit-identical
+#: across engines, and log2 of values near a power of two is not.
+LENGTH_BUCKET_EDGES = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    token_count_col: str,
+    batch_size: int,
+    bucket_edges: tuple = LENGTH_BUCKET_EDGES,
+    shard_key: str = "doc_id",
+    n_shards: int = 64,
+    order_col: Optional[str] = None,
+) -> DataFrame:
+    """Length-bucketed micro-batch assignment (the pad-efficiency
+    batching used for SFT / seq2seq training): documents are bucketed by
+    token length so a batch only pads up to its *bucket's* max, then
+    grouped into fixed-size batches within each (shard, bucket).
+
+    Adds ``bucket`` (index into ``bucket_edges``; lengths below
+    ``bucket_edges[0]`` get 0, lengths >= the last edge get
+    ``len(bucket_edges)``), ``shard``, ``batch_id`` (dense per
+    (shard, bucket), ``batch_size`` docs each in ``order_col`` order),
+    and ``batch_pad`` — the padding tokens this doc costs in its batch
+    (``batch_max_len - n_tokens``).
+
+    Scale: bucket and shard are pure projections; the only shuffle is
+    one window partitioned by (shard, bucket) — shards keep any single
+    partition's rows bounded at corpus_size / n_shards, the same
+    independent-shard layout as :func:`pack_sequences`, so no global
+    sort and no skew pileup on popular lengths.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if list(bucket_edges) != sorted(set(int(e) for e in bucket_edges)):
+        raise ValueError("bucket_edges must be strictly increasing")
+    order = order_col or shard_key
+    toks = F.col(token_count_col).cast("long")
+    bucket = F.lit(len(bucket_edges))
+    for i in range(len(bucket_edges) - 1, -1, -1):
+        bucket = F.when(toks < int(bucket_edges[i]), F.lit(i)).otherwise(
+            bucket
+        )
+    out = df.withColumn("bucket", bucket).withColumn(
+        "shard", F.pmod(F.col(shard_key).cast("long"), F.lit(n_shards))
+    )
+    w = Window.partitionBy("shard", "bucket").orderBy(order)
+    out = out.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    wb = Window.partitionBy("shard", "bucket", "batch_id")
+    return out.withColumn("batch_pad", F.max(toks).over(wb) - toks)
 
 
 def sliding_chunks(
