@@ -523,3 +523,61 @@ class TestDecoderFuzz:
                 assert rec is None or isinstance(rec, tuple)
 
         run()
+
+
+class TestAudioFrameFeatures:
+    def test_framing_and_features(self, spark):
+        import numpy as np
+
+        from tumult_analytics_spark.operators.multimodal import (
+            audio_frame_features,
+            synthesize_wav,
+        )
+
+        wav = synthesize_wav(70, 8000, seed=5)
+        df = spark.createDataFrame(
+            [(1, bytearray(wav))], "doc_id long, payload binary"
+        )
+        rows = {
+            r["frame_index"]: r
+            for r in audio_frame_features(df, "payload", 32).collect()
+        }
+        assert set(rows) == {0, 1, 2}
+        assert [rows[i]["n_in_frame"] for i in (0, 1, 2)] == [32, 32, 6]
+        # recompute from the synthesizer formula
+        i = np.arange(70, dtype=np.int64)
+        x = (5 * 31 + i * 17) % 65536 - 32768
+        for fi in range(3):
+            fr = x[fi * 32 : fi * 32 + 32]
+            assert rows[fi]["energy"] == int((fr * fr).sum())
+            neg = fr < 0
+            assert rows[fi]["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
+            assert rows[fi]["frame_peak"] == int(np.abs(fr).max())
+        assert "payload" not in rows[0].asDict()
+
+    def test_stereo_uses_channel0_and_garbage_skipped(self, spark):
+        from tumult_analytics_spark.operators.multimodal import (
+            audio_frame_features,
+            synthesize_wav,
+        )
+
+        wav = synthesize_wav(40, 8000, seed=3, channels=2)
+        df = spark.createDataFrame(
+            [(1, bytearray(wav)), (2, bytearray(b"not a wav")), (3, None)],
+            "doc_id long, payload binary",
+        )
+        out = audio_frame_features(df, "payload", 16).collect()
+        assert {r["doc_id"] for r in out} == {1}
+        # 40 frames of channel 0 -> 16,16,8
+        assert sorted(r["n_in_frame"] for r in out) == [8, 16, 16]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tumult_analytics_spark.operators.multimodal import (
+            audio_frame_features,
+        )
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
+        with _pytest.raises(ValueError):
+            audio_frame_features(df, "payload", 1)

@@ -24,6 +24,7 @@ from .dedup import (
 )
 from .multimodal import (
     attach_media_metadata,
+    audio_frame_features,
     decode_audio,
     decode_image,
     extract_byte_histogram_features,

@@ -1603,6 +1603,47 @@ def q_decode_audio(spark, sf_dir):
     )
 
 
+def q_audio_frame_features(spark, sf_dir):
+    # Frame-level audio features (energy / zero-crossings / peak over
+    # 32-sample frames of channel 0). Summing per-frame ZCR ≠ global
+    # ZCR (boundary crossings are excluded), so the oracle proves the
+    # framing itself, replayed from the synthesizer's integer formula.
+    from . import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id % 10 = 0")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_wav(50 + int(d) % 40, 16000, int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_wav = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields
+            + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    fr = M.audio_frame_features(with_wav, "payload", frame_samples=32)
+    return fr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("total_energy"),
+        F.sum("zero_crossings").cast("long").alias("total_zc"),
+        F.max("frame_peak").cast("long").alias("max_peak"),
+    )
+
+
 def q_segment_dedup_stats(spark, sf_dir):
     # C4-style span dedup (8-token segments, global first occurrence):
     # per-lang surviving-character totals prove exactly which segments
@@ -1674,6 +1715,7 @@ QUERIES = {
     "quality_logit_stats": q_quality_logit_stats,
     "segment_dedup_stats": q_segment_dedup_stats,
     "decode_audio": q_decode_audio,
+    "audio_frame_features": q_audio_frame_features,
     "top_ngrams": q_top_ngrams,
     "dataset_split_stats": q_dataset_split_stats,
     "prep_pipeline_stats": q_prep_pipeline_stats,
@@ -2858,6 +2900,31 @@ ORACLES["decode_audio"] = """
                i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768)))
              AS BIGINT) AS peak
     FROM documents
+"""
+
+ORACLES["audio_frame_features"] = """
+    WITH d AS (
+      SELECT doc_id, 50 + doc_id % 40 AS n
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    x AS (
+      SELECT doc_id, n, i,
+             ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+      FROM s
+    ),
+    w AS (
+      SELECT doc_id, n, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM x
+    )
+    SELECT doc_id,
+           CAST(ceil(max(n) / 32.0) AS BIGINT) AS n_frames,
+           CAST(sum(v * v) AS BIGINT) AS total_energy,
+           CAST(sum(CASE WHEN i % 32 <> 0 AND (v < 0) <> (pv < 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS total_zc,
+           CAST(max(abs(v)) AS BIGINT) AS max_peak
+    FROM w GROUP BY doc_id
 """
 
 ORACLES["segment_dedup_stats"] = """

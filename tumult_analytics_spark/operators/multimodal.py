@@ -1148,3 +1148,117 @@ def decode_audio(df: DataFrame, binary_column: str) -> DataFrame:
             yield out
 
     return df.mapInPandas(decode, out_schema)
+
+
+def audio_frame_features(
+    df: DataFrame, binary_column: str, frame_samples: int = 256
+) -> DataFrame:
+    """Frame-level audio features over PCM16 WAV payloads: one output
+    row per non-overlapping ``frame_samples``-sample frame of channel 0
+    with (frame_index, n_in_frame, energy = sum(x^2),
+    zero_crossings = count of adjacent sign flips, frame_peak).
+
+    This is the speech-pipeline front end (VAD energy gating, silence
+    trimming, segmentation) with the spectral step left to a DSP
+    library; everything here is integer math on the decoded samples, so
+    the oracle replays it exactly from the synthesizer's sample formula.
+    Unrecognized payloads produce no rows (same contract as
+    :func:`sample_video_frames`).
+
+    Scale: one mapInPandas pass — fan-out is n_samples/frame_samples
+    rows per payload, features are a few ints per frame (the samples
+    themselves never leave the kernel), and the binary column is dropped
+    from the output so downstream plans don't carry payload bytes.
+    """
+    import numpy as np
+
+    if frame_samples < 2:
+        raise ValueError("frame_samples must be >= 2")
+    base_fields = [f for f in df.schema.fields if f.name != binary_column]
+    out_schema = T.StructType(
+        base_fields
+        + [
+            T.StructField("frame_index", T.IntegerType(), True),
+            T.StructField("n_in_frame", T.IntegerType(), True),
+            T.StructField("energy", T.LongType(), True),
+            T.StructField("zero_crossings", T.LongType(), True),
+            T.StructField("frame_peak", T.LongType(), True),
+        ]
+    )
+    base_cols = [f.name for f in base_fields]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row[binary_column]
+                if payload is None:
+                    continue
+                try:
+                    rec = _decode_wav_samples(bytes(payload))
+                except Exception:
+                    rec = None
+                if rec is None:
+                    continue
+                channels, samples = rec
+                ch0 = samples[::channels]
+                base = {k: row[k] for k in base_cols}
+                for fi in range(0, len(ch0), frame_samples):
+                    fr = ch0[fi : fi + frame_samples]
+                    neg = fr < 0
+                    rows.append(
+                        {
+                            **base,
+                            "frame_index": fi // frame_samples,
+                            "n_in_frame": int(fr.shape[0]),
+                            "energy": int((fr * fr).sum()),
+                            "zero_crossings": int(
+                                (neg[1:] != neg[:-1]).sum()
+                            ),
+                            "frame_peak": int(np.abs(fr).max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=base_cols
+                + [
+                    "frame_index",
+                    "n_in_frame",
+                    "energy",
+                    "zero_crossings",
+                    "frame_peak",
+                ],
+            )
+
+    return df.mapInPandas(feats, out_schema)
+
+
+def _decode_wav_samples(buf: bytes):
+    """Like :func:`_decode_wav` but returns ``(channels, samples)`` with
+    the raw int64 sample array (interleaved) for frame-level features."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_tag != 1:
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None or bits != 16 or not channels:
+        return None
+    samples = np.frombuffer(
+        data[: len(data) - (len(data) % 2)], dtype="<i2"
+    ).astype(np.int64)
+    return int(channels), samples
