@@ -466,6 +466,7 @@ class TestDecoderFuzz:
 
         from tumult_analytics_spark.operators.multimodal import (
             _decode_bmp,
+            _decode_gif,
             _decode_jpeg,
             _decode_png,
             _decode_ppm,
@@ -475,8 +476,8 @@ class TestDecoderFuzz:
         @settings(max_examples=300, deadline=None)
         @given(st.binary(max_size=300))
         def run(buf):
-            for dec in (_decode_png, _decode_jpeg, _decode_bmp,
-                        _decode_ppm, _decode_wav):
+            for dec in (_decode_png, _decode_jpeg, _decode_gif,
+                        _decode_bmp, _decode_ppm, _decode_wav):
                 rec = dec(buf)
                 assert rec is None or isinstance(rec, tuple)
 
@@ -487,9 +488,11 @@ class TestDecoderFuzz:
         from hypothesis import strategies as st
 
         from tumult_analytics_spark.operators.multimodal import (
+            _decode_gif,
             _decode_jpeg,
             _decode_png,
             _decode_wav,
+            synthesize_gif,
             synthesize_jpeg,
             synthesize_png,
             synthesize_wav,
@@ -502,6 +505,7 @@ class TestDecoderFuzz:
             (_decode_jpeg, synthesize_jpeg(16, 16, 5, color=True,
                                            subsampling="420")),
             (_decode_wav, synthesize_wav(20, 8000, 1)),
+            (_decode_gif, synthesize_gif(9, 6, 4)),
         ]
 
         @settings(max_examples=200, deadline=None)
@@ -581,3 +585,69 @@ class TestAudioFrameFeatures:
         df = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
         with _pytest.raises(ValueError):
             audio_frame_features(df, "payload", 1)
+
+
+class TestDecodeGif:
+    def test_pixel_sum_matches_formula(self):
+        import numpy as np
+
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_gif,
+            synthesize_gif,
+        )
+
+        for w, h, seed in [(1, 1, 0), (9, 6, 7), (40, 30, 123)]:
+            rec = _decode_gif(synthesize_gif(w, h, seed))
+            idx = (seed * 7 + np.arange(w * h, dtype=np.int64) * 13) % 256
+            pal = np.array(
+                [
+                    [(p * 5 + c * 11 + 3) % 256 for c in range(3)]
+                    for p in range(256)
+                ],
+                dtype=np.int64,
+            )
+            assert rec == (h, w, 3, int(pal[idx].sum()))
+
+    def test_local_color_table_and_interlace(self):
+        import struct
+
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_gif,
+            _lzw_encode,
+        )
+
+        # hand-built GIF: no GCT, image carries a 2-entry LCT
+        lzw = _lzw_encode(bytes([0, 1, 1, 0]), 2)
+        img = (
+            b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x00, 0, 0])
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2)
+            + bytes([0x80])  # LCT flag, 2 entries
+            + bytes([10, 20, 30, 40, 50, 60])
+            + bytes([2])
+            + bytes([len(lzw)]) + lzw + b"\x00\x3b"
+        )
+        rec = _decode_gif(img)
+        assert rec == (2, 2, 3, (10 + 20 + 30) * 2 + (40 + 50 + 60) * 2)
+        # interlace flag -> None
+        img_i = bytearray(img)
+        img_i[6 + 4 + 3 + 9 - 1 + 1] |= 0x40  # image descriptor packed byte
+        assert _decode_gif(bytes(img_i)) is None
+
+    def test_spark_mixed_payloads(self, spark):
+        from tumult_analytics_spark.operators.multimodal import (
+            decode_image,
+            synthesize_gif,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(synthesize_gif(4, 3, 2))),
+                (2, bytearray(b"junk")),
+                (3, None),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in decode_image(df, "payload").collect()}
+        assert rows[1]["height"] == 3 and rows[1]["width"] == 4
+        assert rows[1]["channels"] == 3
+        assert rows[2]["pixel_sum"] is None and rows[3]["pixel_sum"] is None

@@ -30,6 +30,7 @@ from .multimodal import (
     extract_byte_histogram_features,
     sample_video_frames,
     synthesize_bmp,
+    synthesize_gif,
     synthesize_jpeg,
     synthesize_png,
     synthesize_raw_video,

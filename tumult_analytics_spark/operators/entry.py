@@ -386,6 +386,37 @@ def q_decode_image_png(spark, sf_dir):
     return dec.select("doc_id", "height", "width", "channels", "pixel_sum")
 
 
+def q_decode_image_gif(spark, sf_dir):
+    # Real GIF decode: spec-conformant GIF89a payloads (global color
+    # table, comment extension, real LZW compression) synthesized from
+    # integer formulas; the decoded palette-mapped pixel sum replays in
+    # SQL. It only matches if the variable-width LZW decode, sub-block
+    # reassembly, and palette lookup are all right.
+    from . import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_gif(2 + int(d) % 9, 2 + int(d) % 6, int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_gif = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields
+            + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    dec = M.decode_image(with_gif, "payload")
+    return dec.select("doc_id", "height", "width", "channels", "pixel_sum")
+
+
 def q_decode_image_jpeg(spark, sf_dir):
     # Real baseline JPEG decode (canonical-Huffman entropy decode +
     # dequantize + exact IDCT; interleaved-MCU color with BT.601
@@ -1683,6 +1714,7 @@ QUERIES = {
     "cosine_dedup": q_cosine_dedup,
     "decode_image": q_decode_image,
     "decode_image_png": q_decode_image_png,
+    "decode_image_gif": q_decode_image_gif,
     "decode_image_jpeg": q_decode_image_jpeg,
     "quantize_embeddings": q_quantize_embeddings,
     "pipeline_compose": q_pipeline_compose,
@@ -1811,6 +1843,19 @@ ORACLES = {
                                * (1 + doc_id % 7) * (1 + doc_id % 5)),
                         i -> (doc_id * 7 + i * 13) % 256))
                     END AS BIGINT) AS pixel_sum
+        FROM documents
+    """,
+    "decode_image_gif": """
+        SELECT doc_id,
+               CAST(2 + doc_id % 6 AS INTEGER) AS height,
+               CAST(2 + doc_id % 9 AS INTEGER) AS width,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(list_sum(list_transform(
+                 range(0, (2 + doc_id % 9) * (2 + doc_id % 6)),
+                 i -> ((((doc_id * 7 + i * 13) % 256) * 5 + 3) % 256)
+                    + ((((doc_id * 7 + i * 13) % 256) * 5 + 14) % 256)
+                    + ((((doc_id * 7 + i * 13) % 256) * 5 + 25) % 256)))
+                 AS BIGINT) AS pixel_sum
         FROM documents
     """,
     "decode_image_jpeg": """

@@ -834,6 +834,214 @@ def _decode_jpeg_unsafe(buf: bytes):
     return h, w, 3, int(r.sum() + g.sum() + b.sum())
 
 
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW encode (LSB-first variable-width codes, CLEAR
+    emitted first, dictionary frozen at 4096 entries — no mid-stream
+    resets). Mirrors :func:`_lzw_decode`'s width-growth schedule."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for k in bytes(indices):
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # the DECODER widens when ITS next_code hits 1<<code_size;
+            # its dictionary add lags ours by one code, hence the +1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF LZW decode -> list of palette indices (capped at
+    ``max_pixels``); raises ValueError on corrupt streams."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    code_size = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code = end + 1
+    out = bytearray()
+    prev = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without END code")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = table[: clear + 2]
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("LZW code out of range")
+            if next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out.extend(entry)
+        if len(out) > max_pixels:
+            raise ValueError("LZW output exceeds image size")
+        prev = entry
+    return out
+
+
+def synthesize_gif(width: int, height: int, seed: int) -> bytes:
+    """A real, spec-conformant GIF89a (global color table, one
+    non-interlaced image, real LZW-compressed data) whose pixel index i
+    is ``(seed*7 + i*13) % 256`` and palette entry (p, c) is
+    ``(p*5 + c*11 + 3) % 256`` — the same SQL-replayable formulas as
+    :func:`synthesize_png`'s palette mode."""
+    import struct
+
+    import numpy as np
+
+    n = width * height
+    idx = ((seed * 7 + np.arange(n, dtype=np.int64) * 13) % 256).astype(
+        np.uint8
+    )
+    lzw = _lzw_encode(idx.tobytes(), 8)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries
+    out += bytes(
+        (p * 5 + c * 11 + 3) % 256 for p in range(256) for c in range(3)
+    )
+    # a comment extension so decoders must really skip sub-blocks
+    out += b"\x21\xfe\x04test\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += bytes([8])  # LZW min code size
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_gif(buf: bytes):
+    """No-raise wrapper for :func:`_decode_gif_unsafe` — same
+    nulls-not-crashes contract as :func:`_decode_jpeg`."""
+    try:
+        return _decode_gif_unsafe(buf)
+    except Exception:
+        return None
+
+
+def _decode_gif_unsafe(buf: bytes):
+    """(height, width, channels, pixel_sum) for a non-interlaced GIF
+    (87a/89a, global or local color table, real LZW decode), or None if
+    the payload is not a GIF. Interlaced images and animations beyond
+    the first frame return None (codec-library territory)."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 13 or buf[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack_from("<HH", buf, 6)
+    packed = buf[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            buf, np.uint8, count=size * 3, offset=pos
+        ).reshape(size, 3)
+        pos += size * 3
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            return None
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(buf) and buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            return None
+        _, _, iw, ih = struct.unpack_from("<HHHH", buf, pos)
+        ipacked = buf[pos + 8]
+        pos += 9
+        if ipacked & 0x40:  # interlaced
+            return None
+        ct = gct
+        if ipacked & 0x80:
+            size = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(
+                buf, np.uint8, count=size * 3, offset=pos
+            ).reshape(size, 3)
+            pos += size * 3
+        if ct is None:
+            return None
+        mcs = buf[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(buf) and buf[pos] != 0:
+            ln = buf[pos]
+            data += buf[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(data), mcs, iw * ih)
+        if len(idx) < iw * ih:
+            return None
+        pix = np.frombuffer(bytes(idx[: iw * ih]), np.uint8)
+        if int(pix.max(initial=0)) >= ct.shape[0]:
+            return None
+        rgb = ct[pix].astype(np.int64)
+        return ih, iw, 3, int(rgb.sum())
+    return None
+
+
 def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
     """Decode images to (height, width, channels, pixel_sum).
 
@@ -841,7 +1049,9 @@ def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
     imaging libraries can still handle: 8-bit PNG (gray / RGB /
     gray+alpha / RGBA, full Sub/Up/Average/Paeth unfiltering via stdlib
     ``zlib``), baseline grayscale JPEG (canonical-Huffman entropy
-    decode, dequantize, exact IDCT), 24-bit BMP, and binary PPM (P6).
+    decode, dequantize, exact IDCT), non-interlaced GIF (real LZW
+    decode, global/local color tables), 24-bit BMP, and binary PPM
+    (P6).
     ``pixel_sum`` (sum of all decoded sample bytes) proves the decoder
     walks the actual pixel data — PNG unfiltering, JPEG entropy/IDCT,
     BMP row padding, and the bottom-up flip all have to be right for it
@@ -869,6 +1079,7 @@ def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
                         rec = (
                             _decode_png(b)
                             or _decode_jpeg(b)
+                            or _decode_gif(b)
                             or _decode_bmp(b)
                             or _decode_ppm(b)
                         )
