@@ -55,6 +55,12 @@ def main() -> None:
     # the first two disagree by >30% (a spike hit one of them). DataFrame
     # caches persisted inside operators are cleared between runs so later
     # runs measure real work, not cache hits.
+    only = {
+        q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q
+    }
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in sorted(qs.items()):

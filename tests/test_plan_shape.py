@@ -346,3 +346,32 @@ def test_bpe_iterations_read_histogram_not_corpus(spark):
     )
     assert "Scan ExistingRDD" in pairs_plan
     assert "parquet" not in pairs_plan.lower()
+
+
+def test_index_query_broadcasts_batch_not_index(spark):
+    # broadcast_batch=True must put the BATCH side in a broadcast
+    # exchange so the corpus-scale index never shuffles.
+    from tumult_analytics_spark.operators.dedup import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with shared shingle stream") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = build_minhash_index(
+        docs, "text", "doc_id", num_hashes=8, bands=4, materialize=False
+    )
+    batch = docs.limit(5)
+    plan = (
+        query_minhash_index(idx, batch, broadcast_batch=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # default (shuffle) path still plans without a broadcast hint
+    plan2 = (
+        query_minhash_index(idx, batch, broadcast_batch=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in plan2 or "SortMergeJoin" not in plan2

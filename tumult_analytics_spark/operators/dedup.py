@@ -431,11 +431,19 @@ def query_minhash_index(
     index: "AnnIndex",
     new_docs: DataFrame,
     min_signature_similarity: float = 0.5,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """Near-duplicate matches of ``new_docs`` against a prebuilt index:
     (new doc id, matching index id, signature_similarity), distinct per
     pair. Only the new batch is signed and banded; the index side is an
-    equi-join on (band, band-hash) against the stored table."""
+    equi-join on (band, band-hash) against the stored table.
+
+    ``broadcast_batch=True`` broadcasts the (signed, banded) batch side
+    into the join so the INDEX side never shuffles — the right shape
+    when the index is corpus-scale and the batch is a crawl increment
+    (the common case; Spark can't infer it because the Arrow signing
+    kernel hides size stats). Leave False when the batch rivals the
+    index — a broadcast that big belongs in a shuffle join."""
     if index.kind != "minhash":
         raise ValueError(f"expected a minhash index, got {index.kind!r}")
     p = index.params
@@ -465,6 +473,8 @@ def query_minhash_index(
         F.col("__id__").alias("id_b"),
         F.col("signature").alias("sig_b"),
     )
+    if broadcast_batch:
+        left = F.broadcast(left)
     pairs = (
         left.join(right, on=["__band__", "__bh__"])
         .filter(F.col("id_a") != F.col("id_b"))
@@ -483,14 +493,17 @@ def dedup_against_index(
     index: "AnnIndex",
     new_docs: DataFrame,
     min_signature_similarity: float = 0.5,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """Drop rows of ``new_docs`` that are near-duplicates of anything in
     the index. The incremental-crawl contract: dedup each batch against
     the corpus index, then :func:`extend_minhash_index` with the KEPT
-    rows so later batches see them."""
+    rows so later batches see them. ``broadcast_batch`` as in
+    :func:`query_minhash_index` — True keeps the corpus-scale index
+    un-shuffled when batches are small."""
     id_column = index.params["id_column"]
     matched = query_minhash_index(
-        index, new_docs, min_signature_similarity
+        index, new_docs, min_signature_similarity, broadcast_batch
     ).select(F.col("new_id").alias(id_column)).distinct()
     return new_docs.join(matched, on=id_column, how="left_anti")
 

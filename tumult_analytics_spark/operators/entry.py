@@ -1415,10 +1415,12 @@ def q_incremental_dedup(spark, sf_dir):
         corpus, "text", "doc_id", num_hashes=32, bands=8, signature_fn="md5"
     )
     kept1 = D.dedup_against_index(
-        idx, batch1, min_signature_similarity=0.7
+        idx, batch1, min_signature_similarity=0.7, broadcast_batch=True
     ).localCheckpoint(eager=True)  # read by extend AND the union below
     idx2 = D.extend_minhash_index(idx, kept1)
-    kept2 = D.dedup_against_index(idx2, batch2, min_signature_similarity=0.7)
+    kept2 = D.dedup_against_index(
+        idx2, batch2, min_signature_similarity=0.7, broadcast_batch=True
+    )
     return (
         kept1.unionByName(kept2)
         .groupBy("lang")

@@ -233,7 +233,28 @@ def bpe_apply(
         ]
     merges = [(str(a), str(b)) for a, b in merges]
 
+    def _encode_word(word):
+        syms = list(word)
+        for a, b in merges:
+            res = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
     def _tok(col):
+        # Word types repeat across a corpus far more than they vary, so
+        # encode each UNIQUE word once per Arrow batch (identical
+        # output, typically orders of magnitude fewer merge loops).
+        # Cache scope is the batch: worker memory stays bounded by the
+        # batch's vocabulary.
+        cache = {}
         out = []
         for t in col:
             if t is None:
@@ -243,23 +264,11 @@ def bpe_apply(
                 t = t.lower()
             toks = []
             for word in t.split():
-                syms = list(word)
-                for a, b in merges:
-                    res = []
-                    i = 0
-                    while i < len(syms):
-                        if (
-                            i + 1 < len(syms)
-                            and syms[i] == a
-                            and syms[i + 1] == b
-                        ):
-                            res.append(a + b)
-                            i += 2
-                        else:
-                            res.append(syms[i])
-                            i += 1
-                    syms = res
-                toks.extend(syms)
+                enc = cache.get(word)
+                if enc is None:
+                    enc = _encode_word(word)
+                    cache[word] = enc
+                toks.extend(enc)
             out.append(toks)
         return pd.Series(out)
 

@@ -111,7 +111,10 @@ def make_index_dedup_batch_fn(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         kept = dedup_against_index(
-            state["index"], batch_df, min_signature_similarity
+            state["index"], batch_df, min_signature_similarity,
+            # micro-batches are small by construction; keep the
+            # corpus-scale index un-shuffled
+            broadcast_batch=True,
         ).localCheckpoint(eager=True)  # read by the sink AND the extend
         write_kept(kept, batch_id)
         if extend_index:
