@@ -651,3 +651,40 @@ class TestDecodeGif:
         assert rows[1]["height"] == 3 and rows[1]["width"] == 4
         assert rows[1]["channels"] == 3
         assert rows[2]["pixel_sum"] is None and rows[3]["pixel_sum"] is None
+
+
+class TestMulaw:
+    def test_matches_audioop_table(self):
+        import numpy as np
+
+        from tumult_analytics_spark.operators.multimodal import _mulaw_expand
+
+        got = _mulaw_expand(np.arange(256, dtype=np.uint8))
+        try:
+            import audioop
+
+            ref = np.frombuffer(
+                audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2"
+            ).astype(np.int64)
+            assert (got == ref).all()
+        except ImportError:
+            pass
+        # spot values: 0xFF and 0x7F are +0/-0; 0x00 is the negative peak
+        assert got[0xFF] == 0 and got[0x7F] == 0
+        assert got[0x00] == -32124 and got[0x80] == 32124
+
+    def test_decode_audio_mulaw_spark(self, spark):
+        from tumult_analytics_spark.operators.multimodal import (
+            decode_audio,
+            synthesize_wav_mulaw,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(synthesize_wav_mulaw(30, 8000, 2)))],
+            "doc_id long, payload binary",
+        )
+        r = decode_audio(df, "payload").collect()[0]
+        assert r["sample_rate"] == 8000
+        assert r["n_channels"] == 1
+        assert r["n_samples"] == 30
+        assert r["peak"] <= 32124

@@ -1677,6 +1677,43 @@ def q_audio_frame_features(spark, sf_dir):
     )
 
 
+def q_decode_audio_mulaw(spark, sf_dir):
+    # G.711 mu-law WAV decode (fmt tag 7): the oracle replays the exact
+    # integer expansion (audioop-equivalent) from the synthesized byte
+    # formula — only matches if the chunk walk AND the companding math
+    # are right.
+    from . import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id % 10 = 1")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_wav_mulaw(40 + int(d) % 50, 8000, int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_wav = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields
+            + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    return M.decode_audio(with_wav, "payload").select(
+        "doc_id", "sample_rate", "n_samples", "sum_abs", "peak"
+    )
+
+
 def q_segment_dedup_stats(spark, sf_dir):
     # C4-style span dedup (8-token segments, global first occurrence):
     # per-lang surviving-character totals prove exactly which segments
@@ -1750,6 +1787,7 @@ QUERIES = {
     "segment_dedup_stats": q_segment_dedup_stats,
     "decode_audio": q_decode_audio,
     "audio_frame_features": q_audio_frame_features,
+    "decode_audio_mulaw": q_decode_audio_mulaw,
     "top_ngrams": q_top_ngrams,
     "dataset_split_stats": q_dataset_split_stats,
     "prep_pipeline_stats": q_prep_pipeline_stats,
@@ -2947,6 +2985,33 @@ ORACLES["decode_audio"] = """
                i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768)))
              AS BIGINT) AS peak
     FROM documents
+"""
+
+ORACLES["decode_audio_mulaw"] = """
+    WITH d AS (
+      SELECT doc_id, 40 + doc_id % 50 AS n
+      FROM documents WHERE doc_id % 10 = 1
+    ),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    u AS (
+      SELECT doc_id, n,
+             255 - ((doc_id * 31 + i * 17) % 256) AS uu
+      FROM s
+    ),
+    x AS (
+      SELECT doc_id, n,
+             CASE WHEN uu >= 128
+                  THEN 132 - (((uu % 16) * 8 + 132) * (1 << ((uu // 16) % 8)))
+                  ELSE (((uu % 16) * 8 + 132) * (1 << ((uu // 16) % 8))) - 132
+             END AS v
+      FROM u
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM x GROUP BY doc_id
 """
 
 ORACLES["audio_frame_features"] = """

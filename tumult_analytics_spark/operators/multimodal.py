@@ -1266,37 +1266,43 @@ def synthesize_wav(
     return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
 
 
-def _decode_wav(buf: bytes):
-    """Parse a PCM16 RIFF/WAVE payload by walking its chunk list; returns
-    (sample_rate, channels, n_samples, sum_abs, peak) or None."""
+def synthesize_wav_mulaw(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """Spec-conformant G.711 mu-law RIFF/WAVE payload (fmt tag 7, 8-bit)
+    whose encoded byte i is ``(seed*31 + i*17) % 256`` — SQL oracles
+    replay the mu-law expansion with the same integer arithmetic."""
     import struct
 
+    data = bytes(
+        (seed * 31 + i * 17) % 256 for i in range(n_samples)
+    )
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 7, 1, sample_rate, sample_rate, 1, 8
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def _mulaw_expand(u8):
+    """G.711 mu-law byte -> linear 16-bit sample (CPython audioop's
+    ulaw2lin arithmetic): with u = ~b, t = (((u & 0xF) << 3) + 0x84)
+    << ((u >> 4) & 7); sample = 0x84 - t if the sign bit of u is set,
+    else t - 0x84. Pure integer math, exactly replayable in SQL."""
     import numpy as np
 
-    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+    u = (~u8.astype(np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _decode_wav(buf: bytes):
+    """Parse a PCM16 or G.711 mu-law RIFF/WAVE payload; returns
+    (sample_rate, channels, n_samples, sum_abs, peak) or None."""
+    import numpy as np
+
+    rec = _decode_wav_samples(buf)
+    if rec is None:
         return None
-    pos, rate, channels, bits, data = 12, None, None, None, None
-    while pos + 8 <= len(buf):
-        cid = buf[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", buf, pos + 4)
-        body = buf[pos + 8 : pos + 8 + size]
-        # Check the ACTUAL body length, not the declared chunk size: a
-        # truncated buffer whose fmt chunk declares 16+ bytes but ends
-        # early must decode to nulls, not crash the task.
-        if cid == b"fmt " and len(body) >= 16:
-            fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
-                "<HHIIHH", body, 0
-            )
-            if fmt_tag != 1:
-                return None  # compressed WAV needs a codec
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or data is None or bits != 16 or not channels:
-        return None
-    samples = np.frombuffer(
-        data[: len(data) - (len(data) % 2)], dtype="<i2"
-    ).astype(np.int64)
+    rate, channels, samples = rec
     n_frames = samples.shape[0] // channels
     return (
         int(rate),
@@ -1411,7 +1417,7 @@ def audio_frame_features(
                     rec = None
                 if rec is None:
                     continue
-                channels, samples = rec
+                _rate, channels, samples = rec
                 ch0 = samples[::channels]
                 base = {k: row[k] for k in base_cols}
                 for fi in range(0, len(ch0), frame_samples):
@@ -1445,31 +1451,39 @@ def audio_frame_features(
 
 
 def _decode_wav_samples(buf: bytes):
-    """Like :func:`_decode_wav` but returns ``(channels, samples)`` with
-    the raw int64 sample array (interleaved) for frame-level features."""
+    """Chunk-walk a RIFF/WAVE payload and return ``(rate, channels,
+    samples)`` with the decoded int64 sample array (interleaved), or
+    None. Handles PCM16 (fmt 1, 16-bit) and G.711 mu-law (fmt 7,
+    8-bit); other formats need a codec library."""
     import struct
 
     import numpy as np
 
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         return None
-    pos, rate, channels, bits, data = 12, None, None, None, None
+    pos, rate, channels, bits, fmt_tag, data = 12, None, None, None, None, None
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         (size,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8 : pos + 8 + size]
+        # Check the ACTUAL body length, not the declared chunk size: a
+        # truncated buffer whose fmt chunk declares 16+ bytes but ends
+        # early must decode to nulls, not crash the task.
         if cid == b"fmt " and len(body) >= 16:
             fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if fmt_tag != 1:
-                return None
         elif cid == b"data":
             data = body
-        pos += 8 + size + (size & 1)
-    if rate is None or data is None or bits != 16 or not channels:
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None or not channels:
         return None
-    samples = np.frombuffer(
-        data[: len(data) - (len(data) % 2)], dtype="<i2"
-    ).astype(np.int64)
-    return int(channels), samples
+    if fmt_tag == 1 and bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.int64)
+    elif fmt_tag == 7 and bits == 8:
+        samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    else:
+        return None  # compressed / other widths need a codec
+    return int(rate), int(channels), samples
