@@ -926,3 +926,60 @@ class TestLengthBucketedBatches:
             P.length_bucketed_batches(
                 df, "n_tokens", 2, bucket_edges=(64, 16)
             )
+
+
+class TestWinnowFingerprints:
+    def test_shared_substring_guarantee(self, spark):
+        from tumult_analytics_spark.operators.text import winnow_fingerprints
+
+        # winnowing guarantee: a shared substring of length >= k+w-1
+        # (= 8 here) produces at least one shared fingerprint
+        common = "zqxjwvkp"  # 8 chars, k=5 w=4
+        df = spark.createDataFrame(
+            [
+                (1, "aaaa" + common + "bbbb"),
+                (2, "cccc" + common + "dddd"),
+                (3, "eeeeffffgggghhhh"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: set(r["fingerprints"])
+            for r in winnow_fingerprints(df, "text", k=5, window=4).collect()
+        }
+        assert rows[1] & rows[2]
+        assert not (rows[1] & rows[3] and rows[2] & rows[3])
+
+    def test_short_and_null_docs(self, spark):
+        from tumult_analytics_spark.operators.text import winnow_fingerprints
+
+        df = spark.createDataFrame(
+            [(1, "abcdefg"), (2, "ab"), (3, None)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r["fingerprints"]
+            for r in winnow_fingerprints(df, "text", k=5, window=4).collect()
+        }
+        assert rows[1] == []  # 3 grams < window -> empty
+        assert rows[2] == [] and rows[3] is None
+
+    def test_deterministic_and_sorted(self, spark):
+        from tumult_analytics_spark.operators.text import winnow_fingerprints
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        a = winnow_fingerprints(df, "text").collect()[0]["fingerprints"]
+        b = winnow_fingerprints(df, "text").collect()[0]["fingerprints"]
+        assert a == b == sorted(a) and len(a) == len(set(a))
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tumult_analytics_spark.operators.text import winnow_fingerprints
+
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            winnow_fingerprints(df, "text", k=0)

@@ -74,6 +74,7 @@ from .text import (
     token_count,
     top_ngrams,
     unigram_logprob_score,
+    winnow_fingerprints,
 )
 
 

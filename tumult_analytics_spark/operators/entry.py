@@ -781,6 +781,31 @@ def q_bpe_tokenized_stats(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprint_stats(spark, sf_dir):
+    # Winnowing (MOSS) fingerprints: char-5-gram md5 hashes, window-4
+    # minima, distinct per doc. Per lang: docs, total fingerprints, and
+    # docs sharing >= 1 fingerprint with another doc. The oracle
+    # replays gram hashing + window minima with DuckDB list ops.
+    docs = _read(spark, sf_dir, "documents")
+    fp = X.winnow_fingerprints(docs, "text", k=5, window=4)
+    ex = fp.select("doc_id", F.explode("fingerprints").alias("f"))
+    byf = ex.groupBy("f").agg(F.count(F.lit(1)).alias("nd"))
+    shared = (
+        ex.join(byf.filter("nd >= 2"), "f")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__shared__", F.lit(1))
+    )
+    per = fp.join(shared, "doc_id", "left")
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("fingerprints")).cast("long").alias("sum_fps"),
+        F.sum(F.coalesce(F.col("__shared__"), F.lit(0)))
+        .cast("long")
+        .alias("n_shared_docs"),
+    )
+
+
 def q_pii_redacted_stats(spark, sf_dir):
     # Typed-placeholder PII redaction (emails -> <PII:email> etc., pure
     # Catalyst regexp_replace chain); per-source changed-doc counts and
@@ -1788,6 +1813,7 @@ QUERIES = {
     "decode_audio": q_decode_audio,
     "audio_frame_features": q_audio_frame_features,
     "decode_audio_mulaw": q_decode_audio_mulaw,
+    "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
     "top_ngrams": q_top_ngrams,
     "dataset_split_stats": q_dataset_split_stats,
     "prep_pipeline_stats": q_prep_pipeline_stats,
@@ -2985,6 +3011,37 @@ ORACLES["decode_audio"] = """
                i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768)))
              AS BIGINT) AS peak
     FROM documents
+"""
+
+ORACLES["winnow_fingerprint_stats"] = """
+    WITH hs AS (
+      SELECT doc_id, lang,
+             list_transform(range(1, greatest(len(text) - 4, 0) + 1),
+               i -> CAST(('0x' || substr(md5(text[i : i + 4]), 1, 15))
+                    AS BIGINT)) AS h
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, lang,
+        CASE WHEN len(h) >= 4 THEN
+          list_distinct(list_transform(range(1, len(h) - 2),
+            i -> list_min(h[i : i + 3])))
+        ELSE []::BIGINT[] END AS fps
+      FROM hs
+    ),
+    ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+    byf AS (SELECT f, count(*) AS nd FROM ex GROUP BY f),
+    shared AS (
+      SELECT DISTINCT e.doc_id FROM ex e JOIN byf USING (f)
+      WHERE byf.nd >= 2
+    )
+    SELECT p.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(p.fps)) AS BIGINT) AS sum_fps,
+           CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_docs
+    FROM fp p LEFT JOIN shared s USING (doc_id)
+    GROUP BY p.lang
 """
 
 ORACLES["decode_audio_mulaw"] = """

@@ -436,6 +436,69 @@ def document_fingerprint(
     return df.withColumn(output_column, F.xxhash64(normalized))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_column: str,
+    k: int = 5,
+    window: int = 4,
+    output_column: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): hash every char ``k``-gram, slide a
+    ``window``-wide window over the hash sequence, keep each window's
+    minimum; the distinct selected values are the document's
+    fingerprint set. Winnowing guarantees any shared substring of
+    length >= ``k + window - 1`` yields at least one shared
+    fingerprint — the local-dedup / plagiarism / contamination
+    primitive that exact-hash and MinHash both miss.
+
+    Adds ``output_column`` (sorted array<long> of distinct selected
+    hashes; empty when the doc has fewer than ``window`` grams). Gram
+    hash = first 60 bits of md5, so a SQL oracle replays the selection
+    exactly (tie-breaks don't matter for the VALUE set). Arrow-batched
+    kernel with a per-batch unique-shingle md5 cache (same rationale as
+    MinHash signing); the sliding-window min is one numpy
+    stride-view reduction per doc.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+
+    def _fp_fn(texts):
+        md5 = hashlib.md5
+        cache = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            n = len(t) - k + 1
+            if n < window:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            hs = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                s = t[i : i + k]
+                v = cache.get(s)
+                if v is None:
+                    v = int(md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                    cache[s] = v
+                hs[i] = v
+            mins = np.lib.stride_tricks.sliding_window_view(
+                hs, window
+            ).min(axis=1)
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    _udf = pandas_udf(_fp_fn, "array<long>")
+    return df.withColumn(output_column, _udf(F.col(text_column)))
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_column: str,
