@@ -983,3 +983,56 @@ class TestWinnowFingerprints:
         df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             winnow_fingerprints(df, "text", k=0)
+
+
+class TestHashedDocVectors:
+    def test_signed_counts_and_empties(self, spark):
+        from tumult_analytics_spark.operators.text import hashed_doc_vectors
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, ""), (3, None), (4, "   ")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r["doc_vec"]
+            for r in hashed_doc_vectors(df, "text", dim=8).collect()
+        }
+        assert rows[3] is None
+        assert rows[2] == [0] * 8 and rows[4] == [0] * 8
+        v = rows[1]
+        assert sum(abs(x) for x in v) in (1, 3)  # 'a'x2 and 'b', +-signs
+        # same token always lands in the same slot with the same sign
+        v2 = {
+            r["doc_id"]: r["doc_vec"]
+            for r in hashed_doc_vectors(df, "text", dim=8).collect()
+        }[1]
+        assert v == v2
+
+    def test_feeds_kmeans(self, spark):
+        from tumult_analytics_spark.operators.clustering import (
+            kmeans_fit_predict,
+        )
+        from tumult_analytics_spark.operators.text import hashed_doc_vectors
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta" if i % 2 else "gamma delta epsilon")
+             for i in range(10)],
+            "doc_id long, text string",
+        )
+        v = hashed_doc_vectors(df, "text", dim=16).withColumn(
+            "emb", F.col("doc_vec").cast("array<float>")
+        )
+        out, _ = kmeans_fit_predict(
+            v, vec_col="emb", id_col="doc_id", k=2, n_iter=3
+        )
+        clusters = {r["doc_id"]: r["cluster"] for r in out.collect()}
+        evens = {clusters[i] for i in range(0, 10, 2)}
+        odds = {clusters[i] for i in range(1, 10, 2)}
+        assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+    def test_validation(self, spark):
+        from tumult_analytics_spark.operators.text import hashed_doc_vectors
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            hashed_doc_vectors(df, "text", dim=0)

@@ -781,6 +781,24 @@ def q_bpe_tokenized_stats(spark, sf_dir):
     )
 
 
+def q_hashed_vector_stats(spark, sf_dir):
+    # Feature-hashing doc vectors (signed hashing trick, dim=32):
+    # per-lang doc count, summed squared norms, and two fixed-slot
+    # sums. Exercises every slot's signed accumulation; the oracle
+    # rebuilds the vectors from exploded tokens in SQL.
+    docs = _read(spark, sf_dir, "documents")
+    v = X.hashed_doc_vectors(docs, "text", dim=32)
+    sq = F.aggregate(
+        "doc_vec", F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    return v.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(sq).cast("long").alias("sum_sq_norm"),
+        F.sum(F.element_at("doc_vec", 1)).cast("long").alias("sum_slot0"),
+        F.sum(F.element_at("doc_vec", 32)).cast("long").alias("sum_slot31"),
+    )
+
+
 def q_winnow_fingerprint_stats(spark, sf_dir):
     # Winnowing (MOSS) fingerprints: char-5-gram md5 hashes, window-4
     # minima, distinct per doc. Per lang: docs, total fingerprints, and
@@ -1814,6 +1832,7 @@ QUERIES = {
     "audio_frame_features": q_audio_frame_features,
     "decode_audio_mulaw": q_decode_audio_mulaw,
     "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
+    "hashed_vector_stats": q_hashed_vector_stats,
     "top_ngrams": q_top_ngrams,
     "dataset_split_stats": q_dataset_split_stats,
     "prep_pipeline_stats": q_prep_pipeline_stats,
@@ -3011,6 +3030,42 @@ ORACLES["decode_audio"] = """
                i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768)))
              AS BIGINT) AS peak
     FROM documents
+"""
+
+ORACLES["hashed_vector_stats"] = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+      FROM toks
+    ),
+    slots AS (
+      SELECT doc_id, lang, hv % 32 AS slot,
+             1 - 2 * ((hv // 32) % 2) AS sgn
+      FROM h
+    ),
+    per AS (
+      SELECT doc_id, lang, slot, sum(sgn) AS v
+      FROM slots GROUP BY doc_id, lang, slot
+    ),
+    norms AS (
+      SELECT doc_id, lang, sum(v * v) AS sq,
+             sum(CASE WHEN slot = 0 THEN v ELSE 0 END) AS v0,
+             sum(CASE WHEN slot = 31 THEN v ELSE 0 END) AS v31
+      FROM per GROUP BY doc_id, lang
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(n.sq, 0)) AS BIGINT) AS sum_sq_norm,
+           CAST(sum(coalesce(n.v0, 0)) AS BIGINT) AS sum_slot0,
+           CAST(sum(coalesce(n.v31, 0)) AS BIGINT) AS sum_slot31
+    FROM documents d LEFT JOIN norms n USING (doc_id)
+    GROUP BY d.lang
 """
 
 ORACLES["winnow_fingerprint_stats"] = """

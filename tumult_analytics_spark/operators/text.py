@@ -499,6 +499,59 @@ def winnow_fingerprints(
     return df.withColumn(output_column, _udf(F.col(text_column)))
 
 
+def hashed_doc_vectors(
+    df: DataFrame,
+    text_column: str,
+    dim: int = 64,
+    output_column: str = "doc_vec",
+) -> DataFrame:
+    """Feature-hashing (hashing trick) document vectors: each
+    whitespace token hashes to a slot (``h % dim``) with a sign bit
+    (``(h // dim) % 2``, Weinberger et al.'s signed variant so hash
+    collisions cancel in expectation instead of accumulating); the doc
+    vector is the signed token-count array (``array<long>`` — integer,
+    so exactly SQL-replayable). Empty/blank docs get the zero vector;
+    null docs get null.
+
+    This is the no-model text->vector bridge: the output column feeds
+    the embedding operators (k-means, semantic dedup, ANN indexes,
+    quantization) when no learned embeddings exist. Arrow-batched
+    kernel, one md5 per unique token per batch (cached); no shuffle —
+    the per-(doc, slot) groupBy formulation costs two shuffles and
+    carries doc x slot rows, this is a pure projection.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+
+    def _vec_fn(texts):
+        md5 = hashlib.md5
+        cache = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            vec = np.zeros(dim, dtype=np.int64)
+            for tok in t.split():
+                sv = cache.get(tok)
+                if sv is None:
+                    h = int(md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                    sv = (h % dim, 1 - 2 * ((h // dim) % 2))
+                    cache[tok] = sv
+                vec[sv[0]] += sv[1]
+            out.append(vec)
+        return pd.Series(out)
+
+    _udf = pandas_udf(_vec_fn, "array<long>")
+    return df.withColumn(output_column, _udf(F.col(text_column)))
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_column: str,
