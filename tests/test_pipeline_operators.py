@@ -1036,3 +1036,45 @@ class TestHashedDocVectors:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             hashed_doc_vectors(df, "text", dim=0)
+
+
+class TestGopherQualityFlags:
+    def test_rules_fire_individually(self, spark):
+        good = "the cat and the dog have come to stay with all of us " * 5
+        df = spark.createDataFrame(
+            [
+                (1, good),                               # passes all
+                (2, "word " * 10),                       # too few words
+                (3, ("x " * 60).strip()),                # mean len < 3, no stopwords
+                (4, good.replace("cat", "####")),        # symbol soup
+                (5, "\n".join("- item" for _ in range(20))),  # bullets
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in P.gopher_quality_flags(df, "text").collect()
+        }
+        assert rows[1]["gopher_pass"]
+        assert not rows[2]["g_word_count_ok"]
+        assert not rows[3]["g_mean_word_len_ok"]
+        assert not rows[3]["g_stopword_ok"]
+        assert not rows[4]["g_symbol_ratio_ok"]
+        assert not rows[5]["g_bullet_ok"]
+        assert all(not rows[i]["gopher_pass"] for i in (2, 3, 4, 5))
+
+    def test_ellipsis_lines_rule(self, spark):
+        text = "\n".join(
+            ["the words go on and on..."] * 4 + ["a normal closing line"]
+        )
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = P.gopher_quality_flags(df, "text", min_words=1).collect()[0]
+        assert not r["g_ellipsis_ok"]  # 4/5 lines end with ...
+
+    def test_plan_is_shuffle_free(self, spark):
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        plan = (
+            P.gopher_quality_flags(df, "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan

@@ -38,6 +38,7 @@ from .multimodal import (
 )
 from .pipeline import (
     cap_per_group,
+    gopher_quality_flags,
     cluster_representatives,
     connected_components,
     deterministic_uniform,

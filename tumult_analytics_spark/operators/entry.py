@@ -781,6 +781,24 @@ def q_bpe_tokenized_stats(spark, sf_dir):
     )
 
 
+def q_gopher_flags(spark, sf_dir):
+    # Full Gopher rule bundle (word count, mean word length, symbol
+    # ratio, bullets/ellipses, alpha-word ratio, required stopwords):
+    # per-lang pass counts per rule. Pure Catalyst; the oracle replays
+    # every rule in SQL.
+    docs = _read(spark, sf_dir, "documents")
+    g = P.gopher_quality_flags(docs, "text")
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("g_word_count_ok").cast("long")).alias("n_wc_ok"),
+        F.sum(F.col("g_mean_word_len_ok").cast("long")).alias("n_mwl_ok"),
+        F.sum(F.col("g_symbol_ratio_ok").cast("long")).alias("n_sym_ok"),
+        F.sum(F.col("g_alpha_ratio_ok").cast("long")).alias("n_alpha_ok"),
+        F.sum(F.col("g_stopword_ok").cast("long")).alias("n_stop_ok"),
+        F.sum(F.col("gopher_pass").cast("long")).alias("n_pass"),
+    )
+
+
 def q_hashed_vector_stats(spark, sf_dir):
     # Feature-hashing doc vectors (signed hashing trick, dim=32):
     # per-lang doc count, summed squared norms, and two fixed-slot
@@ -1833,6 +1851,7 @@ QUERIES = {
     "decode_audio_mulaw": q_decode_audio_mulaw,
     "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
     "hashed_vector_stats": q_hashed_vector_stats,
+    "gopher_flags": q_gopher_flags,
     "top_ngrams": q_top_ngrams,
     "dataset_split_stats": q_dataset_split_stats,
     "prep_pipeline_stats": q_prep_pipeline_stats,
@@ -3030,6 +3049,71 @@ ORACLES["decode_audio"] = """
                i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768)))
              AS BIGINT) AS peak
     FROM documents
+"""
+
+ORACLES["gopher_flags"] = """
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+        len(tk) AS nw,
+        CASE WHEN len(tk) > 0 THEN
+          CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+            / len(tk)
+        ELSE 0.0 END AS mwl,
+        CASE WHEN len(tk) > 0 THEN
+          CAST((length(text) - length(replace(text, '#', '')))
+               + (len(string_split(text, '...')) - 1)
+               + (len(string_split(text, '…')) - 1) AS DOUBLE) / len(tk)
+        ELSE 0.0 END AS symr,
+        CASE WHEN len(tk) > 0 THEN
+          CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / len(tk)
+        ELSE 0.0 END AS alphar,
+        len(list_distinct(list_filter(
+          list_transform(tk, x -> lower(x)),
+          x -> list_contains(
+            ['the','be','to','of','and','that','have','with'], x)
+        ))) AS stops,
+        len(string_split(text, chr(10))) AS nl,
+        len(list_filter(string_split(text, chr(10)),
+            l -> regexp_matches(l, '^\\s*[-*•]'))) AS bl,
+        len(list_filter(string_split(text, chr(10)),
+            l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS el
+      FROM t
+    ),
+    fl AS (
+      SELECT doc_id, lang,
+        (nw >= 50 AND nw <= 100000) AS wc_ok,
+        (mwl >= 3.0 AND mwl <= 10.0) AS mwl_ok,
+        (symr <= 0.1) AS sym_ok,
+        (alphar >= 0.8) AS alpha_ok,
+        (stops >= 2) AS stop_ok,
+        (CAST(bl AS DOUBLE) <= 0.9 * nl) AS bullet_ok,
+        (CAST(el AS DOUBLE) <= 0.3 * nl) AS ell_ok
+      FROM m
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN wc_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_wc_ok,
+           CAST(sum(CASE WHEN mwl_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mwl_ok,
+           CAST(sum(CASE WHEN sym_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sym_ok,
+           CAST(sum(CASE WHEN alpha_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alpha_ok,
+           CAST(sum(CASE WHEN stop_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stop_ok,
+           CAST(sum(CASE WHEN wc_ok AND mwl_ok AND sym_ok AND alpha_ok
+                         AND stop_ok AND bullet_ok AND ell_ok
+                    THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass
+    FROM fl GROUP BY lang
 """
 
 ORACLES["hashed_vector_stats"] = """

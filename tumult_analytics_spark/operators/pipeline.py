@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "ngram_repetition",
+    "gopher_quality_flags",
     "pii_stats",
     "pii_redact",
     "cluster_representatives",
@@ -438,6 +439,119 @@ def ngram_contamination(
         ).otherwise(F.lit(0.0)),
     )
     return out.drop("_matched_grams")
+
+
+#: The 8 "required stopwords" of the Gopher rules (Rae et al. 2021,
+#: Table A1): a doc must contain at least 2 distinct ones.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_column: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The full Gopher quality-rule bundle (Rae et al. 2021, §A1.1) as
+    one boolean column per rule plus the conjunction ``gopher_pass``:
+
+    - ``g_word_count_ok``: word count in [min_words, max_words]
+    - ``g_mean_word_len_ok``: mean word length in [3, 10]
+    - ``g_symbol_ratio_ok``: (# + ellipsis occurrences) / words <= 0.1
+    - ``g_bullet_ok``: <= 90% of lines start with a bullet
+    - ``g_ellipsis_ok``: <= 30% of lines end with an ellipsis
+    - ``g_alpha_ratio_ok``: >= 80% of words contain a letter
+    - ``g_stopword_ok``: >= 2 distinct required stopwords present
+
+    Per-rule flags (not a pre-filtered result) so a pipeline can audit
+    WHY documents fail — the standard practice when tuning filters on a
+    new corpus. Pure Catalyst column expressions: zero shuffles, zero
+    Python, whole-stage codegen; every rule is exactly replayable in
+    ANSI SQL (the ``gopher_flags`` oracle).
+    """
+    text = F.col(text_column)
+    toks = _tokens(text)
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+    sum_word_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_word_len = F.when(n_words > 0, sum_word_len / nw).otherwise(
+        F.lit(0.0)
+    )
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = (
+        F.size(F.split(text, r"\.\.\.")) - 1
+        + F.size(F.split(text, "…")) - 1
+    )
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / nw
+    ).otherwise(F.lit(0.0))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    nl = n_lines.cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(
+        n_words > 0, alpha_words.cast("double") / nw
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    out = (
+        df.withColumn(
+            "g_word_count_ok",
+            (n_words >= min_words) & (n_words <= max_words),
+        )
+        .withColumn(
+            "g_mean_word_len_ok",
+            (mean_word_len >= min_mean_word_len)
+            & (mean_word_len <= max_mean_word_len),
+        )
+        .withColumn("g_symbol_ratio_ok", symbol_ratio <= max_symbol_ratio)
+        .withColumn(
+            "g_bullet_ok",
+            bullet_lines.cast("double") <= max_bullet_ratio * nl,
+        )
+        .withColumn(
+            "g_ellipsis_ok",
+            ellipsis_lines.cast("double") <= max_ellipsis_ratio * nl,
+        )
+        .withColumn(
+            "g_alpha_ratio_ok", alpha_ratio >= min_alpha_word_ratio
+        )
+        .withColumn("g_stopword_ok", stop_hits >= min_stopword_hits)
+    )
+    flags = [
+        "g_word_count_ok",
+        "g_mean_word_len_ok",
+        "g_symbol_ratio_ok",
+        "g_bullet_ok",
+        "g_ellipsis_ok",
+        "g_alpha_ratio_ok",
+        "g_stopword_ok",
+    ]
+    pass_col = F.lit(True)
+    for f in flags:
+        pass_col = pass_col & F.col(f)
+    return out.withColumn("gopher_pass", pass_col)
 
 
 def _bloom_positions(gram: Column, k_hashes: int, m_bits: int) -> Column:
