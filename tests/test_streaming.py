@@ -173,3 +173,56 @@ def test_streaming_index_dedup_extends_across_batches(spark, tmp_path):
     assert kept_ids == [(0, [11]), (1, [21])]
     # The extended index is exposed on the batch fn.
     assert fn.state["index"].kind == "minhash"
+
+
+class TestStreamStaticEnrichment:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        import uuid
+
+        from tumult_analytics_spark.streaming import (
+            enriched_segment_rollup,
+            read_event_stream,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        stage = tmp_path / "events"
+        stage.mkdir()
+        import shutil
+
+        shutil.copy(f"{sf}/events.parquet", stage / "part-000.parquet")
+        customer = spark.read.parquet(f"{sf}/customer.parquet")
+
+        stream = read_event_stream(spark, str(stage))
+        name = f"t_enrich_{uuid.uuid4().hex[:8]}"
+        q = (
+            enriched_segment_rollup(stream, customer)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["c_mktsegment"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.table(name).collect()
+        }
+        batch = spark.read.parquet(f"{sf}/events.parquet")
+        want = {
+            (r["c_mktsegment"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in enriched_segment_rollup(batch, customer).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_join_is_broadcast(self, spark):
+        from tumult_analytics_spark.streaming import enrich_with_dimension
+
+        sf = "/root/testdata/sf0.001"
+        events = spark.read.parquet(f"{sf}/events.parquet")
+        customer = spark.read.parquet(f"{sf}/customer.parquet")
+        plan = (
+            enrich_with_dimension(events, customer, "user_id", "c_custkey")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan

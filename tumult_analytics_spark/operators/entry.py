@@ -1126,6 +1126,50 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_streaming_enriched_rollup(spark, sf_dir):
+    # Stream-static enrichment: readStream events joined to the static
+    # customer dimension (broadcast) per micro-batch, rolled up per
+    # (market segment, event type). A genuine Structured Streaming run
+    # (availableNow -> memory sink); the oracle is the plain batch join.
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import events as SE
+
+    tmp = tempfile.mkdtemp(prefix="tas_stream_enrich_")
+    stage = os.path.join(tmp, "events")
+    os.makedirs(stage)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "part-000.parquet"),
+    )
+    name = f"tas_stream_enrich_{uuid.uuid4().hex[:8]}"
+    stream = SE.read_event_stream(spark, stage)
+    customer = _read(spark, sf_dir, "customer")
+    out = SE.enriched_segment_rollup(stream, customer)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+ORACLES_STREAM_ENRICH = """
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
 # --- generated oracle SQL (shares constants with the Spark operators) ------
 
 
@@ -1833,6 +1877,7 @@ QUERIES = {
     "cluster_representative_stats": q_cluster_representative_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
+    "streaming_enriched_rollup": q_streaming_enriched_rollup,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2437,6 +2482,8 @@ ORACLES["cluster_representative_stats"] = """
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM ranked WHERE rk = 1 GROUP BY lang
 """
+
+ORACLES["streaming_enriched_rollup"] = ORACLES_STREAM_ENRICH
 
 ORACLES["streaming_hourly_rollup"] = """
     SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_id,

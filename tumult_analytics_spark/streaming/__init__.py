@@ -10,6 +10,8 @@ from .documents import (
 )
 from .events import (
     dp_windowed_counts,
+    enrich_with_dimension,
+    enriched_segment_rollup,
     read_event_stream,
     windowed_event_counts,
 )
@@ -18,6 +20,8 @@ from .sessionize import sessionize_events
 __all__ = [
     "document_ingest_pipeline",
     "dp_windowed_counts",
+    "enrich_with_dimension",
+    "enriched_segment_rollup",
     "make_index_dedup_batch_fn",
     "read_document_stream",
     "read_event_stream",

@@ -106,3 +106,43 @@ def dp_windowed_counts(
         "n", (F.col("n") + (noise if noise is not None else F.lit(0))).cast("long")
     )
     return out.drop("sum_value")
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of ``stream`` is
+    joined against the static ``dim`` table (broadcast — the dimension
+    is read once and shipped to executors; the stream side never
+    shuffles for the join). This is the standard Structured Streaming
+    pattern for attaching user/account/catalog attributes to an event
+    stream; stream-static inner and left joins are natively supported
+    and stateless (no watermark needed for the join itself).
+
+    Works identically on a batch DataFrame (same plan minus the
+    incremental execution), which is what the SQL oracle replays.
+    """
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], how
+    )
+
+
+def enriched_segment_rollup(
+    stream: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Per (market segment, event type) count + value sum over an event
+    stream enriched with the customer dimension — the demo rollup for
+    :func:`enrich_with_dimension`. Complete-mode aggregation (no
+    window): the state is one row per (segment, type) pair."""
+    joined = enrich_with_dimension(
+        stream, customer.select("c_custkey", "c_mktsegment"),
+        "user_id", "c_custkey",
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
