@@ -259,3 +259,45 @@ def test_compact_table_preserves_partition_layout(spark, tmp_path):
     assert back.count() == 5_000
     assert back.filter("day = '1'").count() == df.filter("day = '1'").count()
     assert "day" in back.columns
+
+
+class TestExtractJsonFields:
+    def test_typed_extraction_and_malformed(self, spark):
+        import pytest as _pytest
+
+        from tumult_analytics_spark.functions.semistructured import (
+            extract_json_fields,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, '{"k": 5, "name": "x"}'),
+                (2, '{"name": "y"}'),      # missing k
+                (3, "not json"),            # malformed
+                (4, None),                  # null
+            ],
+            "id long, props string",
+        )
+        out = {
+            r["id"]: (r["k"], r["nm"])
+            for r in extract_json_fields(
+                df, "props", {"k": ("$.k", "long"), "nm": ("$.name", "string")}
+            ).collect()
+        }
+        assert out[1] == (5, "x")
+        assert out[2] == (None, "y")
+        assert out[3] == (None, None) and out[4] == (None, None)
+        with _pytest.raises(ValueError):
+            extract_json_fields(df, "props", {})
+
+    def test_plan_stays_codegen(self, spark):
+        from tumult_analytics_spark.functions.semistructured import (
+            extract_json_fields,
+        )
+
+        df = spark.createDataFrame([(1, "{}")], "id long, props string")
+        plan = (
+            extract_json_fields(df, "props", {"k": ("$.k", "long")})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -1126,6 +1126,22 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_event_props_stats(spark, sf_dir):
+    # Typed extraction from the JSON `props` payload (get_json_object ->
+    # cast): per event_type, count + sum/max of the extracted field and
+    # how many rows lacked it. DuckDB replays with json_extract_string.
+    from ..functions.semistructured import extract_json_fields
+
+    ev = _read(spark, sf_dir, "events")
+    out = extract_json_fields(ev, "props", {"k": ("$.k", "long")})
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
+    )
+
+
 def q_streaming_enriched_rollup(spark, sf_dir):
     # Stream-static enrichment: readStream events joined to the static
     # customer dimension (broadcast) per micro-batch, rolled up per
@@ -1878,6 +1894,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "streaming_enriched_rollup": q_streaming_enriched_rollup,
+    "event_props_stats": q_event_props_stats,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2484,6 +2501,21 @@ ORACLES["cluster_representative_stats"] = """
 """
 
 ORACLES["streaming_enriched_rollup"] = ORACLES_STREAM_ENRICH
+
+ORACLES["event_props_stats"] = """
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing
+    FROM x GROUP BY event_type
+"""
 
 ORACLES["streaming_hourly_rollup"] = """
     SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_id,
