@@ -1078,3 +1078,41 @@ class TestGopherQualityFlags:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestCanonicalizeUrls:
+    def test_normalization_chain(self, spark):
+        from tumult_analytics_spark.operators.text import canonicalize_urls
+
+        df = spark.createDataFrame(
+            [
+                (1, "HTTPS://WWW.Example.COM/Path/?utm_source=x&id=2#frag"),
+                (2, "http://example.com/path?id=2"),
+                (3, "example.com/path/"),
+                (4, "https://sub.example.org/a?utm_a=1&utm_b=2"),
+                (5, "http://example.com/?utm_only=1"),
+            ],
+            "doc_id long, url string",
+        )
+        rows = {
+            r["doc_id"]: (r["url_canon"], r["host"], r["registered_domain"])
+            for r in canonicalize_urls(df, "url").collect()
+        }
+        assert rows[1] == ("example.com/path?id=2", "example.com", "example.com")
+        assert rows[2] == ("example.com/path?id=2", "example.com", "example.com")
+        assert rows[1][0] == rows[2][0]  # URL-level dedup key collides
+        assert rows[3] == ("example.com/path", "example.com", "example.com")
+        assert rows[4] == (
+            "sub.example.org/a", "sub.example.org", "example.org",
+        )
+        assert rows[5] == ("example.com", "example.com", "example.com")
+
+    def test_plan_shuffle_free(self, spark):
+        from tumult_analytics_spark.operators.text import canonicalize_urls
+
+        df = spark.createDataFrame([(1, "http://a.com")], "doc_id long, url string")
+        plan = (
+            canonicalize_urls(df, "url")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan

@@ -67,6 +67,7 @@ from .similarity import (
 )
 from .text import (
     bpe_ish_token_count,
+    canonicalize_urls,
     document_fingerprint,
     hashed_doc_vectors,
     language_id,

@@ -1126,6 +1126,48 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_url_canon_stats(spark, sf_dir):
+    # URL canonicalization + URL-level dedup: URLs synthesized per doc
+    # with scheme / www / utm / trailing-slash / fragment variants and
+    # intentional path collisions (doc_id % 50); per registered domain:
+    # raw URLs vs distinct canonical URLs. Oracle replays the exact
+    # normalization chain in DuckDB regex syntax.
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("pages."),
+        F.col("source"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(
+            F.lit(".org")
+        ),
+        F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("/")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=x&id="),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(
+            F.lit("")
+        ),
+    )
+    withu = docs.withColumn("url", url)
+    c = X.canonicalize_urls(withu, "url")
+    return c.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url_canon").alias("n_canonical"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
 def q_event_props_stats(spark, sf_dir):
     # Typed extraction from the JSON `props` payload (get_json_object ->
     # cast): per event_type, count + sum/max of the extracted field and
@@ -1895,6 +1937,7 @@ QUERIES = {
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "streaming_enriched_rollup": q_streaming_enriched_rollup,
     "event_props_stats": q_event_props_stats,
+    "url_canon_stats": q_url_canon_stats,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2501,6 +2544,57 @@ ORACLES["cluster_representative_stats"] = """
 """
 
 ORACLES["streaming_enriched_rollup"] = ORACLES_STREAM_ENRICH
+
+ORACLES["url_canon_stats"] = r"""
+    WITH u0 AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+        || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        || 'pages.' || source
+        || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END)
+        || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+        || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 0
+            THEN '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR)
+            ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(
+          CASE WHEN s5 NOT LIKE '%?%' AND s5 LIKE '%&%'
+               THEN regexp_replace(s5, '^([^&]*)&', '\1?')
+               ELSE s5 END,
+          '[?&]+$', ''), '/+\?', '?', 'g'), '/+$', '') AS canon
+      FROM (
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(lower(trim(url)), '#.*$', ''),
+                '^https?://', ''),
+              '^www\.', ''),
+            '[?&]utm_[a-z0-9_]*=[^&]*', '', 'g') AS s5
+        FROM u0
+      )
+    ),
+    h AS (
+      SELECT doc_id, canon,
+             regexp_extract(canon, '^([^/?]+)', 1) AS host
+      FROM c
+    ),
+    d AS (
+      SELECT doc_id, canon, host,
+             regexp_extract(host, '([a-z0-9-]+\.[a-z]+)$', 1) AS dom
+      FROM h
+    )
+    SELECT dom AS registered_domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM d GROUP BY dom
+"""
 
 ORACLES["event_props_stats"] = """
     WITH x AS (

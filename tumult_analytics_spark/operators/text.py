@@ -499,6 +499,52 @@ def winnow_fingerprints(
     return df.withColumn(output_column, _udf(F.col(text_column)))
 
 
+def canonicalize_urls(
+    df: DataFrame,
+    url_column: str,
+    canon_column: str = "url_canon",
+    host_column: str = "host",
+    domain_column: str = "registered_domain",
+) -> DataFrame:
+    """URL canonicalization — the first dedup key of every crawl
+    pipeline (Common Crawl dedups by canonical URL before any content
+    pass). Deterministic normalization steps, in order: lowercase,
+    strip fragment, strip scheme, strip a leading ``www.``, drop
+    ``utm_*`` tracking params (re-attaching ``?`` to the first
+    surviving param), strip trailing ``?``/``&`` and trailing slashes.
+    Adds the canonical URL, the host, and the naive registered domain
+    (last two dot-labels of the host — a public-suffix list upgrade
+    slots in here).
+
+    Pure Catalyst regexp chain: codegen, zero shuffles; every step is
+    reproducible in any regex engine without lookaround or backrefs
+    (except the documented ``$1``/``\\1`` re-attachment step, which the
+    SQL oracle mirrors in DuckDB syntax).
+    """
+    u = F.lower(F.trim(F.col(url_column)))
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"[?&]utm_[a-z0-9_]*=[^&]*", "")
+    # if utm removal ate the '?', promote the first surviving '&'
+    # (anchored pattern -> exactly one replacement; $1 is Java-regex
+    # syntax, the DuckDB oracle uses \1)
+    u = F.when(
+        ~u.contains("?") & u.contains("&"),
+        F.regexp_replace(u, r"^([^&]*)&", r"$1?"),
+    ).otherwise(u)
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"/+\?", "?")  # path-trailing slash
+    u = F.regexp_replace(u, r"/+$", "")
+    out = df.withColumn(canon_column, u)
+    host = F.regexp_extract(F.col(canon_column), r"^([^/?]+)", 1)
+    out = out.withColumn(host_column, host)
+    return out.withColumn(
+        domain_column,
+        F.regexp_extract(F.col(host_column), r"([a-z0-9-]+\.[a-z]+)$", 1),
+    )
+
+
 def hashed_doc_vectors(
     df: DataFrame,
     text_column: str,
