@@ -1116,3 +1116,45 @@ class TestCanonicalizeUrls:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestBigramLm:
+    def test_scores_and_short_docs(self, spark):
+        import math
+
+        from tumult_analytics_spark.operators.text import bigram_logprob_score
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b a b"),
+                (2, "a b"),
+                (3, "z"),      # < 2 tokens -> null
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r["lm2_nll"]
+            for r in bigram_logprob_score(df, "text", "doc_id").collect()
+        }
+        assert rows[3] is None and rows[4] is None
+        # hand-computed model: tokens a:3 b:3 z:1, N=7
+        # bigrams: (a,b):3 (b,a):1  [doc1: ab,ba,ab; doc2: ab]
+        def p(c2, c1p, c1c):
+            return 0.7 * (c2 / c1p) + (1.0 - 0.7) * (c1c / 7.0)
+
+        nll_ab = -math.log(p(3, 3, 3))
+        nll_ba = -math.log(p(1, 3, 3))
+        expect1 = round((nll_ab + nll_ba + nll_ab) / 3, 6)
+        expect2 = round(nll_ab, 6)
+        assert rows[1] == pytest.approx(expect1, abs=1e-6)
+        assert rows[2] == pytest.approx(expect2, abs=1e-6)
+        # repetitive doc scores better (lower) than the rare transition
+        assert rows[1] < -math.log(p(1, 3, 3)) + 1e-9
+
+    def test_validation(self, spark):
+        from tumult_analytics_spark.operators.text import bigram_logprob_score
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bigram_logprob_score(df, "text", "doc_id", interp=1.5)

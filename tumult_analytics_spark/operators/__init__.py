@@ -66,6 +66,7 @@ from .similarity import (
     query_lsh_index,
 )
 from .text import (
+    bigram_logprob_score,
     bpe_ish_token_count,
     canonicalize_urls,
     document_fingerprint,

@@ -1126,6 +1126,23 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_bigram_lm_stats(spark, sf_dir):
+    # Interpolated bigram LM (corpus as its own model, lambda = 0.7):
+    # per-language doc counts and average NLL. The oracle rebuilds
+    # unigram/bigram tables and replays the identical double
+    # arithmetic; docs with < 2 tokens are unscored.
+    docs = _read(spark, sf_dir, "documents")
+    scored = X.bigram_logprob_score(docs, "text", "doc_id", interp=0.7)
+    return (
+        scored.filter(F.col("lm2_nll").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("lm2_nll"), 4).alias("avg_nll2"),
+        )
+    )
+
+
 def q_url_canon_stats(spark, sf_dir):
     # URL canonicalization + URL-level dedup: URLs synthesized per doc
     # with scheme / www / utm / trailing-slash / fragment variants and
@@ -1938,6 +1955,7 @@ QUERIES = {
     "streaming_enriched_rollup": q_streaming_enriched_rollup,
     "event_props_stats": q_event_props_stats,
     "url_canon_stats": q_url_canon_stats,
+    "bigram_lm_stats": q_bigram_lm_stats,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2467,6 +2485,47 @@ def _pii_redact_oracle_sql() -> str:
 ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
 ORACLES["bpe_tokenized_stats"] = _bpe_oracle_sql(mode="apply")
+
+ORACLES["bigram_lm_stats"] = """
+    WITH toked AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '') AS tk
+      FROM documents
+    ),
+    uni AS (
+      SELECT t, count(*) AS c1 FROM (
+        SELECT unnest(tk) AS t FROM toked
+      ) GROUP BY t
+    ),
+    tot AS (SELECT sum(c1) AS N FROM uni),
+    big AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(tk)),
+               i -> {'prev': tk[i], 'cur': tk[i+1]})) AS b
+      FROM toked WHERE len(tk) >= 2
+    ),
+    bg AS (SELECT doc_id, lang, b.prev AS prev, b.cur AS cur FROM big),
+    c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+    doc AS (
+      SELECT bg.doc_id, any_value(bg.lang) AS lang,
+             round(avg(-ln(
+               0.7 * (CAST(c2.c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE))
+               -- (1.0 - 0.7), not the literal 0.3: IEEE 1.0-0.7 is
+               -- 0.30000000000000004 and the Spark side computes it
+               + (1.0 - 0.7) * (CAST(uc.c1 AS DOUBLE)
+                        / CAST((SELECT N FROM tot) AS DOUBLE))
+             )), 6) AS nll
+      FROM bg
+      JOIN c2 ON bg.prev = c2.prev AND bg.cur = c2.cur
+      JOIN uni up ON bg.prev = up.t
+      JOIN uni uc ON bg.cur = uc.t
+      GROUP BY bg.doc_id
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(nll), 4) AS avg_nll2
+    FROM doc GROUP BY lang
+"""
 
 ORACLES["unigram_lm_stats"] = """
     WITH toks AS (

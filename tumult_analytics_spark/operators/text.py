@@ -89,6 +89,90 @@ def unigram_logprob_score(
     return df.join(scored, id_column, "left")
 
 
+def bigram_logprob_score(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    interp: float = 0.7,
+    output_column: str = "lm2_nll",
+) -> DataFrame:
+    """Per-document average bigram negative log-likelihood under the
+    corpus's own interpolated bigram model — the next step up from
+    :func:`unigram_logprob_score` toward CCNet's KenLM filtering:
+
+    ``p(t | prev) = interp * c2(prev, t) / c1(prev)
+                  + (1 - interp) * c1(t) / N``
+
+    averaged as ``-ln p`` over a document's bigram positions (docs with
+    fewer than 2 tokens score null). Counts are exact corpus integers,
+    so the score replays bit-for-bit in any engine computing the same
+    double arithmetic; rounded to 6 decimals for the oracle.
+
+    Scale: bigram extraction is ARRAY-side (transform over the token
+    array — no window, no per-doc shuffle); the model is two hash
+    aggregations (unigram and bigram counts, map-side combine absorbs
+    Zipf skew); scoring is two equi-joins (bigram table, context
+    counts) plus one broadcast of the 1-row total. Text is scanned
+    twice — persist the (small) count tables to score future batches
+    without re-reading the corpus.
+    """
+    if not 0.0 <= interp <= 1.0:
+        raise ValueError("interp must be in [0, 1]")
+    toked = df.select(
+        F.col(id_column),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_column))), r"\s+"),
+            lambda t: t != "",
+        ).alias("__tk__"),
+    )
+    tk = F.col("__tk__")
+    uni = (
+        toked.select(F.explode(tk).alias("__t__"))
+        .groupBy("__t__")
+        .agg(F.count(F.lit(1)).alias("__c1__"))
+    )
+    tot = uni.agg(F.sum("__c1__").alias("__N__"))
+    bigrams = toked.select(
+        F.col(id_column),
+        F.explode(
+            F.when(
+                F.size(tk) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.struct(
+                        F.element_at(tk, i).alias("prev"),
+                        F.element_at(tk, i + 1).alias("cur"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        ).alias("__b__"),
+    ).select(id_column, "__b__.prev", "__b__.cur")
+    c2 = bigrams.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("__c2__")
+    )
+    ctx = uni.select(
+        F.col("__t__").alias("prev"), F.col("__c1__").alias("__c1p__")
+    )
+    curu = uni.select(
+        F.col("__t__").alias("cur"), F.col("__c1__").alias("__c1c__")
+    )
+    lam = float(interp)
+    p = lam * (
+        F.col("__c2__").cast("double") / F.col("__c1p__").cast("double")
+    ) + (1.0 - lam) * (
+        F.col("__c1c__").cast("double") / F.col("__N__").cast("double")
+    )
+    scored = (
+        bigrams.join(c2, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(curu, "cur")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_column)
+        .agg(F.round(F.avg(-F.log(p)), 6).alias(output_column))
+    )
+    return df.join(scored, id_column, "left")
+
+
 #: Separator used in BPE oracle string representations; U+001F (unit
 #: separator) cannot appear in whitespace-split tokens.
 _BPE_SEP = "\x1f"
