@@ -688,3 +688,62 @@ class TestMulaw:
         assert r["n_channels"] == 1
         assert r["n_samples"] == 30
         assert r["peak"] <= 32124
+
+
+class TestDhash:
+    def _img(self, arr):
+        import numpy as np
+
+        h, w, _ = arr.shape
+        return (
+            f"P6 {w} {h} 255\n".encode()
+            + np.asarray(arr, dtype=np.uint8).tobytes()
+        )
+
+    def test_gradient_invariance_and_sensitivity(self, spark):
+        import numpy as np
+
+        from tumult_analytics_spark.operators.multimodal import dhash_images
+
+        rng = np.random.default_rng(4)
+        base = rng.integers(30, 200, (16, 18, 3))
+        brighter = np.clip(base + 20, 0, 255)  # same gradients
+        flipped = base[:, ::-1]                # different gradients
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(self._img(base))),
+                (2, bytearray(self._img(brighter))),
+                (3, bytearray(self._img(flipped))),
+                (4, bytearray(b"not an image")),
+                (5, None),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = {
+            r["doc_id"]: r["dhash"]
+            for r in dhash_images(df, "payload").collect()
+        }
+        assert rows[1] == rows[2]  # uniform brightness shift: same hash
+        ham = bin((rows[1] ^ rows[3]) & ((1 << 64) - 1)).count("1")
+        assert ham > 8  # mirrored image is far away
+        assert rows[4] is None and rows[5] is None
+
+    def test_near_duplicate_close_in_hamming(self, spark):
+        import numpy as np
+
+        from tumult_analytics_spark.operators.multimodal import dhash_images
+
+        rng = np.random.default_rng(9)
+        base = rng.integers(0, 256, (24, 27, 3))
+        tweaked = base.copy()
+        tweaked[0, 0] = [255, 255, 255]  # single-pixel edit
+        df = spark.createDataFrame(
+            [(1, bytearray(self._img(base))), (2, bytearray(self._img(tweaked)))],
+            "doc_id long, payload binary",
+        )
+        rows = {
+            r["doc_id"]: r["dhash"]
+            for r in dhash_images(df, "payload").collect()
+        }
+        ham = bin((rows[1] ^ rows[2]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 2

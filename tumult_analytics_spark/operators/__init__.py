@@ -27,14 +27,17 @@ from .multimodal import (
     audio_frame_features,
     decode_audio,
     decode_image,
+    dhash_images,
     extract_byte_histogram_features,
     sample_video_frames,
     synthesize_bmp,
     synthesize_gif,
     synthesize_jpeg,
+    synthesize_ppm,
     synthesize_png,
     synthesize_raw_video,
     synthesize_wav,
+    synthesize_wav_mulaw,
 )
 from .pipeline import (
     cap_per_group,

@@ -1126,6 +1126,40 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_dhash_stats(spark, sf_dir):
+    # Perceptual dHash over synthesized PPM images: 9x8 nearest-neighbor
+    # gray grid, one bit per horizontal gradient, packed to 64 bits.
+    # Pure integer math, replayed bit-exactly in SQL.
+    from . import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id < 300")
+    )
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_ppm(
+                    10 + int(d) % 14, 9 + int(d) % 10, int(d)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_img = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields
+            + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    return M.dhash_images(with_img, "payload").select("doc_id", "dhash")
+
+
 def q_bigram_lm_stats(spark, sf_dir):
     # Interpolated bigram LM (corpus as its own model, lambda = 0.7):
     # per-language doc counts and average NLL. The oracle rebuilds
@@ -1956,6 +1990,7 @@ QUERIES = {
     "event_props_stats": q_event_props_stats,
     "url_canon_stats": q_url_canon_stats,
     "bigram_lm_stats": q_bigram_lm_stats,
+    "dhash_stats": q_dhash_stats,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2485,6 +2520,41 @@ def _pii_redact_oracle_sql() -> str:
 ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
 ORACLES["bpe_tokenized_stats"] = _bpe_oracle_sql(mode="apply")
+
+ORACLES["dhash_stats"] = """
+    WITH d AS (
+      SELECT doc_id, 10 + doc_id % 14 AS w, 9 + doc_id % 10 AS h
+      FROM documents WHERE doc_id < 300
+    ),
+    b AS (SELECT doc_id, w, h, unnest(range(0, 64)) AS bb FROM d),
+    gp AS (
+      SELECT doc_id, bb, w,
+             ((bb % 8) * w) // 9 AS xi,
+             (((bb % 8) + 1) * w) // 9 AS xi1,
+             ((bb // 8) * h) // 8 AS yj
+      FROM b
+    ),
+    g AS (
+      SELECT doc_id, bb,
+        ( ((doc_id*7 + (3*(yj*w+xi)  )*13) % 256)
+        + ((doc_id*7 + (3*(yj*w+xi)+1)*13) % 256)
+        + ((doc_id*7 + (3*(yj*w+xi)+2)*13) % 256) ) // 3 AS gl,
+        ( ((doc_id*7 + (3*(yj*w+xi1)  )*13) % 256)
+        + ((doc_id*7 + (3*(yj*w+xi1)+1)*13) % 256)
+        + ((doc_id*7 + (3*(yj*w+xi1)+2)*13) % 256) ) // 3 AS gr
+      FROM gp
+    )
+    SELECT doc_id,
+           -- bit 63 is the int64 sign bit: numpy wraps 1<<63 to
+           -- -2^63 (two's complement); mirror that explicitly since
+           -- a signed BIGINT left-shift into the sign bit errors
+           CAST(sum(CASE WHEN gl > gr THEN
+                      CASE WHEN bb = 63 THEN -9223372036854775808
+                           ELSE (CAST(1 AS BIGINT) << bb) END
+                    ELSE 0 END)
+                AS BIGINT) AS dhash
+    FROM g GROUP BY doc_id
+"""
 
 ORACLES["bigram_lm_stats"] = """
     WITH toked AS (

@@ -1,14 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-``decode_image`` is a REAL decoder for the uncompressed formats feasible
-without imaging libraries (24-bit BMP, binary PPM), and
-``sample_video_frames`` is a REAL frame sampler for the codec-free
-raw-RGB24 container (``RVID``); both are value-checked against SQL
-oracles. Compressed codecs (PNG/JPEG/mp4) remain declared stubs that
-plug into the same mapInPandas kernels. The Spark-side plumbing is real
-and tested throughout: schemas, Arrow batch shapes, mapInPandas
-signatures, and partition-size hygiene.
+``decode_image`` is a REAL decoder for 8-bit PNG (zlib + full filter
+inversion + palettes), baseline JPEG (Huffman entropy decode + exact
+IDCT, gray and 4:4:4/4:2:0/4:2:2 color, restart markers), non-interlaced
+GIF (real LZW), 24-bit BMP, and binary PPM; ``decode_audio`` reads PCM16
+and G.711 mu-law WAV; ``sample_video_frames`` samples the codec-free
+raw-RGB24 container (``RVID``); ``audio_frame_features`` and
+``dhash_images`` compute frame/fingerprint features on the decoded data.
+All value-checked against SQL oracles. Codec-library formats (mp3/mp4/
+progressive JPEG/webp) plug into the same mapInPandas kernels. The
+Spark-side plumbing is real and tested throughout: schemas, Arrow batch
+shapes, mapInPandas signatures, and partition-size hygiene.
 
 At 100 TB the pattern that matters: binary payloads ride in their own
 column, metadata-only queries never touch them (Parquet column pruning),
@@ -1487,3 +1490,97 @@ def _decode_wav_samples(buf: bytes):
     else:
         return None  # compressed / other widths need a codec
     return int(rate), int(channels), samples
+
+
+def synthesize_ppm(width: int, height: int, seed: int) -> bytes:
+    """Binary PPM (P6) whose flat RGB byte i is ``(seed*7 + i*13) % 256``
+    — the shared SQL-replayable pixel formula."""
+    import numpy as np
+
+    n = width * height * 3
+    data = ((seed * 7 + np.arange(n, dtype=np.int64) * 13) % 256).astype(
+        np.uint8
+    )
+    return f"P6 {width} {height} 255\n".encode() + data.tobytes()
+
+
+def _decode_ppm_pixels(buf: bytes):
+    """(height, width, img[h, w, 3] int64) for a binary PPM, or None."""
+    import numpy as np
+
+    rec = _decode_ppm(buf)
+    if rec is None:
+        return None
+    height, width, _, _ = rec
+    # re-walk the header to find the data offset (same tokenizer)
+    parts, i, tok = [], 2, b""
+    while len(parts) < 3 and i < len(buf):
+        c = buf[i : i + 1]
+        if c == b"#":
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    img = np.frombuffer(
+        buf, dtype=np.uint8, count=width * height * 3, offset=i
+    ).astype(np.int64)
+    return height, width, img.reshape(height, width, 3)
+
+
+def dhash_images(
+    df: DataFrame, binary_column: str, output_column: str = "dhash"
+) -> DataFrame:
+    """Perceptual dHash (difference hash) per image: nearest-neighbor
+    downsample the integer-gray image to a 9x8 grid, emit one bit per
+    horizontal gradient (``g[i] > g[i+1]``), pack to a 64-bit integer.
+    Near-identical images (re-encodes, small edits) land within a few
+    Hamming bits — the embedding-free image near-dup key; group by
+    ``dhash`` for exact-bucket dedup or band the bits for
+    Hamming-tolerant LSH (the SimHash machinery applies as-is).
+
+    Deterministic integer math end to end: grid points are
+    ``x_i = i*w // 9``, ``y_j = j*h // 8``, gray is ``(r+g+b) // 3`` —
+    exactly replayable in SQL (the ``dhash_stats`` oracle). Decodes PPM
+    payloads (the pixel-returning decoder in this codec-free
+    environment); other/malformed payloads hash to null. One
+    mapInPandas pass; pixels never leave the kernel.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(output_column, T.LongType(), True)]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for payload in pdf[binary_column]:
+                rec = None
+                if payload is not None:
+                    try:
+                        rec = _decode_ppm_pixels(bytes(payload))
+                    except Exception:
+                        rec = None
+                if rec is None:
+                    vals.append(None)
+                    continue
+                h, w, img = rec
+                gray = img.sum(axis=2) // 3
+                xs = (np.arange(9, dtype=np.int64) * w) // 9
+                ys = (np.arange(8, dtype=np.int64) * h) // 8
+                grid = gray[np.ix_(ys, xs)]  # 8 rows x 9 cols
+                bits = (grid[:, :8] > grid[:, 1:]).astype(np.int64)
+                shifts = (
+                    np.arange(8)[:, None] * 8 + np.arange(8)[None, :]
+                )
+                vals.append(int((bits << shifts).sum()))
+            out = pdf.copy()
+            out[output_column] = pd.array(vals, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
