@@ -301,3 +301,44 @@ class TestExtractJsonFields:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestZorderKey:
+    def test_interleave_and_locality(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from tumult_analytics_spark.utils import zorder_key
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(4) for y in range(4)],
+            "x long, y long",
+        )
+        rows = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.withColumn(
+                "z", zorder_key([F.col("x"), F.col("y")], bits=2)
+            ).collect()
+        }
+        # classic 4x4 Morton curve values
+        assert rows[(0, 0)] == 0 and rows[(1, 0)] == 1
+        assert rows[(0, 1)] == 2 and rows[(1, 1)] == 3
+        assert rows[(2, 0)] == 4 and rows[(3, 3)] == 15
+        # locality: neighbors in (x, y) stay within the same quadrant
+        assert {rows[(x, y)] for x in (0, 1) for y in (0, 1)} == {0, 1, 2, 3}
+        with _pytest.raises(ValueError):
+            zorder_key([], bits=8)
+        with _pytest.raises(ValueError):
+            zorder_key([F.col("x")] * 4, bits=16)  # 64 > 63
+
+    def test_plan_shuffle_free(self, spark):
+        from pyspark.sql import functions as F
+
+        from tumult_analytics_spark.utils import zorder_key
+
+        df = spark.createDataFrame([(1, 2)], "x long, y long")
+        plan = (
+            df.withColumn("z", zorder_key([F.col("x"), F.col("y")], 4))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan

@@ -1126,6 +1126,33 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_zorder_stats(spark, sf_dir):
+    # Morton (Z-order) key over (custkey % 256, order epoch-day % 256):
+    # per top-4-bit Z-bucket row counts and key ranges — the layout a
+    # lakehouse OPTIMIZE ZORDER produces, checked bit-exactly in SQL.
+    from ..utils import zorder_key
+
+    orders = _read(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey").cast("long"), F.lit(256))
+    y = F.pmod(
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            / 86400
+        ).cast("long"),
+        F.lit(256),
+    )
+    z = zorder_key([x, y], bits=8)
+    withz = orders.withColumn("zkey", z)
+    return (
+        withz.groupBy(F.shiftright(F.col("zkey"), 12).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zkey").alias("min_key"),
+            F.max("zkey").alias("max_key"),
+        )
+    )
+
+
 def q_dhash_stats(spark, sf_dir):
     # Perceptual dHash over synthesized PPM images: 9x8 nearest-neighbor
     # gray grid, one bit per horizontal gradient, packed to 64 bits.
@@ -1991,6 +2018,7 @@ QUERIES = {
     "url_canon_stats": q_url_canon_stats,
     "bigram_lm_stats": q_bigram_lm_stats,
     "dhash_stats": q_dhash_stats,
+    "zorder_stats": q_zorder_stats,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2520,6 +2548,29 @@ def _pii_redact_oracle_sql() -> str:
 ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
 ORACLES["bpe_tokenized_stats"] = _bpe_oracle_sql(mode="apply")
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    terms = " + ".join(
+        f"(((x >> {b}) & 1) * {1 << (2 * b)})"
+        f" + (((y >> {b}) & 1) * {1 << (2 * b + 1)})"
+        for b in range(bits)
+    )
+    return f"""
+    WITH n AS (
+      SELECT o_custkey % 256 AS x,
+             CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) % 256 AS y
+      FROM orders
+    ),
+    z AS (SELECT CAST({terms} AS BIGINT) AS zkey FROM n)
+    SELECT (zkey >> 12) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(zkey) AS BIGINT) AS min_key,
+           CAST(max(zkey) AS BIGINT) AS max_key
+    FROM z GROUP BY 1
+    """
+
+
+ORACLES["zorder_stats"] = _zorder_oracle_sql(8)
 
 ORACLES["dhash_stats"] = """
     WITH d AS (

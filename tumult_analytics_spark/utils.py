@@ -190,3 +190,31 @@ def spread_rows(df: DataFrame, min_files: int = 8) -> DataFrame:
     if files and len(files) < min(target, min_files):
         return df.repartition(target)
     return df
+
+
+def zorder_key(columns: Sequence["F.Column"], bits: int = 16) -> "F.Column":
+    """Morton (Z-order) interleave of ``len(columns)`` non-negative
+    integer columns into one bigint sort key: bit ``b`` of column ``c``
+    lands at position ``b * k + c``. Sorting / range-partitioning by
+    this key before writing gives multi-dimensional data locality, so
+    min/max footer stats prune scans on EVERY interleaved dimension —
+    the lakehouse OPTIMIZE ZORDER primitive, as a plain column
+    expression.
+
+    Callers normalize each column into ``[0, 2^bits)`` first (modulo,
+    binning, or rank); ``k * bits`` must be <= 63 so the key stays a
+    positive int64. Pure Catalyst shift/mask arithmetic — codegen, no
+    shuffle, exactly replayable in ANSI SQL.
+    """
+    cols = list(columns)
+    k = len(cols)
+    if k < 1:
+        raise ValueError("need at least one column")
+    if k * bits > 63:
+        raise ValueError(f"k*bits = {k * bits} exceeds 63 (int64 sign bit)")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for c, col in enumerate(cols):
+            bit = F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key + (bit * F.lit(1 << (b * k + c))).cast("long")
+    return key
