@@ -1158,3 +1158,64 @@ class TestBigramLm:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError):
             bigram_logprob_score(df, "text", "doc_id", interp=1.5)
+
+
+class TestCountMinSketch:
+    def test_overestimate_never_underestimate(self, spark):
+        vals = ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]
+        df = spark.createDataFrame([(v,) for v in vals], "tok string")
+        # width=2 forces heavy collisions
+        sk = P.cms_build(df, "tok", width=2, depth=2)
+        est = {
+            r["tok"]: r["cms_estimate"]
+            for r in P.cms_estimate(
+                sk, df.select("tok").distinct(), "tok", width=2, depth=2
+            ).collect()
+        }
+        exact = {"a": 50, "b": 20, "c": 5, "d": 1}
+        for t, c in exact.items():
+            assert est[t] >= c
+        # wide sketch: estimates exact
+        sk2 = P.cms_build(df, "tok", width=4096, depth=3)
+        est2 = {
+            r["tok"]: r["cms_estimate"]
+            for r in P.cms_estimate(
+                sk2, df.select("tok").distinct(), "tok",
+                width=4096, depth=3,
+            ).collect()
+        }
+        assert est2 == exact
+
+    def test_sketches_merge_by_addition(self, spark):
+        a = spark.createDataFrame([("x",)] * 3 + [("y",)], "tok string")
+        b = spark.createDataFrame([("x",)] * 2, "tok string")
+        ska = P.cms_build(a, "tok", width=64, depth=2)
+        skb = P.cms_build(b, "tok", width=64, depth=2)
+        merged = (
+            ska.unionByName(skb)
+            .groupBy("d", "pos")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        both = a.unionByName(b)
+        direct = P.cms_build(both, "tok", width=64, depth=2)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_sketch_size_bounded_and_unknown_zero(self, spark):
+        df = spark.createDataFrame(
+            [(str(i),) for i in range(500)], "tok string"
+        )
+        sk = P.cms_build(df, "tok", width=16, depth=2)
+        assert sk.count() <= 32
+        unknown = spark.createDataFrame([("zzz-not-seen",)], "tok string")
+        # estimate for an unseen value may be a collision overestimate,
+        # but with depth rows it is the MIN -> usually small; with an
+        # empty sketch it must be exactly 0
+        empty = P.cms_build(
+            spark.createDataFrame([], "tok string"), "tok", 16, 2
+        )
+        est = P.cms_estimate(empty, unknown, "tok", 16, 2).collect()
+        assert est[0]["cms_estimate"] == 0
+        with pytest.raises(ValueError):
+            P.cms_build(df, "tok", width=0)

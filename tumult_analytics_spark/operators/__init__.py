@@ -41,6 +41,8 @@ from .multimodal import (
 )
 from .pipeline import (
     cap_per_group,
+    cms_build,
+    cms_estimate,
     gopher_quality_flags,
     cluster_representatives,
     connected_components,

@@ -1126,6 +1126,33 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_cms_token_counts(spark, sf_dir):
+    # Count-Min Sketch over corpus tokens (width 256 forces collisions,
+    # so overestimates actually occur) vs exact counts per token. The
+    # oracle replays counters, probes, and the min-of-rows estimate;
+    # hash-matching proves the CMS guarantee (estimate >= exact) holds
+    # with the exact same deterministic collisions.
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok")
+    )
+    sketch = P.cms_build(toks, "tok", width=256, depth=3)
+    est = P.cms_estimate(
+        sketch, toks.distinct(), "tok", width=256, depth=3
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "tok").select(
+        "tok",
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+    )
+
+
 def q_zorder_stats(spark, sf_dir):
     # Morton (Z-order) key over (custkey % 256, order epoch-day % 256):
     # per top-4-bit Z-bucket row counts and key ranges — the layout a
@@ -2019,6 +2046,7 @@ QUERIES = {
     "bigram_lm_stats": q_bigram_lm_stats,
     "dhash_stats": q_dhash_stats,
     "zorder_stats": q_zorder_stats,
+    "cms_token_counts": q_cms_token_counts,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2548,6 +2576,41 @@ def _pii_redact_oracle_sql() -> str:
 ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
 ORACLES["bpe_tokenized_stats"] = _bpe_oracle_sql(mode="apply")
+
+ORACLES["cms_token_counts"] = """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\\s+'),
+          x -> x <> '')) AS tok
+      FROM documents
+    ),
+    hashes AS (SELECT unnest([0, 1, 2]) AS d),
+    occ AS (
+      SELECT tok, d,
+             CAST(('0x' || substr(md5(tok || '#' || CAST(d AS VARCHAR)),
+                  1, 13)) AS BIGINT) % 256 AS pos
+      FROM toks CROSS JOIN hashes
+    ),
+    sketch AS (SELECT d, pos, count(*) AS cnt FROM occ GROUP BY d, pos),
+    cand AS (SELECT DISTINCT tok FROM toks),
+    probes AS (
+      SELECT tok, d,
+             CAST(('0x' || substr(md5(tok || '#' || CAST(d AS VARCHAR)),
+                  1, 13)) AS BIGINT) % 256 AS pos
+      FROM cand CROSS JOIN hashes
+    ),
+    est AS (
+      SELECT p.tok, min(coalesce(s.cnt, 0)) AS cms_estimate
+      FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.pos = s.pos
+      GROUP BY p.tok
+    ),
+    exact AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+    SELECT e.tok,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(x.c AS BIGINT) AS exact_count
+    FROM est e JOIN exact x ON e.tok = x.tok
+"""
+
 
 def _zorder_oracle_sql(bits: int = 8) -> str:
     terms = " + ".join(

@@ -41,6 +41,8 @@ __all__ = [
     "stratified_sample",
     "ngram_contamination",
     "bloom_filter_build",
+    "cms_build",
+    "cms_estimate",
     "bloom_contamination",
     "domain_mix_weights",
     "connected_components",
@@ -674,6 +676,120 @@ def bloom_contamination(
         ).otherwise(F.lit(0.0)),
     )
     return out.drop("_flagged_grams")
+
+
+def cms_build(
+    df: DataFrame,
+    column: str,
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """Build a Count-Min Sketch over a column: ``depth x width`` integer
+    counters as a DataFrame (``d``, ``pos``, ``cnt``) — at most
+    ``depth * width`` rows no matter how many distinct values the
+    column holds. Row ``d``'s position for value v is the md5-derived
+    slot ``h(v # d) % width`` (same deterministic hash family as the
+    Bloom filter, so SQL replays it).
+
+    This is the fixed-memory frequency structure for streams and
+    merge-friendly partial aggregation: sketches of two corpora ADD
+    (union by (d, pos) summing ``cnt``), unlike exact top-k state.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.col(column).cast("string"),
+                                            F.lit(f"#{d}"),
+                                        )
+                                    ),
+                                    1,
+                                    13,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("pos"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__s__")
+    )
+    return (
+        rows.select("__s__.d", "__s__.pos")
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    column: str,
+    width: int = 1024,
+    depth: int = 3,
+    output_column: str = "cms_estimate",
+) -> DataFrame:
+    """Point-estimate candidate values against a sketch from
+    :func:`cms_build` (same ``width``/``depth``): the estimate is the
+    MIN over the ``depth`` rows' counters — an overestimate of the true
+    count, never an underestimate (the CMS guarantee). Candidates
+    absent from every counter estimate 0.
+
+    The sketch is at most depth*width rows — broadcast; candidates
+    explode ``depth`` rows each, join on (d, pos), and take one
+    per-candidate min. At 100 TB the sketch is built once (one bounded
+    aggregation) and any number of candidate sets query it without
+    touching the corpus again.
+    """
+    cand = candidates.select(F.col(column).alias("__v__")).distinct()
+    probes = cand.select(
+        "__v__",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.col("__v__").cast("string"),
+                                            F.lit(f"#{d}"),
+                                        )
+                                    ),
+                                    1,
+                                    13,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("pos"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__s__"),
+    ).select("__v__", "__s__.d", "__s__.pos")
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "pos"], "left")
+        .groupBy("__v__")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(output_column))
+    )
+    return est.withColumnRenamed("__v__", column)
 
 
 def domain_mix_weights(
