@@ -1126,6 +1126,80 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_mixed_media_pipeline(spark, sf_dir):
+    # Composed text+image pipeline over a MIXED-format corpus: payloads
+    # alternate PNG / GIF / BMP by doc_id % 3 (the dispatcher has to
+    # route each), decode joins the Gopher text gate, and the rollup
+    # counts docs passing both. Every branch's pixel sum replays in SQL.
+    from . import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 3, 3 + d % 2
+                if d % 3 == 0:
+                    payloads.append(M.synthesize_png(w, h, d, color_type=2))
+                elif d % 3 == 1:
+                    payloads.append(M.synthesize_gif(w, h, d))
+                else:
+                    payloads.append(M.synthesize_bmp(w, h, d))
+            pdf["payload"] = payloads
+            yield pdf
+
+    with_img = docs.select("doc_id", "lang", "text").mapInPandas(
+        make,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), True),
+                T.StructField("lang", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+    dec = M.decode_image(with_img, "payload").drop("payload")
+    g = P.gopher_quality_flags(dec, "text")
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("pixel_sum").isNotNull().cast("long")).alias(
+            "n_decoded"
+        ),
+        F.sum("pixel_sum").cast("long").alias("sum_pixels"),
+        F.sum(
+            (F.col("gopher_pass") & (F.col("pixel_sum") > 1000)).cast(
+                "long"
+            )
+        ).alias("n_pass_both"),
+    )
+
+
+def q_rollup_counts(spark, sf_dir):
+    # OLAP rollup over (lang, source): per-pair, per-lang subtotal, and
+    # grand-total rows in ONE aggregation pass (Spark ROLLUP compiles to
+    # a single Expand + aggregate — not three scans). DuckDB replays
+    # with its own ROLLUP.
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
 def q_cms_token_counts(spark, sf_dir):
     # Count-Min Sketch over corpus tokens (width 256 forces collisions,
     # so overestimates actually occur) vs exact counts per token. The
@@ -2047,6 +2121,8 @@ QUERIES = {
     "dhash_stats": q_dhash_stats,
     "zorder_stats": q_zorder_stats,
     "cms_token_counts": q_cms_token_counts,
+    "rollup_counts": q_rollup_counts,
+    "mixed_media_pipeline": q_mixed_media_pipeline,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2577,6 +2653,15 @@ ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
 ORACLES["bpe_tokenized_stats"] = _bpe_oracle_sql(mode="apply")
 
+ORACLES["rollup_counts"] = """
+    SELECT coalesce(lang, '<all>') AS lang,
+           coalesce(source, '<all>') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+"""
+
 ORACLES["cms_token_counts"] = """
     WITH toks AS (
       SELECT unnest(list_filter(
@@ -2610,6 +2695,7 @@ ORACLES["cms_token_counts"] = """
            CAST(x.c AS BIGINT) AS exact_count
     FROM est e JOIN exact x ON e.tok = x.tok
 """
+
 
 
 def _zorder_oracle_sql(bits: int = 8) -> str:
@@ -3467,7 +3553,7 @@ ORACLES["decode_audio"] = """
     FROM documents
 """
 
-ORACLES["gopher_flags"] = """
+_GOPHER_FLAGS_CTES = """
     WITH t AS (
       SELECT doc_id, lang, text,
              list_filter(string_split_regex(trim(text), '\\s+'),
@@ -3513,6 +3599,9 @@ ORACLES["gopher_flags"] = """
         (CAST(el AS DOUBLE) <= 0.3 * nl) AS ell_ok
       FROM m
     )
+"""
+
+ORACLES["gopher_flags"] = _GOPHER_FLAGS_CTES + """
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN wc_ok THEN 1 ELSE 0 END) AS BIGINT)
@@ -3531,6 +3620,36 @@ ORACLES["gopher_flags"] = """
              AS n_pass
     FROM fl GROUP BY lang
 """
+
+ORACLES["mixed_media_pipeline"] = _GOPHER_FLAGS_CTES + """
+    , px AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 1 THEN
+          list_sum(list_transform(
+            range(0, (4 + doc_id % 3) * (3 + doc_id % 2)),
+            i -> ((((doc_id * 7 + i * 13) % 256) * 5 + 3) % 256)
+               + ((((doc_id * 7 + i * 13) % 256) * 5 + 14) % 256)
+               + ((((doc_id * 7 + i * 13) % 256) * 5 + 25) % 256)))
+        ELSE
+          list_sum(list_transform(
+            range(0, 3 * (4 + doc_id % 3) * (3 + doc_id % 2)),
+            i -> (doc_id * 7 + i * 13) % 256))
+        END AS pixel_sum
+      FROM documents
+    )
+    SELECT f.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p.pixel_sum IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_decoded,
+           CAST(sum(p.pixel_sum) AS BIGINT) AS sum_pixels,
+           CAST(sum(CASE WHEN f.wc_ok AND f.mwl_ok AND f.sym_ok
+                          AND f.alpha_ok AND f.stop_ok AND f.bullet_ok
+                          AND f.ell_ok AND p.pixel_sum > 1000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_both
+    FROM fl f JOIN px p USING (doc_id)
+    GROUP BY f.lang
+"""
+
 
 ORACLES["hashed_vector_stats"] = """
     WITH toks AS (
