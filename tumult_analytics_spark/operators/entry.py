@@ -1126,6 +1126,59 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_chunk_vector_topk(spark, sf_dir):
+    # The RAG indexing composition: sliding chunks -> per-chunk hashed
+    # token vectors (unsigned: a non-empty chunk can't be the zero
+    # vector) -> exact cosine top-3 chunk retrieval for query docs.
+    # FP-robust ranking (round(cosine, 6), id tie-break) as in
+    # ann_brute_topk; the oracle rebuilds chunk vectors with list math.
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        ).alias("tk"),
+    ).withColumn("n_tokens", F.size("tk"))
+    chunks = P.sliding_chunks(toked, "n_tokens", window=32, stride=24)
+    chunks = chunks.select(
+        (F.col("doc_id") * 100 + F.col("chunk_start") / 24)
+        .cast("long")
+        .alias("chunk_id"),
+        F.col("doc_id"),
+        F.array_join(
+            F.slice(
+                F.col("tk"),
+                (F.col("chunk_start") + 1).cast("int"),
+                F.col("chunk_len").cast("int"),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    cv = X.hashed_doc_vectors(
+        chunks, "chunk_text", dim=16, signed=False
+    ).select(
+        "chunk_id",
+        "doc_id",
+        F.col("doc_vec").cast("array<float>").alias("vec"),
+    )
+    queries = cv.filter("doc_id % 97 = 0")
+    allk = S.brute_force_cosine_topk(
+        cv.select("chunk_id", "vec"), "vec", "chunk_id",
+        k=10**6, queries=queries.select("chunk_id", "vec"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        allk.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("query_id", "neighbor_id", F.col("rnk").alias("rank"))
+    )
+
+
 def q_mixed_media_pipeline(spark, sf_dir):
     # Composed text+image pipeline over a MIXED-format corpus: payloads
     # alternate PNG / GIF / BMP by doc_id % 3 (the dispatcher has to
@@ -2123,6 +2176,7 @@ QUERIES = {
     "cms_token_counts": q_cms_token_counts,
     "rollup_counts": q_rollup_counts,
     "mixed_media_pipeline": q_mixed_media_pipeline,
+    "chunk_vector_topk": q_chunk_vector_topk,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2652,6 +2706,50 @@ def _pii_redact_oracle_sql() -> str:
 ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
 ORACLES["bpe_tokenized_stats"] = _bpe_oracle_sql(mode="apply")
+
+ORACLES["chunk_vector_topk"] = """
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '') AS tk
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, tk, len(tk) AS n FROM toked WHERE len(tk) > 0),
+    chunks AS (
+      SELECT doc_id, tk, n,
+             unnest(generate_series(
+               0, 24 * CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT),
+               24)) AS cs
+      FROM t2
+    ),
+    c2 AS (
+      SELECT doc_id * 100 + cs // 24 AS chunk_id, doc_id,
+             tk[cs + 1 : cs + least(32, n - cs)] AS ct
+      FROM chunks
+    ),
+    vec AS (
+      SELECT chunk_id, doc_id,
+             list_transform(range(0, 16), dd ->
+               CAST(len(list_filter(ct, t ->
+                 CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 16
+                   = dd)) AS DOUBLE)) AS v
+      FROM c2
+    ),
+    sims AS (
+      SELECT q.chunk_id AS query_id, c.chunk_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cs2
+      FROM vec q JOIN vec c ON c.chunk_id <> q.chunk_id
+      WHERE q.doc_id % 97 = 0
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cs2 DESC, neighbor_id) AS INTEGER) AS "rank"
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, "rank" FROM ranked WHERE "rank" <= 3
+"""
 
 ORACLES["rollup_counts"] = """
     SELECT coalesce(lang, '<all>') AS lang,

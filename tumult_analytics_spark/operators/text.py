@@ -634,11 +634,14 @@ def hashed_doc_vectors(
     text_column: str,
     dim: int = 64,
     output_column: str = "doc_vec",
+    signed: bool = True,
 ) -> DataFrame:
     """Feature-hashing (hashing trick) document vectors: each
     whitespace token hashes to a slot (``h % dim``) with a sign bit
     (``(h // dim) % 2``, Weinberger et al.'s signed variant so hash
-    collisions cancel in expectation instead of accumulating); the doc
+    collisions cancel in expectation instead of accumulating; pass
+    ``signed=False`` for plain non-negative counts — e.g. when a zero
+    vector must be impossible for cosine math); the doc
     vector is the signed token-count array (``array<long>`` — integer,
     so exactly SQL-replayable). Empty/blank docs get the zero vector;
     null docs get null.
@@ -672,7 +675,10 @@ def hashed_doc_vectors(
                 sv = cache.get(tok)
                 if sv is None:
                     h = int(md5(tok.encode("utf-8")).hexdigest()[:15], 16)
-                    sv = (h % dim, 1 - 2 * ((h // dim) % 2))
+                    sv = (
+                        h % dim,
+                        (1 - 2 * ((h // dim) % 2)) if signed else 1,
+                    )
                     cache[tok] = sv
                 vec[sv[0]] += sv[1]
             out.append(vec)
