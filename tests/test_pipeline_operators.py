@@ -1219,3 +1219,48 @@ class TestCountMinSketch:
         assert est[0]["cms_estimate"] == 0
         with pytest.raises(ValueError):
             P.cms_build(df, "tok", width=0)
+
+
+class TestRecencyWeightedSample:
+    def test_decay_and_floor(self, spark):
+        rows = [
+            (i, f"2024-02-{28 - (i % 28):02d} 00:00:00") for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts string").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        kept_fast = P.recency_weighted_sample(
+            df, F.col("ts"), "event_id", "2024-03-01 00:00:00",
+            half_life_days=2.0,
+        ).count()
+        kept_slow = P.recency_weighted_sample(
+            df, F.col("ts"), "event_id", "2024-03-01 00:00:00",
+            half_life_days=30.0,
+        ).count()
+        assert kept_fast < kept_slow  # faster decay keeps fewer
+        # floor keeps a trickle of even very old rows
+        old = spark.createDataFrame(
+            [(i, "2020-01-01 00:00:00") for i in range(3000)],
+            "event_id long, ts string",
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+        kept_floor = P.recency_weighted_sample(
+            old, F.col("ts"), "event_id", "2024-03-01 00:00:00",
+            half_life_days=2.0, floor_rate=0.05,
+        ).count()
+        assert 0 < kept_floor < 600  # ~5%, deterministic
+
+    def test_deterministic_and_validated(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-02-01 00:00:00")], "event_id long, ts string"
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+        a = P.recency_weighted_sample(
+            df, F.col("ts"), "event_id", "2024-03-01 00:00:00", 14.0
+        ).count()
+        b = P.recency_weighted_sample(
+            df, F.col("ts"), "event_id", "2024-03-01 00:00:00", 14.0
+        ).count()
+        assert a == b
+        with pytest.raises(ValueError):
+            P.recency_weighted_sample(
+                df, F.col("ts"), "event_id", "2024-03-01", 0.0
+            )

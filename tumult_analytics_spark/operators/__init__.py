@@ -48,6 +48,7 @@ from .pipeline import (
     connected_components,
     deterministic_uniform,
     pii_redact,
+    recency_weighted_sample,
     domain_mix_weights,
     export_shards,
     mix_to_token_budget,

@@ -1126,6 +1126,30 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_recency_sample_stats(spark, sf_dir):
+    # Freshness-decay sampling (half-life 14 days back from a fixed
+    # logical date, 1% floor): per event_type kept counts + value sums.
+    # Whole-second age math on both engines (Spark unix_timestamp
+    # truncates; the oracle floors epoch()) so the md5-uniform
+    # comparison never straddles a fractional-second rate difference.
+    from ..utils import event_time
+
+    ev = _read(spark, sf_dir, "events")
+    ev = ev.withColumn("__et__", event_time(ev, "ts"))
+    kept = P.recency_weighted_sample(
+        ev,
+        F.col("__et__"),
+        "event_id",
+        "2024-03-01 00:00:00",
+        half_life_days=14.0,
+        floor_rate=0.01,
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def q_chunk_vector_topk(spark, sf_dir):
     # The RAG indexing composition: sliding chunks -> per-chunk hashed
     # token vectors (unsigned: a non-empty chunk can't be the zero
@@ -2177,6 +2201,7 @@ QUERIES = {
     "rollup_counts": q_rollup_counts,
     "mixed_media_pipeline": q_mixed_media_pipeline,
     "chunk_vector_topk": q_chunk_vector_topk,
+    "recency_sample_stats": q_recency_sample_stats,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2706,6 +2731,23 @@ def _pii_redact_oracle_sql() -> str:
 ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
 ORACLES["bpe_tokenized_stats"] = _bpe_oracle_sql(mode="apply")
+
+ORACLES["recency_sample_stats"] = """
+    WITH x AS (
+      SELECT event_type, value,
+        (epoch(TIMESTAMP '2024-03-01 00:00:00')
+         - floor(epoch(ts))) / 86400.0 AS age_days,
+        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':recency'),
+             1, 13)) AS BIGINT) / 4503599627370496.0 AS u
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(sum(value), 4) AS sum_value
+    FROM x
+    WHERE u < greatest(pow(0.5, age_days / 14.0), 0.01)
+    GROUP BY event_type
+"""
 
 ORACLES["chunk_vector_topk"] = """
     WITH toked AS (

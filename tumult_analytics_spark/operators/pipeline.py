@@ -53,6 +53,7 @@ __all__ = [
     "export_shards",
     "shard_id",
     "mix_to_token_budget",
+    "recency_weighted_sample",
     "split_dataset",
 ]
 
@@ -198,6 +199,46 @@ def stratified_sample(
         mapping[F.col(strata_column)], F.lit(float(default_rate))
     )
     return df.filter(deterministic_uniform(F.col(key_column)) < rate)
+
+
+def recency_weighted_sample(
+    df: DataFrame,
+    ts_column: "Column",
+    key_column: str,
+    reference_ts: str,
+    half_life_days: float,
+    floor_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic freshness-decay sampling: keep a row with
+    probability ``max(0.5 ^ (age_days / half_life_days), floor_rate)``
+    where age is measured back from ``reference_ts`` (an ISO timestamp
+    string — pass the pipeline's logical run date, never "now": a
+    wall-clock default would make retries and reruns sample different
+    rows). The keep decision reuses the md5-uniform of ``key_column``,
+    so it composes with the other deterministic samplers without
+    correlation (per-purpose salt).
+
+    The standard freshness weighting for crawl mixes (newer snapshots
+    oversampled, old ones decayed but never fully dropped when
+    ``floor_rate > 0``). A pure filter over codegen arithmetic:
+    pushdown-friendly, no shuffle, reproducible across retries.
+    """
+    if half_life_days <= 0:
+        raise ValueError("half_life_days must be > 0")
+    if not 0.0 <= floor_rate <= 1.0:
+        raise ValueError("floor_rate must be in [0, 1]")
+    age_days = (
+        F.unix_timestamp(F.lit(reference_ts).cast("timestamp"))
+        - F.unix_timestamp(ts_column)
+    ).cast("double") / F.lit(86400.0)
+    rate = F.greatest(
+        F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days))),
+        F.lit(float(floor_rate)),
+    )
+    u = deterministic_uniform(
+        F.concat(F.col(key_column).cast("string"), F.lit(":recency"))
+    )
+    return df.filter(u < rate)
 
 
 def mix_to_token_budget(
