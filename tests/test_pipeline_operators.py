@@ -1264,3 +1264,30 @@ class TestRecencyWeightedSample:
             P.recency_weighted_sample(
                 df, F.col("ts"), "event_id", "2024-03-01", 0.0
             )
+
+
+class TestSoftDedupWeights:
+    def test_weights_by_component_size(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in range(6)], "doc_id long"
+        )
+        # components: {0,1,2} (chain), {3,4}; 5 is a singleton
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+        )
+        w = {
+            r["doc_id"]: r["dedup_weight"]
+            for r in P.soft_dedup_weights(docs, pairs, "doc_id").collect()
+        }
+        third = 1.0 / 3.0
+        assert w[0] == w[1] == w[2] == pytest.approx(third)
+        assert w[3] == w[4] == pytest.approx(0.5)
+        assert w[5] == 1.0
+        # the effective corpus counts each component once
+        assert sum(w.values()) == pytest.approx(3.0)
+
+    def test_no_pairs_all_ones(self, spark):
+        docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        w = P.soft_dedup_weights(docs, pairs, "doc_id").collect()
+        assert all(r["dedup_weight"] == 1.0 for r in w)

@@ -49,6 +49,7 @@ from .pipeline import (
     deterministic_uniform,
     pii_redact,
     recency_weighted_sample,
+    soft_dedup_weights,
     domain_mix_weights,
     export_shards,
     mix_to_token_budget,

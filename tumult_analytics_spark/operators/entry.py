@@ -1126,6 +1126,25 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_soft_dedup_weights(spark, sf_dir):
+    # Soft dedup: 1/|component| weights over the same near-dup pair
+    # graph as dedup_clusters; singletons weigh 1.0. Per lang: docs,
+    # docs downweighted, and the total effective (weighted) corpus
+    # size. Oracle extends the recursive-CTE component replay.
+    docs = _read(spark, sf_dir, "documents").filter("doc_id < 200")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.35
+    )
+    w = P.soft_dedup_weights(docs, pairs, "doc_id")
+    return w.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("dedup_weight") < 1.0).cast("long")).alias(
+            "n_downweighted"
+        ),
+        F.round(F.sum("dedup_weight"), 6).alias("effective_docs"),
+    )
+
+
 def q_recency_sample_stats(spark, sf_dir):
     # Freshness-decay sampling (half-life 14 days back from a fixed
     # logical date, 1% floor): per event_type kept counts + value sums.
@@ -2202,6 +2221,7 @@ QUERIES = {
     "mixed_media_pipeline": q_mixed_media_pipeline,
     "chunk_vector_topk": q_chunk_vector_topk,
     "recency_sample_stats": q_recency_sample_stats,
+    "soft_dedup_weights": q_soft_dedup_weights,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2731,6 +2751,56 @@ def _pii_redact_oracle_sql() -> str:
 ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
 ORACLES["bpe_tokenized_stats"] = _bpe_oracle_sql(mode="apply")
+
+ORACLES["soft_dedup_weights"] = """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    ), g AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+          ELSE list_transform(range(1, len(tk) - 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+          END) AS gs
+      FROM docs
+    ), ex AS (
+      SELECT doc_id, len(gs) AS n, unnest(gs) AS gr FROM g
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS i
+      FROM ex a JOIN ex b ON a.gr = b.gr AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.35
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b
+      FROM reach JOIN edges ON reach.r = edges.a
+    ), comp AS (
+      SELECT node, least(node, min(r)) AS component
+      FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT component, count(*) AS n FROM comp GROUP BY component
+    ), w AS (
+      SELECT c.node AS doc_id, 1.0 / s.n AS wt
+      FROM comp c JOIN sizes s USING (component)
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(w.wt, 1.0) < 1.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_downweighted,
+           round(sum(coalesce(w.wt, 1.0)), 6) AS effective_docs
+    FROM docs d LEFT JOIN w USING (doc_id)
+    GROUP BY d.lang
+"""
 
 ORACLES["recency_sample_stats"] = """
     WITH x AS (

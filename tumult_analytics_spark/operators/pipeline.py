@@ -54,6 +54,7 @@ __all__ = [
     "shard_id",
     "mix_to_token_budget",
     "recency_weighted_sample",
+    "soft_dedup_weights",
     "split_dataset",
 ]
 
@@ -199,6 +200,47 @@ def stratified_sample(
         mapping[F.col(strata_column)], F.lit(float(default_rate))
     )
     return df.filter(deterministic_uniform(F.col(key_column)) < rate)
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_column: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    weight_column: str = "dedup_weight",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, attach
+    ``weight_column = 1 / |component|`` over the near-dup pair graph
+    (docs in no pair weigh 1.0). Training on weighted examples keeps
+    coverage while removing the duplication bias — the standard
+    alternative when hard dedup is too aggressive (each duplicated
+    cluster contributes ONE document's worth of expected gradient).
+
+    Composes with any pair producer (MinHash LSH, cosine, n-gram
+    Jaccard). Cost on top of the pairs: the component propagation
+    (O(log diameter) rounds on the PAIR graph only, never the corpus)
+    plus one component-size aggregation and one left join back.
+    """
+    cc = connected_components(
+        pairs, src=src, dst=dst, max_iterations=max_iterations
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    w = (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_column),
+            (F.lit(1.0) / F.col("__n__").cast("double")).alias(
+                weight_column
+            ),
+        )
+    )
+    return df.join(w, id_column, "left").withColumn(
+        weight_column, F.coalesce(F.col(weight_column), F.lit(1.0))
+    )
 
 
 def recency_weighted_sample(
