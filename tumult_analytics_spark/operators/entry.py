@@ -695,10 +695,11 @@ def _bpe_oracle_sql(num_merges: int = 6, mode: str = "merges") -> str:
     # and DuckDB's default inlining would re-expand the whole prefix
     # exponentially.
     s = "chr(31)"
+    orig = ", orig" if mode == "fertility" else ""
     ctes = [
         f"""w0 AS MATERIALIZED (
           SELECT {s} || array_to_string(string_split_regex(w, ''), {s})
-                 || {s} AS w, n
+                 || {s} AS w, n{', w AS orig' if mode == 'fertility' else ''}
           FROM (
             SELECT w, count(*) AS n FROM (
               SELECT unnest(list_filter(
@@ -730,18 +731,45 @@ def _bpe_oracle_sql(num_merges: int = 6, mode: str = "merges") -> str:
           ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
         )"""
         )
-        if i < num_merges or mode == "apply":
+        if i < num_merges or mode in ("apply", "fertility"):
             ctes.append(
                 f"""w{i} AS MATERIALIZED (
           SELECT replace(w,
                    {s} || (SELECT l FROM m{i}) || {s}
                        || (SELECT r FROM m{i}) || {s},
                    {s} || (SELECT l FROM m{i})
-                       || (SELECT r FROM m{i}) || {s}) AS w, n
+                       || (SELECT r FROM m{i}) || {s}) AS w, n{orig}
           FROM w{p}
         )"""
             )
-    if mode == "apply":
+    if mode == "fertility":
+        # Per-language fertility: join the per-(lang, word) histogram to
+        # the fully merged symbol count of each distinct word.
+        ctes.append(
+            f"""syms AS MATERIALIZED (
+          SELECT orig, len(list_filter(string_split(w, {s}), x -> x <> ''))
+                 AS n_sym
+          FROM w{num_merges}
+        )"""
+        )
+        ctes.append(
+            """wl AS MATERIALIZED (
+          SELECT lang, w, count(*) AS n FROM (
+            SELECT lang, unnest(list_filter(
+                string_split_regex(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS w
+            FROM documents
+          ) GROUP BY lang, w
+        )"""
+        )
+        selects = """SELECT wl.lang,
+          CAST(sum(wl.n) AS BIGINT) AS n_words,
+          CAST(sum(wl.n * s.n_sym) AS BIGINT) AS n_subwords,
+          round(CAST(sum(wl.n * s.n_sym) AS DOUBLE)
+                / CAST(sum(wl.n) AS DOUBLE), 6) AS fertility
+        FROM wl JOIN syms s ON wl.w = s.orig
+        GROUP BY wl.lang"""
+    elif mode == "apply":
         # Corpus stats of the FULLY MERGED word table: total subword
         # tokens (word frequency x symbols per word) and vocab size.
         ctes.append(
@@ -1123,6 +1151,26 @@ def q_streaming_hourly_rollup(spark, sf_dir):
         "event_type",
         F.col("n"),
         F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_bpe_fertility(spark, sf_dir):
+    # Tokenizer fertility (subword tokens per word) per language under
+    # the corpus-learned 6-merge BPE vocab — the metric tokenizer teams
+    # track per language/domain. The oracle re-learns the merges in SQL
+    # and joins per-(lang, word) counts to merged symbol counts.
+    docs = _read(spark, sf_dir, "documents")
+    merges = X.bpe_learn_merges(docs, "text", num_merges=6)
+    tok = X.bpe_apply(docs, "text", merges)
+    tc = X.token_count(tok, "text")
+    return tc.groupBy("lang").agg(
+        F.sum(F.col("n_tokens").cast("long")).alias("n_words"),
+        F.sum(F.size("bpe_tokens").cast("long")).alias("n_subwords"),
+        F.round(
+            F.sum(F.size("bpe_tokens")).cast("double")
+            / F.sum(F.col("n_tokens")).cast("double"),
+            6,
+        ).alias("fertility"),
     )
 
 
@@ -2222,6 +2270,7 @@ QUERIES = {
     "chunk_vector_topk": q_chunk_vector_topk,
     "recency_sample_stats": q_recency_sample_stats,
     "soft_dedup_weights": q_soft_dedup_weights,
+    "bpe_fertility": q_bpe_fertility,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2751,6 +2800,7 @@ def _pii_redact_oracle_sql() -> str:
 ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
 ORACLES["bpe_tokenized_stats"] = _bpe_oracle_sql(mode="apply")
+ORACLES["bpe_fertility"] = _bpe_oracle_sql(mode="fertility")
 
 ORACLES["soft_dedup_weights"] = """
     WITH RECURSIVE docs AS (
