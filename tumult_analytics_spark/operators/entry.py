@@ -1154,6 +1154,79 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_minhash_estimator_error(spark, sf_dir):
+    # Self-evaluation of the MinHash estimator: for every band-colliding
+    # pair (docs < 200), compare signature-agreement similarity against
+    # the EXACT Jaccard over the same hashed-shingle universe. Reports
+    # candidate count and avg estimate / exact / absolute error — the
+    # numbers that justify the banded-LSH thresholds.
+    docs = _read(spark, sf_dir, "documents").filter("doc_id < 200")
+    sigs = D.minhash_signatures_md5(
+        docs, "text", "doc_id", num_hashes=32, shingle_size=5
+    )
+    cand = D.minhash_lsh_candidates(
+        sigs, "doc_id", bands=8, min_signature_similarity=0.0,
+        num_hashes=32,
+    )
+    M = (1 << 31) - 1
+    ex = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))
+                ),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.col("text").substr(i, F.lit(5))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % M,
+            )
+        ).alias("hm"),
+    ).distinct()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsz"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), F.col("a.hm") == F.col("b.hm"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    exact = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "nsz", "nsz_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "exact_jac",
+            F.coalesce(F.col("i"), F.lit(0)).cast("double")
+            / (
+                F.col("nsz") + F.col("nsz_b")
+                - F.coalesce(F.col("i"), F.lit(0))
+            ).cast("double"),
+        )
+    )
+    return exact.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("signature_similarity"), 6).alias("avg_estimate"),
+        F.round(F.avg("exact_jac"), 6).alias("avg_exact"),
+        F.round(
+            F.avg(F.abs(F.col("signature_similarity") - F.col("exact_jac"))),
+            6,
+        ).alias("avg_abs_error"),
+    )
+
+
 def q_bpe_fertility(spark, sf_dir):
     # Tokenizer fertility (subword tokens per word) per language under
     # the corpus-learned 6-merge BPE vocab — the metric tokenizer teams
@@ -2271,6 +2344,7 @@ QUERIES = {
     "recency_sample_stats": q_recency_sample_stats,
     "soft_dedup_weights": q_soft_dedup_weights,
     "bpe_fertility": q_bpe_fertility,
+    "minhash_estimator_error": q_minhash_estimator_error,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2798,6 +2872,70 @@ def _pii_redact_oracle_sql() -> str:
 
 
 ORACLES["pii_redacted_stats"] = _pii_redact_oracle_sql()
+def _minhash_error_oracle_sql(
+    num_hashes: int = 32, bands: int = 8, shingle: int = 5, seed: int = 42
+) -> str:
+    coeffs = D.minhash_coefficients(num_hashes, seed)
+    M = (1 << 31) - 1
+    mins = ",\n                 ".join(
+        f"min(({a} * hm + {b}) % {M}) AS s{p}"
+        for p, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_conds = "\n             OR ".join(
+        "("
+        + " AND ".join(
+            f"a.s{b * rpb + j} = b.s{b * rpb + j}" for j in range(rpb)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    agree = "\n               + ".join(
+        f"(CASE WHEN a.s{p} = b.s{p} THEN 1 ELSE 0 END)"
+        for p in range(num_hashes)
+    )
+    return f"""
+    WITH ex AS (
+      SELECT doc_id,
+             unnest(list_transform(
+                 range(1, greatest(length(text) - {shingle - 1}, 1) + 1),
+                 i -> ('0x' || substr(md5(substr(text, i, {shingle})),
+                                      1, 15))::BIGINT % {M}
+             )) AS hm
+      FROM documents WHERE doc_id < 200
+    ),
+    sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+    exd AS (SELECT DISTINCT doc_id, hm FROM ex),
+    sz AS (SELECT doc_id, count(*) AS n FROM exd GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST({agree} AS DOUBLE) / {num_hashes} AS est
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_conds})
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM exd a JOIN exd b ON a.hm = b.hm AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT c.id_a, c.id_b, c.est,
+             CAST(coalesce(i.i, 0) AS DOUBLE)
+               / CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE) AS ex_jac
+      FROM cand c
+      LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+      JOIN sz sa ON c.id_a = sa.doc_id
+      JOIN sz sb ON c.id_b = sb.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(est), 6) AS avg_estimate,
+           round(avg(ex_jac), 6) AS avg_exact,
+           round(avg(abs(est - ex_jac)), 6) AS avg_abs_error
+    FROM j
+    """
+
+
+ORACLES["minhash_estimator_error"] = _minhash_error_oracle_sql()
+
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
 ORACLES["bpe_tokenized_stats"] = _bpe_oracle_sql(mode="apply")
 ORACLES["bpe_fertility"] = _bpe_oracle_sql(mode="fertility")
