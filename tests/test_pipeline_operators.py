@@ -1291,3 +1291,32 @@ class TestSoftDedupWeights:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         w = P.soft_dedup_weights(docs, pairs, "doc_id").collect()
         assert all(r["dedup_weight"] == 1.0 for r in w)
+
+
+class TestCharEntropy:
+    def test_known_values(self, spark):
+        import math
+
+        from tumult_analytics_spark.operators.text import char_entropy
+
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r["char_entropy"]
+            for r in char_entropy(df, "text").collect()
+        }
+        assert rows[1] == 0.0
+        assert rows[2] == pytest.approx(1.0)
+        assert rows[3] == pytest.approx(2.0)
+        assert rows[4] == 0.0 and rows[5] is None
+        # natural-ish text sits between spam and uniform
+        nat = char_entropy(
+            spark.createDataFrame(
+                [(1, "the quick brown fox jumps over the lazy dog")],
+                "doc_id long, text string",
+            ),
+            "text",
+        ).collect()[0]["char_entropy"]
+        assert 3.0 < nat < 5.0

@@ -76,6 +76,7 @@ from .text import (
     bigram_logprob_score,
     bpe_ish_token_count,
     canonicalize_urls,
+    char_entropy,
     document_fingerprint,
     hashed_doc_vectors,
     language_id,

@@ -1154,6 +1154,19 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_char_entropy_stats(spark, sf_dir):
+    # Character-entropy quality signal: per-lang doc counts and average
+    # bits/char (rounded per doc so the float accumulation order the
+    # kernel and the SQL oracle share survives the comparison).
+    docs = _read(spark, sf_dir, "documents")
+    e = X.char_entropy(docs, "text")
+    return e.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.round("char_entropy", 6)), 4).alias("avg_entropy"),
+        F.round(F.min(F.round("char_entropy", 6)), 4).alias("min_entropy"),
+    )
+
+
 def q_minhash_estimator_error(spark, sf_dir):
     # Self-evaluation of the MinHash estimator: for every band-colliding
     # pair (docs < 200), compare signature-agreement similarity against
@@ -2345,6 +2358,7 @@ QUERIES = {
     "soft_dedup_weights": q_soft_dedup_weights,
     "bpe_fertility": q_bpe_fertility,
     "minhash_estimator_error": q_minhash_estimator_error,
+    "char_entropy_stats": q_char_entropy_stats,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -2933,6 +2947,30 @@ def _minhash_error_oracle_sql(
     FROM j
     """
 
+
+ORACLES["char_entropy_stats"] = """
+    WITH cs AS (
+      SELECT lang,
+             string_split_regex(text, '') AS c,
+             length(text) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    e AS (
+      SELECT lang,
+        CASE WHEN n = 0 THEN 0.0 ELSE
+          round(-list_sum(list_transform(
+            list_sort(list_distinct(c)),
+            ch -> (CAST(len(list_filter(c, x -> x = ch)) AS DOUBLE) / n)
+                  * log2(CAST(len(list_filter(c, x -> x = ch)) AS DOUBLE)
+                         / n))), 6)
+        END AS h
+      FROM cs
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(h), 4) AS avg_entropy,
+           round(min(h), 4) AS min_entropy
+    FROM e GROUP BY lang
+"""
 
 ORACLES["minhash_estimator_error"] = _minhash_error_oracle_sql()
 

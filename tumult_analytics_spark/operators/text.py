@@ -583,6 +583,42 @@ def winnow_fingerprints(
     return df.withColumn(output_column, _udf(F.col(text_column)))
 
 
+def char_entropy(
+    df: DataFrame, text_column: str, output_column: str = "char_entropy"
+) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — the classic cheap gibberish detector: natural text
+    sits ~3.5-4.5 bits, repeated-character spam collapses toward 0,
+    random bytes push toward 8. Null text -> null; empty -> 0.0.
+
+    Arrow-batched numpy kernel (one bincount per doc); entropy terms
+    are accumulated over the SORTED distinct characters so a SQL oracle
+    summing `list_sort(list_distinct(...))` order reproduces the float
+    result (rounded to 6 decimals in the driver query).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ent_fn(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            if not t:
+                out.append(0.0)
+                continue
+            # np.unique sorts — matching the oracle's accumulation order
+            _, counts = np.unique(list(t), return_counts=True)
+            p = counts.astype(np.float64) / len(t)
+            out.append(float(-(p * np.log2(p)).sum()))
+        return pd.Series(out, dtype="float64")
+
+    _udf = pandas_udf(_ent_fn, "double")
+    return df.withColumn(output_column, _udf(F.col(text_column)))
+
+
 def canonicalize_urls(
     df: DataFrame,
     url_column: str,
