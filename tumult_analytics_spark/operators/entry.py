@@ -2060,6 +2060,78 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_streaming_sessionize_stats(spark, sf_dir):
+    # The custom stateful streaming operator (applyInPandasWithState
+    # sessionization) value-matched against the BATCH window
+    # formulation: real events arrive as micro-batch 1, a far-future
+    # sentinel event as micro-batch 2 pushes the watermark past every
+    # real session so they ALL close and emit; the sentinel's own
+    # (still-open) session is excluded. Shares sessionize_stats'
+    # oracle — the stateful stream must reproduce the batch windows
+    # exactly.
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.sessionize import sessionize_events
+
+    ev = _events_ts(spark, sf_dir).select(
+        "user_id", F.col("ts").alias("event_time"), "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="tas_stream_sess_")
+    stage = os.path.join(tmp, "events")
+    os.makedirs(stage)
+    sentinel = spark.createDataFrame(
+        [(999_999_999, "2035-01-01 00:00:00", 0.0)],
+        "user_id long, event_time string, value double",
+    ).select(
+        "user_id",
+        F.col("event_time").cast("timestamp").alias("event_time"),
+        "value",
+    )
+    for i, part in enumerate([ev, sentinel]):
+        p = os.path.join(stage, f"b{i}")
+        part.coalesce(1).write.parquet(p)
+        f = [x for x in os.listdir(p) if x.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"batch-{i}.parquet")
+        shutil.move(os.path.join(p, f), dst)
+        shutil.rmtree(p)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_time timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    sessions = sessionize_events(stream, gap="30 minutes")
+    name = f"tas_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name).filter("user_id != 999999999")
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    span_us = F.unix_micros("session_end") - F.unix_micros("session_start")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(
+            F.sum("n_events") / F.count(F.lit(1)), 6
+        ).alias("avg_events"),
+        F.max("n_events").alias("max_events"),
+        F.round(
+            F.sum(span_us) / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 3
+        ).alias("avg_span_sec"),
+    )
+
+
 def q_domain_capped_stats(spark, sf_dir):
     # Per-domain document cap (40 docs/source, md5-rank selection), then
     # per-source counts + kept characters. The sum over kept n_chars
@@ -2345,6 +2417,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "streaming_enriched_rollup": q_streaming_enriched_rollup,
+    "streaming_sessionize_stats": q_streaming_sessionize_stats,
     "event_props_stats": q_event_props_stats,
     "url_canon_stats": q_url_canon_stats,
     "bigram_lm_stats": q_bigram_lm_stats,
@@ -3551,6 +3624,9 @@ ORACLES["sessionize_stats"] = """
            round(sum(span_us) / (count(*) * 1000000.0), 3) AS avg_span_sec
     FROM per
 """
+
+# The stateful streaming formulation must reproduce the batch windows.
+ORACLES["streaming_sessionize_stats"] = ORACLES["sessionize_stats"]
 
 ORACLES["asof_join_gap"] = """
     WITH p AS (

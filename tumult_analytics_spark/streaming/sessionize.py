@@ -57,44 +57,69 @@ def sessionize_events(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.hasTimedOut:
-            start_us, end_us, n, v = state.get
-            state.remove()
-            yield pd.DataFrame(
+        import numpy as np
+
+        def frame(rows):
+            return pd.DataFrame(
                 {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(end_us, unit="us")],
-                    "n_events": [n],
-                    "total_value": [v],
+                    "user_id": [user_id] * len(rows),
+                    "session_start": [
+                        pd.Timestamp(r[0], unit="us") for r in rows
+                    ],
+                    "session_end": [
+                        pd.Timestamp(r[1], unit="us") for r in rows
+                    ],
+                    "n_events": [r[2] for r in rows],
+                    "total_value": [r[3] for r in rows],
                 }
             )
+
+        if state.hasTimedOut:
+            rec = state.get
+            state.remove()
+            yield frame([rec])
             return
-        start_us = end_us = None
-        n, v = 0, 0.0
-        if state.exists:
-            start_us, end_us, n, v = state.get
-        for pdf in pdfs:
-            ts = (pdf["event_time"].astype("int64") // 1000).to_numpy()
-            if len(ts) == 0:
-                continue
-            lo, hi = int(ts.min()), int(ts.max())
-            start_us = lo if start_us is None else min(start_us, lo)
-            end_us = hi if end_us is None else max(end_us, hi)
-            n += int(len(ts))
-            v += float(pdf["value"].fillna(0.0).sum())
-        if start_us is not None:
-            state.update((start_us, end_us, n, v))
-            state.setTimeoutTimestamp(end_us // 1000 + gap_us // 1000)
-        yield pd.DataFrame(
-            columns=[
-                "user_id",
-                "session_start",
-                "session_end",
-                "n_events",
-                "total_value",
-            ]
-        )
+        parts = [p for p in pdfs if len(p)]
+        closed = []
+        cur = list(state.get) if state.exists else None
+        if parts:
+            all_ts = np.concatenate(
+                [
+                    (p["event_time"].astype("int64") // 1000).to_numpy()
+                    for p in parts
+                ]
+            )
+            all_v = np.concatenate(
+                [p["value"].fillna(0.0).to_numpy(np.float64) for p in parts]
+            )
+            order = np.argsort(all_ts, kind="stable")
+            ts, vs = all_ts[order], all_v[order]
+            # split the SORTED batch on intra-batch gaps — a replayed
+            # history must produce the same sessions as the batch
+            # window formulation, not one mega-session per user
+            cut = np.flatnonzero(np.diff(ts) > gap_us) + 1
+            bounds = np.concatenate(([0], cut, [len(ts)]))
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                seg = (
+                    int(ts[s0]),
+                    int(ts[s1 - 1]),
+                    int(s1 - s0),
+                    float(vs[s0:s1].sum()),
+                )
+                if cur is None:
+                    cur = list(seg)
+                elif seg[0] - cur[1] > gap_us:
+                    closed.append(tuple(cur))
+                    cur = list(seg)
+                else:
+                    cur[0] = min(cur[0], seg[0])
+                    cur[1] = max(cur[1], seg[1])
+                    cur[2] += seg[2]
+                    cur[3] += seg[3]
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+        yield frame(closed)
 
     watermarked = stream.withWatermark("event_time", gap)
     return watermarked.groupBy("user_id").applyInPandasWithState(
