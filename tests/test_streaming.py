@@ -226,3 +226,115 @@ class TestStreamStaticEnrichment:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestSessionizeGapSplit:
+    def test_replayed_history_matches_batch_windows(self, spark, tmp_path):
+        import random
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from tumult_analytics_spark.streaming.sessionize import (
+            sessionize_events,
+        )
+
+        rng = random.Random(17)
+        base = 1_700_000_000_000_000  # us
+        rows = []
+        for user in range(6):
+            t = base + rng.randrange(0, 10**9)
+            for _ in range(rng.randrange(5, 40)):
+                # mixture of small steps and > gap jumps
+                t += rng.choice(
+                    [rng.randrange(1, 10**6), rng.randrange(2, 5) * 10**9]
+                )
+                rows.append((user, t, rng.random()))
+        df = spark.createDataFrame(
+            [(u, t, v) for u, t, v in rows], "user_id long, us long, value double"
+        ).select(
+            "user_id",
+            F.timestamp_micros(F.col("us")).alias("event_time"),
+            "value",
+        )
+        # batch truth: gap-split with the window formulation (30 min)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("event_time")
+        gap_us = 30 * 60 * 1_000_000
+        marked = df.withColumn(
+            "new",
+            (
+                F.coalesce(
+                    F.unix_micros("event_time")
+                    - F.unix_micros(F.lag("event_time").over(w)),
+                    F.lit(gap_us + 1),
+                )
+                > gap_us
+            ).cast("long"),
+        ).withColumn("sid", F.sum("new").over(w))
+        want = sorted(
+            (
+                r["user_id"],
+                r["start"],
+                r["end"],
+                r["n"],
+            )
+            for r in marked.groupBy("user_id", "sid")
+            .agg(
+                F.min(F.unix_micros("event_time")).alias("start"),
+                F.max(F.unix_micros("event_time")).alias("end"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        # stream replay: the full history in one micro-batch + sentinel
+        import shutil
+
+        stage = tmp_path / "ev"
+        stage.mkdir()
+        sentinel = spark.createDataFrame(
+            [(999, base + 10**12, 0.0)], "user_id long, us long, value double"
+        ).select(
+            "user_id",
+            F.timestamp_micros(F.col("us")).alias("event_time"),
+            "value",
+        )
+        for i, part in enumerate([df, sentinel]):
+            p = tmp_path / f"b{i}"
+            part.coalesce(1).write.parquet(str(p))
+            f = [x for x in p.iterdir() if x.name.endswith(".parquet")][0]
+            dst = stage / f"batch-{i}.parquet"
+            shutil.move(str(f), str(dst))
+            import os as _os
+
+            _os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_time timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage))
+        )
+        name = f"sess_prop_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessionize_events(stream, gap="30 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            (
+                r["user_id"],
+                int(r["session_start"].timestamp() * 1_000_000),
+                int(r["session_end"].timestamp() * 1_000_000),
+                r["n_events"],
+            )
+            for r in spark.table(name).collect()
+            if r["user_id"] != 999
+        )
+        assert got == want
