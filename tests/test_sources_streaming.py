@@ -342,3 +342,39 @@ class TestZorderKey:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestProfileColumns:
+    def test_single_pass_profile(self, spark):
+        import pytest as _pytest
+
+        from tumult_analytics_spark.sources import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "bb"), (None, "a")],
+            "k long, s string",
+        )
+        rows = {
+            r["column"]: r for r in profile_columns(df, ["k", "s"]).collect()
+        }
+        assert rows["k"]["n_rows"] == 4
+        assert rows["k"]["n_nulls"] == 1
+        assert rows["k"]["n_distinct"] == 2
+        assert rows["s"]["n_nulls"] == 1
+        assert rows["s"]["n_distinct"] == 2
+        assert rows["s"]["avg_len"] == pytest.approx((1 + 2 + 1) / 3)
+        with _pytest.raises(ValueError):
+            profile_columns(df, [])
+        with _pytest.raises(ValueError):
+            profile_columns(df, ["nope"])
+
+    def test_one_aggregation_pass(self, spark):
+        from tumult_analytics_spark.sources import profile_columns
+
+        df = spark.createDataFrame([(1, "a")], "k long, s string")
+        plan = (
+            profile_columns(df, ["k", "s"])
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        # a per-column-jobs formulation would show one scan per column
+        assert plan.count("LogicalRDD") <= 2

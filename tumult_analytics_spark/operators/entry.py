@@ -1154,6 +1154,20 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_column_profile(spark, sf_dir):
+    # One-pass data-quality profile of the orders table (null counts,
+    # exact distincts, avg string-cast length per column) — the
+    # ANALYZE/deequ-style report stored next to a table after ingest.
+    # Integer/string columns only: float string-casts are not
+    # engine-portable.
+    from ..sources import profile_columns
+
+    orders = _read(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
 def q_char_entropy_stats(spark, sf_dir):
     # Character-entropy quality signal: per-lang doc counts and average
     # bits/char (rounded per doc so the float accumulation order the
@@ -2432,6 +2446,7 @@ QUERIES = {
     "bpe_fertility": q_bpe_fertility,
     "minhash_estimator_error": q_minhash_estimator_error,
     "char_entropy_stats": q_char_entropy_stats,
+    "column_profile": q_column_profile,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -3020,6 +3035,24 @@ def _minhash_error_oracle_sql(
     FROM j
     """
 
+
+def _profile_oracle_sql(cols) -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column",
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nulls,
+          CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+          round(avg(length(CAST({c} AS VARCHAR))), 6) AS avg_len
+        FROM orders"""
+        for c in cols
+    ]
+    return "\n        UNION ALL ".join(parts)
+
+
+ORACLES["column_profile"] = _profile_oracle_sql(
+    ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+)
 
 ORACLES["char_entropy_stats"] = """
     WITH cs AS (

@@ -10,6 +10,7 @@ pushdown and partition pruning on the way in.
 
 from .readers import (
     compact_table,
+    profile_columns,
     read_table,
     read_warehouse_table,
     session_from_files,
@@ -18,6 +19,7 @@ from .readers import (
 )
 
 __all__ = [
+    "profile_columns",
     "compact_table",
     "read_table",
     "read_warehouse_table",

@@ -233,3 +233,54 @@ def compact_table(
         raise
     shutil.rmtree(old)
     return n_files
+
+
+def profile_columns(df, columns):
+    """Deequ-style data-quality profile in ONE aggregation pass: for
+    each requested column a struct of (n_rows, n_nulls, n_distinct,
+    avg_len) is computed as plain aggregate expressions — no per-column
+    jobs, no collect loops; the output is one row per column
+    (long-format), sized O(#columns).
+
+    ``avg_len`` is the average string-cast length of non-null values
+    (rounded to 6); ``n_distinct`` is exact (count(DISTINCT col)). At
+    100 TB this is the profile you run ONCE after ingest and store next
+    to the table; every expression is partial-aggregatable so the pass
+    is one shuffle of combiner state, not data.
+    """
+    from pyspark.sql import functions as F
+
+    if not columns:
+        raise ValueError("columns must not be empty")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    aggs = []
+    for c in columns:
+        aggs.extend(
+            [
+                F.count(F.lit(1)).alias(f"__{c}_rows__"),
+                F.sum(F.col(c).isNull().cast("long")).alias(
+                    f"__{c}_nulls__"
+                ),
+                F.countDistinct(F.col(c)).alias(f"__{c}_distinct__"),
+                F.round(
+                    F.avg(F.length(F.col(c).cast("string"))), 6
+                ).alias(f"__{c}_avglen__"),
+            ]
+        )
+    row = df.agg(*aggs)
+    parts = [
+        row.select(
+            F.lit(c).alias("column"),
+            F.col(f"__{c}_rows__").cast("long").alias("n_rows"),
+            F.col(f"__{c}_nulls__").cast("long").alias("n_nulls"),
+            F.col(f"__{c}_distinct__").cast("long").alias("n_distinct"),
+            F.col(f"__{c}_avglen__").alias("avg_len"),
+        )
+        for c in columns
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
