@@ -293,6 +293,31 @@ def test_plan_shape_stable_across_shuffle_partitions(spark, shuffle_partitions):
         )
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+        # Family: Bloom decontamination — the fixed-size position set
+        # broadcasts; corpus position rows never sort-merge.
+        from tumult_analytics_spark.operators.pipeline import (
+            bloom_contamination,
+            bloom_filter_build,
+            length_bucketed_batches,
+        )
+
+        bloom = bloom_filter_build(bench, "text", n=3)
+        plan = _plan(
+            bloom_contamination(docs, bloom, "text", "doc_id", n=3)
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+        # Family: length-bucketed batching — exactly one data shuffle
+        # (the (shard, bucket) window) at any partition setting.
+        from tumult_analytics_spark.operators.text import token_count
+
+        tc = token_count(docs, "text")
+        plan = _plan(
+            length_bucketed_batches(tc, "n_tokens", batch_size=8)
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
