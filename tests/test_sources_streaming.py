@@ -378,3 +378,29 @@ class TestProfileColumns:
         )
         # a per-column-jobs formulation would show one scan per column
         assert plan.count("LogicalRDD") <= 2
+
+
+class TestObserveStage:
+    def test_metrics_ride_the_action(self, spark):
+        from pyspark.sql import functions as F
+
+        from tumult_analytics_spark.utils import observe_stage
+
+        df = spark.range(100).withColumn("v", F.col("id") % 10)
+        staged, obs = observe_stage(
+            df, "ingest",
+            n_rows=F.count(F.lit(1)),
+            sum_v=F.sum("v"),
+        )
+        kept = staged.filter("v < 5")
+        assert kept.count() == 50
+        got = obs.get
+        assert got["n_rows"] == 100  # measured pre-filter, same job
+        assert got["sum_v"] == 450
+
+    def test_default_rowcount(self, spark):
+        from tumult_analytics_spark.utils import observe_stage
+
+        staged, obs = observe_stage(spark.range(7), "s")
+        staged.count()
+        assert obs.get["n_rows"] == 7

@@ -218,3 +218,24 @@ def zorder_key(columns: Sequence["F.Column"], bits: int = 16) -> "F.Column":
             bit = F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1))
             key = key + (bit * F.lit(1 << (b * k + c))).cast("long")
     return key
+
+
+def observe_stage(df: DataFrame, name: str, **metrics) -> tuple:
+    """Attach free pipeline metrics to a DataFrame stage via Spark's
+    Observation API: ``metrics`` maps metric name -> aggregate Column
+    (default: a plain row count). Returns ``(df, observation)``; after
+    ANY action on the returned frame, ``observation.get`` yields the
+    metric values — measured during the action itself, with no second
+    pass over the data.
+
+    This is how a 100 TB pipeline reports per-stage row counts and
+    filter drop rates without count() re-scans: the metrics ride the
+    same job. One observation per stage name per query.
+    """
+    from pyspark.sql import Observation
+
+    if not metrics:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation(name)
+    out = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    return out, obs
