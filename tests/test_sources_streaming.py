@@ -404,3 +404,40 @@ class TestObserveStage:
         staged, obs = observe_stage(spark.range(7), "s")
         staged.count()
         assert obs.get["n_rows"] == 7
+
+
+class TestNumericSummary:
+    def test_known_percentiles(self, spark):
+        import pytest as _pytest
+
+        from tumult_analytics_spark.sources import numeric_summary
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1, 11)], "v double"
+        )
+        r = numeric_summary(
+            df, "v", percentiles=(0.0, 0.5, 1.0)
+        ).collect()[0]
+        assert r["n"] == 10 and r["min"] == 1.0 and r["max"] == 10.0
+        assert r["p00"] == 1.0 and r["p100"] == 10.0
+        # type-7: p50 of 1..10 = 5.5
+        assert r["p50"] == 5.5
+        assert r["mean"] == 5.5
+        with _pytest.raises(ValueError):
+            numeric_summary(df, "v", percentiles=())
+        with _pytest.raises(ValueError):
+            numeric_summary(df, "v", percentiles=(1.5,))
+
+    def test_grouped_single_pass(self, spark):
+        from tumult_analytics_spark.sources import numeric_summary
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 10.0)], "g string, v double"
+        )
+        rows = {r["g"]: r for r in numeric_summary(df, "v", ("g",)).collect()}
+        assert rows["a"]["mean"] == 2.0 and rows["b"]["n"] == 1
+        plan = (
+            numeric_summary(df, "v", ("g",))
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert plan.count("LogicalRDD") == 1  # one scan, one pass

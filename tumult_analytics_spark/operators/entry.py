@@ -1154,6 +1154,17 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_numeric_summary(spark, sf_dir):
+    # Per-group exact distribution summary (type-7 percentiles — the
+    # same interpolation as DuckDB quantile_cont) in one pass.
+    from ..sources import numeric_summary
+
+    li = _read(spark, sf_dir, "lineitem")
+    return numeric_summary(
+        li, "l_quantity", group_columns=("l_returnflag",)
+    )
+
+
 def q_column_profile(spark, sf_dir):
     # One-pass data-quality profile of the orders table (null counts,
     # exact distincts, avg string-cast length per column) — the
@@ -2447,6 +2458,7 @@ QUERIES = {
     "minhash_estimator_error": q_minhash_estimator_error,
     "char_entropy_stats": q_char_entropy_stats,
     "column_profile": q_column_profile,
+    "numeric_summary": q_numeric_summary,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -3049,6 +3061,19 @@ def _profile_oracle_sql(cols) -> str:
     ]
     return "\n        UNION ALL ".join(parts)
 
+
+ORACLES["numeric_summary"] = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_quantity), 6) AS mean,
+           round(stddev_samp(l_quantity), 6) AS stddev,
+           min(l_quantity) AS "min",
+           max(l_quantity) AS "max",
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+           round(quantile_cont(l_quantity, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+"""
 
 ORACLES["column_profile"] = _profile_oracle_sql(
     ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]

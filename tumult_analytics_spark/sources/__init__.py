@@ -10,6 +10,7 @@ pushdown and partition pruning on the way in.
 
 from .readers import (
     compact_table,
+    numeric_summary,
     profile_columns,
     read_table,
     read_warehouse_table,
@@ -19,6 +20,7 @@ from .readers import (
 )
 
 __all__ = [
+    "numeric_summary",
     "profile_columns",
     "compact_table",
     "read_table",

@@ -284,3 +284,42 @@ def profile_columns(df, columns):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def numeric_summary(
+    df,
+    value_column,
+    group_columns=(),
+    percentiles=(0.5, 0.9, 0.99),
+):
+    """Per-group numeric distribution summary in ONE aggregation pass:
+    count, mean, sample stddev, min, max, and EXACT percentiles
+    (Spark's ``percentile`` — type-7 linear interpolation, the same
+    definition as DuckDB's ``quantile_cont`` and numpy's default, so
+    results are engine-portable bit-for-bit on identical input).
+
+    The percentile list is evaluated as one array aggregate, not one
+    job per quantile. Exact percentiles sort within groups — right for
+    profile/report queries; use ``percentile_approx`` in hot paths at
+    the 100 TB scale where a bounded-memory sketch is the point.
+    """
+    from pyspark.sql import functions as F
+
+    if not percentiles:
+        raise ValueError("percentiles must not be empty")
+    if any(not 0.0 <= p <= 1.0 for p in percentiles):
+        raise ValueError("percentiles must be in [0, 1]")
+    plist = ", ".join(repr(float(p)) for p in percentiles)
+    parr = F.expr(f"percentile({value_column}, array({plist}))")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(value_column), 6).alias("mean"),
+        F.round(F.stddev_samp(value_column), 6).alias("stddev"),
+        F.min(value_column).alias("min"),
+        F.max(value_column).alias("max"),
+    ] + [
+        F.round(parr[i], 6).alias(f"p{int(p * 100):02d}")
+        for i, p in enumerate(percentiles)
+    ]
+    base = df.groupBy(*group_columns) if group_columns else df.groupBy()
+    return base.agg(*aggs)
