@@ -441,3 +441,26 @@ class TestNumericSummary:
             ._jdf.queryExecution().optimizedPlan().toString()
         )
         assert plan.count("LogicalRDD") == 1  # one scan, one pass
+
+
+class TestCorrelationMatrix:
+    def test_pairs_and_values(self, spark):
+        import pytest as _pytest
+
+        from tumult_analytics_spark.sources import correlation_matrix
+
+        df = spark.createDataFrame(
+            [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0)],
+            "x double, y double, z double",
+        )
+        rows = {
+            (r["col_a"], r["col_b"]): r["corr"]
+            for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+        }
+        assert set(rows) == {("x", "y"), ("x", "z"), ("y", "z")}
+        assert rows[("x", "y")] == pytest.approx(1.0)
+        assert rows[("x", "z")] == pytest.approx(-1.0)
+        with _pytest.raises(ValueError):
+            correlation_matrix(df, ["x"])
+        with _pytest.raises(ValueError):
+            correlation_matrix(df, ["x", "nope"])

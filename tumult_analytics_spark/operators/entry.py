@@ -1154,6 +1154,17 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_corr_matrix(spark, sf_dir):
+    # Pairwise Pearson correlations of four lineitem measures in one
+    # aggregation pass, long-format. Sample corr matches DuckDB's.
+    from ..sources import correlation_matrix
+
+    li = _read(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_numeric_summary(spark, sf_dir):
     # Per-group exact distribution summary (type-7 percentiles — the
     # same interpolation as DuckDB quantile_cont) in one pass.
@@ -2459,6 +2470,7 @@ QUERIES = {
     "char_entropy_stats": q_char_entropy_stats,
     "column_profile": q_column_profile,
     "numeric_summary": q_numeric_summary,
+    "corr_matrix": q_corr_matrix,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -3061,6 +3073,14 @@ def _profile_oracle_sql(cols) -> str:
     ]
     return "\n        UNION ALL ".join(parts)
 
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+ORACLES["corr_matrix"] = "\nUNION ALL ".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+        round(corr({a}, {b}), 6) AS corr FROM lineitem"""
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]
+)
 
 ORACLES["numeric_summary"] = """
     SELECT l_returnflag,

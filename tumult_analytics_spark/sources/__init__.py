@@ -10,6 +10,7 @@ pushdown and partition pruning on the way in.
 
 from .readers import (
     compact_table,
+    correlation_matrix,
     numeric_summary,
     profile_columns,
     read_table,
@@ -20,6 +21,7 @@ from .readers import (
 )
 
 __all__ = [
+    "correlation_matrix",
     "numeric_summary",
     "profile_columns",
     "compact_table",

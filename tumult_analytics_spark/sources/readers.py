@@ -323,3 +323,42 @@ def numeric_summary(
     ]
     base = df.groupBy(*group_columns) if group_columns else df.groupBy()
     return base.agg(*aggs)
+
+
+def correlation_matrix(df, columns):
+    """All pairwise Pearson correlations of ``columns`` in ONE
+    aggregation pass (n*(n-1)/2 ``corr`` aggregates evaluated together,
+    not one job per pair), emitted long-format: (col_a, col_b, corr)
+    with col_a < col_b in the given order. Sample correlation — the
+    same definition DuckDB's ``corr`` computes, so results are
+    engine-portable (rounded to 6).
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    row = df.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"__c_{i}__")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    parts = [
+        row.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__c_{i}__").alias("corr"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
