@@ -269,3 +269,95 @@ class TestTemporalPlanShape:
         assert ("SortMergeJoin" in plan) or ("HashedRelation" in plan) or (
             "HashJoin" in plan
         )
+
+
+class TestFunnelConversion:
+    def _ev(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "user_id long, us long, event_type string"
+        ).select(
+            "user_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "event_type",
+        )
+
+    def test_strict_order_and_window(self, spark):
+        from tumult_analytics_spark.operators.temporal import (
+            funnel_conversion,
+        )
+
+        H = 3_600_000_000
+        ev = self._ev(
+            spark,
+            [
+                # user 1: full funnel in order
+                (1, 0 * H, "a"), (1, 1 * H, "b"), (1, 2 * H, "c"),
+                # user 2: b BEFORE a -> doesn't count
+                (2, 0 * H, "b"), (2, 1 * H, "a"),
+                # user 3: b too late (outside window)
+                (3, 0 * H, "a"), (3, 50 * H, "b"),
+                # user 4: never does step 1
+                (4, 0 * H, "b"), (4, 1 * H, "c"),
+            ],
+        )
+        out = {
+            r["user_id"]: r["steps_completed"]
+            for r in funnel_conversion(
+                ev, "user_id", "ts", "event_type",
+                steps=("a", "b", "c"), within_seconds=10 * 3600.0,
+            ).collect()
+        }
+        assert out == {1: 3, 2: 1, 3: 1, 4: 0}
+
+    def test_anchor_is_earliest_step1(self, spark):
+        from tumult_analytics_spark.operators.temporal import (
+            funnel_conversion,
+        )
+
+        H = 3_600_000_000
+        # second 'a' would put 'b' in window, but the anchor is the FIRST
+        ev = self._ev(
+            spark, [(1, 0 * H, "a"), (1, 20 * H, "a"), (1, 21 * H, "b")]
+        )
+        out = funnel_conversion(
+            ev, "user_id", "ts", "event_type",
+            steps=("a", "b"), within_seconds=5 * 3600.0,
+        ).collect()[0]
+        assert out["steps_completed"] == 1
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tumult_analytics_spark.operators.temporal import (
+            funnel_conversion,
+        )
+
+        ev = self._ev(spark, [(1, 0, "a")])
+        with _pytest.raises(ValueError):
+            funnel_conversion(ev, "user_id", "ts", "event_type", ("a",), 1.0)
+
+
+class TestRetentionCohorts:
+    def test_cohort_table(self, spark):
+        from pyspark.sql import functions as F
+
+        from tumult_analytics_spark.operators.temporal import (
+            retention_cohorts,
+        )
+
+        D = 86_400_000_000
+        ev = spark.createDataFrame(
+            [
+                (1, 0 * D), (1, 8 * D),          # cohort 0, weeks 0 and 1
+                (2, 7 * D), (2, 21 * D),         # cohort 1, weeks 0 and 2
+                (3, 1 * D),                       # cohort 0, week 0 only
+            ],
+            "user_id long, us long",
+        ).select("user_id", F.timestamp_micros(F.col("us")).alias("ts"))
+        rows = {
+            (r["cohort_period"], r["period_offset"]): r["n_active_users"]
+            for r in retention_cohorts(ev, "user_id", "ts").collect()
+        }
+        assert rows == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}

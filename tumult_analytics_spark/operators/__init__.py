@@ -61,7 +61,13 @@ from .pipeline import (
     sliding_chunks,
     stratified_sample,
 )
-from .temporal import asof_join, sessionize, time_range_join
+from .temporal import (
+    asof_join,
+    funnel_conversion,
+    retention_cohorts,
+    sessionize,
+    time_range_join,
+)
 from .similarity import (
     AnnIndex,
     brute_force_cosine_topk,

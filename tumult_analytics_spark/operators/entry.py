@@ -1154,6 +1154,34 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_funnel_stats(spark, sf_dir):
+    # Product-analytics funnel: signup -> purchase -> click, each step
+    # strictly after the previous and within 7 days of the user's first
+    # signup; distribution of steps completed. Oracle walks the same
+    # strictly-sequential min-chain in SQL.
+    from . import temporal as TP
+
+    ev = _events_ts(spark, sf_dir)
+    f = TP.funnel_conversion(
+        ev, "user_id", "ts", "event_type",
+        steps=("signup", "purchase", "click"),
+        within_seconds=7 * 86400.0,
+    )
+    return f.groupBy("steps_completed").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    # Weekly retention cohorts: users grouped by first-seen week,
+    # distinct active users per (cohort, week offset). Two aggregations
+    # and a join, no Python.
+    from . import temporal as TP
+
+    ev = _events_ts(spark, sf_dir)
+    return TP.retention_cohorts(ev, "user_id", "ts")
+
+
 def q_corr_matrix(spark, sf_dir):
     # Pairwise Pearson correlations of four lineitem measures in one
     # aggregation pass, long-format. Sample corr matches DuckDB's.
@@ -2471,6 +2499,8 @@ QUERIES = {
     "column_profile": q_column_profile,
     "numeric_summary": q_numeric_summary,
     "corr_matrix": q_corr_matrix,
+    "funnel_stats": q_funnel_stats,
+    "retention_cohorts": q_retention_cohorts,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
@@ -3073,6 +3103,60 @@ def _profile_oracle_sql(cols) -> str:
     ]
     return "\n        UNION ALL ".join(parts)
 
+
+_W7 = 7 * 86400 * 1_000_000
+ORACLES["funnel_stats"] = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+    ),
+    s1 AS (
+      SELECT user_id, min(us) AS t0 FROM e
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.us) AS t2 FROM e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.us > s1.t0
+        AND e.us <= s1.t0 + {_W7}
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.us) AS t3
+      FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.us > s2.t2
+        AND e.us <= s1.t0 + {_W7}
+      GROUP BY e.user_id
+    ),
+    users AS (SELECT DISTINCT user_id FROM e),
+    per AS (
+      SELECT u.user_id,
+        CASE WHEN s3.user_id IS NOT NULL THEN 3
+             WHEN s2.user_id IS NOT NULL THEN 2
+             WHEN s1.user_id IS NOT NULL THEN 1
+             ELSE 0 END AS sc
+      FROM users u
+      LEFT JOIN s1 ON u.user_id = s1.user_id
+      LEFT JOIN s2 ON u.user_id = s2.user_id
+      LEFT JOIN s3 ON u.user_id = s3.user_id
+    )
+    SELECT CAST(sc AS INTEGER) AS steps_completed,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per GROUP BY sc
+"""
+
+ORACLES["retention_cohorts"] = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / (604800.0 * 1000000)) AS BIGINT)
+               AS p
+      FROM events
+    ),
+    first AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY user_id)
+    SELECT f.cohort AS cohort_period,
+           e.p - f.cohort AS period_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+    FROM e JOIN first f USING (user_id)
+    GROUP BY 1, 2
+"""
 
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 ORACLES["corr_matrix"] = "\nUNION ALL ".join(

@@ -39,7 +39,13 @@ from typing import List, Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "asof_join", "time_range_join"]
+__all__ = [
+    "sessionize",
+    "asof_join",
+    "time_range_join",
+    "funnel_conversion",
+    "retention_cohorts",
+]
 
 
 def sessionize(
@@ -206,3 +212,104 @@ def time_range_join(
         j = j.drop(r2[k])
     delta = F.unix_micros(F.col(ren[right_ts])) - F.unix_micros(F.col(left_ts))
     return j.filter((delta >= lo_us) & (delta <= hi_us))
+
+
+def funnel_conversion(
+    events: DataFrame,
+    user_column: str,
+    ts_column: str,
+    type_column: str,
+    steps,
+    within_seconds: float,
+) -> DataFrame:
+    """Classic funnel analysis: for each user, walk ``steps`` (event
+    types) in order — each step must occur strictly AFTER the previous
+    completed step and within ``within_seconds`` of the FIRST step.
+    Returns one row per user with ``steps_completed`` (0..len(steps))
+    and ``t0`` (the anchoring first-step time; null when step 1 never
+    happened). The anchor is the user's EARLIEST step-1 event.
+
+    Plan shape: one groupBy(user).applyInPandas — the per-user event
+    list sorts in the kernel (users' event counts are small; the heavy
+    lifting is the single shuffle). A pure-Catalyst min/filter chain
+    would need one pass per step; this is one pass total and expresses
+    the strictly-sequential semantics exactly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("need at least two funnel steps")
+    within_us = int(within_seconds * 1_000_000)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user", T.LongType(), True),
+            T.StructField("steps_completed", T.IntegerType(), True),
+            T.StructField("t0_us", T.LongType(), True),
+        ]
+    )
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (user,) = key
+        ts = (pdf[ts_column].astype("int64") // 1000).to_numpy()
+        et = pdf[type_column].to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts, et = ts[order], et[order]
+        first = ts[et == steps[0]]
+        if len(first) == 0:
+            return pd.DataFrame(
+                {"user": [user], "steps_completed": [0], "t0_us": [None]}
+            )
+        t0 = int(first.min())
+        done, cur = 1, t0
+        for step in steps[1:]:
+            nxt = ts[(et == step) & (ts > cur) & (ts <= t0 + within_us)]
+            if len(nxt) == 0:
+                break
+            cur = int(nxt.min())
+            done += 1
+        return pd.DataFrame(
+            {"user": [user], "steps_completed": [done], "t0_us": [t0]}
+        )
+
+    return (
+        events.select(
+            F.col(user_column), F.col(ts_column), F.col(type_column)
+        )
+        .groupBy(user_column)
+        .applyInPandas(fn, out_schema)
+        .withColumnRenamed("user", user_column)
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_column: str,
+    ts_column: str,
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Retention-cohort table: each user's cohort is the period of
+    their FIRST event; for every (cohort, period_offset) the number of
+    distinct cohort users active in that period. Pure Catalyst — two
+    aggregations (first-seen per user; distinct users per cell) and a
+    broadcast-friendly join, no Python.
+    """
+    if period_seconds <= 0:
+        raise ValueError("period_seconds must be > 0")
+    per = F.lit(int(period_seconds) * 1_000_000)
+    ev = events.select(
+        F.col(user_column).alias("__u__"),
+        F.floor(F.unix_micros(F.col(ts_column)) / per).alias("__p__"),
+    )
+    first = ev.groupBy("__u__").agg(F.min("__p__").alias("__cohort__"))
+    return (
+        ev.join(first, "__u__")
+        .groupBy(
+            F.col("__cohort__").alias("cohort_period"),
+            (F.col("__p__") - F.col("__cohort__")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("__u__").alias("n_active_users"))
+    )
