@@ -464,3 +464,22 @@ class TestCorrelationMatrix:
             correlation_matrix(df, ["x"])
         with _pytest.raises(ValueError):
             correlation_matrix(df, ["x", "nope"])
+
+
+class TestAbTestSummary:
+    def test_known_t(self, spark):
+        import math
+
+        from tumult_analytics_spark.sources import ab_test_summary
+
+        rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0]] + [
+            ("b", v) for v in [2.0, 4.0, 6.0]
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ab_test_summary(df, "g", "v", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"]) == (4, 3)
+        assert r["mean_a"] == 2.5 and r["mean_b"] == 4.0
+        sa2 = sum((x - 2.5) ** 2 for x in [1, 2, 3, 4]) / 3
+        sb2 = sum((x - 4.0) ** 2 for x in [2, 4, 6]) / 2
+        t = (2.5 - 4.0) / math.sqrt(sa2 / 4 + sb2 / 3)
+        assert r["t_stat"] == pytest.approx(round(t, 6))

@@ -1154,6 +1154,57 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_dhash_dedup(spark, sf_dir):
+    # Image near-dup dedup by exact dHash bucket: images whose 9x8
+    # gradient grids agree collapse to the smallest doc_id. Payload
+    # widths cycle mod 7 while the grid samples mod 9 columns, so
+    # DIFFERENT source sizes can produce identical grids — real
+    # perceptual collisions, not just byte-identical images.
+    from . import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .filter("doc_id < 400")
+    )
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_ppm(
+                    9 + int(d) % 7, 8 + int(d) % 5, int(d) % 50
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_img = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields
+            + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    h = M.dhash_images(with_img, "payload")
+    keep = h.groupBy("dhash").agg(F.min("doc_id").alias("doc_id"))
+    kept = h.join(keep, ["dhash", "doc_id"])
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("dhash").alias("n_hashes"),
+    )
+
+
+def q_ab_test(spark, sf_dir):
+    # Welch's t readout comparing click vs view event values in one
+    # conditional-aggregate pass; SQL replays the identical arithmetic.
+    from ..sources import ab_test_summary
+
+    ev = _read(spark, sf_dir, "events")
+    return ab_test_summary(ev, "event_type", "value", "click", "view")
+
+
 def q_funnel_stats(spark, sf_dir):
     # Product-analytics funnel: signup -> purchase -> click, each step
     # strictly after the previous and within 7 days of the user's first
@@ -2486,6 +2537,7 @@ QUERIES = {
     "url_canon_stats": q_url_canon_stats,
     "bigram_lm_stats": q_bigram_lm_stats,
     "dhash_stats": q_dhash_stats,
+    "dhash_dedup": q_dhash_dedup,
     "zorder_stats": q_zorder_stats,
     "cms_token_counts": q_cms_token_counts,
     "rollup_counts": q_rollup_counts,
@@ -2500,6 +2552,7 @@ QUERIES = {
     "numeric_summary": q_numeric_summary,
     "corr_matrix": q_corr_matrix,
     "funnel_stats": q_funnel_stats,
+    "ab_test": q_ab_test,
     "retention_cohorts": q_retention_cohorts,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
@@ -3104,6 +3157,25 @@ def _profile_oracle_sql(cols) -> str:
     return "\n        UNION ALL ".join(parts)
 
 
+ORACLES["ab_test"] = """
+    WITH r AS (
+      SELECT
+        count(CASE WHEN event_type = 'click' THEN value END) AS n_a,
+        count(CASE WHEN event_type = 'view' THEN value END) AS n_b,
+        avg(CASE WHEN event_type = 'click' THEN value END) AS mean_a,
+        avg(CASE WHEN event_type = 'view' THEN value END) AS mean_b,
+        stddev_samp(CASE WHEN event_type = 'click' THEN value END) AS sd_a,
+        stddev_samp(CASE WHEN event_type = 'view' THEN value END) AS sd_b
+      FROM events
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b)
+                 / sqrt((sd_a * sd_a) / n_a + (sd_b * sd_b) / n_b), 6)
+             AS t_stat
+    FROM r
+"""
+
 _W7 = 7 * 86400 * 1_000_000
 ORACLES["funnel_stats"] = f"""
     WITH e AS (
@@ -3392,14 +3464,17 @@ def _zorder_oracle_sql(bits: int = 8) -> str:
 
 ORACLES["zorder_stats"] = _zorder_oracle_sql(8)
 
-ORACLES["dhash_stats"] = """
-    WITH d AS (
-      SELECT doc_id, 10 + doc_id % 14 AS w, 9 + doc_id % 10 AS h
-      FROM documents WHERE doc_id < 300
+def _dhash_sql(w_expr: str, h_expr: str, seed_expr: str, pred: str) -> str:
+    """Per-doc dHash CTE chain (ends with per-doc `dh`): parameterized
+    over the synthesized payload's dims/seed formulas and row filter."""
+    return f"""
+    d AS (
+      SELECT doc_id, {w_expr} AS w, {h_expr} AS h, {seed_expr} AS sd
+      FROM documents WHERE {pred}
     ),
-    b AS (SELECT doc_id, w, h, unnest(range(0, 64)) AS bb FROM d),
+    b AS (SELECT doc_id, w, h, sd, unnest(range(0, 64)) AS bb FROM d),
     gp AS (
-      SELECT doc_id, bb, w,
+      SELECT doc_id, bb, w, sd,
              ((bb % 8) * w) // 9 AS xi,
              (((bb % 8) + 1) * w) // 9 AS xi1,
              ((bb // 8) * h) // 8 AS yj
@@ -3407,25 +3482,43 @@ ORACLES["dhash_stats"] = """
     ),
     g AS (
       SELECT doc_id, bb,
-        ( ((doc_id*7 + (3*(yj*w+xi)  )*13) % 256)
-        + ((doc_id*7 + (3*(yj*w+xi)+1)*13) % 256)
-        + ((doc_id*7 + (3*(yj*w+xi)+2)*13) % 256) ) // 3 AS gl,
-        ( ((doc_id*7 + (3*(yj*w+xi1)  )*13) % 256)
-        + ((doc_id*7 + (3*(yj*w+xi1)+1)*13) % 256)
-        + ((doc_id*7 + (3*(yj*w+xi1)+2)*13) % 256) ) // 3 AS gr
+        ( ((sd*7 + (3*(yj*w+xi)  )*13) % 256)
+        + ((sd*7 + (3*(yj*w+xi)+1)*13) % 256)
+        + ((sd*7 + (3*(yj*w+xi)+2)*13) % 256) ) // 3 AS gl,
+        ( ((sd*7 + (3*(yj*w+xi1)  )*13) % 256)
+        + ((sd*7 + (3*(yj*w+xi1)+1)*13) % 256)
+        + ((sd*7 + (3*(yj*w+xi1)+2)*13) % 256) ) // 3 AS gr
       FROM gp
+    ),
+    dh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN gl > gr THEN
+                        CASE WHEN bb = 63 THEN -9223372036854775808
+                             ELSE (CAST(1 AS BIGINT) << bb) END
+                      ELSE 0 END) AS BIGINT) AS dhash
+      FROM g GROUP BY doc_id
+    )"""
+
+
+ORACLES["dhash_stats"] = (
+    "WITH" + _dhash_sql(
+        "10 + doc_id % 14", "9 + doc_id % 10", "doc_id", "doc_id < 300"
     )
-    SELECT doc_id,
-           -- bit 63 is the int64 sign bit: numpy wraps 1<<63 to
-           -- -2^63 (two's complement); mirror that explicitly since
-           -- a signed BIGINT left-shift into the sign bit errors
-           CAST(sum(CASE WHEN gl > gr THEN
-                      CASE WHEN bb = 63 THEN -9223372036854775808
-                           ELSE (CAST(1 AS BIGINT) << bb) END
-                    ELSE 0 END)
-                AS BIGINT) AS dhash
-    FROM g GROUP BY doc_id
-"""
+    + "\n    SELECT doc_id, dhash FROM dh"
+)
+
+ORACLES["dhash_dedup"] = (
+    "WITH" + _dhash_sql(
+        "9 + doc_id % 7", "8 + doc_id % 5", "doc_id % 50", "doc_id < 400"
+    )
+    + """,
+    keep AS (SELECT dhash, min(doc_id) AS doc_id FROM dh GROUP BY dhash)
+    SELECT doc.lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(count(DISTINCT k.dhash) AS BIGINT) AS n_hashes
+    FROM keep k JOIN documents doc USING (doc_id)
+    GROUP BY doc.lang"""
+)
 
 ORACLES["bigram_lm_stats"] = """
     WITH toked AS (

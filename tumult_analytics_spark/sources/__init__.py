@@ -10,6 +10,7 @@ pushdown and partition pruning on the way in.
 
 from .readers import (
     compact_table,
+    ab_test_summary,
     correlation_matrix,
     numeric_summary,
     profile_columns,
@@ -21,6 +22,7 @@ from .readers import (
 )
 
 __all__ = [
+    "ab_test_summary",
     "correlation_matrix",
     "numeric_summary",
     "profile_columns",

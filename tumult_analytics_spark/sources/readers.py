@@ -362,3 +362,38 @@ def correlation_matrix(df, columns):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ab_test_summary(df, group_column, value_column, group_a, group_b):
+    """Welch's two-sample comparison of two variants in ONE pass:
+    conditional aggregates give each arm's n/mean/sample-stddev, then
+    ``t = (mean_a - mean_b) / sqrt(s_a^2/n_a + s_b^2/n_b)`` — the
+    experimentation readout every product pipeline ships. One row out;
+    no shuffle beyond the single aggregation. (Degrees of freedom /
+    p-values need a distribution function — compute from t downstream;
+    the statistic itself is engine-portable arithmetic.)
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(value_column)
+    ga = F.when(F.col(group_column) == group_a, v)
+    gb = F.when(F.col(group_column) == group_b, v)
+    row = df.agg(
+        F.count(ga).alias("n_a"),
+        F.count(gb).alias("n_b"),
+        F.avg(ga).alias("mean_a"),
+        F.avg(gb).alias("mean_b"),
+        F.stddev_samp(ga).alias("sd_a"),
+        F.stddev_samp(gb).alias("sd_b"),
+    )
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        (F.col("sd_a") * F.col("sd_a")) / F.col("n_a")
+        + (F.col("sd_b") * F.col("sd_b")) / F.col("n_b")
+    )
+    return row.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+    )
