@@ -40,10 +40,13 @@ from .multimodal import (
     synthesize_wav_mulaw,
 )
 from .pipeline import (
+    bloom_contamination,
+    bloom_filter_build,
     cap_per_group,
     cms_build,
     cms_estimate,
     gopher_quality_flags,
+    length_bucketed_batches,
     cluster_representatives,
     connected_components,
     deterministic_uniform,
