@@ -2190,8 +2190,13 @@ def q_streaming_sessionize_stats(spark, sf_dir):
 
     from ..streaming.sessionize import sessionize_events
 
-    ev = _events_ts(spark, sf_dir).select(
-        "user_id", F.col("ts").alias("event_time"), "value"
+    # A quarter of the users keeps the staged write + per-user state
+    # cost proportionate while exercising identical semantics (the
+    # oracle applies the same predicate).
+    ev = (
+        _events_ts(spark, sf_dir)
+        .filter("user_id % 4 = 0")
+        .select("user_id", F.col("ts").alias("event_time"), "value")
     )
     tmp = tempfile.mkdtemp(prefix="tas_stream_sess_")
     stage = os.path.join(tmp, "events")
@@ -2222,15 +2227,23 @@ def q_streaming_sessionize_stats(spark, sf_dir):
     )
     sessions = sessionize_events(stream, gap="30 minutes")
     name = f"tas_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # State-store tasks scale with shuffle partitions; a handful of
+    # users per micro-batch doesn't need 32 state partitions (each one
+    # costs store init + checkpoint files per trigger).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     out = spark.table(name).filter("user_id != 999999999")
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -3880,8 +3893,11 @@ ORACLES["sessionize_stats"] = """
     FROM per
 """
 
-# The stateful streaming formulation must reproduce the batch windows.
-ORACLES["streaming_sessionize_stats"] = ORACLES["sessionize_stats"]
+# The stateful streaming formulation must reproduce the batch windows
+# (same corpus subset as the staged stream).
+ORACLES["streaming_sessionize_stats"] = ORACLES["sessionize_stats"].replace(
+    "FROM events", "FROM events WHERE user_id % 4 = 0", 1
+)
 
 ORACLES["asof_join_gap"] = """
     WITH p AS (
