@@ -483,3 +483,22 @@ class TestAbTestSummary:
         sb2 = sum((x - 4.0) ** 2 for x in [2, 4, 6]) / 2
         t = (2.5 - 4.0) / math.sqrt(sa2 / 4 + sb2 / 3)
         assert r["t_stat"] == pytest.approx(round(t, 6))
+
+
+class TestSkewReport:
+    def test_top_keys_and_shares(self, spark):
+        import pytest as _pytest
+
+        from tumult_analytics_spark.utils import skew_report
+
+        df = spark.createDataFrame(
+            [("hot",)] * 70 + [("warm",)] * 20 + [("cold",)] * 10,
+            "k string",
+        )
+        rows = skew_report(df, "k", top_n=2).collect()
+        assert [(r["key"], r["n_rows"], r["share"], r["rank"]) for r in rows] == [
+            ("hot", 70, 0.7, 1),
+            ("warm", 20, 0.2, 2),
+        ]
+        with _pytest.raises(ValueError):
+            skew_report(df, "k", top_n=0)

@@ -1196,6 +1196,16 @@ def q_dhash_dedup(spark, sf_dir):
     )
 
 
+def q_skew_report(spark, sf_dir):
+    # Skew diagnostic on lineitem's supplier key: top-10 heaviest keys
+    # with row shares — the pre-salting check. TakeOrdered, no global
+    # sort.
+    from ..utils import skew_report
+
+    li = _read(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_suppkey", top_n=10)
+
+
 def q_ab_test(spark, sf_dir):
     # Welch's t readout comparing click vs view event values in one
     # conditional-aggregate pass; SQL replays the identical arithmetic.
@@ -2566,6 +2576,7 @@ QUERIES = {
     "corr_matrix": q_corr_matrix,
     "funnel_stats": q_funnel_stats,
     "ab_test": q_ab_test,
+    "skew_report": q_skew_report,
     "retention_cohorts": q_retention_cohorts,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
@@ -3169,6 +3180,23 @@ def _profile_oracle_sql(cols) -> str:
     ]
     return "\n        UNION ALL ".join(parts)
 
+
+ORACLES["skew_report"] = """
+    WITH c AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT sum(n_rows) AS tt FROM c),
+    top AS (
+      SELECT key, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, key ASC) AS rk
+      FROM c
+    )
+    SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+           round(CAST(n_rows AS DOUBLE) / (SELECT tt FROM t), 6) AS share,
+           CAST(rk AS INTEGER) AS rank
+    FROM top WHERE rk <= 10
+"""
 
 ORACLES["ab_test"] = """
     WITH r AS (

@@ -239,3 +239,36 @@ def observe_stage(df: DataFrame, name: str, **metrics) -> tuple:
     obs = Observation(name)
     out = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
     return out, obs
+
+
+def skew_report(df: DataFrame, column: str, top_n: int = 10) -> DataFrame:
+    """Join/groupBy skew diagnostic for a key column: the ``top_n``
+    heaviest keys with their row counts and share of the table — the
+    numbers you check BEFORE deciding to salt a join or enable AQE skew
+    handling (a top key holding >1/partitions of the rows will straggle
+    its task). One aggregation + a TakeOrderedAndProject (no global
+    sort) + a broadcast of the 1-row total.
+
+    Output: (key string-cast, n_rows, share, rank), heaviest first.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    counts = df.groupBy(
+        F.col(column).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__t__"))
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+        F.desc("n_rows"), F.asc("key")
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("__t__"), 6
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .drop("__t__")
+    )
