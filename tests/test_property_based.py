@@ -155,3 +155,71 @@ def test_cap_per_group_sizes(spark, sizes, cap):
     }
     for g, n in enumerate(sizes):
         assert got.get(f"g{g}", 0) == min(n, cap)
+
+
+class TestUrlCanonIdempotent:
+    def test_canonicalization_is_idempotent(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from tumult_analytics_spark.operators.text import canonicalize_urls
+
+        host = st.from_regex(r"[a-z]{1,8}(\.[a-z]{2,3}){1,2}", fullmatch=True)
+        path = st.from_regex(r"(/[a-z0-9]{0,6}){0,3}/?", fullmatch=True)
+        query = st.one_of(
+            st.just(""),
+            st.from_regex(
+                r"\?(utm_[a-z]{1,5}=[a-z0-9]{0,4}&?|id=[0-9]{1,3}&?){1,3}",
+                fullmatch=True,
+            ),
+        )
+        scheme = st.sampled_from(["", "http://", "https://", "HTTPS://www."])
+
+        @settings(max_examples=30, deadline=None)
+        @given(s=scheme, h=host, p=path, q=query)
+        def run(s, h, p, q):
+            url = s + h + p + q
+            df = spark.createDataFrame([(1, url)], "doc_id long, url string")
+            once = canonicalize_urls(df, "url").collect()[0]["url_canon"]
+            df2 = spark.createDataFrame(
+                [(1, once)], "doc_id long, url string"
+            )
+            twice = canonicalize_urls(df2, "url").collect()[0]["url_canon"]
+            assert twice == once, (url, once, twice)
+
+        run()
+
+
+class TestBloomNoFalseNegatives:
+    def test_every_benchmark_gram_is_flagged(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from tumult_analytics_spark.operators.pipeline import (
+            bloom_contamination,
+            bloom_filter_build,
+        )
+
+        words = st.lists(
+            st.from_regex(r"[a-z]{1,4}", fullmatch=True),
+            min_size=3, max_size=8,
+        )
+
+        @settings(max_examples=10, deadline=None)
+        @given(ws=words)
+        def run(ws):
+            text = " ".join(ws)
+            bench = spark.createDataFrame(
+                [(1, text)], "doc_id long, text string"
+            )
+            # a doc IN the benchmark must always be fully flagged,
+            # whatever the filter size (no false negatives, ever)
+            bloom = bloom_filter_build(
+                bench, "text", n=3, m_bits=64, k_hashes=3
+            )
+            out = bloom_contamination(
+                bench, bloom, "text", "doc_id", n=3, m_bits=64, k_hashes=3
+            ).collect()[0]
+            assert out["bloom_hit_fraction"] == 1.0
+
+        run()
