@@ -230,3 +230,45 @@ class TestIvfIndex:
         idx = S.build_lsh_index(df, "embedding", "vec_id", dim=8)
         with pytest.raises(ValueError, match="expected an ivf index"):
             S.query_ivf_index(idx, df)
+
+
+class TestLshIncrementalDedup:
+    def test_copies_drop_and_extend_sees_new_rows(self, spark):
+        import numpy as np
+
+        from tumult_analytics_spark.operators.similarity import (
+            build_lsh_index,
+            dedup_against_lsh_index,
+            extend_lsh_index,
+        )
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(40, 16)).astype("float32")
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+            "vec_id long, embedding array<float>",
+        )
+        idx = build_lsh_index(
+            corpus, "embedding", "vec_id", bits=4, tables=3, dim=16,
+            plane_kind="rademacher",
+        )
+        # batch: exact copies (drop) + fresh vectors (keep)
+        fresh = rng.normal(size=(5, 16)).astype("float32")
+        batch = spark.createDataFrame(
+            [(100 + i, [float(x) for x in base[i]]) for i in range(10)]
+            + [(200 + i, [float(x) for x in v]) for i, v in enumerate(fresh)],
+            "vec_id long, embedding array<float>",
+        )
+        kept = dedup_against_lsh_index(idx, batch, threshold=0.99)
+        ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+        assert not any(100 <= i < 110 for i in ids)
+        assert {200 + i for i in range(5)} <= ids
+        # extend: a copy of a KEPT fresh row now drops against idx2
+        idx2 = extend_lsh_index(idx, kept)
+        recopy = spark.createDataFrame(
+            [(300, [float(x) for x in fresh[0]])],
+            "vec_id long, embedding array<float>",
+        )
+        assert dedup_against_lsh_index(idx2, recopy, 0.99).count() == 0
+        with __import__("pytest").raises(ValueError):
+            dedup_against_lsh_index(idx, batch, threshold=0.0)

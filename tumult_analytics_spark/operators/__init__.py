@@ -72,6 +72,8 @@ from .temporal import (
     time_range_join,
 )
 from .similarity import (
+    dedup_against_lsh_index,
+    extend_lsh_index,
     AnnIndex,
     brute_force_cosine_topk,
     build_ivf_index,

@@ -1196,6 +1196,39 @@ def q_dhash_dedup(spark, sf_dir):
     )
 
 
+def q_incremental_embedding_dedup(spark, sf_dir):
+    # The embedding-side incremental-crawl contract: build the LSH
+    # index on the corpus once, then dedup a new batch against it. The
+    # batch is derived deterministically: exact copies of vec_id%7==0
+    # corpus rows (MUST drop — same buckets, cosine 1) and negated
+    # copies of vec_id%7==1 rows (cosine -1 — kept unless a genuine
+    # bucket-mate clears the threshold, which the oracle replays too).
+    emb = _read(spark, sf_dir, "embeddings").filter("vec_id < 2000")
+    idx = S.build_lsh_index(
+        emb, "embedding", "vec_id",
+        bits=ANN_LSH_BITS, tables=ANN_LSH_TABLES, plane_kind="rademacher",
+    )
+    copies = emb.filter("vec_id % 7 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    negated = emb.filter("vec_id % 7 = 1").select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    batch = copies.unionByName(negated)
+    kept = S.dedup_against_lsh_index(
+        idx, batch, threshold=0.9, broadcast_batch=True
+    )
+    return kept.groupBy(
+        F.when(F.col("vec_id") >= 200000, F.lit("negated"))
+        .otherwise(F.lit("copy"))
+        .alias("kind")
+    ).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("vec_id").cast("long").alias("min_id"),
+    )
+
+
 def q_skew_report(spark, sf_dir):
     # Skew diagnostic on lineitem's supplier key: top-10 heaviest keys
     # with row shares — the pre-salting check. TakeOrdered, no global
@@ -1797,6 +1830,62 @@ def _simhash_oracle_sql(bits: int = D.SIMHASH_BITS) -> str:
         SELECT (simhash >> {bits - 8}) AS bucket,
                CAST(count(*) AS BIGINT) AS n
         FROM alldocs GROUP BY 1
+    """
+
+
+def _incr_emb_dedup_oracle_sql(
+    bits: int = None, tables: int = None, dim: int = 64
+) -> str:
+    from .similarity import _LCG_A, _LCG_C, _LCG_M
+
+    bits = ANN_LSH_BITS if bits is None else bits
+    tables = ANN_LSH_TABLES if tables is None else tables
+    half = _LCG_M // 2
+    return f"""
+        WITH corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 2000
+        ), batch AS (
+          SELECT vec_id + 100000 AS vec_id, e FROM corpus
+          WHERE vec_id % 7 = 0
+          UNION ALL
+          SELECT vec_id + 200000, list_transform(e, x -> -x) FROM corpus
+          WHERE vec_id % 7 = 1
+        ), allv AS (
+          SELECT * FROM corpus UNION ALL SELECT * FROM batch
+        ), grid AS (
+          SELECT t.t, b.b, d.d,
+                 CASE WHEN (({_LCG_A} * (t.t * 100003 + b.b * 641 + (d.d - 1))
+                             + {_LCG_C}) % {_LCG_M}) >= {half}
+                      THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT unnest(generate_series(0, {tables - 1})) AS t) t,
+               (SELECT unnest(generate_series(0, {bits - 1})) AS b) b,
+               (SELECT unnest(generate_series(1, {dim})) AS d) d
+        ), dots AS (
+          SELECT v.vec_id, g.t, g.b, sum(v.e[g.d] * g.sgn) AS dot
+          FROM allv v, grid g GROUP BY 1, 2, 3
+        ), buckets AS (
+          SELECT vec_id, t,
+                 sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << b
+                          ELSE 0 END) AS bkt
+          FROM dots GROUP BY 1, 2
+        ), matched AS (
+          SELECT DISTINCT nb.vec_id
+          FROM buckets nb
+          JOIN buckets ib ON nb.t = ib.t AND nb.bkt = ib.bkt
+           AND ib.vec_id < 2000 AND nb.vec_id >= 100000
+          JOIN allv q ON q.vec_id = nb.vec_id
+          JOIN allv c ON c.vec_id = ib.vec_id
+          WHERE list_cosine_similarity(q.e, c.e) >= 0.9
+        ), kept AS (
+          SELECT vec_id FROM batch
+          WHERE vec_id NOT IN (SELECT vec_id FROM matched)
+        )
+        SELECT CASE WHEN vec_id >= 200000 THEN 'negated'
+                    ELSE 'copy' END AS kind,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(min(vec_id) AS BIGINT) AS min_id
+        FROM kept GROUP BY 1
     """
 
 
@@ -2577,6 +2666,7 @@ QUERIES = {
     "funnel_stats": q_funnel_stats,
     "ab_test": q_ab_test,
     "skew_report": q_skew_report,
+    "incremental_embedding_dedup": q_incremental_embedding_dedup,
     "retention_cohorts": q_retention_cohorts,
     "sample_video_frames": q_sample_video_frames,
     "sessionize_stats": q_sessionize_stats,
@@ -4113,6 +4203,8 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3) -> str:
         " s.avg_dist FROM stats s JOIN maj m ON s.cid = m.cid"
     )
 
+
+ORACLES["incremental_embedding_dedup"] = _incr_emb_dedup_oracle_sql()
 
 ORACLES["kmeans_cluster_stats"] = _kmeans_oracle_sql(4, 3)
 

@@ -462,6 +462,93 @@ def query_lsh_index(
     return _rank_topk(best, k, rank_k)
 
 
+def extend_lsh_index(
+    index: AnnIndex, new_rows: DataFrame, materialize: bool = True
+) -> AnnIndex:
+    """A new LSH index covering the old corpus plus ``new_rows``: only
+    the new side is normalized/bucketed (planes re-derived from the
+    stored params — they were never stored, by design); the existing
+    melted table is reused as-is. The embedding-side sibling of
+    ``dedup.extend_minhash_index`` for the incremental-crawl contract."""
+    if index.kind != "lsh":
+        raise ValueError(f"expected an lsh index, got {index.kind!r}")
+    p = index.params
+    planes = _planes_for(
+        p["plane_kind"], p["dim"], p["bits"], p["tables"], p["seed"]
+    )
+    melted_new = _melt_tables(
+        _normalize_and_bucket(
+            new_rows, p["embedding_column"], p["id_column"], planes
+        ),
+        p["id_column"],
+        p["tables"],
+    )
+    if materialize:
+        melted_new = melted_new.localCheckpoint(eager=True)
+    return AnnIndex("lsh", index.df.unionByName(melted_new), dict(p))
+
+
+def dedup_against_lsh_index(
+    index: AnnIndex,
+    new_rows: DataFrame,
+    threshold: float = 0.95,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """Drop rows of ``new_rows`` whose embedding has a same-bucket index
+    neighbor with cosine >= ``threshold`` (any table) — incremental
+    near-dup dedup for embeddings/images against a persisted index,
+    mirroring ``dedup.dedup_against_index`` for text.
+
+    Both sides carry unit vectors (``__nv__``), so the cosine is a pure
+    Catalyst ``aggregate(zip_with(...))`` dot product on the joined
+    rows — only same-bucket pairs are ever scored. ``broadcast_batch``
+    as in ``query_minhash_index``: True broadcasts the (bucketed) batch
+    so the corpus-scale index never shuffles.
+    """
+    if index.kind != "lsh":
+        raise ValueError(f"expected an lsh index, got {index.kind!r}")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    p = index.params
+    id_column = p["id_column"]
+    planes = _planes_for(
+        p["plane_kind"], p["dim"], p["bits"], p["tables"], p["seed"]
+    )
+    q_melted = _melt_tables(
+        _normalize_and_bucket(
+            new_rows, p["embedding_column"], id_column, planes
+        ),
+        id_column,
+        p["tables"],
+    )
+    left = q_melted.select(
+        "__t__", "__bkt__",
+        F.col(id_column).alias("__qid__"),
+        F.col("__nv__").alias("__qv__"),
+    )
+    if broadcast_batch:
+        left = F.broadcast(left)
+    right = index.df.select(
+        "__t__", "__bkt__",
+        F.col(id_column).alias("__nid__"),
+        F.col("__nv__").alias("__cv__"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__qv__", "__cv__", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    matched = (
+        left.join(right, ["__t__", "__bkt__"])
+        .filter(F.col("__qid__") != F.col("__nid__"))
+        .withColumn("__cos__", dot)
+        .filter(F.col("__cos__") >= threshold)
+        .select(F.col("__qid__").alias(id_column))
+        .distinct()
+    )
+    return new_rows.join(matched, id_column, "left_anti")
+
+
 def quantize_embeddings(
     df: DataFrame, embedding_column: str, id_column: str
 ) -> DataFrame:
