@@ -845,6 +845,36 @@ def q_hashed_vector_stats(spark, sf_dir):
     )
 
 
+def q_winnow_contamination(spark, sf_dir):
+    # MOSS-style contamination: corpus docs sharing >= 1 winnowing
+    # fingerprint with the benchmark set (doc_id % 97 == 0) — catches
+    # shared substrings of length >= k + w - 1 = 8 chars, the guarantee
+    # exact-gram and bloom checks lack. Broadcastable benchmark side.
+    docs = _read(spark, sf_dir, "documents")
+    fp = X.winnow_fingerprints(docs, "text", k=5, window=4)
+    bench = (
+        fp.filter("doc_id % 97 = 0")
+        .select(F.explode("fingerprints").alias("f"))
+        .distinct()
+    )
+    corpus = fp.filter("doc_id % 97 != 0").select(
+        "doc_id", "lang", F.explode("fingerprints").alias("f")
+    )
+    hit = (
+        corpus.join(F.broadcast(bench), "f")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    per = fp.filter("doc_id % 97 != 0").join(hit, "doc_id", "left")
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+        .cast("long")
+        .alias("n_contaminated"),
+    )
+
+
 def q_winnow_fingerprint_stats(spark, sf_dir):
     # Winnowing (MOSS) fingerprints: char-5-gram md5 hashes, window-4
     # minima, distinct per doc. Per lang: docs, total fingerprints, and
@@ -2685,6 +2715,7 @@ QUERIES = {
     "audio_frame_features": q_audio_frame_features,
     "decode_audio_mulaw": q_decode_audio_mulaw,
     "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
+    "winnow_contamination": q_winnow_contamination,
     "hashed_vector_stats": q_hashed_vector_stats,
     "gopher_flags": q_gopher_flags,
     "top_ngrams": q_top_ngrams,
@@ -4588,6 +4619,38 @@ ORACLES["hashed_vector_stats"] = """
            CAST(sum(coalesce(n.v31, 0)) AS BIGINT) AS sum_slot31
     FROM documents d LEFT JOIN norms n USING (doc_id)
     GROUP BY d.lang
+"""
+
+ORACLES["winnow_contamination"] = """
+    WITH hs AS (
+      SELECT doc_id, lang,
+             list_transform(range(1, greatest(len(text) - 4, 0) + 1),
+               i -> CAST(('0x' || substr(md5(text[i : i + 4]), 1, 15))
+                    AS BIGINT)) AS h
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, lang,
+        CASE WHEN len(h) >= 4 THEN
+          list_distinct(list_transform(range(1, len(h) - 2),
+            i -> list_min(h[i : i + 3])))
+        ELSE []::BIGINT[] END AS fps
+      FROM hs
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(fps) AS f FROM fp WHERE doc_id % 97 = 0
+    ),
+    ex AS (
+      SELECT doc_id, unnest(fps) AS f FROM fp WHERE doc_id % 97 <> 0
+    ),
+    hit AS (SELECT DISTINCT e.doc_id FROM ex e JOIN bench USING (f))
+    SELECT p.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM fp p LEFT JOIN hit h USING (doc_id)
+    WHERE p.doc_id % 97 <> 0
+    GROUP BY p.lang
 """
 
 ORACLES["winnow_fingerprint_stats"] = """
