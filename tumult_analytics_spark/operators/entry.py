@@ -845,6 +845,33 @@ def q_hashed_vector_stats(spark, sf_dir):
     )
 
 
+def q_event_anomaly_zscores(spark, sf_dir):
+    # Monitoring readout: hourly event counts z-scored against each
+    # type's own mean/std across hours; flags hours > 2 sigma. Two hash
+    # aggregations + a broadcast-size join of per-type stats.
+    ev = _events_ts(spark, sf_dir)
+    hourly = (
+        ev.withColumn("hour_id", F.expr("unix_micros(ts) DIV 3600000000"))
+        .groupBy("event_type", "hour_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_samp("n").alias("sd"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    z = hourly.join(F.broadcast(stats), "event_type").withColumn(
+        "z", F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4)
+    )
+    return z.groupBy("event_type").agg(
+        F.max("n_hours").cast("long").alias("n_hours"),
+        F.round(F.max(F.abs(F.col("z"))), 4).alias("max_abs_z"),
+        F.sum((F.abs(F.col("z")) > 2.0).cast("long")).alias(
+            "n_anomalous_hours"
+        ),
+    )
+
+
 def q_winnow_contamination(spark, sf_dir):
     # MOSS-style contamination: corpus docs sharing >= 1 winnowing
     # fingerprint with the benchmark set (doc_id % 97 == 0) — catches
@@ -2716,6 +2743,7 @@ QUERIES = {
     "decode_audio_mulaw": q_decode_audio_mulaw,
     "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
     "winnow_contamination": q_winnow_contamination,
+    "event_anomaly_zscores": q_event_anomaly_zscores,
     "hashed_vector_stats": q_hashed_vector_stats,
     "gopher_flags": q_gopher_flags,
     "top_ngrams": q_top_ngrams,
@@ -4619,6 +4647,31 @@ ORACLES["hashed_vector_stats"] = """
            CAST(sum(coalesce(n.v31, 0)) AS BIGINT) AS sum_slot31
     FROM documents d LEFT JOIN norms n USING (doc_id)
     GROUP BY d.lang
+"""
+
+ORACLES["event_anomaly_zscores"] = """
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hour_id,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd,
+             count(*) AS n_hours
+      FROM hourly GROUP BY 1
+    ),
+    z AS (
+      SELECT h.event_type, st.n_hours,
+             round((h.n - st.mu) / st.sd, 4) AS z
+      FROM hourly h JOIN st USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(n_hours) AS BIGINT) AS n_hours,
+           round(max(abs(z)), 4) AS max_abs_z,
+           CAST(sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalous_hours
+    FROM z GROUP BY event_type
 """
 
 ORACLES["winnow_contamination"] = """
