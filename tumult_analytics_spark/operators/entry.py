@@ -845,6 +845,77 @@ def q_hashed_vector_stats(spark, sf_dir):
     )
 
 
+def q_heaps_law_stats(spark, sf_dir):
+    # Vocabulary-growth readout (Heaps' law): per lang, total tokens,
+    # distinct types, and the type-token ratio — the corpus-health
+    # number that collapses when boilerplate floods a crawl.
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+        F.round(
+            F.countDistinct("tok") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+def q_zipf_slope(spark, sf_dir):
+    # Zipf readout: least-squares slope of ln(freq) on ln(rank) over
+    # the corpus unigram distribution (natural corpora sit near -1;
+    # spammy/repetitive ones flatten). Explicit normal-equation
+    # arithmetic so DuckDB replays it without regr_slope.
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = freq.withColumn("r", F.row_number().over(w)).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        agg["n"].cast("long").alias("n_types"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+    )
+
+
+def q_doc_length_summary(spark, sf_dir):
+    # numeric_summary applied to document lengths per language — the
+    # distribution report a corpus release ships.
+    from ..sources import numeric_summary
+
+    docs = _read(spark, sf_dir, "documents")
+    return numeric_summary(docs, "n_chars", group_columns=("lang",))
+
+
 def q_event_anomaly_zscores(spark, sf_dir):
     # Monitoring readout: hourly event counts z-scored against each
     # type's own mean/std across hours; flags hours > 2 sigma. Two hash
@@ -2744,6 +2815,9 @@ QUERIES = {
     "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
     "winnow_contamination": q_winnow_contamination,
     "event_anomaly_zscores": q_event_anomaly_zscores,
+    "heaps_law_stats": q_heaps_law_stats,
+    "zipf_slope": q_zipf_slope,
+    "doc_length_summary": q_doc_length_summary,
     "hashed_vector_stats": q_hashed_vector_stats,
     "gopher_flags": q_gopher_flags,
     "top_ngrams": q_top_ngrams,
@@ -4647,6 +4721,60 @@ ORACLES["hashed_vector_stats"] = """
            CAST(sum(coalesce(n.v31, 0)) AS BIGINT) AS sum_slot31
     FROM documents d LEFT JOIN norms n USING (doc_id)
     GROUP BY d.lang
+"""
+
+ORACLES["heaps_law_stats"] = """
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS tok
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+           round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6)
+             AS type_token_ratio
+    FROM toks GROUP BY lang
+"""
+
+ORACLES["zipf_slope"] = """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok ASC)
+                AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+      FROM freq
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS zipf_slope
+    FROM agg
+"""
+
+ORACLES["doc_length_summary"] = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(n_chars), 6) AS mean,
+           round(stddev_samp(n_chars), 6) AS stddev,
+           min(n_chars) AS "min",
+           max(n_chars) AS "max",
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99
+    FROM documents GROUP BY lang
 """
 
 ORACLES["event_anomaly_zscores"] = """
