@@ -747,3 +747,41 @@ class TestDhash:
         }
         ham = bin((rows[1] ^ rows[2]) & ((1 << 64) - 1)).count("1")
         assert ham <= 2
+
+
+class TestDhashCrossFormat:
+    def test_same_pixels_same_hash_across_containers(self, spark):
+        from tumult_analytics_spark.operators.multimodal import (
+            dhash_images,
+            synthesize_bmp,
+            synthesize_ppm,
+        )
+
+        # synthesize_ppm and synthesize_bmp share the pixel formula:
+        # identical images in different containers must hash equal
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(synthesize_ppm(12, 10, 4))),
+                (2, bytearray(synthesize_bmp(12, 10, 4))),
+                (3, bytearray(synthesize_ppm(12, 10, 5))),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = {
+            r["doc_id"]: r["dhash"]
+            for r in dhash_images(df, "payload").collect()
+        }
+        assert rows[1] == rows[2]
+        assert rows[1] != rows[3]
+
+    def test_gif_hashes(self, spark):
+        from tumult_analytics_spark.operators.multimodal import (
+            dhash_images,
+            synthesize_gif,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(synthesize_gif(11, 9, 7)))],
+            "doc_id long, payload binary",
+        )
+        assert dhash_images(df, "payload").collect()[0]["dhash"] is not None

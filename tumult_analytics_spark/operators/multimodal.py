@@ -1532,6 +1532,93 @@ def _decode_ppm_pixels(buf: bytes):
     return height, width, img.reshape(height, width, 3)
 
 
+def _decode_bmp_pixels(buf: bytes):
+    """(height, width, img[h, w, 3] int64) for a 24-bit BMP, or None."""
+    import struct
+
+    import numpy as np
+
+    rec = _decode_bmp(buf)
+    if rec is None:
+        return None
+    height, width, _, _ = rec
+    data_offset = struct.unpack_from("<I", buf, 10)[0]
+    raw_h = struct.unpack_from("<i", buf, 22)[0]
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, : width * 3]
+    img = rows.reshape(height, width, 3)[:, :, ::-1].astype(np.int64)
+    if raw_h > 0:  # bottom-up
+        img = img[::-1]
+    return height, width, img
+
+
+def _decode_gif_pixels(buf: bytes):
+    """(height, width, img[h, w, 3] int64) for a non-interlaced GIF, or
+    None. Same parse as _decode_gif_unsafe but returns the pixels."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if len(buf) < 13 or buf[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        packed = buf[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            size = 2 << (packed & 0x07)
+            gct = np.frombuffer(
+                buf, np.uint8, count=size * 3, offset=pos
+            ).reshape(size, 3)
+            pos += size * 3
+        while pos < len(buf):
+            b0 = buf[pos]
+            pos += 1
+            if b0 == 0x3B:
+                return None
+            if b0 == 0x21:
+                pos += 1
+                while pos < len(buf) and buf[pos] != 0:
+                    pos += 1 + buf[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                return None
+            _, _, iw, ih = struct.unpack_from("<HHHH", buf, pos)
+            ipacked = buf[pos + 8]
+            pos += 9
+            if ipacked & 0x40:
+                return None
+            ct = gct
+            if ipacked & 0x80:
+                size = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(
+                    buf, np.uint8, count=size * 3, offset=pos
+                ).reshape(size, 3)
+                pos += size * 3
+            if ct is None:
+                return None
+            mcs = buf[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(buf) and buf[pos] != 0:
+                ln = buf[pos]
+                data += buf[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), mcs, iw * ih)
+            if len(idx) < iw * ih:
+                return None
+            pix = np.frombuffer(bytes(idx[: iw * ih]), np.uint8)
+            if int(pix.max(initial=0)) >= ct.shape[0]:
+                return None
+            return ih, iw, ct[pix].astype(np.int64).reshape(ih, iw, 3)
+        return None
+    except Exception:
+        return None
+
+
 def dhash_images(
     df: DataFrame, binary_column: str, output_column: str = "dhash"
 ) -> DataFrame:
@@ -1541,13 +1628,17 @@ def dhash_images(
     Near-identical images (re-encodes, small edits) land within a few
     Hamming bits — the embedding-free image near-dup key; group by
     ``dhash`` for exact-bucket dedup or band the bits for
-    Hamming-tolerant LSH (the SimHash machinery applies as-is).
+    Hamming-tolerant LSH (the SimHash machinery applies as-is). The
+    hash depends only on PIXELS, not the container: the same image as
+    PPM, BMP, or GIF hashes identically (cross-format near-dup
+    detection — unit-tested).
 
     Deterministic integer math end to end: grid points are
     ``x_i = i*w // 9``, ``y_j = j*h // 8``, gray is ``(r+g+b) // 3`` —
-    exactly replayable in SQL (the ``dhash_stats`` oracle). Decodes PPM
-    payloads (the pixel-returning decoder in this codec-free
-    environment); other/malformed payloads hash to null. One
+    exactly replayable in SQL (the ``dhash_stats`` oracle). Decodes PPM, 24-bit
+    BMP, and non-interlaced GIF payloads (the pixel-returning decoders
+    in this codec-free environment); other/malformed payloads hash to
+    null. One
     mapInPandas pass; pixels never leave the kernel.
     """
     import numpy as np
@@ -1562,8 +1653,13 @@ def dhash_images(
             for payload in pdf[binary_column]:
                 rec = None
                 if payload is not None:
+                    b = bytes(payload)
                     try:
-                        rec = _decode_ppm_pixels(bytes(payload))
+                        rec = (
+                            _decode_ppm_pixels(b)
+                            or _decode_bmp_pixels(b)
+                            or _decode_gif_pixels(b)
+                        )
                     except Exception:
                         rec = None
                 if rec is None:
