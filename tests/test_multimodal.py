@@ -785,3 +785,30 @@ class TestDhashCrossFormat:
             "doc_id long, payload binary",
         )
         assert dhash_images(df, "payload").collect()[0]["dhash"] is not None
+
+
+class TestMulawFrameFeatures:
+    def test_frame_features_on_mulaw(self, spark):
+        import numpy as np
+
+        from tumult_analytics_spark.operators.multimodal import (
+            _mulaw_expand,
+            audio_frame_features,
+            synthesize_wav_mulaw,
+        )
+
+        wav = synthesize_wav_mulaw(40, 8000, seed=6)
+        df = spark.createDataFrame(
+            [(1, bytearray(wav))], "doc_id long, payload binary"
+        )
+        rows = {
+            r["frame_index"]: r
+            for r in audio_frame_features(df, "payload", 16).collect()
+        }
+        assert sorted(rows) == [0, 1, 2]
+        enc = np.array([(6 * 31 + i * 17) % 256 for i in range(40)], np.uint8)
+        x = _mulaw_expand(enc)
+        fr = x[:16]
+        assert rows[0]["energy"] == int((fr * fr).sum())
+        neg = fr < 0
+        assert rows[0]["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
