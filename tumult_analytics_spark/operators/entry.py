@@ -845,6 +845,29 @@ def q_hashed_vector_stats(spark, sf_dir):
     )
 
 
+def q_gopher_prep_pipeline(spark, sf_dir):
+    # The modern standard prep path end to end: Gopher rule gate ->
+    # exact dedup on (lang, text) -> per-language surviving token
+    # totals. Chains the full rule bundle into the dedup stage; the
+    # oracle replays gate + DISTINCT + token sums.
+    # the synthetic corpus has no English stopword coverage and no
+    # lines, so gate on the four data-bearing rules (word count, mean
+    # word length, symbol ratio, alpha ratio) rather than the full
+    # conjunction — the audit-per-rule columns exist precisely so a
+    # pipeline can choose its gate
+    docs = _read(spark, sf_dir, "documents")
+    gated = P.gopher_quality_flags(docs, "text").filter(
+        "g_word_count_ok AND g_mean_word_len_ok AND g_symbol_ratio_ok"
+        " AND g_alpha_ratio_ok"
+    )
+    deduped = D.dedup_exact(gated, ["lang", "text"])
+    tc = X.token_count(deduped, "text")
+    return tc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+    )
+
+
 def q_heaps_law_stats(spark, sf_dir):
     # Vocabulary-growth readout (Heaps' law): per lang, total tokens,
     # distinct types, and the type-token ratio — the corpus-health
@@ -2816,6 +2839,7 @@ QUERIES = {
     "winnow_contamination": q_winnow_contamination,
     "event_anomaly_zscores": q_event_anomaly_zscores,
     "heaps_law_stats": q_heaps_law_stats,
+    "gopher_prep_pipeline": q_gopher_prep_pipeline,
     "zipf_slope": q_zipf_slope,
     "doc_length_summary": q_doc_length_summary,
     "hashed_vector_stats": q_hashed_vector_stats,
@@ -4655,6 +4679,20 @@ ORACLES["gopher_flags"] = _GOPHER_FLAGS_CTES + """
                     THEN 1 ELSE 0 END) AS BIGINT)
              AS n_pass
     FROM fl GROUP BY lang
+"""
+
+ORACLES["gopher_prep_pipeline"] = _GOPHER_FLAGS_CTES + """
+    , passing AS (
+      SELECT d.lang, d.text FROM fl f JOIN documents d USING (doc_id)
+      WHERE f.wc_ok AND f.mwl_ok AND f.sym_ok AND f.alpha_ok
+    ),
+    dedup AS (SELECT DISTINCT lang, text FROM passing)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(
+               string_split_regex(trim(text), '\\s+'), x -> x <> '')))
+             AS BIGINT) AS total_tokens
+    FROM dedup GROUP BY lang
 """
 
 ORACLES["mixed_media_pipeline"] = _GOPHER_FLAGS_CTES + """
