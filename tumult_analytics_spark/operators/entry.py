@@ -845,6 +845,60 @@ def q_hashed_vector_stats(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    # Novelty scoring: the fraction of each doc's distinct 3-grams
+    # FIRST seen in that doc (smallest doc_id wins) — the marginal
+    # contribution ranking used to order crawl snapshots for training.
+    # groupBy(gram).min(doc_id) is partial-aggregatable (no window, no
+    # skew pileup on boilerplate grams); one join back.
+    docs = _read(spark, sf_dir, "documents")
+    # bind tokens BEFORE the gram-slicing lambda (SCALE.md: slicing the
+    # raw split expression re-tokenizes once per gram)
+    toked = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+        ).alias("__tk__"),
+    )
+    tk = F.col("__tk__")
+    grams = toked.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                # size >= 3 guard: Spark's sequence(1, 0) DESCENDS
+                F.when(
+                    F.size(tk) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 2),
+                        lambda i: F.array_join(F.slice(tk, i, 3), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        grams.join(first, "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("total_grams"),
+        F.sum("n_novel").cast("long").alias("total_novel"),
+        F.round(
+            F.sum("n_novel") / F.sum("n_grams").cast("double"), 6
+        ).alias("novelty_ratio"),
+    )
+
+
 def q_gopher_prep_pipeline(spark, sf_dir):
     # The modern standard prep path end to end: Gopher rule gate ->
     # exact dedup on (lang, text) -> per-language surviving token
@@ -2840,6 +2894,7 @@ QUERIES = {
     "event_anomaly_zscores": q_event_anomaly_zscores,
     "heaps_law_stats": q_heaps_law_stats,
     "gopher_prep_pipeline": q_gopher_prep_pipeline,
+    "ngram_novelty": q_ngram_novelty,
     "zipf_slope": q_zipf_slope,
     "doc_length_summary": q_doc_length_summary,
     "hashed_vector_stats": q_hashed_vector_stats,
@@ -4759,6 +4814,40 @@ ORACLES["hashed_vector_stats"] = """
            CAST(sum(coalesce(n.v31, 0)) AS BIGINT) AS sum_slot31
     FROM documents d LEFT JOIN norms n USING (doc_id)
     GROUP BY d.lang
+"""
+
+ORACLES["ngram_novelty"] = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+        list_distinct(CASE WHEN len(tk) >= 3 THEN
+          list_transform(range(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        ELSE []::VARCHAR[] END) AS gs
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, lang, unnest(gs) AS gr FROM g),
+    firstd AS (SELECT gr, min(doc_id) AS first_doc FROM ex GROUP BY gr),
+    per AS (
+      SELECT e.doc_id, e.lang,
+             count(*) AS n_grams,
+             sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM ex e JOIN firstd f USING (gr)
+      GROUP BY e.doc_id, e.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_novel) AS BIGINT) AS total_novel,
+           round(CAST(sum(n_novel) AS DOUBLE) / sum(n_grams), 6)
+             AS novelty_ratio
+    FROM per GROUP BY lang
 """
 
 ORACLES["heaps_law_stats"] = """
