@@ -272,3 +272,40 @@ class TestLshIncrementalDedup:
         assert dedup_against_lsh_index(idx2, recopy, 0.99).count() == 0
         with __import__("pytest").raises(ValueError):
             dedup_against_lsh_index(idx, batch, threshold=0.0)
+
+
+class TestMinhashIndexPersistence:
+    def test_save_load_dedup_identical(self, spark, tmp_path):
+        from tumult_analytics_spark.operators.dedup import (
+            build_minhash_index,
+            dedup_against_index,
+        )
+        from tumult_analytics_spark.operators.similarity import AnnIndex
+
+        docs = spark.createDataFrame(
+            [(i, f"shared shingle stream number {i % 6} padded text")
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        idx = build_minhash_index(
+            docs, "text", "doc_id", num_hashes=16, bands=4,
+            signature_fn="md5",
+        )
+        batch = spark.createDataFrame(
+            [(100 + i, f"shared shingle stream number {i} padded text")
+             for i in range(6)],
+            "doc_id long, text string",
+        )
+        before = sorted(
+            r["doc_id"]
+            for r in dedup_against_index(idx, batch, 0.7).collect()
+        )
+        path = str(tmp_path / "mh_idx")
+        idx.save(path)
+        idx2 = AnnIndex.load(spark, path)
+        assert idx2.kind == "minhash" and idx2.params == idx.params
+        after = sorted(
+            r["doc_id"]
+            for r in dedup_against_index(idx2, batch, 0.7).collect()
+        )
+        assert after == before
