@@ -845,6 +845,22 @@ def q_hashed_vector_stats(spark, sf_dir):
     )
 
 
+def q_dataset_card(spark, sf_dir):
+    # The per-language "dataset card" block a corpus release ships:
+    # docs, tokens, char-entropy, and bigram-repetition signals in one
+    # pass over composed pure-Catalyst + Arrow operators.
+    docs = _read(spark, sf_dir, "documents")
+    e = X.char_entropy(docs, "text")
+    r = P.ngram_repetition(e, "text", ns=(2,))
+    tc = X.token_count(r, "text")
+    return tc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.round(F.avg(F.round("char_entropy", 6)), 4).alias("avg_entropy"),
+        F.round(F.sum("dup2_ratio"), 4).alias("sum_dup2"),
+    )
+
+
 def q_ngram_novelty(spark, sf_dir):
     # Novelty scoring: the fraction of each doc's distinct 3-grams
     # FIRST seen in that doc (smallest doc_id wins) — the marginal
@@ -2895,6 +2911,7 @@ QUERIES = {
     "heaps_law_stats": q_heaps_law_stats,
     "gopher_prep_pipeline": q_gopher_prep_pipeline,
     "ngram_novelty": q_ngram_novelty,
+    "dataset_card": q_dataset_card,
     "zipf_slope": q_zipf_slope,
     "doc_length_summary": q_doc_length_summary,
     "hashed_vector_stats": q_hashed_vector_stats,
@@ -4814,6 +4831,43 @@ ORACLES["hashed_vector_stats"] = """
            CAST(sum(coalesce(n.v31, 0)) AS BIGINT) AS sum_slot31
     FROM documents d LEFT JOIN norms n USING (doc_id)
     GROUP BY d.lang
+"""
+
+ORACLES["dataset_card"] = """
+    WITH per AS (
+      SELECT lang,
+        -- tokens
+        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x <> '')) AS BIGINT) AS n_tokens,
+        -- char entropy (sorted accumulation, rounded per doc)
+        CASE WHEN length(text) = 0 THEN 0.0 ELSE
+          round(-list_sum(list_transform(
+            list_sort(list_distinct(string_split_regex(text, ''))),
+            ch -> (CAST(len(list_filter(string_split_regex(text, ''),
+                        x -> x = ch)) AS DOUBLE) / length(text))
+                  * log2(CAST(len(list_filter(string_split_regex(text, ''),
+                        x -> x = ch)) AS DOUBLE) / length(text)))), 6)
+        END AS h,
+        -- bigram repetition ratio
+        (SELECT CASE WHEN len(g2) > 0 THEN
+            CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+          ELSE 0.0 END
+         FROM (SELECT CASE WHEN len(tk) >= 2 THEN
+                 list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1])
+               ELSE []::VARCHAR[] END AS g2
+               FROM (SELECT list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '') AS tk))
+        ) AS d2
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(h), 4) AS avg_entropy,
+           round(sum(d2), 4) AS sum_dup2
+    FROM per GROUP BY lang
 """
 
 ORACLES["ngram_novelty"] = """
