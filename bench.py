@@ -61,6 +61,28 @@ def main() -> None:
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
 
+    import gc
+
+    def _release_blocks() -> None:
+        """Free localCheckpoint RDD blocks left by the previous query.
+
+        ``clearCache`` drops only catalog-cached tables; checkpoint blocks
+        are reclaimed by Spark's ContextCleaner, which fires on *JVM*
+        garbage collection of the RDD object — and the JVM object is only
+        unreachable once py4j has released the Python-side handle. So:
+        drop Python refs, collect Python garbage (releases py4j handles),
+        then nudge a JVM GC so the ContextCleaner queue drains before the
+        next query is timed. Without this a 125-query session accumulates
+        gigabytes of dead checkpoint blocks that tax later queries
+        (observed as phantom >2x regressions in round-3's recorded bench).
+        """
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # pragma: no cover
+            pass
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in sorted(qs.items()):
@@ -71,7 +93,7 @@ def main() -> None:
         ):
             if len(runs) >= 3:
                 break
-            spark.catalog.clearCache()
+            _release_blocks()
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -81,6 +103,7 @@ def main() -> None:
                 failed = True
                 break
             runs.append(time.perf_counter() - t0)
+            del df
         best = -1.0 if failed else min(runs)
         timings[name] = round(best, 3)
         if best > 0:

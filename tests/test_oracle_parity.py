@@ -1,8 +1,9 @@
 """Mimics the driver's correctness gate: run each __spark_entry__ query and
 its DuckDB oracle side-by-side, compare row count + values order-insensitively.
 
-Runs at sf0.001 for speed in CI; the driver uses sf0.01 (same shape).
-Set ORACLE_SF_DIR to override.
+Defaults to sf0.01 — the same scale the driver's CORRECTNESS gate uses —
+so every ``pytest tests/`` run grades the full declared surface at driver
+scale. Set ORACLE_SF_DIR=/root/testdata/sf0.001 for a quicker smoke pass.
 """
 
 import math
@@ -16,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
 
-SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",

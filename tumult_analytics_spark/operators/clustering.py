@@ -75,6 +75,7 @@ def kmeans_fit_predict(
     n_iter: int = 5,
     cluster_col: str = "cluster",
     dist_col: str = "dist",
+    materialize: bool = False,
 ) -> Tuple[DataFrame, np.ndarray]:
     """Run ``n_iter`` fixed Lloyd iterations and return
     ``(df + cluster_col + dist_col, centroids)``.
@@ -82,6 +83,12 @@ def kmeans_fit_predict(
     Seeding is the embeddings of the ``k`` smallest ``id_col`` values; a
     cluster that goes empty keeps its previous centroid. ``dist_col`` is
     the Euclidean distance to the final centroid.
+
+    ``materialize=True`` eagerly ``localCheckpoint``s the result —
+    worthwhile only when the caller will read it several times (e.g.
+    :func:`semantic_dedup`'s per-cluster pass plus a stats pass). The
+    default leaves the plan lazy: a single downstream action pays one
+    assignment kernel, not an extra full materialization.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -120,9 +127,12 @@ def kmeans_fit_predict(
         .drop("__v__", "__a__")
     )
     if n_iter > 0:
-        # Materialize the assignment once, then release the cached
-        # vectors — no persisted RDDs outlive the call.
-        out = out.localCheckpoint(eager=True)
+        if materialize:
+            # Materialize the assignment once, then release the cached
+            # vectors — no persisted RDDs outlive the call.
+            out = out.localCheckpoint(eager=True)
+        # Release the iteration cache either way; the lazy plan simply
+        # re-reads the source for its single final pass.
         work.unpersist(blocking=False)
     return out, centroids
 
@@ -165,8 +175,12 @@ def semantic_dedup(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    # materialize=True: ``assigned`` feeds BOTH the per-cluster dropped
+    # pass and the anti-join's left side — checkpointing runs the
+    # assignment kernel once instead of twice.
     assigned, _ = kmeans_fit_predict(
-        df, vec_col, id_col, k=k, n_iter=n_iter, cluster_col=cluster_col
+        df, vec_col, id_col, k=k, n_iter=n_iter, cluster_col=cluster_col,
+        materialize=True,
     )
     import pandas as pd  # noqa: F811 — local for the serialized kernel
 

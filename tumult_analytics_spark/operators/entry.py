@@ -1286,7 +1286,9 @@ def q_kmeans_cluster_stats(spark, sf_dir):
     from . import clustering as C
 
     emb = _read(spark, sf_dir, "embeddings")
-    out, _ = C.kmeans_fit_predict(emb, k=4, n_iter=3)
+    # materialize=True: ``out`` feeds both the majority-label branch and
+    # the stats branch — one assignment pass instead of two.
+    out, _ = C.kmeans_fit_predict(emb, k=4, n_iter=3, materialize=True)
     per = out.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
     maj = (

@@ -1670,11 +1670,17 @@ def dhash_images(
                 xs = (np.arange(9, dtype=np.int64) * w) // 9
                 ys = (np.arange(8, dtype=np.int64) * h) // 8
                 grid = gray[np.ix_(ys, xs)]  # 8 rows x 9 cols
-                bits = (grid[:, :8] > grid[:, 1:]).astype(np.int64)
+                bits = (grid[:, :8] > grid[:, 1:]).astype(np.uint64)
                 shifts = (
-                    np.arange(8)[:, None] * 8 + np.arange(8)[None, :]
+                    np.arange(8, dtype=np.uint64)[:, None] * np.uint64(8)
+                    + np.arange(8, dtype=np.uint64)[None, :]
                 )
-                vals.append(int((bits << shifts).sum()))
+                # Pack in uint64, then reinterpret as two's-complement
+                # int64 — bit 63 set must wrap to a negative long
+                # explicitly (signed left-shift overflow is undefined;
+                # the SQL oracle replays this exact wrap).
+                packed = np.uint64((bits << shifts).sum(dtype=np.uint64))
+                vals.append(int(packed.view(np.int64)))
             out = pdf.copy()
             out[output_column] = pd.array(vals, dtype="Int64")
             yield out

@@ -256,7 +256,10 @@ def recency_weighted_sample(
     where age is measured back from ``reference_ts`` (an ISO timestamp
     string — pass the pipeline's logical run date, never "now": a
     wall-clock default would make retries and reruns sample different
-    rows). The keep decision reuses the md5-uniform of ``key_column``,
+    rows). A zone-less ``reference_ts`` resolves in
+    ``spark.sql.session.timeZone`` — pin that config (this repo pins
+    UTC everywhere) or pass an explicit offset (``...T00:00:00+00:00``)
+    so reruns on differently-configured clusters sample identical rows. The keep decision reuses the md5-uniform of ``key_column``,
     so it composes with the other deterministic samplers without
     correlation (per-purpose salt).
 
@@ -1178,9 +1181,18 @@ def length_bucketed_batches(
         bucket = F.when(toks < int(bucket_edges[i]), F.lit(i)).otherwise(
             bucket
         )
-    out = df.withColumn("bucket", bucket).withColumn(
-        "shard", F.pmod(F.col(shard_key).cast("long"), F.lit(n_shards))
-    )
+    # Numeric keys shard by value (stable, test-friendly); anything else
+    # is hashed first — a bare cast of a non-numeric string to long would
+    # yield null and collapse every row into one shard, defeating the
+    # skew bound this layout exists for.
+    key_type = df.schema[shard_key].dataType.simpleString()
+    if key_type in ("tinyint", "smallint", "int", "bigint"):
+        shard_expr = F.pmod(F.col(shard_key).cast("long"), F.lit(n_shards))
+    else:
+        shard_expr = F.pmod(
+            F.xxhash64(F.col(shard_key).cast("string")), F.lit(n_shards)
+        )
+    out = df.withColumn("bucket", bucket).withColumn("shard", shard_expr)
     w = Window.partitionBy("shard", "bucket").orderBy(order)
     out = out.withColumn(
         "batch_id",

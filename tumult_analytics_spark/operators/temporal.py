@@ -234,6 +234,11 @@ def funnel_conversion(
     lifting is the single shuffle). A pure-Catalyst min/filter chain
     would need one pass per step; this is one pass total and expresses
     the strictly-sequential semantics exactly.
+
+    ``ts_column`` must be a TIMESTAMP column (it arrives in the Arrow
+    kernel as datetime64 and is compared at microsecond precision). The
+    user column may be any type — its output type mirrors the input
+    schema.
     """
     import numpy as np
     import pandas as pd
@@ -242,11 +247,16 @@ def funnel_conversion(
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError("need at least two funnel steps")
+    if not isinstance(events.schema[ts_column].dataType, T.TimestampType):
+        raise TypeError(
+            f"funnel_conversion: {ts_column} must be TIMESTAMP, got "
+            f"{events.schema[ts_column].dataType.simpleString()}"
+        )
     within_us = int(within_seconds * 1_000_000)
 
     out_schema = T.StructType(
         [
-            T.StructField("user", T.LongType(), True),
+            T.StructField("user", events.schema[user_column].dataType, True),
             T.StructField("steps_completed", T.IntegerType(), True),
             T.StructField("t0_us", T.LongType(), True),
         ]

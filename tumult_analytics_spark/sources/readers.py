@@ -270,20 +270,24 @@ def profile_columns(df, columns):
             ]
         )
     row = df.agg(*aggs)
-    parts = [
-        row.select(
+    # Pivot the single agg row to long format by exploding an array of
+    # per-column structs — ONE plan with ONE aggregation, no union
+    # branches (a union of N selects over the same agg relies on
+    # Spark's ReusedExchange to stay single-pass; this shape is
+    # single-pass by construction).
+    structs = [
+        F.struct(
             F.lit(c).alias("column"),
             F.col(f"__{c}_rows__").cast("long").alias("n_rows"),
             F.col(f"__{c}_nulls__").cast("long").alias("n_nulls"),
             F.col(f"__{c}_distinct__").cast("long").alias("n_distinct"),
-            F.col(f"__{c}_avglen__").alias("avg_len"),
+            F.col(f"__{c}_avglen__").cast("double").alias("avg_len"),
         )
         for c in columns
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return row.select(
+        F.explode(F.array(*structs)).alias("__p__")
+    ).select("__p__.*")
 
 
 def numeric_summary(
@@ -350,18 +354,19 @@ def correlation_matrix(df, columns):
             for i, (a, b) in enumerate(pairs)
         ]
     )
-    parts = [
-        row.select(
+    # Same explode-of-structs pivot as profile_columns: one aggregation
+    # in one plan, no union branches / ReusedExchange dependency.
+    structs = [
+        F.struct(
             F.lit(a).alias("col_a"),
             F.lit(b).alias("col_b"),
-            F.col(f"__c_{i}__").alias("corr"),
+            F.col(f"__c_{i}__").cast("double").alias("corr"),
         )
         for i, (a, b) in enumerate(pairs)
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return row.select(
+        F.explode(F.array(*structs)).alias("__p__")
+    ).select("__p__.*")
 
 
 def ab_test_summary(df, group_column, value_column, group_a, group_b):
