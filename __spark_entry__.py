@@ -423,18 +423,42 @@ def q_replace_null_binned(spark, sf_dir):
 
 
 def q_min_max(spark, sf_dir):
-    # Quantile(0)/quantile(1) sugar; deterministic at infinite budget,
-    # oracle reproduces the binned argmax exactly.
-    # Combined via union, NOT crossJoin: a cartesian of two 32-partition
-    # local relations schedules 32x32 tasks in local mode.
+    # min and max from ONE multi-quantile measurement (quantiles 0 and 1
+    # share a single clamp->bin->count histogram pass — the engine's
+    # extension over the reference's one-quantile-per-query API), then
+    # unpivoted to (stat, value) via explode — no union of two jobs, no
+    # crossJoin.
     from pyspark.sql import functions as F
 
     s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
-    qmin = QueryBuilder("lineitem").min("l_quantity", 0, 60, name="value")
-    qmax = QueryBuilder("lineitem").max("l_quantity", 0, 60, name="value")
-    lo = s.evaluate(qmin, INF).select(F.lit("min").alias("stat"), "value")
-    hi = s.evaluate(qmax, INF).select(F.lit("max").alias("stat"), "value")
-    return lo.unionByName(hi)
+    q = QueryBuilder("lineitem").quantiles(
+        "l_quantity", [0.0, 1.0], 0, 60, names=["vmin", "vmax"]
+    )
+    r = s.evaluate(q, INF)
+    return r.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("min").alias("stat"), F.col("vmin").alias("value")),
+                F.struct(F.lit("max").alias("stat"), F.col("vmax").alias("value")),
+            )
+        ).alias("__p__")
+    ).select("__p__.*")
+
+
+def q_multi_quantile(spark, sf_dir):
+    # Grouped quartiles (q25/q50/q75) of l_quantity in ONE histogram
+    # pass with the budget split across the three exponential
+    # mechanisms; deterministic at infinite budget — the oracle replays
+    # the binned argmax per quantile with integer utility arithmetic
+    # |4*cum + 2*c - 4*q*n|.
+    s = _sess(spark, sf_dir, {"lineitem": AddOneRow()})
+    ks = KeySet.from_dict({"l_returnflag": _RF})
+    q = (
+        QueryBuilder("lineitem")
+        .groupby(ks)
+        .quantiles("l_quantity", [0.25, 0.5, 0.75], 0, 50, names=["q25", "q50", "q75"])
+    )
+    return s.evaluate(q, INF)
 
 
 def q_groups_per_id_count(spark, sf_dir):
@@ -731,6 +755,54 @@ _ORACLES = {
         UNION ALL
         SELECT stat, value FROM qmax WHERE rk = 1
     """,
+    "multi_quantile": """
+        WITH ks AS (SELECT * FROM (VALUES ('A'),('N'),('R')) t(l_returnflag)),
+        bins AS (SELECT CAST(range AS INT) AS b FROM range(0, 512)),
+        data AS (
+          SELECT l_returnflag,
+                 least(CAST(floor(least(greatest(l_quantity, 0), 50)
+                       / (50.0/512)) AS INT), 511) AS b
+          FROM lineitem
+        ),
+        counts AS (SELECT l_returnflag, b, count(*) AS c FROM data GROUP BY 1, 2),
+        grid AS (
+          SELECT ks.l_returnflag, bins.b, coalesce(counts.c, 0) AS c
+          FROM ks CROSS JOIN bins
+          LEFT JOIN counts ON counts.l_returnflag = ks.l_returnflag
+                          AND counts.b = bins.b
+        ),
+        scored AS (
+          SELECT l_returnflag, b, c,
+            coalesce(sum(c) OVER (PARTITION BY l_returnflag ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum,
+            sum(c) OVER (PARTITION BY l_returnflag) AS n
+          FROM grid
+        ),
+        r25 AS (
+          SELECT l_returnflag, (b + 0.5) * (50.0/512) AS q25,
+            row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY abs(4*cum + 2*c - n) ASC, b ASC) AS rk
+          FROM scored
+        ),
+        r50 AS (
+          SELECT l_returnflag, (b + 0.5) * (50.0/512) AS q50,
+            row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY abs(4*cum + 2*c - 2*n) ASC, b ASC) AS rk
+          FROM scored
+        ),
+        r75 AS (
+          SELECT l_returnflag, (b + 0.5) * (50.0/512) AS q75,
+            row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY abs(4*cum + 2*c - 3*n) ASC, b ASC) AS rk
+          FROM scored
+        )
+        SELECT r25.l_returnflag, r25.q25, r50.q50, r75.q75
+        FROM r25
+        JOIN r50 ON r50.l_returnflag = r25.l_returnflag AND r50.rk = 1
+        JOIN r75 ON r75.l_returnflag = r25.l_returnflag AND r75.rk = 1
+        WHERE r25.rk = 1
+    """,
 
     "flat_map_explode": """
         WITH ks AS (SELECT * FROM (VALUES ('A'),('N'),('R')) t(l_returnflag)),
@@ -833,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "private_join_nonunique": q_private_join_nonunique,
         "replace_null_binned": q_replace_null_binned,
         "min_max": q_min_max,
+        "multi_quantile": q_multi_quantile,
         "groups_per_id_count": q_groups_per_id_count,
         "view_count": q_view_count,
         "partition_split_count": q_partition_split_count,

@@ -104,6 +104,51 @@ def test_quantile_min_max(sess, spark):
     assert lo < 2.0 and hi > 98.0
 
 
+def test_quantiles_multi_matches_singles_at_inf(sess, spark):
+    # One histogram pass for m quantiles must give byte-identical values
+    # to m single-quantile queries at infinite budget (both are the
+    # deterministic argmax over the same binned counts).
+    df = spark.createDataFrame(pd.DataFrame({"x": [float(i) for i in range(101)]}))
+    s = Session.from_dataframe(INF, "u", df, AddOneRow())
+    multi = s.evaluate(
+        QueryBuilder("u").quantiles("x", [0.0, 0.5, 1.0], 0, 100, names=["a", "b", "c"]),
+        INF,
+    ).collect()[0]
+    for q, name in [(0.0, "a"), (0.5, "b"), (1.0, "c")]:
+        single = s.evaluate(
+            QueryBuilder("u").quantile("x", q, 0, 100, name="v"), INF
+        ).collect()[0]["v"]
+        assert multi[name] == single
+
+
+def test_quantiles_grouped_finite_budget(spark):
+    # Finite budget: every released value stays inside [low, high] and
+    # the call consumes exactly the requested budget once (not m times).
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 50 + ["b"] * 50, "x": [float(i % 25) for i in range(100)]})
+    )
+    s = Session.from_dataframe(PureDPBudget(10), "u", df, AddOneRow())
+    ks = KeySet.from_dict({"g": ["a", "b"]})
+    out = s.evaluate(
+        QueryBuilder("u").groupby(ks).quantiles("x", [0.25, 0.75], 0, 25, names=["lo", "hi"]),
+        PureDPBudget(3),
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 0.0 <= r["lo"] <= 25.0 and 0.0 <= r["hi"] <= 25.0
+    assert s.remaining_privacy_budget.epsilon == 7
+
+
+def test_quantiles_validation(sess):
+    with pytest.raises(ValueError):
+        QueryBuilder("t").quantiles("X", [], 0, 1)
+    with pytest.raises(ValueError):
+        QueryBuilder("t").quantiles("X", [0.5, 1.5], 0, 1)
+    with pytest.raises(ValueError):
+        QueryBuilder("t").quantiles("X", [0.25, 0.5], 0, 1, names=["same", "same"])
+
+
 def test_histogram(sess):
     out = sess.evaluate(QueryBuilder("t").histogram("X", [0.0, 1.0, 2.0, 4.0]), INF)
     got = {r["X_binned"]: r["count"] for r in out.collect()}

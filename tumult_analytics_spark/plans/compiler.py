@@ -496,6 +496,7 @@ def measurement_required_columns(expr: E.QueryExpr) -> Optional[frozenset]:
             E.GroupByBoundedVariance,
             E.GroupByBoundedStdev,
             E.GroupByQuantile,
+            E.GroupByQuantiles,
         ),
     ):
         return gcols | {expr.measure_column}
@@ -1098,6 +1099,8 @@ def compile_measurement(
         return _compile_variance(expr, ctx, bspec)
     if isinstance(expr, E.GroupByQuantile):
         return _compile_quantile(expr, ctx, bspec)
+    if isinstance(expr, E.GroupByQuantiles):
+        return _compile_quantiles(expr, ctx, bspec)
     if isinstance(expr, E.GetBounds):
         return _compile_get_bounds(expr, ctx, bspec)
     raise TypeError(f"Not a measurement node: {type(expr).__name__}")
@@ -1295,20 +1298,42 @@ QUANTILE_BINS = 512
 def _compile_quantile(
     expr: E.GroupByQuantile, ctx: CompileContext, bspec: BudgetSpec
 ) -> MeasurementResult:
-    """Exponential-mechanism quantile over a fixed per-group histogram.
+    """Single-quantile wrapper over :func:`_compile_quantiles` (one
+    histogram pass, one exponential mechanism — identical semantics and
+    budget to the reference's GroupByQuantile)."""
+    multi = E.GroupByQuantiles(
+        child=expr.child,
+        groupby_keys=expr.groupby_keys,
+        measure_column=expr.measure_column,
+        quantiles=(float(expr.quantile),),
+        low=expr.low,
+        high=expr.high,
+        output_columns=(expr.output_column,),
+    )
+    return _compile_quantiles(multi, ctx, bspec)
+
+
+def _compile_quantiles(
+    expr: E.GroupByQuantiles, ctx: CompileContext, bspec: BudgetSpec
+) -> MeasurementResult:
+    """Exponential-mechanism quantile(s) over ONE fixed per-group histogram.
 
     Spark plan: clamp -> bin (Catalyst arithmetic) -> groupBy(group, bin)
     count (one shuffle, map-side combined) -> applyInPandas per group over
-    <=QUANTILE_BINS rows to run the exponential mechanism. Scales to any
-    number of groups; never collects raw values.
+    <=QUANTILE_BINS rows to run the exponential mechanism once per
+    requested quantile. The histogram pass — the only part that touches
+    the data — is shared by all m quantiles; the total budget splits
+    evenly across the m mechanisms (sequential composition). Scales to
+    any number of groups; never collects raw values.
 
     With an infinite budget this deterministically returns the midpoint of
-    the best-utility bin (reference returns a point inside the optimal
-    interval; the bin width bounds the difference).
+    the best-utility bin per quantile (reference returns a point inside
+    the optimal interval; the bin width bounds the difference).
     """
     t, df, gcols, keys, l1, l2 = _prep(expr, ctx, bspec)
-    out = expr.output_column
-    q = float(expr.quantile)
+    outs = list(expr.output_columns)
+    qs = [float(q) for q in expr.quantiles]
+    m = len(qs)
     lo, hi = float(expr.low), float(expr.high)
     nb = QUANTILE_BINS
     width = (hi - lo) / nb
@@ -1324,13 +1349,18 @@ def _compile_quantile(
     counts = _groupby(binned, [*gcols, "__bin__"]).agg(
         F.count(F.lit(1)).alias("__c__")
     )
-    eps = float("inf") if bspec.infinite else (
+    total_eps = float("inf") if bspec.infinite else (
         bspec.epsilon if bspec.kind in ("puredp", "approxdp") else None
     )
     # Under zCDP, the exponential mechanism runs with epsilon derived from
     # rho: a rho-zCDP exponential mechanism satisfies eps = sqrt(8*rho).
-    if eps is None:
-        eps = math.sqrt(8.0 * bspec.rho) if bspec.rho > 0 else 0.0
+    # For m quantiles the rho splits first (rho/m each), so each
+    # mechanism gets eps_i = sqrt(8*rho/m).
+    if total_eps is None:
+        rho_each = (bspec.rho / m) if bspec.rho > 0 else 0.0
+        eps = math.sqrt(8.0 * rho_each) if rho_each > 0 else 0.0
+    else:
+        eps = total_eps if not math.isfinite(total_eps) else total_eps / m
     sens = l1 if bspec.kind != "zcdp" else l2
     # Per-row utility sensitivity of u_i = -|cum_i + c_i/2 - q*n|. The
     # target q*n is data-dependent, so adding/removing one row moves BOTH
@@ -1342,54 +1372,56 @@ def _compile_quantile(
     # all bounded by max(q, 1-q) <= 1. Over l1 changed rows the total
     # utility sensitivity is du = sens * max(q, 1-q), and the exponential
     # mechanism scores with eps/(2*du).
-    du_per_row = max(q, 1.0 - q)
 
     out_fields = [(c, t.df.schema[c].dataType) for c in gcols]
     out_schema = T.StructType(
         [T.StructField(c, dt, True) for c, dt in out_fields]
-        + [T.StructField(out, T.DoubleType(), True)]
+        + [T.StructField(o, T.DoubleType(), True) for o in outs]
     )
 
     import numpy as np
 
-    def em_quantile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def em_quantiles(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         counts_arr = np.zeros(nb, dtype=np.float64)
         for b, c in zip(pdf["__bin__"], pdf["__c__"]):
             if b is not None and 0 <= int(b) < nb:
                 counts_arr[int(b)] = float(c)
         n = counts_arr.sum()
         cum = np.concatenate([[0.0], np.cumsum(counts_arr)])  # cum[i] = below bin i
-        target = q * n
-        # Utility of bin i: -|rank error| at the bin boundary region.
-        util = -np.abs(cum[:-1] + counts_arr / 2.0 - target)
-        if not np.isfinite(eps) or eps <= 0:
-            idx = int(np.argmax(util))
-        elif eps == float("inf"):
-            idx = int(np.argmax(util))
-        else:
-            # Exponential mechanism (Gumbel trick); total utility
-            # sensitivity sens * max(q, 1-q) (see analysis above).
-            scores = (eps / (2.0 * max(sens * du_per_row, 1e-12))) * util
-            g = np.random.default_rng().gumbel(size=nb)
-            idx = int(np.argmax(scores + g))
-        value = lo + (idx + 0.5) * width
         row = {c: v for (c, _), v in zip(out_fields, key)}
-        row[out] = float(value)
-        return pd.DataFrame([row], columns=[c for c, _ in out_fields] + [out])
+        for q, out in zip(qs, outs):
+            target = q * n
+            # Utility of bin i: -|rank error| at the bin boundary region.
+            util = -np.abs(cum[:-1] + counts_arr / 2.0 - target)
+            if not np.isfinite(eps) or eps <= 0:
+                idx = int(np.argmax(util))
+            else:
+                # Exponential mechanism (Gumbel trick); total utility
+                # sensitivity sens * max(q, 1-q) (see analysis above).
+                du_per_row = max(q, 1.0 - q)
+                scores = (eps / (2.0 * max(sens * du_per_row, 1e-12))) * util
+                g = np.random.default_rng().gumbel(size=nb)
+                idx = int(np.argmax(scores + g))
+            row[out] = float(lo + (idx + 0.5) * width)
+        return pd.DataFrame([row], columns=[c for c, _ in out_fields] + outs)
 
     if gcols:
-        per_group = counts.groupBy(*gcols).applyInPandas(em_quantile, out_schema)
+        per_group = counts.groupBy(*gcols).applyInPandas(em_quantiles, out_schema)
         res = _keyset_attach(per_group, keys, {})
         # Missing groups: empty data -> all bins tie -> argmax picks bin 0.
-        res = res.withColumn(
-            out, F.coalesce(F.col(out), F.lit(_empty_quantile_value(q, lo, hi, nb)))
-        )
+        for q, out in zip(qs, outs):
+            res = res.withColumn(
+                out,
+                F.coalesce(F.col(out), F.lit(_empty_quantile_value(q, lo, hi, nb))),
+            )
     else:
         pdf = counts.toPandas()
-        pdf = pdf.rename(columns={})
-        res_pdf = em_quantile((), pdf)
+        res_pdf = em_quantiles((), pdf)
         res = df.sparkSession.createDataFrame(res_pdf, out_schema)
-    infos = [NoiseInfo(NoiseMechanism.EXPONENTIAL, 0.0 if bspec.infinite else eps)]
+    infos = [
+        NoiseInfo(NoiseMechanism.EXPONENTIAL, 0.0 if bspec.infinite else eps)
+        for _ in qs
+    ]
     return MeasurementResult(res, infos)
 
 

@@ -728,10 +728,6 @@ class GroupByQuantile(QueryExpr):
         if not (0.0 <= self.quantile <= 1.0):
             raise ValueError("Quantile must be between 0 and 1")
 
-    def __post_init__(self):
-        if not 0 <= self.quantile <= 1:
-            raise ValueError("quantile must be between 0 and 1")
-
     def schema(self, catalog: Catalog) -> Schema:
         cs = self.child.schema(catalog)
         _check_groupby(cs, self.groupby_keys)
@@ -739,6 +735,54 @@ class GroupByQuantile(QueryExpr):
         return _groupby_schema(
             self.groupby_keys,
             {self.output_column: ColumnDescriptor(ColumnType.DECIMAL)},
+            cs,
+        )
+
+
+@dataclass(frozen=True)
+class GroupByQuantiles(QueryExpr):
+    """Multi-quantile extension (this engine's addition; the reference's
+    API exposes only one quantile per query, see reference
+    src/tmlt/analytics/_query_expr.py GroupByQuantile): m quantiles of one
+    measure column computed from a SINGLE clamp->bin->count histogram
+    pass. The privacy budget splits evenly across the m exponential
+    mechanisms (sequential composition over the same per-group
+    histogram), so ``quantiles(col, [q])`` costs exactly what
+    ``quantile(col, q)`` costs and m quantiles cost one scan instead of
+    m scans."""
+
+    child: QueryExpr
+    groupby_keys: GroupbyKeys
+    measure_column: str
+    quantiles: tuple
+    low: float
+    high: float
+    output_columns: tuple = ()
+
+    def __post_init__(self):
+        _check_bounds(self.low, self.high)
+        if not self.quantiles:
+            raise ValueError("quantiles must not be empty")
+        for q in self.quantiles:
+            if not (0.0 <= float(q) <= 1.0):
+                raise ValueError("Quantile must be between 0 and 1")
+        if len(self.output_columns) != len(self.quantiles):
+            raise ValueError(
+                "output_columns must match quantiles in length"
+            )
+        if len(set(self.output_columns)) != len(self.output_columns):
+            raise ValueError("output_columns must be distinct")
+
+    def schema(self, catalog: Catalog) -> Schema:
+        cs = self.child.schema(catalog)
+        _check_groupby(cs, self.groupby_keys)
+        _check_measure(cs, self.measure_column, self.low, self.high)
+        return _groupby_schema(
+            self.groupby_keys,
+            {
+                c: ColumnDescriptor(ColumnType.DECIMAL)
+                for c in self.output_columns
+            },
             cs,
         )
 
@@ -876,6 +920,7 @@ MEASUREMENT_NODES = (
     GroupByCount,
     GroupByCountDistinct,
     GroupByQuantile,
+    GroupByQuantiles,
     GroupByBoundedSum,
     GroupByBoundedAverage,
     GroupByBoundedVariance,

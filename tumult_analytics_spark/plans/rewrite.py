@@ -109,6 +109,7 @@ def rewrite(expr: E.QueryExpr, catalog: Mapping[str, Schema]) -> E.QueryExpr:
             E.GroupByBoundedVariance,
             E.GroupByBoundedStdev,
             E.GroupByQuantile,
+            E.GroupByQuantiles,
         ),
     ):
         return dataclasses.replace(expr, child=_wrap_measure_child(expr, catalog))
