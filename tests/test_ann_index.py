@@ -309,3 +309,99 @@ class TestMinhashIndexPersistence:
             for r in dedup_against_index(idx2, batch, 0.7).collect()
         )
         assert after == before
+
+
+class TestIndexMaintenance:
+    """compact() + stats(): the months-long-crawl lifecycle (extend
+    forever -> duplicates and dead ids accumulate -> compact sheds them
+    without changing dedup results)."""
+
+    def _docs(self, spark, ids_texts):
+        return spark.createDataFrame(list(ids_texts), "doc_id long, text string")
+
+    def test_minhash_extend3_compact_matches_fresh_build(self, spark, tmp_path):
+        from tumult_analytics_spark.operators import dedup as D
+        from tumult_analytics_spark.operators.similarity import AnnIndex
+
+        mk = lambda i: " ".join(f"tok{i}_{j}" for j in range(40))
+        parts = [
+            [(i, mk(i)) for i in range(0, 3)],
+            [(i, mk(i)) for i in range(3, 6)],
+            [(i, mk(i)) for i in range(6, 9)],
+            [(i, mk(i)) for i in range(9, 12)],
+        ]
+        idx = D.build_minhash_index(self._docs(spark, parts[0]), "text", "doc_id")
+        for p in parts[1:]:
+            idx = D.extend_minhash_index(idx, self._docs(spark, p))
+        # Re-extend part 2 (simulates a re-crawled batch): duplicate rows.
+        idx = D.extend_minhash_index(idx, self._docs(spark, parts[1]))
+        st = idx.stats()
+        assert st["kind"] == "minhash" and st["ids"] == 12
+        assert st["rows"] > 12 * idx.params["bands"]  # duplicated entries
+
+        compacted = idx.compact()
+        st2 = compacted.stats()
+        assert st2["ids"] == 12
+        assert st2["rows"] == 12 * idx.params["bands"]
+        assert st2["rows_per_id"] == idx.params["bands"]
+
+        fresh = D.build_minhash_index(
+            self._docs(spark, [t for p in parts for t in p]), "text", "doc_id"
+        )
+        batch = self._docs(
+            spark, [(100 + i, mk(i)) for i in range(12)] + [(200, "novel " * 30)]
+        )
+        kept_compacted = sorted(
+            r["doc_id"] for r in D.dedup_against_index(compacted, batch, 0.7).collect()
+        )
+        kept_fresh = sorted(
+            r["doc_id"] for r in D.dedup_against_index(fresh, batch, 0.7).collect()
+        )
+        assert kept_compacted == kept_fresh == [200]
+
+        # Round-trips through save/load like any other index.
+        path = str(tmp_path / "compacted")
+        compacted.save(path)
+        loaded = AnnIndex.load(spark, path)
+        assert loaded.stats() == st2
+
+    def test_minhash_compact_drops_deleted_ids(self, spark):
+        from tumult_analytics_spark.operators import dedup as D
+
+        mk = lambda i: " ".join(f"tok{i}_{j}" for j in range(40))
+        idx = D.build_minhash_index(
+            self._docs(spark, [(i, mk(i)) for i in range(6)]), "text", "doc_id"
+        )
+        # Delete docs 0-2 from the corpus; their near-dups must now pass.
+        compacted = idx.compact(deleted_ids=[0, 1, 2])
+        assert compacted.stats()["ids"] == 3
+        batch = self._docs(spark, [(100, mk(0)), (101, mk(4))])
+        kept = sorted(
+            r["doc_id"]
+            for r in D.dedup_against_index(compacted, batch, 0.7).collect()
+        )
+        assert kept == [100]  # 101 still blocked by surviving doc 4
+
+    def test_lsh_compact_and_stats(self, spark):
+        df = _emb_df(spark, n=80, dim=8)
+        idx = S.build_lsh_index(
+            df, "embedding", "vec_id", bits=6, tables=2, dim=8,
+            plane_kind="rademacher",
+        )
+        # Re-extend the same rows: every id now has 2x entries per table.
+        idx2 = S.extend_lsh_index(idx, df)
+        assert idx2.stats()["rows"] == 2 * idx.stats()["rows"]
+        compacted = idx2.compact(deleted_ids=df.limit(10).select("vec_id"))
+        st = compacted.stats()
+        assert st["ids"] == 70 and st["rows"] == 70 * 2  # one per (id, table)
+        q = S.query_lsh_index(compacted, _emb_df(spark, n=5, dim=8, seed=9),
+                              k=2, deterministic=True)
+        assert q.count() > 0
+
+    def test_ivf_compact_and_stats(self, spark):
+        df = _emb_df(spark, n=60, dim=8)
+        idx = S.build_ivf_index(df, "embedding", "vec_id", nlist=4, sample_size=60)
+        idx2 = S.extend_ivf_index(idx, df) if hasattr(S, "extend_ivf_index") else idx
+        compacted = idx2.compact()
+        st = compacted.stats()
+        assert st["kind"] == "ivf" and st["ids"] == 60 and st["rows"] == 60

@@ -2437,6 +2437,103 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def _index_compaction_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    tau: float = 0.7,
+    seed: int = 42,
+) -> str:
+    # Same signature/band/agreement replay as _minhash_oracle_sql.
+    # Compaction semantics: the effective index corpus is (doc_id % 5
+    # != 0) minus the deleted ids (doc_id % 10 = 3); the re-extended
+    # duplicate rows collapse away, so they don't appear here at all —
+    # which is exactly what the query asserts. index_ids / index_rows
+    # check the compacted table's size arithmetic (one row per id per
+    # band).
+    coeffs = D.minhash_coefficients(num_hashes, seed)
+    M = (1 << 31) - 1
+    mins = ",\n                 ".join(
+        f"min(({a} * hm + {b}) % {M}) AS s{p}"
+        for p, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_conds = "\n             OR ".join(
+        "("
+        + " AND ".join(
+            f"a.s{b * rpb + j} = b.s{b * rpb + j}" for j in range(rpb)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    agree = "\n               + ".join(
+        f"(CASE WHEN a.s{p} = b.s{p} THEN 1 ELSE 0 END)"
+        for p in range(num_hashes)
+    )
+    return f"""
+        WITH ex AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, greatest(length(text) - {shingle - 1}, 1) + 1),
+                     i -> ('0x' || substr(md5(substr(text, i, {shingle})),
+                                          1, 15))::BIGINT % {M}
+                 )) AS hm
+          FROM documents
+        ), sig AS (
+          SELECT doc_id,
+                 {mins}
+          FROM ex GROUP BY doc_id
+        ), idx_ids AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 3
+        ), dropped AS (
+          SELECT DISTINCT a.doc_id
+          FROM sig a JOIN sig b
+            ON a.doc_id % 5 = 0
+           AND b.doc_id IN (SELECT doc_id FROM idx_ids)
+           AND ({band_conds})
+          WHERE CAST({agree} AS DOUBLE) / {num_hashes} >= {tau}
+        )
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+               (SELECT count(*) FROM idx_ids) AS index_ids,
+               (SELECT count(*) * {bands} FROM idx_ids) AS index_rows
+        FROM documents d
+        WHERE d.doc_id % 5 = 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        GROUP BY d.lang
+    """
+
+
+def q_index_compaction(spark, sf_dir):
+    # Index lifecycle for a months-long crawl: build the MinHash index,
+    # RE-extend an already-indexed slice (duplicate band rows, as a
+    # re-crawled batch produces), then compact with a deletion list
+    # (docs removed from the corpus). Compaction collapses duplicates
+    # to one row per (id, band) and drops deleted ids, so a probe batch
+    # deduped against the compacted index sees exactly the surviving
+    # corpus — the oracle replays that effective corpus in SQL, and
+    # index_ids/index_rows check the compacted table's size arithmetic.
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    probe = docs.filter("doc_id % 5 = 0")
+    idx = D.build_minhash_index(
+        corpus, "text", "doc_id", num_hashes=32, bands=8, signature_fn="md5"
+    )
+    idx = D.extend_minhash_index(idx, corpus.filter("doc_id % 5 = 1"))
+    deleted = corpus.filter("doc_id % 10 = 3").select("doc_id")
+    compacted = idx.compact(deleted_ids=deleted)
+    st = compacted.stats()
+    kept = D.dedup_against_index(
+        compacted, probe, min_signature_similarity=0.7, broadcast_batch=True
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .withColumn("index_ids", F.lit(int(st["ids"])).cast("long"))
+        .withColumn("index_rows", F.lit(int(st["rows"])).cast("long"))
+    )
+
+
 def q_streaming_incremental_dedup(spark, sf_dir):
     # The SAME two-batch incremental dedup as incremental_dedup, but
     # executed as a genuine Structured Streaming job: the two batches
@@ -2829,6 +2926,7 @@ QUERIES = {
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,
     "incremental_dedup": q_incremental_dedup,
+    "index_compaction": q_index_compaction,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "simhash_buckets": q_simhash_buckets,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2956,6 +3054,7 @@ ORACLES = {
     "simhash_buckets": _simhash_oracle_sql(),
     "minhash_dedup": _minhash_oracle_sql(),
     "incremental_dedup": _incremental_dedup_oracle_sql(),
+    "index_compaction": _index_compaction_oracle_sql(),
     "streaming_incremental_dedup": _incremental_dedup_oracle_sql(),
     "crosscorpus_decontaminated": _crosscorpus_oracle_sql(),
     "ann_lsh_topk": _ann_lsh_oracle_sql(),

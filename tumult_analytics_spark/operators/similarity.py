@@ -376,6 +376,78 @@ class AnnIndex:
         df = spark.read.parquet(f"{path}/data")
         return cls(meta["kind"], df, meta["params"])
 
+    # --- maintenance (the months-long-crawl lifecycle) -----------------
+    # extend_* unions new rows onto the stored table forever; without
+    # compaction a long-lived index accumulates rows for deleted corpus
+    # ids and duplicate rows for re-extended ids. compact() + stats()
+    # close that loop: stats to observe growth, compact to shed it.
+
+    def _entry_keys(self):
+        """(id column, per-id partition columns) of the stored table —
+        the natural key one index entry is identified by."""
+        if self.kind == "minhash":
+            return "__id__", ["__band__"]
+        if self.kind == "lsh":
+            return self.params["id_column"], ["__t__"]
+        if self.kind == "ivf":
+            return self.params["id_column"], []
+        raise ValueError(f"unknown index kind {self.kind!r}")
+
+    def stats(self) -> dict:
+        """One aggregation pass over the stored table: total rows,
+        distinct indexed ids, distinct hash buckets (bands/tables x
+        buckets/cells), and rows-per-id (the duplication factor that
+        tells you when to compact — a freshly built index has exactly
+        bands/tables/1 rows per id)."""
+        id_col, parts = self._entry_keys()
+        bucket_cols = {
+            "minhash": ["__band__", "__bh__"],
+            "lsh": ["__t__", "__bkt__"],
+            "ivf": ["__cell__"],
+        }[self.kind]
+        row = self.df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct(F.col(id_col)).alias("ids"),
+            F.countDistinct(*[F.col(c) for c in bucket_cols]).alias("buckets"),
+        ).first()
+        rows, ids = int(row["rows"]), int(row["ids"])
+        return {
+            "kind": self.kind,
+            "rows": rows,
+            "ids": ids,
+            "buckets": int(row["buckets"]),
+            "rows_per_id": (rows / ids) if ids else 0.0,
+        }
+
+    def compact(self, deleted_ids=None, materialize: bool = True) -> "AnnIndex":
+        """A new index with deleted corpus ids dropped and duplicate
+        entries (from re-extending the same id) collapsed to one row per
+        natural key. ``deleted_ids`` is a one-column DataFrame or a
+        Python iterable of ids; the delete side is broadcast (a delete
+        list is small next to a corpus-scale index — the index itself
+        never shuffles for the anti-join). Re-materializes by default so
+        downstream queries read the compacted blocks, not the union
+        lineage; ``save()`` the result to persist the compaction.
+        """
+        id_col, parts = self._entry_keys()
+        df = self.df
+        if deleted_ids is not None:
+            if not isinstance(deleted_ids, DataFrame):
+                spark = df.sparkSession
+                field = df.schema[id_col]
+                deleted_ids = spark.createDataFrame(
+                    [(v,) for v in deleted_ids],
+                    T.StructType([T.StructField(id_col, field.dataType, True)]),
+                )
+            dels = F.broadcast(
+                deleted_ids.toDF(id_col).dropDuplicates([id_col])
+            )
+            df = df.join(dels, on=id_col, how="left_anti")
+        df = df.dropDuplicates([id_col, *parts])
+        if materialize:
+            df = df.localCheckpoint(eager=True)
+        return AnnIndex(self.kind, df, dict(self.params))
+
 
 def build_lsh_index(
     corpus: DataFrame,
