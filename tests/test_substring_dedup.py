@@ -1,0 +1,90 @@
+"""Exact substring dedup (Lee et al. 2022 family): injected shared
+spans >= min_length are found and cut with keep-first semantics;
+shorter overlaps survive."""
+
+import pytest
+
+from tumult_analytics_spark.operators import dedup as D
+
+SH = "XXXXXXXXXXYYYYYYYYYYZZZZZ"  # 25 chars
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_spans_found_and_owner_keeps(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha " + SH + " omega"),
+            (2, "prefix2 " + SH + " suffix2"),
+            (3, "totally unrelated content here ok"),
+        ],
+    )
+    spans = D.substring_duplicate_spans(docs, "text", "doc_id", min_length=20)
+    rows = {(r["doc_id"], r["span_start"], r["span_end"]) for r in spans.collect()}
+    # Only doc 2 is flagged (doc 1 is the smaller-id owner); the span is
+    # the MAXIMAL shared run — including the spaces both docs share
+    # around SH: " XXXX...ZZZZZ " = positions 8..34 of doc 2.
+    assert rows == {(2, 8, 34)}
+
+
+def test_short_overlap_survives(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "one fragment " + SH[:15] + " here"),
+            (2, "other place " + SH[:15] + " there"),
+        ],
+    )
+    # Shared run is 17 chars (15 + surrounding spaces) < min_length=20.
+    spans = D.substring_duplicate_spans(docs, "text", "doc_id", min_length=20)
+    assert spans.count() == 0
+    out = D.substring_dedup(docs, "text", "doc_id", min_length=20)
+    assert all(r["text_dedup"] == r["text"] for r in out.collect())
+
+
+def test_cut_merges_overlapping_coverage(spark):
+    # Two copies in one doc, fully-duplicated doc becomes empty.
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha " + SH + " omega"),
+            (4, SH),
+            (5, "two " + SH + " mid " + SH + " end"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["text_dedup"]
+        for r in D.substring_dedup(docs, "text", "doc_id", min_length=20).collect()
+    }
+    assert out[1] == "alpha " + SH + " omega"  # owner untouched
+    assert out[4] == ""  # fully duplicated
+    assert out[5] == "twomidend"  # both copies + shared spaces cut
+
+
+def test_same_doc_internal_repeat_not_flagged(spark):
+    docs = _docs(spark, [(7, SH + " filler " + SH)])
+    spans = D.substring_duplicate_spans(docs, "text", "doc_id", min_length=20)
+    assert spans.count() == 0
+
+
+def test_min_length_validation(spark):
+    docs = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        D.substring_duplicate_spans(docs, "text", "doc_id", min_length=1)
+
+
+def test_short_docs_and_nulls(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, None), (3, "also small")],
+        "doc_id long, text string",
+    )
+    spans = D.substring_duplicate_spans(docs, "text", "doc_id", min_length=20)
+    assert spans.count() == 0
+    out = {
+        r["doc_id"]: r["text_dedup"]
+        for r in D.substring_dedup(docs, "text", "doc_id", min_length=20).collect()
+    }
+    assert out[1] == "tiny" and out[2] is None and out[3] == "also small"

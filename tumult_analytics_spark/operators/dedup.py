@@ -861,3 +861,162 @@ def crosscorpus_decontaminate(
         .distinct()
     )
     return corpus.join(contaminated, on=id_column, how="left_anti")
+
+
+# --- Exact substring dedup (suffix-array family) ---------------------------
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499) remove exact repeated spans >= L across the
+# corpus with a suffix array. A suffix array is a single-machine
+# structure; the distributed re-expression below reaches the same
+# answer with joins: a span of length >= L shared by two documents
+# means both contain an identical length-L character gram, so hashing
+# EVERY length-L gram and joining on the hash finds exactly the
+# positions covered by cross-document repeats — no all-pairs, no
+# suffix array.
+
+
+def substring_duplicate_spans(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    min_length: int = 50,
+) -> DataFrame:
+    """Maximal character spans of each document that are covered by
+    cross-document repeats of length >= ``min_length``: one row per
+    (id, span_start, span_end), 1-based inclusive character positions.
+
+    Keep-first semantics (the paper keeps one copy): a position in doc
+    ``d`` is duplicated iff some SMALLER-id document contains the same
+    length-L gram — the smallest id owning a span keeps it intact.
+    Same-document internal repeats are not flagged (cross-doc dedup).
+
+    Plan (all Catalyst, zero Python):
+
+    1. explode every length-L gram position, hash the gram with the
+       repo's md5-60bit arithmetic (``_md5_hash60`` — exactly
+       SQL-replayable);
+    2. ``groupBy(hash).agg(min(id))`` — one shuffle of (hash, id, pos)
+       rows — then re-join to keep positions whose hash has a
+       smaller-id owner;
+    3. merge matched positions into spans with one window per doc:
+       a new span starts when the gap to the previous matched
+       position exceeds L (its covered characters would no longer
+       touch), so a span covers [min(pos), max(pos)+L-1] contiguously.
+
+    Scale note: step 1 emits one 16-byte row per CHARACTER — exact,
+    like the suffix array, and the shuffle is the price of exactness.
+    At 100 TB run this per-shard/per-day (the repeats that matter are
+    overwhelmingly within a crawl snapshot) or pre-filter candidate
+    docs with ``text.winnow_fingerprints`` (any shared span >=
+    k + window - 1 shares a winnowed fingerprint) and feed only
+    candidates here.
+    """
+    if min_length < 2:
+        raise ValueError("min_length must be >= 2")
+    L = int(min_length)
+    n_grams = F.greatest(
+        F.length(F.col(text_column)) - F.lit(L - 1), F.lit(0)
+    )
+    grams = (
+        df.select(
+            F.col(id_column).alias("__id__"),
+            F.explode(
+                F.when(
+                    n_grams > 0, F.sequence(F.lit(1), n_grams)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("__pos__"),
+            F.col(text_column).alias("__t__"),
+        )
+        .select(
+            "__id__",
+            "__pos__",
+            _md5_hash60(
+                F.expr(f"substr(__t__, __pos__, {L})")
+            ).alias("__h__"),
+        )
+    )
+    owners = grams.groupBy("__h__").agg(F.min("__id__").alias("__own__"))
+    matched = (
+        grams.join(owners, on="__h__")
+        .filter(F.col("__id__") > F.col("__own__"))
+        .select("__id__", "__pos__")
+        .dropDuplicates(["__id__", "__pos__"])
+    )
+    w = Window.partitionBy("__id__").orderBy("__pos__")
+    spans = (
+        matched.withColumn(
+            "__brk__",
+            F.when(
+                F.col("__pos__") - F.lag("__pos__").over(w) > L, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__span__",
+            F.sum("__brk__").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("__id__", "__span__")
+        .agg(
+            F.min("__pos__").alias("span_start"),
+            (F.max("__pos__") + F.lit(L - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("__id__").alias(id_column), "span_start", "span_end"
+        )
+    )
+    return spans
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    min_length: int = 50,
+    output_column: str = "text_dedup",
+) -> DataFrame:
+    """Cut every cross-document repeated span of length >=
+    ``min_length`` out of each document (keep-first semantics — see
+    :func:`substring_duplicate_spans`), appending ``output_column``
+    with the cleaned text. Docs with no duplicated span pass through
+    unchanged; a fully-duplicated doc becomes the empty string.
+
+    The cut itself is pure Catalyst: spans are collected per doc
+    (O(#spans) rows after the span merge — tiny next to the text) and
+    the surviving text is the concatenation of the inter-span gaps,
+    built with ``aggregate`` over the sorted span list. One
+    broadcast-friendly left join against the span table.
+    """
+    spans = substring_duplicate_spans(df, text_column, id_column, min_length)
+    per_doc = spans.groupBy(id_column).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans__")
+    )
+    # Fold the sorted spans: carry (cursor, acc); for each span append
+    # text[cursor .. start-1] and advance the cursor past the span.
+    # Spans are non-overlapping and sorted by construction.
+    cut = F.aggregate(
+        F.col("__spans__"),
+        F.struct(F.lit(1).alias("cur"), F.lit("").alias("acc")),
+        lambda st, sp: F.struct(
+            (sp["span_end"] + F.lit(1)).alias("cur"),
+            F.concat(
+                st["acc"],
+                F.substring(
+                    F.col(text_column),
+                    st["cur"],
+                    F.greatest(sp["span_start"] - st["cur"], F.lit(0)),
+                ),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.substring(F.col(text_column), st["cur"], F.lit(2147483647)),
+        ),
+    )
+    out = df.join(per_doc, on=id_column, how="left")
+    return out.withColumn(
+        output_column,
+        F.when(F.col("__spans__").isNull(), F.col(text_column)).otherwise(cut),
+    ).drop("__spans__")

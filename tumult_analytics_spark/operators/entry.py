@@ -66,6 +66,70 @@ def q_minhash_dedup(spark, sf_dir):
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_substring_dedup_stats(spark, sf_dir):
+    # Exact substring dedup (Lee et al. 2022 suffix-array family,
+    # re-expressed as gram-hash joins + span-merge windows): cut every
+    # cross-document repeated span >= 50 chars (keep-first), then
+    # report per-lang affected-doc and char counts FROM THE CLEANED
+    # TEXT — so the span finder AND the span cutter are both
+    # value-checked against the oracle's span arithmetic.
+    docs = _read(spark, sf_dir, "documents")
+    out = D.substring_dedup(docs, "text", "doc_id", min_length=50)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.length("text") != F.length("text_dedup")).cast("long")
+        ).alias("n_affected"),
+        F.sum(F.length("text") - F.length("text_dedup")).alias(
+            "chars_removed"
+        ),
+        F.sum(F.length("text_dedup")).alias("chars_kept"),
+    )
+
+
+_SUBSTRING_DEDUP_ORACLE = """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 49, 0) + 1)) AS p
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(p AS INT) AS p,
+             ('0x' || substr(md5(substr(text, CAST(p AS INT), 50)),
+                             1, 15))::BIGINT AS h
+      FROM pos
+    ), owners AS (
+      SELECT h, min(doc_id) AS own FROM grams GROUP BY h
+    ), matched AS (
+      SELECT DISTINCT g.doc_id, g.p
+      FROM grams g JOIN owners o ON g.h = o.h
+      WHERE g.doc_id > o.own
+    ), flagged AS (
+      SELECT doc_id, p,
+        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 50
+             THEN 1 ELSE 0 END AS brk
+      FROM matched
+    ), islands AS (
+      SELECT doc_id, p,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING) AS g
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, g, min(p) AS s, max(p) + 49 AS e
+      FROM islands GROUP BY doc_id, g
+    ), removed AS (
+      SELECT doc_id, sum(e - s + 1) AS cut FROM spans GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(r.doc_id) AS BIGINT) AS n_affected,
+           CAST(coalesce(sum(r.cut), 0) AS BIGINT) AS chars_removed,
+           CAST(sum(length(d.text) - coalesce(r.cut, 0)) AS BIGINT)
+             AS chars_kept
+    FROM documents d LEFT JOIN removed r ON r.doc_id = d.doc_id
+    GROUP BY d.lang
+"""
+
+
 def q_simhash_buckets(spark, sf_dir):
     # 60-bit md5 SimHash (pure Catalyst), bucketed by top byte;
     # value-checked against the same arithmetic in SQL.
@@ -2925,6 +2989,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,
+    "substring_dedup_stats": q_substring_dedup_stats,
     "incremental_dedup": q_incremental_dedup,
     "index_compaction": q_index_compaction,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
@@ -3053,6 +3118,7 @@ _GRAMS5_CTE = """
 ORACLES = {
     "simhash_buckets": _simhash_oracle_sql(),
     "minhash_dedup": _minhash_oracle_sql(),
+    "substring_dedup_stats": _SUBSTRING_DEDUP_ORACLE,
     "incremental_dedup": _incremental_dedup_oracle_sql(),
     "index_compaction": _index_compaction_oracle_sql(),
     "streaming_incremental_dedup": _incremental_dedup_oracle_sql(),
