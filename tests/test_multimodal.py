@@ -49,6 +49,43 @@ def test_decode_image_dataframe(spark):
     assert out[4]["pixel_sum"] is None
 
 
+def test_injected_codec_seam(spark):
+    # Defined inside the test so cloudpickle serializes it BY VALUE into
+    # the Arrow kernel closure (a test-module top-level function would
+    # pickle by reference and fail to import on executors).
+    def _fake_codec(buf: bytes):
+        if buf[:4] != b"FAKE":
+            return None
+        return (1, len(buf) - 4, 1, sum(buf[4:]))
+
+    from tumult_analytics_spark.operators.multimodal import (
+        register_image_codec,
+        unregister_image_codec,
+    )
+
+    rows = [
+        (1, b"FAKE\x01\x02\x03"),
+        (2, synthesize_bmp(3, 2, 1)),  # builtin still decodes
+        (3, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    # Without the codec: FAKE payload is unrecognized -> nulls.
+    out = {r["id"]: r for r in decode_image(df, "payload").collect()}
+    assert out[1]["height"] is None
+    register_image_codec("fake", _fake_codec)
+    try:
+        out = {r["id"]: r for r in decode_image(df, "payload").collect()}
+        assert (out[1]["height"], out[1]["width"], out[1]["channels"]) == (1, 3, 1)
+        assert out[1]["pixel_sum"] == 6
+        assert (out[2]["height"], out[2]["width"]) == (2, 3)  # builtin intact
+        assert out[3]["height"] is None
+    finally:
+        unregister_image_codec("fake")
+    # Unregistered again: back to nulls.
+    out = {r["id"]: r for r in decode_image(df, "payload").collect()}
+    assert out[1]["height"] is None
+
+
 class TestSampleVideoFrames:
     def _videos(self, spark):
         from tumult_analytics_spark.operators.multimodal import (

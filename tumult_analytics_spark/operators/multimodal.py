@@ -1045,6 +1045,30 @@ def _decode_gif_unsafe(buf: bytes):
     return None
 
 
+#: Injected image codecs, tried BEFORE the stdlib decoders so a real
+#: codec library can take over a format (e.g. progressive JPEG, WebP)
+#: without touching the dispatcher. Maps name -> fn(bytes) ->
+#: (height, width, channels, pixel_sum) or None (not my format).
+#: The registry is snapshotted into the Arrow kernel's closure when
+#: decode_image builds its plan, so register codecs BEFORE calling it;
+#: injected functions must be picklable (top-level functions, not
+#: lambdas closing over live handles).
+_EXTRA_IMAGE_CODECS: dict = {}
+
+
+def register_image_codec(name: str, fn) -> None:
+    """Plug an external decoder into :func:`decode_image`. ``fn`` takes
+    the raw payload bytes and returns (height, width, channels,
+    pixel_sum) — or None to decline so the next codec is tried."""
+    if not callable(fn):
+        raise TypeError("codec must be callable")
+    _EXTRA_IMAGE_CODECS[name] = fn
+
+
+def unregister_image_codec(name: str) -> None:
+    _EXTRA_IMAGE_CODECS.pop(name, None)
+
+
 def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
     """Decode images to (height, width, channels, pixel_sum).
 
@@ -1059,8 +1083,12 @@ def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
     walks the actual pixel data — PNG unfiltering, JPEG entropy/IDCT,
     BMP row padding, and the bottom-up flip all have to be right for it
     to match. Unrecognized payloads (palette/16-bit/interlaced PNG,
-    color/progressive JPEG — codec-library territory) decode to nulls.
+    color/progressive JPEG — codec-library territory) decode to nulls —
+    unless a codec registered via :func:`register_image_codec` claims
+    them (injected codecs are tried first, so a library decoder can
+    also override a built-in format wholesale).
     """
+    extra = tuple(_EXTRA_IMAGE_CODECS.values())  # snapshot into closure
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -1079,13 +1107,18 @@ def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
                 if payload is not None:
                     b = bytes(payload)
                     try:
-                        rec = (
-                            _decode_png(b)
-                            or _decode_jpeg(b)
-                            or _decode_gif(b)
-                            or _decode_bmp(b)
-                            or _decode_ppm(b)
-                        )
+                        for codec in extra:
+                            rec = codec(b)
+                            if rec is not None:
+                                break
+                        if rec is None:
+                            rec = (
+                                _decode_png(b)
+                                or _decode_jpeg(b)
+                                or _decode_gif(b)
+                                or _decode_bmp(b)
+                                or _decode_ppm(b)
+                            )
                     except Exception:
                         rec = None
                 if rec is None:
