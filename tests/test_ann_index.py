@@ -405,3 +405,29 @@ class TestIndexMaintenance:
         compacted = idx2.compact()
         st = compacted.stats()
         assert st["kind"] == "ivf" and st["ids"] == 60 and st["rows"] == 60
+
+
+class TestAutoLshBits:
+    def test_bits_scale_with_corpus(self):
+        from tumult_analytics_spark.operators.similarity import _auto_lsh_bits
+
+        assert _auto_lsh_bits(100) == 4
+        assert _auto_lsh_bits(10_000) == 7
+        assert _auto_lsh_bits(1_000_000) == 13
+        assert _auto_lsh_bits(10**12) == 24  # clamped
+        # Monotone non-decreasing.
+        vals = [_auto_lsh_bits(n) for n in (10, 10**3, 10**5, 10**7, 10**9)]
+        assert vals == sorted(vals)
+
+    def test_auto_bits_dedup_catches_exact_dups(self, spark):
+        # Identical vectors land in the same bucket for ANY bits, so
+        # auto-derived bits must still drop the larger-id exact copy.
+        from tumult_analytics_spark.operators.dedup import embedding_cosine_dedup
+
+        df = _emb_df(spark, n=200, dim=64)  # operator plane dim
+        dup = df.filter("vec_id < 5").selectExpr("vec_id + 1000 AS vec_id", "embedding")
+        both = df.unionByName(dup)
+        kept = embedding_cosine_dedup(both, "embedding", "vec_id", threshold=0.999)
+        ids = {r["vec_id"] for r in kept.collect()}
+        assert not any(i >= 1000 for i in ids)
+        assert {0, 1, 2, 3, 4} <= ids

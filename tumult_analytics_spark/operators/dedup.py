@@ -709,13 +709,17 @@ def embedding_cosine_dedup(
     id_column: str,
     threshold: float = 0.95,
     use_lsh: bool = True,
+    bits=None,
 ) -> DataFrame:
     """Drop rows whose embedding is cosine-similar (>= threshold) to a
-    smaller-id row. LSH-bucketed by default; exact within buckets."""
+    smaller-id row. LSH-bucketed by default; exact within buckets.
+    ``bits=None`` auto-scales the bucket width with corpus size
+    (``similarity._auto_lsh_bits``) so the within-bucket pairwise pass
+    stays linear; pass an explicit ``bits`` for reproducible buckets."""
     from .similarity import _cosine_pairs_lsh, _cosine_pairs_brute
 
     pairs = (
-        _cosine_pairs_lsh(df, embedding_column, id_column, threshold)
+        _cosine_pairs_lsh(df, embedding_column, id_column, threshold, bits=bits)
         if use_lsh
         else _cosine_pairs_brute(df, embedding_column, id_column, threshold)
     )

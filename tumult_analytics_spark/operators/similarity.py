@@ -731,20 +731,43 @@ def _cosine_pairs_brute(
     return df.select(id_column, embedding_column).mapInPandas(kernel, out_schema)
 
 
+#: Target mean rows per LSH bucket when bits is auto-derived. The
+#: within-bucket pass is pairwise, so cost ~ n * target per table; a
+#: fixed bits would make it O(n^2 / 2^bits) — quadratic at scale.
+LSH_TARGET_BUCKET_ROWS = 128
+
+
+def _auto_lsh_bits(n_rows: int, target: int = LSH_TARGET_BUCKET_ROWS) -> int:
+    """bits ~ log2(n / target), clamped to [4, 24]: bucket occupancy
+    stays ~constant as the corpus grows, keeping the bucketed pairwise
+    pass linear in n instead of quadratic."""
+    import math
+
+    return max(4, min(24, int(math.ceil(math.log2(max(n_rows, 1) / max(target, 1))))
+                      if n_rows > target else 4))
+
+
 def _cosine_pairs_lsh(
     df: DataFrame,
     embedding_column: str,
     id_column: str,
     threshold: float,
-    bits: int = 8,
+    bits: Optional[int] = None,
     tables: int = 3,
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
-    """Same-bucket pairs (id_a < id_b) with cosine >= threshold."""
+    """Same-bucket pairs (id_a < id_b) with cosine >= threshold.
+
+    ``bits=None`` (default) derives the bucket width from the corpus
+    size (one cheap count job) so mean bucket occupancy stays around
+    :data:`LSH_TARGET_BUCKET_ROWS` at any scale. Pass an explicit
+    ``bits`` for reproducible bucketing (the oracle queries do)."""
     import numpy as np
     import pandas as pd
 
+    if bits is None:
+        bits = _auto_lsh_bits(df.count())
     planes = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
     prepped = _normalize_and_bucket(df, embedding_column, id_column, planes)
     melted = _melt_tables(prepped, id_column, tables)
