@@ -431,3 +431,19 @@ class TestAutoLshBits:
         ids = {r["vec_id"] for r in kept.collect()}
         assert not any(i >= 1000 for i in ids)
         assert {0, 1, 2, 3, 4} <= ids
+
+    def test_auto_nlist_ivf(self, spark):
+        from tumult_analytics_spark.operators.similarity import (
+            _auto_nlist,
+            build_ivf_index,
+        )
+
+        assert _auto_nlist(100) == 10
+        assert _auto_nlist(1_000_000) == 1000
+        assert _auto_nlist(10**12) == 65536  # clamped
+        assert _auto_nlist(1) == 8  # floor
+        df = _emb_df(spark, n=256, dim=8)
+        idx = build_ivf_index(df, "embedding", "vec_id", nlist=None, sample_size=256)
+        assert len(idx.params["centroids"]) == 16  # sqrt(256)
+        st = idx.stats()
+        assert st["ids"] == 256

@@ -811,12 +811,22 @@ def _kmeans_centroids(X, nlist: int, iters: int = 8, seed: int = 42):
     return C
 
 
+def _auto_nlist(n_rows: int) -> int:
+    """nlist ~ sqrt(n) (the standard IVF sizing rule, e.g. FAISS's
+    guideline), clamped to [8, 65536]: per-cell occupancy ~ sqrt(n), so
+    the per-cell matmul grows as sqrt(n) instead of n/const — a fixed
+    nlist makes the cell pass linear-per-query in corpus size."""
+    import math
+
+    return max(8, min(65536, int(round(math.sqrt(max(n_rows, 1))))))
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     embedding_column: str,
     id_column: str,
     k: int = 10,
-    nlist: int = 32,
+    nlist: Optional[int] = 32,
     nprobe: int = 4,
     sample_size: int = 10_000,
     seed: int = 42,
@@ -834,11 +844,18 @@ def ivf_cosine_topk(
     |Q| * |C|. The cell join is a shuffled equi-join on the cell id; AQE
     handles skewed cells.
 
+    ``nlist=None`` derives ``~sqrt(n)`` cells from a corpus count (the
+    standard IVF sizing rule) so per-cell cost grows as sqrt(n); the
+    default stays a fixed 32 for reproducible cell layouts (the oracle
+    queries depend on it) — pass None at real scale.
+
     ``centroids`` (array-like, (nlist, dim)) overrides the k-means
     quantizer with fixed cell centers — used for deterministic,
     SQL-checkable runs; recall depends on centroid quality only, the
     search mechanics are identical.
     """
+    if nlist is None:
+        nlist = _auto_nlist(corpus.count())
     cents = _ivf_centroids(
         corpus, embedding_column, nlist, sample_size, seed, centroids
     )
@@ -942,7 +959,7 @@ def build_ivf_index(
     corpus: DataFrame,
     embedding_column: str,
     id_column: str,
-    nlist: int = 32,
+    nlist: Optional[int] = 32,
     sample_size: int = 10_000,
     seed: int = 42,
     centroids=None,
@@ -953,7 +970,11 @@ def build_ivf_index(
     materialize the (id, vector, cell) DataFrame so repeated
     :func:`query_ivf_index` calls never re-assign the corpus. The
     centroid matrix rides in ``params`` (it is nlist x dim floats —
-    tiny), so a saved index reloads fully self-contained."""
+    tiny), so a saved index reloads fully self-contained.
+    ``nlist=None`` sizes the quantizer ~sqrt(n) (see
+    :func:`ivf_cosine_topk`)."""
+    if nlist is None:
+        nlist = _auto_nlist(corpus.count())
     cents = _ivf_centroids(
         corpus, embedding_column, nlist, sample_size, seed, centroids
     )
