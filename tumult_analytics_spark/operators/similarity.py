@@ -228,7 +228,7 @@ def lsh_cosine_topk(
     embedding_column: str,
     id_column: str,
     k: int = 10,
-    bits: int = 8,
+    bits: Optional[int] = 8,
     tables: int = 2,
     dim: int = 64,
     seed: int = 42,
@@ -249,6 +249,8 @@ def lsh_cosine_topk(
     ``plane_kind``: "gauss" (default) or "rademacher" — +-1 planes from a
     deterministic integer formula, reproducible in SQL for value checks.
     """
+    if bits is None:
+        bits = _auto_lsh_bits(corpus.count())
     if plane_kind == "rademacher":
         planes = [
             _hyperplanes_rademacher(dim, bits, t) for t in range(tables)
@@ -453,7 +455,7 @@ def build_lsh_index(
     corpus: DataFrame,
     embedding_column: str,
     id_column: str,
-    bits: int = 8,
+    bits: Optional[int] = 8,
     tables: int = 2,
     dim: int = 64,
     seed: int = 42,
@@ -466,7 +468,11 @@ def build_lsh_index(
     :func:`query_lsh_index` calls never recompute signatures. Planes are
     derived deterministically from (bits, tables, dim, seed,
     plane_kind), so a saved index can bucket queries identically after
-    reload without storing the planes themselves."""
+    reload without storing the planes themselves. ``bits=None``
+    auto-scales the bucket width with corpus size (stored concretely in
+    the index params, so reload/query are unaffected)."""
+    if bits is None:
+        bits = _auto_lsh_bits(corpus.count())
     planes = _planes_for(plane_kind, dim, bits, tables, seed)
     melted = _melt_tables(
         _normalize_and_bucket(corpus, embedding_column, id_column, planes),
