@@ -109,7 +109,9 @@ def main() -> None:
         if best > 0:
             total += best
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # "sf0.1" -> 0.1, ".sf1" -> 1 (lstrip dots so a hidden dir like
+    # .sf1 doesn't parse as ".1" = 0.1).
+    sf = os.path.basename(sf_dir.rstrip("/")).lstrip(".").replace("sf", "")
     print(
         json.dumps(
             {
