@@ -849,3 +849,84 @@ class TestMulawFrameFeatures:
         assert rows[0]["energy"] == int((fr * fr).sum())
         neg = fr < 0
         assert rows[0]["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
+
+
+class TestProgressiveJpeg:
+    """SOF2 progressive decode: spectral selection, successive
+    approximation (DC/AC refinement, EOB runs with correction bits)."""
+
+    def test_spectral_selection_matches_baseline(self):
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_jpeg,
+            synthesize_jpeg,
+            synthesize_progressive_jpeg,
+        )
+
+        for w, h, seed in [(8, 8, 0), (16, 8, 3), (24, 16, 7), (32, 32, 11)]:
+            prog = _decode_jpeg(synthesize_progressive_jpeg(w, h, seed))
+            base = _decode_jpeg(synthesize_jpeg(w, h, seed))
+            assert prog is not None
+            assert prog == base
+
+    def test_successive_approximation_exact(self):
+        # All four scan types (DC first/refine, AC first/refine with an
+        # EOB run carrying correction bits) must reconstruct the exact
+        # coefficients; verified against an independent IDCT reference
+        # built from the synthesizer's coefficient formulas.
+        import numpy as np
+
+        from tumult_analytics_spark.operators.multimodal import (
+            _JPEG_ZIGZAG,
+            _decode_jpeg,
+            _idct_matrix,
+            synthesize_progressive_jpeg,
+        )
+
+        M = _idct_matrix()
+        for w, h, seed in [(8, 8, 1), (16, 16, 5), (24, 8, 9), (32, 16, 2)]:
+            rec = _decode_jpeg(
+                synthesize_progressive_jpeg(w, h, seed, successive=True)
+            )
+            assert rec is not None
+            total = 0
+            for b in range((w // 8) * (h // 8)):
+                k = (seed * 7 + b * 13) % 101 - 50
+                cz = np.zeros(64)
+                cz[_JPEG_ZIGZAG[0]] = 8 * k + (b % 2)
+                cz[_JPEG_ZIGZAG[3]] = 4 + 2 * (b % 3) + (b % 2)
+                blk = M @ cz.reshape(8, 8) @ M.T
+                total += int(np.clip(np.round(blk + 128.0), 0, 255).sum())
+            assert rec == (h, w, 1, total)
+
+    def test_dispatcher_routes_progressive(self, spark):
+        from tumult_analytics_spark.operators.multimodal import (
+            synthesize_progressive_jpeg,
+        )
+
+        rows = [
+            (1, synthesize_progressive_jpeg(8, 8, 1)),
+            (2, synthesize_progressive_jpeg(16, 8, 2, successive=True)),
+            (3, b"not an image"),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {r["id"]: r for r in decode_image(df, "payload").collect()}
+        assert (out[1]["height"], out[1]["width"], out[1]["channels"]) == (8, 8, 1)
+        assert (out[2]["height"], out[2]["width"]) == (8, 16)
+        assert out[3]["height"] is None
+
+    def test_truncation_and_bitflip_fuzz(self):
+        import random
+
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_jpeg,
+            synthesize_progressive_jpeg,
+        )
+
+        p = synthesize_progressive_jpeg(16, 16, 2, successive=True)
+        for cut in range(0, len(p), 5):
+            _decode_jpeg(p[:cut])  # must not raise
+        rnd = random.Random(0)
+        for _ in range(300):
+            q = bytearray(p)
+            q[rnd.randrange(len(p))] ^= 1 << rnd.randrange(8)
+            _decode_jpeg(bytes(q))  # must not raise

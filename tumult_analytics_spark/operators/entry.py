@@ -535,6 +535,49 @@ def q_decode_image_jpeg(spark, sf_dir):
     return dec.select("doc_id", "height", "width", "channels", "pixel_sum")
 
 
+def q_decode_image_progressive(spark, sf_dir):
+    # Real PROGRESSIVE JPEG decode (SOF2, multi-scan coefficient
+    # accumulation): spectral-selection payloads — a DC scan followed
+    # by an AC band scan carried as one EOBn end-of-band RUN across
+    # every block. DC-only blocks IDCT to an exactly uniform
+    # 128 + k_b surface, so pixel sums replay in SQL with the same
+    # integer formula as the baseline JPEG oracle — but only if the
+    # multi-scan progressive entropy decode (including the EOB-run
+    # bookkeeping) reconstructs every coefficient exactly. The full
+    # successive-approximation script (DC/AC refinement scans,
+    # correction bits) is unit-tested against an independent IDCT
+    # reference in tests/test_multimodal.py — per-pixel half-to-even
+    # rounding of AC cosines has no clean SQL replay. First 200 docs
+    # (bit-loop decode, the documented non-production path).
+    from . import multimodal as M
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 200"
+    )
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_progressive_jpeg(
+                    8 * (1 + int(d) % 3), 8 * (1 + int(d) % 2), int(d)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    with_jpeg = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    dec = M.decode_image(with_jpeg, "payload")
+    return dec.select("doc_id", "height", "width", "channels", "pixel_sum")
+
+
 def q_sample_video_frames(spark, sf_dir):
     # Real frame sampling over synthesized codec-free raw-RGB24 videos:
     # every 2nd frame's exact pixel sum is recomputed in SQL from the
@@ -3012,6 +3055,7 @@ QUERIES = {
     "decode_image_png": q_decode_image_png,
     "decode_image_gif": q_decode_image_gif,
     "decode_image_jpeg": q_decode_image_jpeg,
+    "decode_image_progressive": q_decode_image_progressive,
     "quantize_embeddings": q_quantize_embeddings,
     "pipeline_compose": q_pipeline_compose,
     "repetition_stats": q_repetition_stats,
@@ -3192,6 +3236,19 @@ ORACLES = {
                     + ((((doc_id * 7 + i * 13) % 256) * 5 + 25) % 256)))
                  AS BIGINT) AS pixel_sum
         FROM documents
+    """,
+    "decode_image_progressive": """
+        -- Grayscale SOF2, DC-only blocks: every pixel of raster block
+        -- b is exactly 128 + ((doc_id*7 + b*13) % 101 - 50).
+        SELECT doc_id,
+               CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+               CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(list_sum(list_transform(
+                        range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+                        b -> 64 * (128 + (doc_id * 7 + b * 13) % 101 - 50)))
+                 AS BIGINT) AS pixel_sum
+        FROM documents WHERE doc_id < 200
     """,
     "decode_image_jpeg": """
         -- doc_id % 5 = 1 is 4:2:0 color at 16-multiple dims (4x the

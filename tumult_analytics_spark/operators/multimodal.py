@@ -632,15 +632,356 @@ def synthesize_jpeg(
     return bytes(out)
 
 
+def synthesize_progressive_jpeg(
+    width: int, height: int, seed: int, successive: bool = False
+) -> bytes:
+    """A real, spec-conformant PROGRESSIVE grayscale JPEG (SOF2).
+
+    ``successive=False``: spectral-selection-only progression — scan 1
+    sends every DC (diff-coded), scan 2 sends the (all-zero) AC band
+    1..63 as one EOBn run across all blocks. Blocks are DC-only with
+    the same ``dc = 8 * k_b`` formula as :func:`synthesize_jpeg`, so
+    every pixel of block b decodes to exactly ``128 + k_b`` and a SQL
+    oracle replays the pixel sum.
+
+    ``successive=True``: full 4-scan successive approximation — DC at
+    Al=1 then DC refinement bits; AC band at Al=1 (one coefficient per
+    block at zigzag index 3, values 4..8) then AC refinement (an EOB
+    run carrying one correction bit per nonzero coefficient). DCs get
+    ``+ (b % 2)`` so half the DC refinement bits are 1. Exercises
+    every progressive entropy path; pixel values are no longer
+    closed-form (AC cosines round per pixel), so tests compare against
+    an independent IDCT reference instead of SQL.
+    """
+    import struct
+
+    if width % 8 or height % 8 or width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive multiples of 8")
+    bw, bh = width // 8, height // 8
+    nblocks = bw * bh
+    dcs = []
+    acs = []
+    for b in range(nblocks):
+        k = (seed * 7 + b * 13) % 101 - 50
+        dcs.append(8 * k + (b % 2 if successive else 0))
+        acs.append(4 + 2 * (b % 3) + (b % 2) if successive else 0)
+
+    dc_codes = _huff_codes(_JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS)
+
+    def size_of(v: int) -> int:
+        return abs(v).bit_length()
+
+    def amp_of(v: int, cat: int) -> int:
+        return v if v >= 0 else v + (1 << cat) - 1
+
+    # --- build the AC symbol streams first so the custom AC Huffman
+    # table can cover exactly the emitted symbols (Annex K's baseline
+    # AC table lacks the EOBn codes progressive scans use).
+    def eobn(n: int):
+        r = n.bit_length() - 1
+        return (r << 4), r, n - (1 << r)
+
+    ac_syms = set()
+    if successive:
+        first_stream = []  # (symbol, extra_value, extra_bits)
+        for b in range(nblocks):
+            sv = acs[b] >> 1
+            cat = size_of(sv)
+            first_stream.append(((2 << 4) | cat, amp_of(sv, cat), cat))
+            first_stream.append((0x00, 0, 0))  # EOB this block
+        sym, r, ebits = eobn(nblocks)
+        refine_head = (sym, ebits, r)
+        ac_syms = {s for s, _, _ in first_stream} | {sym}
+    else:
+        sym, r, ebits = eobn(nblocks)
+        band_head = (sym, ebits, r)
+        ac_syms = {sym}
+    ac_vals = sorted(ac_syms)
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)  # flat table: every symbol 8 bits
+    ac_codes = _huff_codes(tuple(ac_bits), tuple(ac_vals))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    for cls, bits, vals in (
+        (0, _JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS),
+        (1, tuple(ac_bits), tuple(ac_vals)),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
+        out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+
+    def sos(ss, se, ah, al, body: "_BitWriter"):
+        nonlocal out
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += bytes([1, 0x00, ss, se, (ah << 4) | al])
+        body.flush()
+        out += body.out
+
+    def dc_scan(al: int) -> "_BitWriter":
+        w = _BitWriter()
+        prev = 0
+        for b in range(nblocks):
+            sv = dcs[b] >> al
+            diff = sv - prev
+            prev = sv
+            cat = size_of(diff)
+            code, length = dc_codes[cat]
+            w.write(code, length)
+            if cat:
+                w.write(amp_of(diff, cat), cat)
+        return w
+
+    if not successive:
+        sos(0, 0, 0, 0, dc_scan(0))
+        w = _BitWriter()
+        sym, ebits, r = band_head[0], band_head[1], band_head[2]
+        code, length = ac_codes[sym]
+        w.write(code, length)
+        if r:
+            w.write(ebits, r)
+        sos(1, 63, 0, 0, w)
+    else:
+        sos(0, 0, 0, 1, dc_scan(1))
+        w = _BitWriter()  # DC refinement: the Al=0 bit of each DC
+        for b in range(nblocks):
+            w.write(dcs[b] & 1, 1)
+        sos(0, 0, 1, 0, w)
+        w = _BitWriter()  # AC first at Al=1
+        for sym, extra, nbits in first_stream:
+            code, length = ac_codes[sym]
+            w.write(code, length)
+            if nbits:
+                w.write(extra, nbits)
+        sos(1, 63, 0, 1, w)
+        w = _BitWriter()  # AC refine: one EOB run + correction bits
+        sym, ebits, r = refine_head[0], refine_head[1], refine_head[2]
+        code, length = ac_codes[sym]
+        w.write(code, length)
+        if r:
+            w.write(ebits, r)
+        for b in range(nblocks):
+            w.write(acs[b] & 1, 1)  # one nonzero AC per block
+        sos(1, 63, 1, 0, w)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _decode_jpeg(buf: bytes):
-    """No-raise wrapper for :func:`_decode_jpeg_unsafe`: the decode
-    contract is "unrecognized payloads decode to nulls", and a
-    truncated DHT/SOF segment must not crash a Spark task (fuzz-tested
-    in tests/test_multimodal.py)."""
+    """No-raise wrapper for the JPEG decoders (baseline SOF0, then
+    progressive SOF2): the decode contract is "unrecognized payloads
+    decode to nulls", and a truncated DHT/SOF segment must not crash a
+    Spark task (fuzz-tested in tests/test_multimodal.py)."""
     try:
-        return _decode_jpeg_unsafe(buf)
+        rec = _decode_jpeg_unsafe(buf)
+    except Exception:
+        rec = None
+    if rec is not None:
+        return rec
+    try:
+        return _decode_jpeg_progressive_unsafe(buf)
     except Exception:
         return None
+
+
+def _decode_jpeg_progressive_unsafe(buf: bytes):
+    """(height, width, 1, pixel_sum) for a PROGRESSIVE grayscale JPEG
+    (SOF2, 8-bit, one component, no restart markers) — or None.
+
+    Implements the full progressive entropy model of T.81 G.2: the
+    coefficient array accumulates across scans — DC first
+    (diff-coded, point-transformed by Al) and DC refinement (one bit
+    per block), AC first (run-length with EOBn end-of-band RUNS across
+    blocks) and AC refinement (correction bits for nonzero-history
+    coefficients, new +-1<<Al insertions, EOB runs carrying correction
+    bits) — then dequantizes and runs the exact float64 IDCT once at
+    the end. Color progressive (interleaved DC scans) and restart
+    markers stay codec-library territory: None, and the
+    :func:`register_image_codec` seam takes over.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables = {}
+    hufftabs = {}
+    frame = None
+    coef = None  # (nblocks, 64) zigzag-order coefficient accumulator
+    dc_pred = 0
+
+    def find_next_marker(p: int) -> int:
+        # Skip entropy data: stop at 0xFF followed by a real marker
+        # (not 0x00 stuffing, not RSTn — unsupported here).
+        while p + 1 < len(buf):
+            if buf[p] == 0xFF and buf[p + 1] != 0x00:
+                return p
+            p += 1
+        return len(buf)
+
+    while pos + 2 <= len(buf):
+        if buf[pos] != 0xFF:
+            return None
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            if marker == 0xD9:
+                break
+            continue
+        if pos + 2 > len(buf):
+            return None
+        seglen = struct.unpack_from(">H", buf, pos)[0]
+        data = buf[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq != 0:
+                    return None
+                qtables[tq] = np.array(list(data[i + 1 : i + 65]), dtype=np.int64)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 0xF
+                bits = tuple(data[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(data[i + 17 : i + 17 + n])
+                hufftabs[(cls, tid)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC2:  # SOF2: progressive DCT
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", data, 0)
+            if precision != 8 or ncomp != 1:
+                return None  # color progressive: codec-library territory
+            ctq = data[8]
+            bw = (w + 7) // 8
+            bh = (h + 7) // 8
+            frame = (h, w, ctq, bw, bh)
+            coef = np.zeros((bw * bh, 64), dtype=np.int64)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # baseline handled elsewhere; others unsupported
+        elif marker == 0xDD:
+            return None  # restart intervals in progressive: unsupported
+        elif marker == 0xDA:  # SOS: one scan of the progression
+            if frame is None or data[0] != 1:
+                return None
+            td, ta = data[2] >> 4, data[2] & 0xF
+            ss, se = data[3], data[4]
+            ah, al = data[5] >> 4, data[5] & 0xF
+            nblocks = coef.shape[0]
+            reader = _BitReader(buf, pos + seglen)
+            if ss == 0:
+                if se != 0:
+                    return None
+                if ah == 0:
+                    dc_tab = hufftabs.get((0, td))
+                    if dc_tab is None:
+                        return None
+                    for b in range(nblocks):
+                        cat = reader.read_huff(dc_tab)
+                        dc_pred += _jpeg_extend(reader.read_bits(cat), cat)
+                        coef[b, 0] = dc_pred << al
+                else:
+                    for b in range(nblocks):
+                        if reader.read_bit():
+                            coef[b, 0] |= 1 << al
+            else:
+                ac_tab = hufftabs.get((1, ta))
+                if ac_tab is None or se > 63 or ss > se:
+                    return None
+                eobrun = 0
+                if ah == 0:  # AC first scan for this band
+                    for b in range(nblocks):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = reader.read_huff(ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            coef[b, k] = (
+                                _jpeg_extend(reader.read_bits(s), s) << al
+                            )
+                            k += 1
+                else:  # AC refinement (T.81 G.2 / jdphuff semantics)
+                    p1, m1 = 1 << al, -(1 << al)
+                    for b in range(nblocks):
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = reader.read_huff(ac_tab)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += reader.read_bits(r)
+                                        break
+                                    # r == 15: ZRL — skip 16 zero-history
+                                    # coefficients (with corrections)
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "bad refinement magnitude"
+                                        )
+                                    s = p1 if reader.read_bit() else m1
+                                while k <= se:
+                                    c = int(coef[b, k])
+                                    if c != 0:
+                                        if reader.read_bit() and (c & p1) == 0:
+                                            coef[b, k] = c + (
+                                                p1 if c >= 0 else m1
+                                            )
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if s and k <= se:
+                                    coef[b, k] = s
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                c = int(coef[b, k])
+                                if c != 0 and reader.read_bit() and (c & p1) == 0:
+                                    coef[b, k] = c + (p1 if c >= 0 else m1)
+                                k += 1
+                            eobrun -= 1
+            pos = find_next_marker(reader.pos)
+            continue
+        pos += seglen
+    if frame is None:
+        return None
+    h, w, ctq, bw, bh = frame
+    if ctq not in qtables:
+        return None
+    q = qtables[ctq]
+    M = _idct_matrix()
+    plane = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    for b in range(coef.shape[0]):
+        cz = np.zeros(64, dtype=np.float64)
+        cz[list(_JPEG_ZIGZAG)] = coef[b] * q
+        block = M @ cz.reshape(8, 8) @ M.T
+        by, bx = divmod(b, bw)
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+            np.round(block + 128.0), 0, 255
+        ).astype(np.int64)
+    return h, w, 1, int(plane[:h, :w].sum())
 
 
 def _decode_jpeg_unsafe(buf: bytes):
@@ -1075,15 +1416,18 @@ def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
     Real pure-numpy decoders for the formats a container without
     imaging libraries can still handle: 8-bit PNG (gray / RGB /
     gray+alpha / RGBA, full Sub/Up/Average/Paeth unfiltering via stdlib
-    ``zlib``), baseline grayscale JPEG (canonical-Huffman entropy
-    decode, dequantize, exact IDCT), non-interlaced GIF (real LZW
-    decode, global/local color tables), 24-bit BMP, and binary PPM
-    (P6).
+    ``zlib``), baseline JPEG (canonical-Huffman entropy decode,
+    dequantize, exact IDCT; grayscale and 4:4:4/4:2:0 color),
+    PROGRESSIVE grayscale JPEG (SOF2 multi-scan: spectral selection,
+    successive approximation with DC/AC refinement and EOB runs),
+    non-interlaced GIF (real LZW decode, global/local color tables),
+    24-bit BMP, and binary PPM (P6).
     ``pixel_sum`` (sum of all decoded sample bytes) proves the decoder
     walks the actual pixel data — PNG unfiltering, JPEG entropy/IDCT,
     BMP row padding, and the bottom-up flip all have to be right for it
-    to match. Unrecognized payloads (palette/16-bit/interlaced PNG,
-    color/progressive JPEG — codec-library territory) decode to nulls —
+    to match. Unrecognized payloads (16-bit/interlaced PNG, COLOR
+    progressive JPEG, arithmetic-coded JPEG — codec-library territory)
+    decode to nulls —
     unless a codec registered via :func:`register_image_codec` claims
     them (injected codecs are tried first, so a library decoder can
     also override a built-in format wholesale).
