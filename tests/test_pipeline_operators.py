@@ -1320,3 +1320,104 @@ class TestCharEntropy:
             "text",
         ).collect()[0]["char_entropy"]
         assert 3.0 < nat < 5.0
+
+
+class TestDsir:
+    """DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    importance weights between a target and the raw corpus, Gumbel
+    top-k selection."""
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "quantum flux capacitor warp drive"),
+                (3, "the dog sat on the rug"),
+                (4, "stock market prices fell sharply today"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def _target(self, spark):
+        return spark.createDataFrame(
+            [
+                (100, "the cat and the dog sat together"),
+                (101, "a cat on a mat and a dog on a rug"),
+            ],
+            "tid long, text string",
+        )
+
+    def test_target_like_docs_weigh_more(self, spark):
+        from tumult_analytics_spark.operators.pipeline import dsir_log_weights
+
+        w = dsir_log_weights(
+            self._corpus(spark), self._target(spark), "text", "doc_id"
+        )
+        rows = {r["doc_id"]: r["dsir_logw"] for r in w.collect()}
+        assert rows[1] > rows[2] and rows[1] > rows[4]
+        assert rows[3] > rows[2] and rows[3] > rows[4]
+
+    def test_empty_and_null_docs_are_neutral(self, spark):
+        from tumult_analytics_spark.operators.pipeline import dsir_log_weights
+
+        corpus = self._corpus(spark).unionByName(
+            spark.createDataFrame(
+                [(5, None), (6, "")], "doc_id long, text string"
+            )
+        )
+        w = dsir_log_weights(corpus, self._target(spark), "text", "doc_id")
+        rows = {r["doc_id"]: r["dsir_logw"] for r in w.collect()}
+        assert rows[5] == 0.0 and rows[6] == 0.0
+        assert len(rows) == 6  # no row lost or duplicated
+
+    def test_low_temperature_resample_picks_target_like(self, spark):
+        from tumult_analytics_spark.operators.pipeline import dsir_resample
+
+        sel = dsir_resample(
+            self._corpus(spark), self._target(spark), "text", "doc_id",
+            n=2, temperature=0.05,
+        )
+        assert sorted(r["doc_id"] for r in sel.collect()) == [1, 3]
+        ranks = {r["doc_id"]: r["dsir_rank"] for r in sel.collect()}
+        assert set(ranks.values()) == {1, 2}
+
+    def test_resample_deterministic_across_runs(self, spark):
+        from tumult_analytics_spark.operators.pipeline import dsir_resample
+
+        a = dsir_resample(
+            self._corpus(spark), self._target(spark), "text", "doc_id", n=3
+        )
+        b = dsir_resample(
+            self._corpus(spark), self._target(spark), "text", "doc_id", n=3
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        # Different salt -> (possibly) different Gumbel draws, never an error.
+        c = dsir_resample(
+            self._corpus(spark), self._target(spark), "text", "doc_id",
+            n=3, salt="other",
+        )
+        assert c.count() == 3
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tumult_analytics_spark.operators.pipeline import (
+            dsir_log_weights,
+            dsir_resample,
+        )
+
+        with _pytest.raises(ValueError):
+            dsir_log_weights(
+                self._corpus(spark), self._target(spark), "text", "doc_id",
+                n_buckets=1,
+            )
+        with _pytest.raises(ValueError):
+            dsir_resample(
+                self._corpus(spark), self._target(spark), "text", "doc_id",
+                n=0,
+            )
+        with _pytest.raises(ValueError):
+            dsir_resample(
+                self._corpus(spark), self._target(spark), "text", "doc_id",
+                n=1, temperature=0,
+            )

@@ -625,6 +625,80 @@ def q_cosine_dedup(spark, sf_dir):
     return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_dsir_selection(spark, sf_dir):
+    # DSIR importance resampling (Xie et al. 2023): docs with
+    # doc_id % 3 == 0 play the TARGET corpus; the rest is the raw pool.
+    # Hashed-unigram (md5-60bit % 1024) models with +1 smoothing,
+    # per-doc log-weight sums, deterministic Gumbel top-60 — every step
+    # (including the Gumbel draw, derived from the md5-uniform of
+    # doc_id) replays in SQL; scores are rounded to 6 before ranking so
+    # 1-ulp libm differences between engines cannot flip the order.
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 3 != 0")
+    target = docs.filter("doc_id % 3 = 0")
+    sel = P.dsir_resample(
+        corpus, target, "text", "doc_id", n=60, n_buckets=1024,
+        smoothing=1.0, temperature=1.0,
+    )
+    return sel.groupBy("lang").agg(F.count(F.lit(1)).alias("n_selected"))
+
+
+_DSIR_ORACLE = """
+    WITH corpus AS (
+      SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+      WHERE doc_id % 3 <> 0
+    ), tgt AS (
+      SELECT doc_id, lower(trim(text)) AS t FROM documents
+      WHERE doc_id % 3 = 0
+    ), ctok AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+      FROM (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok
+            FROM corpus)
+      WHERE tok <> ''
+    ), ttok AS (
+      SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+      FROM (SELECT unnest(string_split_regex(t, '\\s+')) AS tok FROM tgt)
+      WHERE tok <> ''
+    ), cmodel AS (SELECT b, count(*) AS c FROM ctok GROUP BY b),
+    tmodel AS (SELECT b, count(*) AS c FROM ttok GROUP BY b),
+    ctot AS (SELECT ln(sum(c) + 1024.0) AS lt FROM cmodel),
+    ttot AS (SELECT ln(sum(c) + 1024.0) AS lt FROM tmodel),
+    dom AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 1024)),
+    ratio AS (
+      SELECT dom.b,
+             (coalesce(ln(tmodel.c + 1.0), ln(1.0)) - ttot.lt)
+           - (coalesce(ln(cmodel.c + 1.0), ln(1.0)) - ctot.lt) AS lr
+      FROM dom
+      LEFT JOIN tmodel ON tmodel.b = dom.b
+      LEFT JOIN cmodel ON cmodel.b = dom.b
+      CROSS JOIN ctot CROSS JOIN ttot
+    ), w AS (
+      SELECT corpus.doc_id, corpus.lang,
+             coalesce(s.logw, 0.0) AS logw
+      FROM corpus
+      LEFT JOIN (
+        SELECT ctok.doc_id, sum(ratio.lr) AS logw
+        FROM ctok JOIN ratio ON ratio.b = ctok.b
+        GROUP BY ctok.doc_id
+      ) s ON s.doc_id = corpus.doc_id
+    ), scored AS (
+      SELECT doc_id, lang,
+        round(logw
+          - ln(-ln(('0x' || substr(md5(doc_id::VARCHAR || ':dsir'),
+                                   1, 13))::BIGINT
+                   / 4503599627370496.0 + 1e-300)), 6) AS score
+      FROM w
+    ), ranked AS (
+      SELECT lang,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_selected
+    FROM ranked WHERE rk <= 60 GROUP BY lang
+"""
+
+
 def q_pipeline_compose(spark, sf_dir):
     # End-to-end training-data pipeline: quality filter -> exact dedup ->
     # token stats per language. Exactly SQL-reproducible.
@@ -3058,6 +3132,7 @@ QUERIES = {
     "decode_image_progressive": q_decode_image_progressive,
     "quantize_embeddings": q_quantize_embeddings,
     "pipeline_compose": q_pipeline_compose,
+    "dsir_selection": q_dsir_selection,
     "repetition_stats": q_repetition_stats,
     "pii_stats": q_pii_stats,
     "stratified_sample": q_stratified_sample,
@@ -3160,6 +3235,7 @@ _GRAMS5_CTE = """
 """
 
 ORACLES = {
+    "dsir_selection": _DSIR_ORACLE,
     "simhash_buckets": _simhash_oracle_sql(),
     "minhash_dedup": _minhash_oracle_sql(),
     "substring_dedup_stats": _SUBSTRING_DEDUP_ORACLE,

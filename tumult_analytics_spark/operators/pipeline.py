@@ -56,6 +56,8 @@ __all__ = [
     "recency_weighted_sample",
     "soft_dedup_weights",
     "split_dataset",
+    "dsir_log_weights",
+    "dsir_resample",
 ]
 
 
@@ -1286,3 +1288,157 @@ def split_dataset(
     if expr is None:
         raise ValueError("fractions must not be empty")
     return df.withColumn(output_column, expr)
+
+
+# --- DSIR: Data Selection with Importance Resampling -----------------------
+# Xie et al. 2023 (arXiv:2302.03169): select raw-corpus documents whose
+# hashed n-gram feature distribution looks like a TARGET corpus, by
+# importance weighting between two bag-of-buckets unigram models and
+# Gumbel-top-k resampling. The shipped heuristic behind "make the crawl
+# look like Wikipedia+books" mixes.
+
+
+def dsir_log_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_column: str,
+    id_column: str,
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    weight_column: str = "dsir_logw",
+) -> DataFrame:
+    """Append each corpus document's DSIR importance log-weight:
+    ``logw(doc) = sum_tokens log(p_target(bucket) / p_raw(bucket))``
+    where both distributions are add-``smoothing`` smoothed histograms
+    over ``n_buckets`` hashed token buckets (hashed n-gram features,
+    n=1).
+
+    Plan: two O(n_buckets)-row aggregations build the models (the raw
+    side reuses the corpus's own exploded tokens), the per-bucket
+    log-ratio table broadcasts into the exploded-token join, and one
+    groupBy(doc) sums — token explosion is the only data-sized stage,
+    all Catalyst, no Python. The bucket hash is the repo's md5-60bit
+    arithmetic, so weights replay exactly in SQL (log/exp rounded at
+    comparison time).
+    """
+    from .dedup import _md5_hash60
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0")
+    B = int(n_buckets)
+
+    def buckets(df: DataFrame, cols) -> DataFrame:
+        toks = F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_column))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("__tok__")
+        out = df.select(*cols, toks)
+        return out.withColumn(
+            "__bkt__", F.pmod(_md5_hash60(F.col("__tok__")), F.lit(B))
+        )
+
+    def model(df: DataFrame, name: str) -> DataFrame:
+        counts = buckets(df, []).groupBy("__bkt__").agg(
+            F.count(F.lit(1)).alias("__c__")
+        )
+        total = counts.agg(
+            F.sum("__c__").alias("__t__")
+        ).select(
+            (F.col("__t__") + F.lit(float(smoothing * B))).alias("__t__")
+        )
+        # log p(bucket) = log(c + smoothing) - log(total + smoothing*B);
+        # missing buckets contribute log(smoothing) - log(...), handled
+        # via the left join + coalesce below.
+        return counts.crossJoin(total).select(
+            "__bkt__",
+            (
+                F.log(F.col("__c__") + F.lit(float(smoothing)))
+                - F.log(F.col("__t__"))
+            ).alias(f"__logp_{name}__"),
+            F.log(F.col("__t__")).alias(f"__logt_{name}__"),
+        )
+
+    tgt = model(target, "t")
+    raw = model(corpus, "r")
+    # Full bucket domain so unseen-in-one-side buckets get the smoothed
+    # probability; the domain is B rows — driver-trivial, broadcast.
+    spark = corpus.sparkSession
+    dom = spark.range(B).select(F.col("id").cast("long").alias("__bkt__"))
+    # Totals are per-model scalars; attach via crossJoin of 1-row DFs.
+    t_total = tgt.agg(F.first("__logt_t__").alias("__logt_t__"))
+    r_total = raw.agg(F.first("__logt_r__").alias("__logt_r__"))
+    ratio = (
+        dom.join(F.broadcast(tgt.drop("__logt_t__")), "__bkt__", "left")
+        .join(F.broadcast(raw.drop("__logt_r__")), "__bkt__", "left")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            "__bkt__",
+            (
+                F.coalesce(
+                    F.col("__logp_t__"),
+                    F.log(F.lit(float(smoothing))) - F.col("__logt_t__"),
+                )
+                - F.coalesce(
+                    F.col("__logp_r__"),
+                    F.log(F.lit(float(smoothing))) - F.col("__logt_r__"),
+                )
+            ).alias("__logratio__"),
+        )
+    )
+    doc_buckets = buckets(corpus, [id_column])
+    summed = (
+        doc_buckets.join(F.broadcast(ratio), "__bkt__")
+        .groupBy(id_column)
+        .agg(F.sum("__logratio__").alias(weight_column))
+    )
+    # Docs with no tokens never appear in the explode: weight 0.
+    return corpus.join(summed, on=id_column, how="left").withColumn(
+        weight_column, F.coalesce(F.col(weight_column), F.lit(0.0))
+    )
+
+
+def dsir_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_column: str,
+    id_column: str,
+    n: int,
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    temperature: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Select ``n`` corpus documents by DSIR importance resampling:
+    Gumbel-top-k over ``logw / temperature`` — equivalent to sampling
+    without replacement with probability proportional to
+    ``w^(1/temperature)`` — with the Gumbel noise derived from the
+    repo's deterministic md5-uniform of (id, salt), so the same inputs
+    select the same documents on any engine and across retries.
+    Returns the selected rows with ``dsir_logw`` and ``dsir_rank``.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    weighted = dsir_log_weights(
+        corpus, target, text_column, id_column, n_buckets, smoothing
+    )
+    u = deterministic_uniform(
+        F.concat(F.col(id_column).cast("string"), F.lit(":" + salt))
+    )
+    gumbel = -F.log(-F.log(u + F.lit(1e-300)))
+    score = F.col("dsir_logw") / F.lit(float(temperature)) + gumbel
+    w = Window.orderBy(
+        F.round(score, 6).desc(), F.col(id_column).asc()
+    )
+    return (
+        weighted.withColumn("__score__", score)
+        .withColumn("dsir_rank", F.row_number().over(w))
+        .filter(F.col("dsir_rank") <= n)
+        .drop("__score__")
+    )
