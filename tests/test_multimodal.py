@@ -868,6 +868,52 @@ class TestProgressiveJpeg:
             assert prog is not None
             assert prog == base
 
+    def test_color_progressive_matches_baseline_color(self):
+        # 4:4:4 color: interleaved 3-component DC scan + per-component
+        # AC band scans; neutral chroma makes R=G=B=Y exactly, so the
+        # progressive decode must equal the baseline color decode.
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_jpeg,
+            synthesize_jpeg,
+            synthesize_progressive_jpeg,
+        )
+
+        for w, h, seed in [(8, 8, 0), (16, 8, 3), (24, 16, 7)]:
+            prog = _decode_jpeg(
+                synthesize_progressive_jpeg(w, h, seed, color=True)
+            )
+            base = _decode_jpeg(synthesize_jpeg(w, h, seed, color=True))
+            assert prog is not None and prog[2] == 3
+            assert prog == base
+
+    def test_color_successive_approximation_exact(self):
+        import numpy as np
+
+        from tumult_analytics_spark.operators.multimodal import (
+            _JPEG_ZIGZAG,
+            _decode_jpeg,
+            _idct_matrix,
+            synthesize_progressive_jpeg,
+        )
+
+        M = _idct_matrix()
+        for w, h, seed in [(8, 8, 1), (16, 16, 5)]:
+            rec = _decode_jpeg(
+                synthesize_progressive_jpeg(
+                    w, h, seed, successive=True, color=True
+                )
+            )
+            assert rec is not None
+            total = 0
+            for b in range((w // 8) * (h // 8)):
+                k = (seed * 7 + b * 13) % 101 - 50
+                cz = np.zeros(64)
+                cz[_JPEG_ZIGZAG[0]] = 8 * k + (b % 2)
+                cz[_JPEG_ZIGZAG[3]] = 4 + 2 * (b % 3) + (b % 2)
+                blk = M @ cz.reshape(8, 8) @ M.T
+                total += int(np.clip(np.round(blk + 128.0), 0, 255).sum())
+            assert rec == (h, w, 3, 3 * total)
+
     def test_successive_approximation_exact(self):
         # All four scan types (DC first/refine, AC first/refine with an
         # EOB run carrying correction bits) must reconstruct the exact

@@ -538,12 +538,15 @@ def q_decode_image_jpeg(spark, sf_dir):
 def q_decode_image_progressive(spark, sf_dir):
     # Real PROGRESSIVE JPEG decode (SOF2, multi-scan coefficient
     # accumulation): spectral-selection payloads — a DC scan followed
-    # by an AC band scan carried as one EOBn end-of-band RUN across
-    # every block. DC-only blocks IDCT to an exactly uniform
-    # 128 + k_b surface, so pixel sums replay in SQL with the same
-    # integer formula as the baseline JPEG oracle — but only if the
-    # multi-scan progressive entropy decode (including the EOB-run
-    # bookkeeping) reconstructs every coefficient exactly. The full
+    # by AC band scans carried as EOBn end-of-band RUNS across every
+    # block. DC-only blocks IDCT to an exactly uniform 128 + k_b
+    # surface, so pixel sums replay in SQL with the same integer
+    # formula as the baseline JPEG oracle — but only if the multi-scan
+    # progressive entropy decode (including the EOB-run bookkeeping)
+    # reconstructs every coefficient exactly. Odd doc_ids are 4:4:4
+    # COLOR progressive (interleaved 3-component DC scan, one AC scan
+    # per component) with neutral chroma, so R=G=B=Y exactly and the
+    # pixel sum is 3x the grayscale formula. The full
     # successive-approximation script (DC/AC refinement scans,
     # correction bits) is unit-tested against an independent IDCT
     # reference in tests/test_multimodal.py — per-pixel half-to-even
@@ -560,7 +563,8 @@ def q_decode_image_progressive(spark, sf_dir):
             pdf = pdf.copy()
             pdf["payload"] = [
                 M.synthesize_progressive_jpeg(
-                    8 * (1 + int(d) % 3), 8 * (1 + int(d) % 2), int(d)
+                    8 * (1 + int(d) % 3), 8 * (1 + int(d) % 2), int(d),
+                    color=int(d) % 2 == 1,
                 )
                 for d in pdf["doc_id"]
             ]
@@ -3314,13 +3318,16 @@ ORACLES = {
         FROM documents
     """,
     "decode_image_progressive": """
-        -- Grayscale SOF2, DC-only blocks: every pixel of raster block
-        -- b is exactly 128 + ((doc_id*7 + b*13) % 101 - 50).
+        -- SOF2, DC-only blocks: every pixel of raster block b is
+        -- exactly 128 + ((doc_id*7 + b*13) % 101 - 50); odd doc_ids
+        -- are 4:4:4 color with neutral chroma (R=G=B=Y -> 3x sum).
         SELECT doc_id,
                CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
                CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
-               CAST(1 AS INTEGER) AS channels,
-               CAST(list_sum(list_transform(
+               CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END
+                    AS INTEGER) AS channels,
+               CAST((CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END)
+                    * list_sum(list_transform(
                         range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
                         b -> 64 * (128 + (doc_id * 7 + b * 13) % 101 - 50)))
                  AS BIGINT) AS pixel_sum

@@ -633,7 +633,8 @@ def synthesize_jpeg(
 
 
 def synthesize_progressive_jpeg(
-    width: int, height: int, seed: int, successive: bool = False
+    width: int, height: int, seed: int, successive: bool = False,
+    color: bool = False,
 ) -> bytes:
     """A real, spec-conformant PROGRESSIVE grayscale JPEG (SOF2).
 
@@ -701,10 +702,14 @@ def synthesize_progressive_jpeg(
     ac_bits[7] = len(ac_vals)  # flat table: every symbol 8 bits
     ac_codes = _huff_codes(tuple(ac_bits), tuple(ac_vals))
 
+    ncomp = 3 if color else 1
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, height, width, 1)
-    out += bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    )
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0])
     for cls, bits, vals in (
         (0, _JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS),
         (1, tuple(ac_bits), tuple(ac_vals)),
@@ -712,14 +717,21 @@ def synthesize_progressive_jpeg(
         out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
         out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
 
-    def sos(ss, se, ah, al, body: "_BitWriter"):
+    def sos(comp_ids, ss, se, ah, al, body: "_BitWriter"):
         nonlocal out
-        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
-        out += bytes([1, 0x00, ss, se, (ah << 4) | al])
+        ns = len(comp_ids)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for cid in comp_ids:
+            out += bytes([cid, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
         body.flush()
         out += body.out
 
+    zero_code, zero_len = dc_codes[0]
+
     def dc_scan(al: int) -> "_BitWriter":
+        # Interleaved when color: per MCU (= one block at 4:4:4) the
+        # luma DC diff then two neutral-chroma (zero-diff) DCs.
         w = _BitWriter()
         prev = 0
         for b in range(nblocks):
@@ -731,31 +743,44 @@ def synthesize_progressive_jpeg(
             w.write(code, length)
             if cat:
                 w.write(amp_of(diff, cat), cat)
+            if color:  # Cb, Cr: DC stays 0 -> category 0, no bits
+                w.write(zero_code, zero_len)
+                w.write(zero_code, zero_len)
         return w
 
-    if not successive:
-        sos(0, 0, 0, 0, dc_scan(0))
+    def eob_band() -> "_BitWriter":
+        # A whole-band scan that is one EOBn run across every block.
         w = _BitWriter()
-        sym, ebits, r = band_head[0], band_head[1], band_head[2]
+        sym, r, ebits = eobn(nblocks)
         code, length = ac_codes[sym]
         w.write(code, length)
         if r:
             w.write(ebits, r)
-        sos(1, 63, 0, 0, w)
+        return w
+
+    all_ids = list(range(1, ncomp + 1))
+    if not successive:
+        sos(all_ids, 0, 0, 0, 0, dc_scan(0))
+        sos([1], 1, 63, 0, 0, eob_band())
+        for cid in all_ids[1:]:
+            sos([cid], 1, 63, 0, 0, eob_band())
     else:
-        sos(0, 0, 0, 1, dc_scan(1))
-        w = _BitWriter()  # DC refinement: the Al=0 bit of each DC
+        sos(all_ids, 0, 0, 0, 1, dc_scan(1))
+        w = _BitWriter()  # DC refinement: Al=0 bit per (block, comp)
         for b in range(nblocks):
             w.write(dcs[b] & 1, 1)
-        sos(0, 0, 1, 0, w)
-        w = _BitWriter()  # AC first at Al=1
+            if color:
+                w.write(0, 1)
+                w.write(0, 1)
+        sos(all_ids, 0, 0, 1, 0, w)
+        w = _BitWriter()  # luma AC first at Al=1
         for sym, extra, nbits in first_stream:
             code, length = ac_codes[sym]
             w.write(code, length)
             if nbits:
                 w.write(extra, nbits)
-        sos(1, 63, 0, 1, w)
-        w = _BitWriter()  # AC refine: one EOB run + correction bits
+        sos([1], 1, 63, 0, 1, w)
+        w = _BitWriter()  # luma AC refine: one EOB run + correction bits
         sym, ebits, r = refine_head[0], refine_head[1], refine_head[2]
         code, length = ac_codes[sym]
         w.write(code, length)
@@ -763,7 +788,10 @@ def synthesize_progressive_jpeg(
             w.write(ebits, r)
         for b in range(nblocks):
             w.write(acs[b] & 1, 1)  # one nonzero AC per block
-        sos(1, 63, 1, 0, w)
+        sos([1], 1, 63, 1, 0, w)
+        for cid in all_ids[1:]:  # chroma bands: all zero, two scans
+            sos([cid], 1, 63, 0, 1, eob_band())
+            sos([cid], 1, 63, 1, 0, eob_band())
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -786,18 +814,21 @@ def _decode_jpeg(buf: bytes):
 
 
 def _decode_jpeg_progressive_unsafe(buf: bytes):
-    """(height, width, 1, pixel_sum) for a PROGRESSIVE grayscale JPEG
-    (SOF2, 8-bit, one component, no restart markers) — or None.
+    """(height, width, channels, pixel_sum) for a PROGRESSIVE JPEG
+    (SOF2, 8-bit, grayscale or 4:4:4 YCbCr color, no restart markers)
+    — or None.
 
     Implements the full progressive entropy model of T.81 G.2: the
-    coefficient array accumulates across scans — DC first
-    (diff-coded, point-transformed by Al) and DC refinement (one bit
-    per block), AC first (run-length with EOBn end-of-band RUNS across
-    blocks) and AC refinement (correction bits for nonzero-history
-    coefficients, new +-1<<Al insertions, EOB runs carrying correction
-    bits) — then dequantizes and runs the exact float64 IDCT once at
-    the end. Color progressive (interleaved DC scans) and restart
-    markers stay codec-library territory: None, and the
+    per-component coefficient arrays accumulate across scans — DC
+    first (diff-coded, point-transformed by Al, interleaved or
+    single-component) and DC refinement (one bit per block), AC first
+    (run-length with EOBn end-of-band RUNS across blocks; AC scans are
+    always single-component per spec) and AC refinement (correction
+    bits for nonzero-history coefficients, new +-1<<Al insertions, EOB
+    runs carrying correction bits) — then dequantizes and runs the
+    exact float64 IDCT once at the end, with BT.601 conversion for
+    color. Subsampled color progressive, arithmetic coding, and
+    restart markers stay codec-library territory: None, and the
     :func:`register_image_codec` seam takes over.
     """
     import struct
@@ -810,12 +841,10 @@ def _decode_jpeg_progressive_unsafe(buf: bytes):
     qtables = {}
     hufftabs = {}
     frame = None
-    coef = None  # (nblocks, 64) zigzag-order coefficient accumulator
-    dc_pred = 0
+    coef = None  # per-component (nblocks, 64) zigzag accumulators
+    comp_ids = []
 
     def find_next_marker(p: int) -> int:
-        # Skip entropy data: stop at 0xFF followed by a real marker
-        # (not 0x00 stuffing, not RSTn — unsupported here).
         while p + 1 < len(buf):
             if buf[p] == 0xFF and buf[p + 1] != 0x00:
                 return p
@@ -854,45 +883,77 @@ def _decode_jpeg_progressive_unsafe(buf: bytes):
                 i += 17 + n
         elif marker == 0xC2:  # SOF2: progressive DCT
             precision, h, w, ncomp = struct.unpack_from(">BHHB", data, 0)
-            if precision != 8 or ncomp != 1:
-                return None  # color progressive: codec-library territory
-            ctq = data[8]
+            if precision != 8 or ncomp not in (1, 3):
+                return None
+            comps = []
+            for ci in range(ncomp):
+                cid = data[6 + 3 * ci]
+                sampling = data[7 + 3 * ci]
+                if sampling != 0x11:
+                    return None  # subsampled progressive: codec library
+                comps.append((cid, data[8 + 3 * ci]))
+            comp_ids = [c[0] for c in comps]
             bw = (w + 7) // 8
             bh = (h + 7) // 8
-            frame = (h, w, ctq, bw, bh)
-            coef = np.zeros((bw * bh, 64), dtype=np.int64)
+            frame = (h, w, comps, bw, bh)
+            coef = [
+                np.zeros((bw * bh, 64), dtype=np.int64) for _ in comps
+            ]
+            dc_pred = [0] * ncomp
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # baseline handled elsewhere; others unsupported
         elif marker == 0xDD:
             return None  # restart intervals in progressive: unsupported
         elif marker == 0xDA:  # SOS: one scan of the progression
-            if frame is None or data[0] != 1:
+            if frame is None:
                 return None
-            td, ta = data[2] >> 4, data[2] & 0xF
-            ss, se = data[3], data[4]
-            ah, al = data[5] >> 4, data[5] & 0xF
-            nblocks = coef.shape[0]
+            ns = data[0]
+            sel = []  # (component index, dc table id, ac table id)
+            for si in range(ns):
+                cid = data[1 + 2 * si]
+                tdta = data[2 + 2 * si]
+                if cid not in comp_ids:
+                    return None
+                sel.append((comp_ids.index(cid), tdta >> 4, tdta & 0xF))
+            off = 1 + 2 * ns
+            ss, se = data[off], data[off + 1]
+            ah, al = data[off + 2] >> 4, data[off + 2] & 0xF
+            nblocks = coef[0].shape[0]
             reader = _BitReader(buf, pos + seglen)
             if ss == 0:
                 if se != 0:
                     return None
+                # DC scan — interleaved over MCUs (1 block per comp at
+                # 4:4:4) or single-component.
                 if ah == 0:
-                    dc_tab = hufftabs.get((0, td))
-                    if dc_tab is None:
-                        return None
+                    tabs = []
+                    for ci, td, _ in sel:
+                        t = hufftabs.get((0, td))
+                        if t is None:
+                            return None
+                        tabs.append(t)
                     for b in range(nblocks):
-                        cat = reader.read_huff(dc_tab)
-                        dc_pred += _jpeg_extend(reader.read_bits(cat), cat)
-                        coef[b, 0] = dc_pred << al
+                        for (ci, _, _), t in zip(sel, tabs):
+                            cat = reader.read_huff(t)
+                            dc_pred[ci] += _jpeg_extend(
+                                reader.read_bits(cat), cat
+                            )
+                            coef[ci][b, 0] = dc_pred[ci] << al
                 else:
                     for b in range(nblocks):
-                        if reader.read_bit():
-                            coef[b, 0] |= 1 << al
+                        for ci, _, _ in sel:
+                            if reader.read_bit():
+                                coef[ci][b, 0] |= 1 << al
             else:
-                ac_tab = hufftabs.get((1, ta))
-                if ac_tab is None or se > 63 or ss > se:
+                # AC scans cover exactly one component (T.81 G.1.1.1).
+                if ns != 1 or se > 63 or ss > se:
                     return None
+                ci, _, ta = sel[0]
+                ac_tab = hufftabs.get((1, ta))
+                if ac_tab is None:
+                    return None
+                cf = coef[ci]
                 eobrun = 0
                 if ah == 0:  # AC first scan for this band
                     for b in range(nblocks):
@@ -914,7 +975,7 @@ def _decode_jpeg_progressive_unsafe(buf: bytes):
                             k += r
                             if k > se:
                                 raise ValueError("AC run past band end")
-                            coef[b, k] = (
+                            cf[b, k] = (
                                 _jpeg_extend(reader.read_bits(s), s) << al
                             )
                             k += 1
@@ -941,10 +1002,10 @@ def _decode_jpeg_progressive_unsafe(buf: bytes):
                                         )
                                     s = p1 if reader.read_bit() else m1
                                 while k <= se:
-                                    c = int(coef[b, k])
+                                    c = int(cf[b, k])
                                     if c != 0:
                                         if reader.read_bit() and (c & p1) == 0:
-                                            coef[b, k] = c + (
+                                            cf[b, k] = c + (
                                                 p1 if c >= 0 else m1
                                             )
                                     else:
@@ -953,13 +1014,13 @@ def _decode_jpeg_progressive_unsafe(buf: bytes):
                                         r -= 1
                                     k += 1
                                 if s and k <= se:
-                                    coef[b, k] = s
+                                    cf[b, k] = s
                                 k += 1
                         if eobrun > 0:
                             while k <= se:
-                                c = int(coef[b, k])
+                                c = int(cf[b, k])
                                 if c != 0 and reader.read_bit() and (c & p1) == 0:
-                                    coef[b, k] = c + (p1 if c >= 0 else m1)
+                                    cf[b, k] = c + (p1 if c >= 0 else m1)
                                 k += 1
                             eobrun -= 1
             pos = find_next_marker(reader.pos)
@@ -967,21 +1028,35 @@ def _decode_jpeg_progressive_unsafe(buf: bytes):
         pos += seglen
     if frame is None:
         return None
-    h, w, ctq, bw, bh = frame
-    if ctq not in qtables:
-        return None
-    q = qtables[ctq]
+    h, w, comps, bw, bh = frame
     M = _idct_matrix()
-    plane = np.zeros((bh * 8, bw * 8), dtype=np.int64)
-    for b in range(coef.shape[0]):
-        cz = np.zeros(64, dtype=np.float64)
-        cz[list(_JPEG_ZIGZAG)] = coef[b] * q
-        block = M @ cz.reshape(8, 8) @ M.T
-        by, bx = divmod(b, bw)
-        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-            np.round(block + 128.0), 0, 255
-        ).astype(np.int64)
-    return h, w, 1, int(plane[:h, :w].sum())
+    planes = []
+    for ci, (_, ctq) in enumerate(comps):
+        if ctq not in qtables:
+            return None
+        q = qtables[ctq]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for b in range(coef[ci].shape[0]):
+            cz = np.zeros(64, dtype=np.float64)
+            cz[list(_JPEG_ZIGZAG)] = coef[ci][b] * q
+            block = M @ cz.reshape(8, 8) @ M.T
+            by, bx = divmod(b, bw)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        planes.append(plane[:h, :w] + 128.0)
+    if len(planes) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.int64)
+        return h, w, 1, int(gray.sum())
+    # JFIF YCbCr -> RGB (BT.601 full range) — same math as baseline,
+    # but from UNROUNDED planes (the per-component rounding happens
+    # only on the final RGB like the baseline path does on Y/Cb/Cr...
+    # match baseline exactly: round each component plane first).
+    Y = np.clip(np.round(planes[0]), 0, 255).astype(np.float64)
+    Cb = np.clip(np.round(planes[1]), 0, 255).astype(np.float64) - 128.0
+    Cr = np.clip(np.round(planes[2]), 0, 255).astype(np.float64) - 128.0
+    r = np.clip(np.round(Y + 1.402 * Cr), 0, 255)
+    g = np.clip(np.round(Y - 0.344136 * Cb - 0.714136 * Cr), 0, 255)
+    b = np.clip(np.round(Y + 1.772 * Cb), 0, 255)
+    return h, w, 3, int(r.sum() + g.sum() + b.sum())
 
 
 def _decode_jpeg_unsafe(buf: bytes):
@@ -1418,16 +1493,17 @@ def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
     gray+alpha / RGBA, full Sub/Up/Average/Paeth unfiltering via stdlib
     ``zlib``), baseline JPEG (canonical-Huffman entropy decode,
     dequantize, exact IDCT; grayscale and 4:4:4/4:2:0 color),
-    PROGRESSIVE grayscale JPEG (SOF2 multi-scan: spectral selection,
-    successive approximation with DC/AC refinement and EOB runs),
+    PROGRESSIVE JPEG (SOF2 multi-scan, grayscale and 4:4:4 color:
+    spectral selection, successive approximation with DC/AC refinement
+    and EOB runs, interleaved DC scans),
     non-interlaced GIF (real LZW decode, global/local color tables),
     24-bit BMP, and binary PPM (P6).
     ``pixel_sum`` (sum of all decoded sample bytes) proves the decoder
     walks the actual pixel data — PNG unfiltering, JPEG entropy/IDCT,
     BMP row padding, and the bottom-up flip all have to be right for it
-    to match. Unrecognized payloads (16-bit/interlaced PNG, COLOR
-    progressive JPEG, arithmetic-coded JPEG — codec-library territory)
-    decode to nulls —
+    to match. Unrecognized payloads (16-bit/interlaced PNG, subsampled
+    color progressive JPEG, arithmetic-coded JPEG — codec-library
+    territory) decode to nulls —
     unless a codec registered via :func:`register_image_codec` claims
     them (injected codecs are tried first, so a library decoder can
     also override a built-in format wholesale).
