@@ -976,3 +976,44 @@ class TestProgressiveJpeg:
             q = bytearray(p)
             q[rnd.randrange(len(p))] ^= 1 << rnd.randrange(8)
             _decode_jpeg(bytes(q))  # must not raise
+
+
+def test_alaw_expansion_exact_all_bytes():
+    # Transliteration of CPython audioop's st_alaw2linear16 as the
+    # reference; the vectorized kernel must match on every byte.
+    import numpy as np
+
+    from tumult_analytics_spark.operators.multimodal import _alaw_expand
+
+    def ref(b):
+        a = b ^ 0x55
+        t = a & 0xF
+        seg = (a & 0x70) >> 4
+        t = (t + t + 1 + 32) << (seg + 2) if seg else (t + t + 1) << 3
+        return t if (a & 0x80) else -t
+
+    got = _alaw_expand(np.arange(256, dtype=np.uint8))
+    assert got.tolist() == [ref(b) for b in range(256)]
+
+
+def test_alaw_wav_roundtrip_and_dispatch(spark):
+    from tumult_analytics_spark.operators.multimodal import (
+        _decode_wav,
+        decode_audio,
+        synthesize_wav_alaw,
+        synthesize_wav_mulaw,
+    )
+
+    rec = _decode_wav(synthesize_wav_alaw(100, 8000, 3))
+    assert rec is not None and rec[0] == 8000 and rec[2] == 100
+    rows = [
+        (1, synthesize_wav_alaw(60, 8000, 1)),
+        (2, synthesize_wav_mulaw(60, 8000, 1)),
+        (3, b"RIFFxxxxWAVEgarbage"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in decode_audio(df, "payload").collect()}
+    assert out[1]["n_samples"] == 60 and out[2]["n_samples"] == 60
+    # Same encoded bytes, different codec laws -> different energies.
+    assert out[1]["sum_abs"] != out[2]["sum_abs"]
+    assert out[3]["n_samples"] is None

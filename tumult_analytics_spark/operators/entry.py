@@ -3090,6 +3090,39 @@ def q_decode_audio_mulaw(spark, sf_dir):
     )
 
 
+def q_decode_audio_alaw(spark, sf_dir):
+    # G.711 A-law expansion (fmt tag 6) — the mu-law sibling; every
+    # expanded sample's integer arithmetic replays in SQL.
+    from . import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id % 10 = 2")
+    )
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_wav_alaw(40 + int(d) % 50, 8000, int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_wav = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields
+            + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    return M.decode_audio(with_wav, "payload").select(
+        "doc_id", "sample_rate", "n_samples", "sum_abs", "peak"
+    )
+
+
 def q_segment_dedup_stats(spark, sf_dir):
     # C4-style span dedup (8-token segments, global first occurrence):
     # per-lang surviving-character totals prove exactly which segments
@@ -3193,6 +3226,7 @@ QUERIES = {
     "decode_audio": q_decode_audio,
     "audio_frame_features": q_audio_frame_features,
     "decode_audio_mulaw": q_decode_audio_mulaw,
+    "decode_audio_alaw": q_decode_audio_alaw,
     "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
     "winnow_contamination": q_winnow_contamination,
     "event_anomaly_zscores": q_event_anomaly_zscores,
@@ -5371,6 +5405,34 @@ ORACLES["decode_audio_mulaw"] = """
                   ELSE (((uu % 16) * 8 + 132) * (1 << ((uu // 16) % 8))) - 132
              END AS v
       FROM u
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM x GROUP BY doc_id
+"""
+
+ORACLES["decode_audio_alaw"] = """
+    WITH d AS (
+      SELECT doc_id, 40 + doc_id % 50 AS n
+      FROM documents WHERE doc_id % 10 = 2
+    ),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    a AS (
+      SELECT doc_id, n,
+             xor((doc_id * 31 + i * 17) % 256, 85) AS aa
+      FROM s
+    ),
+    x AS (
+      SELECT doc_id, n,
+        (CASE WHEN aa >= 128 THEN 1 ELSE -1 END)
+        * (CASE WHEN (aa // 16) % 8 = 0
+                THEN (2 * (aa % 16) + 1) * 8
+                ELSE (2 * (aa % 16) + 33) * (1 << ((aa // 16) % 8 + 2))
+           END) AS v
+      FROM a
     )
     SELECT doc_id,
            CAST(8000 AS INTEGER) AS sample_rate,

@@ -1738,6 +1738,41 @@ def synthesize_wav_mulaw(n_samples: int, sample_rate: int, seed: int) -> bytes:
     return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
 
 
+def synthesize_wav_alaw(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """Spec-conformant G.711 A-law RIFF/WAVE payload (fmt tag 6, 8-bit)
+    whose encoded byte i is ``(seed*31 + i*17) % 256`` — SQL oracles
+    replay the A-law expansion with the same integer arithmetic."""
+    import struct
+
+    data = bytes(
+        (seed * 31 + i * 17) % 256 for i in range(n_samples)
+    )
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 6, 1, sample_rate, sample_rate, 1, 8
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def _alaw_expand(u8):
+    """G.711 A-law byte -> linear 16-bit sample (CPython audioop's
+    alaw2lin arithmetic): with a = b ^ 0x55, mant = a & 0xF,
+    seg = (a >> 4) & 7, ``t = (2*mant + 1) << 3`` for seg 0 else
+    ``(2*mant + 33) << (seg + 2)``; the sign bit of a SET means
+    positive. Pure integer math, exactly replayable in SQL."""
+    import numpy as np
+
+    a = u8.astype(np.int64) ^ 0x55
+    mant = a & 0x0F
+    seg = (a >> 4) & 0x07
+    t = np.where(
+        seg == 0,
+        (2 * mant + 1) << 3,
+        (2 * mant + 33) << np.maximum(seg + 2, 0),
+    )
+    return np.where(a & 0x80, t, -t)
+
+
 def _mulaw_expand(u8):
     """G.711 mu-law byte -> linear 16-bit sample (CPython audioop's
     ulaw2lin arithmetic): with u = ~b, t = (((u & 0xF) << 3) + 0x84)
@@ -1940,6 +1975,8 @@ def _decode_wav_samples(buf: bytes):
         ).astype(np.int64)
     elif fmt_tag == 7 and bits == 8:
         samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif fmt_tag == 6 and bits == 8:
+        samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
     else:
         return None  # compressed / other widths need a codec
     return int(rate), int(channels), samples
