@@ -361,3 +361,78 @@ class TestRetentionCohorts:
             for r in retention_cohorts(ev, "user_id", "ts").collect()
         }
         assert rows == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+
+
+class TestIntervalOverlapJoin:
+    def _frames(self, spark):
+        import datetime as dt
+
+        T0 = dt.datetime(2024, 1, 1)
+
+        def ts(m):
+            return T0 + dt.timedelta(minutes=m)
+
+        left = spark.createDataFrame(
+            [
+                ("u1", "a", ts(0), ts(60)),
+                ("u1", "b", ts(90), ts(100)),
+                ("u2", "c", ts(0), ts(600)),
+                ("u2", "inv", ts(50), ts(40)),  # inverted: dropped
+            ],
+            "user string, lid string, s timestamp, e timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                ("u1", "X", ts(30), ts(95)),   # overlaps a AND b
+                ("u1", "Y", ts(200), ts(300)), # no overlap
+                ("u2", "Z", ts(599), ts(700)), # touches c's end
+                ("u3", "W", ts(0), ts(1000)),  # key not on left
+            ],
+            "user string, rid string, s timestamp, e timestamp",
+        )
+        return left, right
+
+    def test_overlap_semantics(self, spark):
+        from tumult_analytics_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+
+        left, right = self._frames(spark)
+        out = interval_overlap_join(
+            left, right, "user", "s", "e", "s", "e", cell_seconds=600
+        )
+        assert sorted((r["lid"], r["rid"]) for r in out.collect()) == [
+            ("a", "X"), ("b", "X"), ("c", "Z"),
+        ]
+
+    def test_no_duplicates_across_cell_sizes(self, spark):
+        # A long interval explodes into many cells; the canonical-cell
+        # filter must keep each overlapping pair exactly once whatever
+        # the cell width.
+        from tumult_analytics_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+
+        left, right = self._frames(spark)
+        expected = [("a", "X"), ("b", "X"), ("c", "Z")]
+        for cell in (30, 60, 600, 7200, 86400):
+            out = interval_overlap_join(
+                left, right, "user", "s", "e", "s", "e", cell_seconds=cell
+            )
+            assert (
+                sorted((r["lid"], r["rid"]) for r in out.collect())
+                == expected
+            ), cell
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from tumult_analytics_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+
+        left, right = self._frames(spark)
+        with _pytest.raises(ValueError):
+            interval_overlap_join(
+                left, right, "user", "s", "e", "s", "e", cell_seconds=0
+            )

@@ -1414,6 +1414,39 @@ def q_range_join_count(spark, sf_dir):
     )
 
 
+def q_interval_overlap_count(spark, sf_dir):
+    # Interval-overlap join (sessions x campaigns shape): view events
+    # become [ts, ts+600s] intervals, purchase events [ts, ts+300s];
+    # pairs of the same user whose intervals overlap, counted with the
+    # summed overlap seconds. The cell decomposition attributes each
+    # pair to the single cell containing greatest(start, start) — no
+    # post-join dedup — and the oracle replays the raw theta-join.
+    from . import temporal as T
+
+    ev = _events_ts(spark, sf_dir)
+    views = ev.filter("event_type = 'view'").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("e"),
+    )
+    buys = ev.filter("event_type = 'purchase'").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("e"),
+    )
+    j = T.interval_overlap_join(
+        views, buys, "user_id", "s", "e", "s", "e", cell_seconds=600
+    )
+    ov_us = (
+        F.least(F.unix_micros("e"), F.unix_micros("e_r"))
+        - F.greatest(F.unix_micros("s"), F.unix_micros("s_r"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum(ov_us) / F.lit(1_000_000)).cast("long").alias("overlap_sec"),
+    )
+
+
 def q_pack_sequences_stats(spark, sf_dir):
     # GPT-style concat-then-chunk packing layout over the documents
     # table (seq_len 512, 8 independent shards), summarized: how many
@@ -3214,6 +3247,7 @@ QUERIES = {
     "sessionize_stats": q_sessionize_stats,
     "asof_join_gap": q_asof_join_gap,
     "range_join_count": q_range_join_count,
+    "interval_overlap_count": q_interval_overlap_count,
     "pack_sequences_stats": q_pack_sequences_stats,
     "sliding_chunk_stats": q_sliding_chunk_stats,
     "kmeans_cluster_stats": q_kmeans_cluster_stats,
@@ -4604,6 +4638,25 @@ ORACLES["asof_join_gap"] = """
            CAST(count(cts) AS BIGINT) AS n_matched,
            round(sum(gap_us) / (count(cts) * 1000000.0), 6) AS avg_gap_sec,
            round(max(gap_us) / 1000000.0, 6) AS max_gap_sec
+    FROM j
+"""
+
+ORACLES["interval_overlap_count"] = """
+    WITH v AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+      FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT least(v.e, b.e) - greatest(v.s, b.s) AS ov
+      FROM v JOIN b ON v.user_id = b.user_id
+       AND v.s <= b.e AND b.s <= v.e
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(ov) // 1000000 AS BIGINT) AS overlap_sec
     FROM j
 """
 

@@ -43,6 +43,7 @@ __all__ = [
     "sessionize",
     "asof_join",
     "time_range_join",
+    "interval_overlap_join",
     "funnel_conversion",
     "retention_cohorts",
 ]
@@ -212,6 +213,76 @@ def time_range_join(
         j = j.drop(r2[k])
     delta = F.unix_micros(F.col(ren[right_ts])) - F.unix_micros(F.col(left_ts))
     return j.filter((delta >= lo_us) & (delta <= hi_us))
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    cell_seconds: float = 3600.0,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner join of interval rows with equal keys whose
+    ``[start, end]`` TIMESTAMP ranges OVERLAP (``l_start <= r_end AND
+    r_start <= l_end``, inclusive) — sessions x campaigns, genomics
+    ranges, ad exposures x visits.
+
+    Implementation: quantize time into ``cell_seconds`` cells, explode
+    EACH side into the cells its interval touches, equi-join on
+    (key, cell), and keep a pair only in its CANONICAL cell — the one
+    containing ``greatest(l_start, r_start)`` (the overlap's start) —
+    so each overlapping pair matches exactly once with NO post-join
+    dedup. Catalyst plans a plain shuffled equi-join instead of the
+    BroadcastNestedLoopJoin a raw theta-join would get; rows per
+    interval = interval_len / cell_seconds + 1, so pick
+    ``cell_seconds`` near the typical interval length.
+    """
+    if cell_seconds <= 0:
+        raise ValueError("cell_seconds must be > 0")
+    keys = [on] if isinstance(on, str) else list(on)
+    cell_us = max(int(cell_seconds * 1_000_000), 1)
+
+    def explode_cells(df: DataFrame, s: str, e: str) -> DataFrame:
+        sus, eus = F.unix_micros(F.col(s)), F.unix_micros(F.col(e))
+        return df.filter(sus <= eus).withColumn(
+            "__cell__",
+            F.explode(
+                F.sequence(
+                    F.floor(sus / F.lit(cell_us)),
+                    F.floor(eus / F.lit(cell_us)),
+                )
+            ),
+        )
+
+    l2 = explode_cells(left, left_start, left_end)
+    r2 = explode_cells(right, right_start, right_end)
+    overlap = set(right.columns) & set(left.columns)
+    ren = {
+        c: (c + suffix if c in overlap - set(keys) else c)
+        for c in right.columns
+    }
+    r2 = r2.select(
+        "__cell__", *[F.col(c).alias(ren[c]) for c in right.columns]
+    )
+    cond = [l2[k] == r2[k] for k in keys] + [l2["__cell__"] == r2["__cell__"]]
+    j = l2.join(r2, cond, "inner")
+    for k in keys:
+        j = j.drop(r2[k])
+    ls = F.unix_micros(F.col(left_start))
+    le = F.unix_micros(F.col(left_end))
+    rs = F.unix_micros(F.col(ren[right_start]))
+    re_ = F.unix_micros(F.col(ren[right_end]))
+    canonical = F.floor(F.greatest(ls, rs) / F.lit(cell_us))
+    return (
+        j.filter((ls <= re_) & (rs <= le))
+        .filter(l2["__cell__"] == canonical)
+        .drop(r2["__cell__"])
+        .drop("__cell__")
+    )
 
 
 def funnel_conversion(
