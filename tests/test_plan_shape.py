@@ -400,3 +400,64 @@ def test_index_query_broadcasts_batch_not_index(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" not in plan2 or "SortMergeJoin" not in plan2
+
+
+def test_substring_dedup_plan_no_cartesian(spark):
+    # Exact substring dedup: gram hashing must stay in codegen (no
+    # Python), the owner join must be a shuffled/broadcast HASH join,
+    # and nothing may fall back to a nested-loop/cartesian product.
+    from tumult_analytics_spark.operators.dedup import (
+        substring_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spans = substring_duplicate_spans(docs, "text", "doc_id", min_length=50)
+    plan = _plan(spans)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # md5/conv all Catalyst
+    assert "md5" in plan and "conv" in plan
+
+
+def test_dsir_ratio_join_is_broadcast(spark):
+    # The per-bucket log-ratio table is O(n_buckets) rows — it must
+    # broadcast into the exploded-token join, never shuffle the tokens
+    # against it with a sort-merge join.
+    from tumult_analytics_spark.operators.pipeline import dsir_log_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter("doc_id % 3 != 0")
+    target = docs.filter("doc_id % 3 = 0")
+    w = dsir_log_weights(corpus, target, "text", "doc_id")
+    plan = _plan(w)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # fully Catalyst
+
+
+def test_interval_overlap_join_is_equi_join(spark):
+    # The whole point of the cell decomposition: Catalyst must plan a
+    # hash/shuffle EQUI-join on (key, cell), never the
+    # BroadcastNestedLoopJoin a raw interval theta-join would get.
+    import datetime as dt
+
+    from tumult_analytics_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("u", T0, T0 + dt.timedelta(hours=1))],
+        "user string, s timestamp, e timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", T0, T0 + dt.timedelta(minutes=30))],
+        "user string, s timestamp, e timestamp",
+    )
+    out = interval_overlap_join(
+        left, right, "user", "s", "e", "s", "e", cell_seconds=3600
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # some hash equi-join variant planned
