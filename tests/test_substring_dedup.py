@@ -88,3 +88,33 @@ def test_short_docs_and_nulls(spark):
         for r in D.substring_dedup(docs, "text", "doc_id", min_length=20).collect()
     }
     assert out[1] == "tiny" and out[2] is None and out[3] == "also small"
+
+
+def test_winnow_prefilter_identical_results(spark):
+    # Winnow guarantee: any pair sharing a span >= L shares a selected
+    # fingerprint, so prefiltered results must be BYTE-identical to the
+    # direct path — on real data, not just toys.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    direct = D.substring_dedup(docs, "text", "doc_id", min_length=50)
+    pre = D.substring_dedup(
+        docs, "text", "doc_id", min_length=50, prefilter_winnow=True
+    )
+    a = sorted((r["doc_id"], r["text_dedup"]) for r in direct.collect())
+    b = sorted((r["doc_id"], r["text_dedup"]) for r in pre.collect())
+    assert a == b
+
+
+def test_candidate_set_is_sound_and_small(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cands = {
+        r["doc_id"]
+        for r in D.substring_candidate_ids(
+            docs, "text", "doc_id", 50
+        ).collect()
+    }
+    spans = D.substring_duplicate_spans(docs, "text", "doc_id", min_length=50)
+    flagged = {r["doc_id"] for r in spans.collect()}
+    # Soundness: every doc with an actual duplicated span is a candidate.
+    assert flagged <= cands
+    # Usefulness: the prefilter actually excludes most of the corpus.
+    assert len(cands) < docs.count() / 2

@@ -879,11 +879,56 @@ def crosscorpus_decontaminate(
 # suffix array.
 
 
+def substring_candidate_ids(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    min_length: int,
+) -> DataFrame:
+    """One-column DataFrame of ids that MIGHT share a substring of
+    length >= ``min_length`` with another document — the winnowing
+    prefilter for :func:`substring_duplicate_spans`.
+
+    Winnowing (Schleimer et al. 2003) guarantees any shared substring
+    of length >= k + window - 1 yields a shared selected fingerprint;
+    with ``k = ceil(L/2)`` and ``window = L - k + 1`` every pair
+    sharing a span >= L shares a fingerprint, so the complement of
+    this set provably shares nothing >= L — the exact gram stage can
+    skip those documents entirely. Fingerprints are ~2/window of the
+    grams, so the candidate discovery shuffles a fraction of the rows
+    the exact pass would.
+    """
+    from .text import winnow_fingerprints
+
+    L = int(min_length)
+    k = (L + 1) // 2
+    window = L - k + 1
+    fp = winnow_fingerprints(df, text_column, k=k, window=window)
+    exploded = fp.select(
+        F.col(id_column).alias("__id__"),
+        F.explode("fingerprints").alias("__fp__"),
+    ).dropDuplicates(["__id__", "__fp__"])
+    shared = (
+        exploded.groupBy("__fp__")
+        .agg(
+            F.countDistinct("__id__").alias("__n__"),
+        )
+        .filter(F.col("__n__") >= 2)
+        .select("__fp__")
+    )
+    return (
+        exploded.join(shared, on="__fp__")
+        .select(F.col("__id__").alias(id_column))
+        .distinct()
+    )
+
+
 def substring_duplicate_spans(
     df: DataFrame,
     text_column: str,
     id_column: str,
     min_length: int = 50,
+    prefilter_winnow: bool = False,
 ) -> DataFrame:
     """Maximal character spans of each document that are covered by
     cross-document repeats of length >= ``min_length``: one row per
@@ -909,14 +954,21 @@ def substring_duplicate_spans(
 
     Scale note: step 1 emits one 16-byte row per CHARACTER — exact,
     like the suffix array, and the shuffle is the price of exactness.
-    At 100 TB run this per-shard/per-day (the repeats that matter are
-    overwhelmingly within a crawl snapshot) or pre-filter candidate
-    docs with ``text.winnow_fingerprints`` (any shared span >=
-    k + window - 1 shares a winnowed fingerprint) and feed only
-    candidates here.
+    ``prefilter_winnow=True`` is the 100 TB shape: discover candidate
+    docs first via :func:`substring_candidate_ids` (winnowed
+    fingerprints, ~2/window of the gram rows) and run the exact gram
+    stage ONLY on candidates — provably identical results, because a
+    pair sharing a span >= L always shares a winnowed fingerprint, so
+    excluded docs share nothing. Worth it when duplication is sparse
+    (the common case); skip it when most docs are near-dups.
     """
     if min_length < 2:
         raise ValueError("min_length must be >= 2")
+    if prefilter_winnow:
+        cands = substring_candidate_ids(
+            df, text_column, id_column, min_length
+        )
+        df = df.join(cands, on=id_column, how="leftsemi")
     L = int(min_length)
     n_grams = F.greatest(
         F.length(F.col(text_column)) - F.lit(L - 1), F.lit(0)
@@ -978,6 +1030,7 @@ def substring_dedup(
     id_column: str,
     min_length: int = 50,
     output_column: str = "text_dedup",
+    prefilter_winnow: bool = False,
 ) -> DataFrame:
     """Cut every cross-document repeated span of length >=
     ``min_length`` out of each document (keep-first semantics — see
@@ -991,7 +1044,10 @@ def substring_dedup(
     built with ``aggregate`` over the sorted span list. One
     broadcast-friendly left join against the span table.
     """
-    spans = substring_duplicate_spans(df, text_column, id_column, min_length)
+    spans = substring_duplicate_spans(
+        df, text_column, id_column, min_length,
+        prefilter_winnow=prefilter_winnow,
+    )
     per_doc = spans.groupBy(id_column).agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))
