@@ -1017,3 +1017,82 @@ def test_alaw_wav_roundtrip_and_dispatch(spark):
     # Same encoded bytes, different codec laws -> different energies.
     assert out[1]["sum_abs"] != out[2]["sum_abs"]
     assert out[3]["n_samples"] is None
+
+
+class TestResizeImages:
+    def test_nearest_exact_and_roundtrip(self, spark):
+        import numpy as np
+
+        from tumult_analytics_spark.operators.multimodal import (
+            resize_images,
+            synthesize_bmp,
+            synthesize_gif,
+            synthesize_ppm,
+        )
+
+        rows = [
+            (1, synthesize_ppm(8, 6, 3)),
+            (2, synthesize_bmp(5, 4, 7)),
+            (3, synthesize_gif(6, 6, 1)),
+            (4, b"junk"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = resize_images(df, "payload", 4, 3)
+        res = {r["id"]: r for r in out.collect()}
+        src = ((3 * 7 + np.arange(8 * 6 * 3) * 13) % 256).reshape(6, 8, 3)
+        ys = (np.arange(3) * 6) // 3
+        xs = (np.arange(4) * 8) // 4
+        assert res[1]["resized_pixel_sum"] == int(src[np.ix_(ys, xs)].sum())
+        assert res[2]["resized_width"] == 4 and res[3]["resized_height"] == 3
+        assert res[4]["resized"] is None and res[5]["resized"] is None
+        # Output thumbnails are themselves decodable PPMs with matching sums.
+        dec = decode_image(
+            out.filter("id <= 3").select("id", out["resized"].alias("p")), "p"
+        )
+        for r in dec.collect():
+            assert (r["height"], r["width"], r["channels"]) == (3, 4, 3)
+            assert r["pixel_sum"] == res[r["id"]]["resized_pixel_sum"]
+
+    def test_box_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from tumult_analytics_spark.operators.multimodal import (
+            resize_images,
+            synthesize_ppm,
+        )
+
+        df = spark.createDataFrame(
+            [(1, synthesize_ppm(8, 6, 3))], "id long, payload binary"
+        )
+        r = resize_images(df, "payload", 4, 3, method="box").collect()[0]
+        src = ((3 * 7 + np.arange(8 * 6 * 3) * 13) % 256).reshape(6, 8, 3)
+        ye = (np.arange(4) * 6) // 3
+        xe = (np.arange(5) * 8) // 4
+        tot = 0
+        for y in range(3):
+            for x in range(4):
+                box = src[
+                    ye[y] : max(ye[y + 1], ye[y] + 1),
+                    xe[x] : max(xe[x + 1], xe[x] + 1),
+                ].reshape(-1, 3)
+                tot += int(np.floor(box.mean(axis=0) + 0.5).sum())
+        assert r["resized_pixel_sum"] == tot
+
+    def test_upscale_and_validation(self, spark):
+        import pytest as _pytest
+
+        from tumult_analytics_spark.operators.multimodal import (
+            resize_images,
+            synthesize_ppm,
+        )
+
+        df = spark.createDataFrame(
+            [(1, synthesize_ppm(2, 2, 1))], "id long, payload binary"
+        )
+        r = resize_images(df, "payload", 8, 8).collect()[0]
+        assert (r["resized_height"], r["resized_width"]) == (8, 8)
+        with _pytest.raises(ValueError):
+            resize_images(df, "payload", 0, 4)
+        with _pytest.raises(ValueError):
+            resize_images(df, "payload", 4, 4, method="bilinear")

@@ -2083,6 +2083,44 @@ def q_zorder_stats(spark, sf_dir):
     )
 
 
+def q_resize_image_stats(spark, sf_dir):
+    # Nearest-neighbor resize of synthesized PPMs to a fixed 6x4 grid:
+    # every output byte is src[(y*h)//4, (x*w)//6, c] with the shared
+    # (seed*7 + i*13) % 256 pixel formula — replayed byte-exactly in
+    # SQL, including the re-encoded thumbnail's pixel sum.
+    from . import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id < 300")
+    )
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_ppm(
+                    10 + int(d) % 14, 9 + int(d) % 10, int(d)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_img = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields
+            + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    out = M.resize_images(with_img, "payload", 6, 4)
+    return out.select(
+        "doc_id", "resized_height", "resized_width", "resized_pixel_sum"
+    )
+
+
 def q_dhash_stats(spark, sf_dir):
     # Perceptual dHash over synthesized PPM images: 9x8 nearest-neighbor
     # gray grid, one bit per horizontal gradient, packed to 64 bits.
@@ -3224,6 +3262,7 @@ QUERIES = {
     "url_canon_stats": q_url_canon_stats,
     "bigram_lm_stats": q_bigram_lm_stats,
     "dhash_stats": q_dhash_stats,
+    "resize_image_stats": q_resize_image_stats,
     "dhash_dedup": q_dhash_dedup,
     "zorder_stats": q_zorder_stats,
     "cms_token_counts": q_cms_token_counts,
@@ -5465,6 +5504,35 @@ ORACLES["decode_audio_mulaw"] = """
            CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
            CAST(max(abs(v)) AS BIGINT) AS peak
     FROM x GROUP BY doc_id
+"""
+
+ORACLES["resize_image_stats"] = """
+    WITH d AS (
+      SELECT doc_id,
+             10 + doc_id % 14 AS w,
+             9 + doc_id % 10 AS h
+      FROM documents WHERE doc_id < 300
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             unnest(range(0, 4 * 6 * 3)) AS p
+      FROM d
+    ),
+    m AS (
+      -- target pixel p = (y*6 + x)*3 + c maps to source flat index
+      -- ((sy*w + sx)*3 + c) with sy = (y*h)//4, sx = (x*w)//6.
+      SELECT doc_id,
+             (doc_id * 7 +
+              (((((p // 3) // 6) * h // 4) * w
+                + (((p // 3) % 6) * w // 6)) * 3 + (p % 3)) * 13
+             ) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(4 AS INTEGER) AS resized_height,
+           CAST(6 AS INTEGER) AS resized_width,
+           CAST(sum(b) AS BIGINT) AS resized_pixel_sum
+    FROM m GROUP BY doc_id
 """
 
 ORACLES["decode_audio_alaw"] = """

@@ -2109,6 +2109,108 @@ def _decode_gif_pixels(buf: bytes):
         return None
 
 
+def resize_images(
+    df: DataFrame,
+    binary_column: str,
+    target_width: int,
+    target_height: int,
+    method: str = "nearest",
+    output_column: str = "resized",
+) -> DataFrame:
+    """Resize decodable RGB payloads (PPM / BMP / non-interlaced GIF)
+    to ``target_width x target_height``, appending ``output_column``
+    (the resized image re-encoded as a binary PPM — itself decodable
+    by :func:`decode_image`) plus ``resized_height`` /
+    ``resized_width`` / ``resized_pixel_sum``. Undecodable or null
+    payloads produce nulls.
+
+    ``method="nearest"``: source pixel (y*h_src // h_t, x*w_src // w_t)
+    — pure integer arithmetic, so an SQL oracle replays every output
+    byte (the same floor-grid mapping :func:`dhash_images` uses).
+    ``method="box"``: mean over each source box (floor-divided box
+    edges), rounded half-up to int — the standard antialiased
+    downsample; verified against a numpy reference in tests.
+
+    Arrow-batched mapInPandas; pixels never leave the kernel except as
+    the encoded output bytes. Compressed formats (PNG/JPEG inputs)
+    decode via their own kernels or an injected codec — this operator
+    deliberately takes the uncompressed path so resize cost is pixel
+    arithmetic, not codec work.
+    """
+    import numpy as np
+
+    if target_width < 1 or target_height < 1:
+        raise ValueError("target dimensions must be >= 1")
+    if method not in ("nearest", "box"):
+        raise ValueError("method must be 'nearest' or 'box'")
+    tw, th = int(target_width), int(target_height)
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(output_column, T.BinaryType(), True),
+            T.StructField("resized_height", T.IntegerType(), True),
+            T.StructField("resized_width", T.IntegerType(), True),
+            T.StructField("resized_pixel_sum", T.LongType(), True),
+        ]
+    )
+
+    def _resize(img: "np.ndarray") -> "np.ndarray":
+        h, w = img.shape[0], img.shape[1]
+        if method == "nearest":
+            ys = (np.arange(th, dtype=np.int64) * h) // th
+            xs = (np.arange(tw, dtype=np.int64) * w) // tw
+            return img[np.ix_(ys, xs)]
+        out = np.empty((th, tw, 3), dtype=np.int64)
+        ye = (np.arange(th + 1, dtype=np.int64) * h) // th
+        xe = (np.arange(tw + 1, dtype=np.int64) * w) // tw
+        for y in range(th):
+            y0, y1 = int(ye[y]), max(int(ye[y + 1]), int(ye[y]) + 1)
+            for x in range(tw):
+                x0, x1 = int(xe[x]), max(int(xe[x + 1]), int(xe[x]) + 1)
+                box = img[y0:y1, x0:x1].reshape(-1, 3)
+                out[y, x] = np.floor(
+                    box.mean(axis=0) + 0.5
+                ).astype(np.int64)
+        return out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, hs, ws, sums = [], [], [], []
+            for payload in pdf[binary_column]:
+                rec = None
+                if payload is not None:
+                    b = bytes(payload)
+                    try:
+                        rec = (
+                            _decode_ppm_pixels(b)
+                            or _decode_bmp_pixels(b)
+                            or _decode_gif_pixels(b)
+                        )
+                    except Exception:
+                        rec = None
+                if rec is None:
+                    blobs.append(None); hs.append(None)
+                    ws.append(None); sums.append(None)
+                    continue
+                _, _, img = rec
+                r = _resize(img)
+                blobs.append(
+                    f"P6 {tw} {th} 255\n".encode()
+                    + r.astype(np.uint8).tobytes()
+                )
+                hs.append(th); ws.append(tw)
+                sums.append(int(r.sum()))
+            out = pdf.copy()
+            out[output_column] = blobs
+            out["resized_height"] = pd.array(hs, dtype="Int32")
+            out["resized_width"] = pd.array(ws, dtype="Int32")
+            out["resized_pixel_sum"] = pd.array(sums, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def dhash_images(
     df: DataFrame, binary_column: str, output_column: str = "dhash"
 ) -> DataFrame:
