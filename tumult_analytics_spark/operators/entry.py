@@ -73,8 +73,14 @@ def q_substring_dedup_stats(spark, sf_dir):
     # report per-lang affected-doc and char counts FROM THE CLEANED
     # TEXT — so the span finder AND the span cutter are both
     # value-checked against the oracle's span arithmetic.
+    # prefilter_winnow=True: the 100 TB shape (winnowed-fingerprint
+    # candidate discovery before the exact gram pass) — provably
+    # identical results, so the SQL oracle also value-checks the
+    # prefilter's soundness every round.
     docs = _read(spark, sf_dir, "documents")
-    out = D.substring_dedup(docs, "text", "doc_id", min_length=50)
+    out = D.substring_dedup(
+        docs, "text", "doc_id", min_length=50, prefilter_winnow=True
+    )
     return out.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
