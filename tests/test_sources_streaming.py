@@ -502,3 +502,67 @@ class TestSkewReport:
         ]
         with _pytest.raises(ValueError):
             skew_report(df, "k", top_n=0)
+
+
+class TestHllSketches:
+    """Mergeable HLL distinct-count sketches (Spark 4 Datasketches
+    built-ins): build once at fine cells, roll up by union."""
+
+    def test_rollup_matches_exact_at_small_cardinality(self, spark):
+        import pandas as pd
+
+        from tumult_analytics_spark.sources.readers import (
+            build_distinct_sketches,
+            rollup_distinct,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "d": [i % 5 for i in range(400)],
+                    "h": [i % 20 for i in range(400)],
+                    "u": [(i * 7) % 90 for i in range(400)],
+                }
+            )
+        )
+        sk = build_distinct_sketches(df, ["d", "h"], "u")
+        # Roll up to d: union of hour sketches == exact distinct per d.
+        got = {
+            r["d"]: r["n_distinct"]
+            for r in rollup_distinct(sk, ["d"]).collect()
+        }
+        pdf = df.toPandas()
+        for d, grp in pdf.groupby("d"):
+            assert got[d] == grp["u"].nunique()
+        # Global rollup (empty grouping) too.
+        total = rollup_distinct(sk, []).collect()[0]["n_distinct"]
+        assert total == pdf["u"].nunique()
+
+    def test_sketches_are_reusable_without_rescanning(self, spark):
+        import pandas as pd
+
+        from tumult_analytics_spark.sources.readers import (
+            build_distinct_sketches,
+            rollup_distinct,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"g": [i % 3 for i in range(90)], "u": list(range(90))})
+        )
+        sk = build_distinct_sketches(df, ["g"], "u").localCheckpoint(eager=True)
+        a = rollup_distinct(sk, ["g"]).collect()
+        b = rollup_distinct(sk, []).collect()
+        assert sum(r["n_distinct"] for r in a) == 90
+        assert b[0]["n_distinct"] == 90
+
+    def test_validation(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+
+        from tumult_analytics_spark.sources.readers import (
+            build_distinct_sketches,
+        )
+
+        df = spark.createDataFrame(pd.DataFrame({"u": [1]}))
+        with _pytest.raises(ValueError):
+            build_distinct_sketches(df, [], "u")

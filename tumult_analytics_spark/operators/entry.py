@@ -1420,6 +1420,28 @@ def q_range_join_count(spark, sf_dir):
     )
 
 
+def q_hll_user_rollup(spark, sf_dir):
+    # Mergeable-sketch distinct counting (Spark 4 Datasketches HLL
+    # built-ins): build per-(event_type, hour) user sketches ONCE, then
+    # answer the per-(event_type, day) rollup by sketch UNION — no
+    # second scan of the data. At bench-scale cardinalities the
+    # sketches are in sparse mode, where estimates are EXACT, so the
+    # oracle is a plain count distinct; at production cardinalities the
+    # same plan returns ~1-2% HLL estimates.
+    from ..sources.readers import build_distinct_sketches, rollup_distinct
+
+    ev = _events_ts(spark, sf_dir)
+    cells = ev.withColumn(
+        "hour_id", F.expr("unix_micros(ts) DIV 3600000000")
+    ).withColumn("day_id", F.expr("unix_micros(ts) DIV 86400000000"))
+    sketches = build_distinct_sketches(
+        cells, ["event_type", "day_id", "hour_id"], "user_id"
+    )
+    return rollup_distinct(
+        sketches, ["event_type", "day_id"], output_column="n_users"
+    )
+
+
 def q_interval_overlap_count(spark, sf_dir):
     # Interval-overlap join (sessions x campaigns shape): view events
     # become [ts, ts+600s] intervals, purchase events [ts, ts+300s];
@@ -3293,6 +3315,7 @@ QUERIES = {
     "asof_join_gap": q_asof_join_gap,
     "range_join_count": q_range_join_count,
     "interval_overlap_count": q_interval_overlap_count,
+    "hll_user_rollup": q_hll_user_rollup,
     "pack_sequences_stats": q_pack_sequences_stats,
     "sliding_chunk_stats": q_sliding_chunk_stats,
     "kmeans_cluster_stats": q_kmeans_cluster_stats,
@@ -4684,6 +4707,14 @@ ORACLES["asof_join_gap"] = """
            round(sum(gap_us) / (count(cts) * 1000000.0), 6) AS avg_gap_sec,
            round(max(gap_us) / 1000000.0, 6) AS max_gap_sec
     FROM j
+"""
+
+ORACLES["hll_user_rollup"] = """
+    SELECT event_type,
+           epoch_us(ts) // 86400000000 AS day_id,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
 """
 
 ORACLES["interval_overlap_count"] = """

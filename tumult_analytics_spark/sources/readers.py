@@ -402,3 +402,46 @@ def ab_test_summary(df, group_column, value_column, group_a, group_b):
         F.round("mean_b", 6).alias("mean_b"),
         F.round(t, 6).alias("t_stat"),
     )
+
+
+def build_distinct_sketches(df, cell_columns, value_column, sketch_column="sketch"):
+    """Per-cell HLL sketches of ``count distinct value_column`` — the
+    mergeable-sketch layout for distinct counting at 100 TB: build the
+    sketches ONCE at the finest cell granularity (one pass, one
+    shuffle), store them (a sketch is ~KBs), and answer any coarser
+    rollup by UNIONING sketches (:func:`rollup_distinct`) without ever
+    re-touching the data. Spark 4's Datasketches HLL built-ins
+    (``hll_sketch_agg``) — JVM-side, mergeable, fixed-size state.
+
+    At small per-cell cardinalities the sketch is in sparse mode and
+    estimates are EXACT (what the oracle checks at bench scale);
+    at production cardinalities estimates carry the standard ~1-2%
+    HLL error.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cell_columns)
+    if not cols:
+        raise ValueError("cell_columns must not be empty")
+    return df.groupBy(*cols).agg(
+        F.hll_sketch_agg(value_column).alias(sketch_column)
+    )
+
+
+def rollup_distinct(
+    sketches,
+    group_columns,
+    sketch_column="sketch",
+    output_column="n_distinct",
+):
+    """Roll prebuilt HLL sketches up to ``group_columns``: union the
+    sketches per group and estimate — O(#cells) rows in, O(#groups)
+    out, no scan of the original data."""
+    from pyspark.sql import functions as F
+
+    cols = list(group_columns)
+    agg = F.hll_sketch_estimate(
+        F.hll_union_agg(F.col(sketch_column))
+    ).alias(output_column)
+    base = sketches.groupBy(*cols) if cols else sketches.groupBy()
+    return base.agg(agg)
