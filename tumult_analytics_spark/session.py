@@ -54,16 +54,25 @@ class Session:
             dataframe: DataFrame,
             protected_change: ProtectedChange,
         ) -> "Session.Builder":
+            # Duplicate-source check, matching the reference's builder
+            # (_base_builder.py:107): silently replacing a registered
+            # table would change which data a later query touches.
+            if source_id in self._private or source_id in self._public:
+                raise ValueError(f"Table '{source_id}' already exists")
             self._private[source_id] = (dataframe, protected_change)
             return self
 
         def with_public_dataframe(
             self, source_id: str, dataframe: DataFrame
         ) -> "Session.Builder":
+            if source_id in self._private or source_id in self._public:
+                raise ValueError(f"Table '{source_id}' already exists")
             self._public[source_id] = dataframe
             return self
 
         def with_id_space(self, id_space: str) -> "Session.Builder":
+            if id_space in self._id_spaces:
+                raise ValueError(f"ID space '{id_space}' already exists")
             self._id_spaces.append(id_space)
             return self
 
