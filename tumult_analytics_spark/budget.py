@@ -214,13 +214,18 @@ class ApproxDPBudget(PrivacyBudget):
         )
 
     def __eq__(self, other):
-        return (
-            isinstance(other, ApproxDPBudget)
-            and self._epsilon == other._epsilon
-            and self._delta == other._delta
-        )
+        if not isinstance(other, ApproxDPBudget):
+            return False
+        # All infinite ApproxDP budgets are equal (reference
+        # privacy_budget.py equality: (1, 1), (inf, 0.1), (0, 1), ...
+        # all denote "no privacy" and compare True).
+        if self.is_infinite() and other.is_infinite():
+            return True
+        return self._epsilon == other._epsilon and self._delta == other._delta
 
     def __hash__(self):
+        if self.is_infinite():
+            return hash(("ApproxDP", "inf"))
         return hash(("ApproxDP", self._epsilon, self._delta))
 
     def __repr__(self):
