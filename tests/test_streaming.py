@@ -338,3 +338,66 @@ class TestSessionizeGapSplit:
             if r["user_id"] != 999
         )
         assert got == want
+
+
+def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
+    """Exactly-once resume: a second run against the SAME checkpoint
+    must process only files added after the first run — the restart
+    semantics a crashed/cron-resumed ingest job depends on."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    stage = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    stage.mkdir()
+
+    ev = _read_batch(spark).limit(200).withColumn(
+        "batch_tag", F.lit("first")
+    )
+    ev.coalesce(1).write.parquet(str(tmp_path / "b1"))
+    part = [
+        f for f in (tmp_path / "b1").iterdir() if f.name.endswith(".parquet")
+    ][0]
+    shutil.copy(part, stage / "batch-1.parquet")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema).parquet(str(stage))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(str(out)).count()
+    assert first == 200
+
+    # Add a second file and resume from the same checkpoint.
+    ev2 = _read_batch(spark).limit(350).withColumn(
+        "batch_tag", F.lit("second")
+    )
+    ev2.coalesce(1).write.parquet(str(tmp_path / "b2"))
+    part2 = [
+        f for f in (tmp_path / "b2").iterdir() if f.name.endswith(".parquet")
+    ][0]
+    shutil.copy(part2, stage / "batch-2.parquet")
+
+    run_once()
+    result = spark.read.parquet(str(out))
+    # batch-1 rows were NOT reprocessed: exactly 200 + 350 rows, with
+    # the first batch appearing exactly once.
+    assert result.count() == 550
+    tags = {
+        r["batch_tag"]: r["n"]
+        for r in result.groupBy("batch_tag").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert tags == {"first": 200, "second": 350}
