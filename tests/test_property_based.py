@@ -223,3 +223,54 @@ class TestBloomNoFalseNegatives:
             assert out["bloom_hit_fraction"] == 1.0
 
         run()
+
+
+# --- substring dedup invariants (round 4) ----------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "omega", "kappa"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(word_lists=docs_strategy)
+def test_substring_dedup_invariants(spark, word_lists):
+    """Keep-first soundness on random word-salad docs: (1) the
+    smallest-id doc is never modified; (2) removed chars only ever
+    shrink a doc (never grow/reorder the survivors: text_dedup is a
+    subsequence of text); (3) a doc with no >= L overlap with any
+    smaller-id doc is untouched (checked via brute force)."""
+    from tumult_analytics_spark.operators.dedup import substring_dedup
+
+    L = 12
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["text_dedup"]
+        for r in substring_dedup(df, "text", "doc_id", min_length=L).collect()
+    }
+    assert out[0] == texts[0]  # owner of everything it contains
+
+    def shares_span(a: str, b: str) -> bool:
+        for i in range(len(a) - L + 1):
+            if a[i : i + L] in b:
+                return True
+        return False
+
+    for i, t in enumerate(texts):
+        cleaned = out[i]
+        # Subsequence check: removal only deletes characters.
+        it = iter(t)
+        assert all(ch in it for ch in cleaned), (t, cleaned)
+        if not any(shares_span(t, texts[j]) for j in range(i)):
+            assert cleaned == t
