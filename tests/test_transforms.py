@@ -477,3 +477,36 @@ class TestBpeApply:
         df = spark.createDataFrame([(1, "abab")], "doc_id long, text string")
         out = bpe_apply(df, "text", [("a", "b"), ("ab", "ab")]).first()
         assert out["bpe_tokens"] == ["abab"]
+
+
+class TestNormalizeText:
+    def test_full_normalization(self, spark):
+        from tumult_analytics_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame(
+            [
+                (1, "“Hello” — it’s  a\tTEST…\x07 done  "),
+                (2, None),
+                (3, ""),
+                (4, "already clean"),
+            ],
+            "id long, text string",
+        )
+        out = {r["id"]: r["text_norm"] for r in normalize_text(df, "text").collect()}
+        assert out[1] == '"hello" - it\'s a test... done'
+        assert out[2] is None and out[3] == "" and out[4] == "already clean"
+
+    def test_toggles(self, spark):
+        from tumult_analytics_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "A  B’C")], "id long, text string"
+        )
+        keep_case = normalize_text(df, "text", lowercase=False).collect()[0]
+        assert keep_case["text_norm"] == 'A B\'C'
+        keep_ws = normalize_text(
+            df, "text", collapse_whitespace=False
+        ).collect()[0]
+        assert "  " in keep_ws["text_norm"]
+        keep_q = normalize_text(df, "text", unify_quotes=False).collect()[0]
+        assert "’" in keep_q["text_norm"]

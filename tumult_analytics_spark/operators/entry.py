@@ -709,6 +709,34 @@ _DSIR_ORACLE = """
 """
 
 
+def q_normalize_text_stats(spark, sf_dir):
+    # CCNet/C4-style normalization over deterministically "dirtied"
+    # text (curly quotes + em dash + a control char + double space +
+    # uppercased head injected in-query, since the synthetic corpus is
+    # clean ASCII): per-lang char totals before/after prove every
+    # mapping step; the SQL oracle replays the same translate + regexp
+    # chain (special chars spelled chr(...) on both sides' oracle).
+    from . import text as X
+
+    docs = _read(spark, sf_dir, "documents")
+    dirty = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("\u201c"),
+            F.upper(F.substring("text", 1, 10)),
+            F.lit("\u201d\u2014\x07 "),
+            F.expr("substr(text, 11)"),
+            F.lit("  "),
+        ),
+    )
+    out = X.normalize_text(dirty, "text")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("chars_dirty"),
+        F.sum(F.length("text_norm")).alias("chars_norm"),
+    )
+
+
 def q_pipeline_compose(spark, sf_dir):
     # End-to-end training-data pipeline: quality filter -> exact dedup ->
     # token stats per language. Exactly SQL-reproducible.
@@ -3268,6 +3296,7 @@ QUERIES = {
     "decode_image_progressive": q_decode_image_progressive,
     "quantize_embeddings": q_quantize_embeddings,
     "pipeline_compose": q_pipeline_compose,
+    "normalize_text_stats": q_normalize_text_stats,
     "dsir_selection": q_dsir_selection,
     "repetition_stats": q_repetition_stats,
     "pii_stats": q_pii_stats,
@@ -4715,6 +4744,40 @@ ORACLES["hll_user_rollup"] = """
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events
     GROUP BY 1, 2
+"""
+
+ORACLES["normalize_text_stats"] = r"""
+    WITH dirty AS (
+      SELECT lang,
+             chr(8220) || upper(substr(text, 1, 10)) || chr(8221)
+               || chr(8212) || chr(7) || ' ' || substr(text, 11)
+               || '  ' AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT lang, text,
+        trim(regexp_replace(
+          lower(
+            replace(
+              translate(
+                regexp_replace(text,
+                  '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                chr(8216) || chr(8217) || chr(8218) || chr(8242)
+                  || chr(8220) || chr(8221) || chr(8222) || chr(8243)
+                  || chr(8211) || chr(8212) || chr(160) || chr(8239)
+                  || chr(8201),
+                repeat(chr(39), 4) || repeat(chr(34), 4) || '--   '),
+              chr(8230), '...')
+          ),
+          '\s+', ' ', 'g')) AS text_norm
+      FROM dirty
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS chars_dirty,
+           CAST(sum(length(text_norm)) AS BIGINT) AS chars_norm
+    FROM norm
+    GROUP BY lang
 """
 
 ORACLES["interval_overlap_count"] = """

@@ -817,3 +817,56 @@ def top_ngrams(
 
     w = Window.orderBy(F.desc("count"), F.asc("ngram"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def normalize_text(
+    df: DataFrame,
+    text_column: str,
+    output_column: str = "text_norm",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    unify_quotes: bool = True,
+) -> DataFrame:
+    """CCNet/C4-style text normalization: the cleanup every crawl
+    pipeline applies before hashing/dedup so cosmetic byte differences
+    (curly vs straight quotes, NBSP vs space, stray control chars,
+    run-on whitespace, case) don't defeat exact and near dedup.
+
+    Steps (each toggleable, applied in this order):
+
+    1. ``strip_control``: remove C0/C1 control characters except
+       tab/newline (which the whitespace step handles).
+    2. ``unify_quotes``: curly single/double quotes and prime marks ->
+       ASCII ``'`` / ``"``; en/em dashes -> ``-``; ellipsis -> ``...``;
+       NBSP and unicode space separators -> space.
+    3. ``lowercase``.
+    4. ``collapse_whitespace``: any whitespace run -> one space, then
+       trim.
+
+    Pure Catalyst ``translate``/``regexp_replace`` chain — codegen,
+    zero shuffles, and every mapping is reproducible in any regex
+    engine (no lookaround, no character-class shorthand beyond \\s).
+    """
+    col = F.col(text_column)
+    if strip_control:
+        col = F.regexp_replace(
+            col, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
+        )
+    if unify_quotes:
+        # Char-for-char map (F.translate): 4 single-quote variants,
+        # 4 double-quote variants, 2 dashes, 3 unicode spaces
+        # (NBSP, narrow NBSP, thin space).
+        src_chars = (
+            "\u2018\u2019\u201a\u2032"
+            "\u201c\u201d\u201e\u2033"
+            "\u2013\u2014\u00a0\u202f\u2009"
+        )
+        dst_chars = "''''" + '""""' + "--" + "   "
+        col = F.translate(col, src_chars, dst_chars)
+        col = F.regexp_replace(col, "\u2026", "...")
+    if lowercase:
+        col = F.lower(col)
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, "\\s+", " "))
+    return df.withColumn(output_column, col)
