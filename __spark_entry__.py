@@ -501,7 +501,9 @@ def q_partition_split_count(spark, sf_dir):
     children = s.partition_and_create(
         "orders", INF, "o_orderstatus", {"f": "F"}
     )
-    return children["f"].evaluate(QueryBuilder("orders").count(name="count"), INF)
+    # Children expose the partition under the SPLIT NAME (reference
+    # session.py:1523-1530: private_sources == ['part0']).
+    return children["f"].evaluate(QueryBuilder("f").count(name="count"), INF)
 
 
 def q_auto_partition_count(spark, sf_dir):

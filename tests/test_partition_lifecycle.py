@@ -51,12 +51,12 @@ def test_children_in_order_no_warning(spark):
         # warning fired: escalating all UserWarnings also trips on
         # unrelated library warnings during full-suite runs.
         warnings.simplefilter("always")
-        out0 = parts["p0"].evaluate(QueryBuilder("t").count(), PureDPBudget(1))
+        out0 = parts["p0"].evaluate(QueryBuilder("p0").count(), PureDPBudget(1))
         # A noisy count at eps=1 can legitimately be negative — assert
         # the evaluation produced a row, not the noise's sign.
         assert out0.collect()[0]["count"] is not None
         parts["p0"].stop()
-        out1 = parts["p1"].evaluate(QueryBuilder("t").count(), PureDPBudget(1))
+        out1 = parts["p1"].evaluate(QueryBuilder("p1").count(), PureDPBudget(1))
         assert out1.collect()[0]["count"] is not None
     lifecycle = [w for w in caught if "waiting for" in str(w.message)]
     assert not lifecycle, [str(w.message) for w in lifecycle]
@@ -68,10 +68,10 @@ def test_out_of_order_child_warns_and_retires_sibling(spark):
         "t", PureDPBudget(2), "a", {"p0": "0", "p1": "1"}
     )
     with pytest.warns(UserWarning, match="waiting for one of its siblings"):
-        parts["p1"].evaluate(QueryBuilder("t").count(), PureDPBudget(1))
+        parts["p1"].evaluate(QueryBuilder("p1").count(), PureDPBudget(1))
     # skipping p0 retired it
     with pytest.raises(RuntimeError, match="stopped"):
-        parts["p0"].evaluate(QueryBuilder("t").count(), PureDPBudget(1))
+        parts["p0"].evaluate(QueryBuilder("p0").count(), PureDPBudget(1))
 
 
 def test_parent_reuse_stops_children(spark):
@@ -83,7 +83,7 @@ def test_parent_reuse_stops_children(spark):
         s.evaluate(QueryBuilder("t").count(), PureDPBudget(1))
     for name in ("p0", "p1"):
         with pytest.raises(RuntimeError, match="stopped"):
-            parts[name].evaluate(QueryBuilder("t").count(), PureDPBudget(1))
+            parts[name].evaluate(QueryBuilder(name).count(), PureDPBudget(1))
 
 
 def test_last_child_stop_reactivates_parent(spark):

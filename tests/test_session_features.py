@@ -64,8 +64,9 @@ def test_noise_info_zcdp(spark):
     s = Session.from_dataframe(RhoZCDPBudget(8), "t", df, AddOneRow())
     info = s._noise_info(QueryBuilder("t").count(), RhoZCDPBudget(8))
     assert info[0]["noise_mechanism"] == "DISCRETE_GAUSSIAN"
-    # sigma = sqrt(d^2/(2 rho)) = sqrt(1/16) = 0.25
-    assert info[0]["noise_parameter"] == pytest.approx(0.25)
+    # sigma = sqrt(d^2/(2 rho)) = sqrt(1/16) = 0.25; reported as the
+    # VARIANCE sigma^2 = 0.0625 (reference _noise_info convention).
+    assert info[0]["noise_parameter"] == pytest.approx(0.0625)
 
 
 def test_describe_runs(spark, capsys):

@@ -313,8 +313,8 @@ def test_partition_and_create(sess):
     parts = sess.partition_and_create(
         "t", INF, "A", {"zero": "0", "one": "1"}
     )
-    out0 = parts["zero"].evaluate(QueryBuilder("t").count(), INF)
-    out1 = parts["one"].evaluate(QueryBuilder("t").count(), INF)
+    out0 = parts["zero"].evaluate(QueryBuilder("zero").count(), INF)
+    out1 = parts["one"].evaluate(QueryBuilder("one").count(), INF)
     assert out0.collect()[0]["count"] == 1
     assert out1.collect()[0]["count"] == 3
 

@@ -185,13 +185,13 @@ def test_partition_children_inherit_constraints(spark):
     )
     children = s.partition_and_create("t_trunc", INF, "g", {"a": "a", "b": "b"})
     out = children["a"].evaluate(
-        QueryBuilder("t_trunc").count(name="n"), INF
+        QueryBuilder("a").count(name="n"), INF
     )
     # each id keeps 1 row (hash-chosen), all landing in some partition;
     # totals across both children must be 3
     na = out.collect()[0]["n"]
     nb = children["b"].evaluate(
-        QueryBuilder("t_trunc").count(name="n"), INF
+        QueryBuilder("b").count(name="n"), INF
     ).collect()[0]["n"]
     assert na + nb == 3
 

@@ -58,9 +58,19 @@ class NoiseInfo:
     noise_parameter: float
 
     def as_dict(self) -> dict:
+        # Gaussian-family parameters are reported as the VARIANCE
+        # (sigma^2), matching the reference's _noise_info convention
+        # (its expected values are calculate_noise_scale(...)**2);
+        # Laplace/geometric report the scale b = sensitivity/epsilon.
+        p = self.noise_parameter
+        if self.noise_mechanism in (
+            NoiseMechanism.GAUSSIAN,
+            NoiseMechanism.DISCRETE_GAUSSIAN,
+        ):
+            p = p * p
         return {
             "noise_mechanism": self.noise_mechanism.name,
-            "noise_parameter": self.noise_parameter,
+            "noise_parameter": p,
         }
 
 

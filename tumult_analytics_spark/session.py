@@ -513,12 +513,16 @@ class Session:
                 from .protected import AddMaxRows
 
                 pc = AddMaxRows(int(base.l1))
-            child._register_private(source_id, part_df, pc)
+            # Reference semantics (session.py:1523-1530): the child's
+            # table is exposed under the SPLIT NAME, not the parent's
+            # source id — `new_sessions["part0"].private_sources` is
+            # ['part0'] and queries address QueryBuilder("part0").
+            child._register_private(name, part_df, pc)
             if base.constraints:
                 # The parent's enforced truncations are facts about
                 # part_df; children inherit them so ID-table queries work
                 # without re-enforcing.
-                child._source_constraints[source_id] = list(base.constraints)
+                child._source_constraints[name] = list(base.constraints)
             children[name] = child
             self._children.append(child)
         # Reference lifecycle (session.py:1481-1482): children must be
