@@ -1185,6 +1185,25 @@ def q_zipf_slope(spark, sf_dir):
     # the corpus unigram distribution (natural corpora sit near -1;
     # spammy/repetitive ones flatten). Explicit normal-equation
     # arithmetic so DuckDB replays it without regr_slope.
+    #
+    # DISTRIBUTED RANK (r4 verdict #3): the old version ranked the full
+    # vocabulary with an un-partitioned row_number — one task holding
+    # every distinct token. The regression only consumes SUMS of
+    # f(rank), and within a tied-frequency block the y value ln(c) is
+    # constant while the ranks are a fixed contiguous range [s+1, s+m]
+    # — so WHICH token gets WHICH rank inside the block cannot change
+    # any sum. That lets the rank be generated from the frequency
+    # HISTOGRAM instead of the token table:
+    #   1. hist(c -> m): one more tiny agg over freq.
+    #   2. offsets s via a window over DISTINCT FREQUENCIES only —
+    #      bounded by sum(distinct c) <= N, i.e. O(sqrt(total_tokens))
+    #      rows (~2M at 10^12 tokens), never O(vocabulary).
+    #   3. explode each block into <=65536-rank chunks, hash-repartition
+    #      the chunk rows, then explode ranks — so the hapax block
+    #      (half the vocabulary at c=1) is generated across the
+    #      cluster, not in one task.
+    # The DuckDB oracle keeps the direct per-token ranking: identical
+    # (rank, c) multiset, so identical sums.
     docs = _read(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
@@ -1197,10 +1216,39 @@ def q_zipf_slope(spark, sf_dir):
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("c"), F.asc("tok"))
-    ranked = freq.withColumn("r", F.row_number().over(w)).select(
-        F.log(F.col("r").cast("double")).alias("x"),
+    hist = freq.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = hist.withColumn(
+        "s", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long")
+    )
+    CH = 1 << 16
+    chunks = off.select(
+        "c",
+        "s",
+        "m",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.col("m") - 1) / F.lit(CH)).cast("long"),
+            )
+        ).alias("ci"),
+    ).repartition(F.col("c"), F.col("ci"))
+    ranked = chunks.select(
+        F.explode(
+            F.sequence(
+                F.col("s") + F.col("ci") * CH + 1,
+                F.least(
+                    F.col("s") + (F.col("ci") + 1) * CH,
+                    F.col("s") + F.col("m"),
+                ),
+            )
+        ).alias("r"),
         F.log(F.col("c").cast("double")).alias("y"),
+    ).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.col("y"),
     )
     agg = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -1433,12 +1433,17 @@ def dsir_resample(
     )
     gumbel = -F.log(-F.log(u + F.lit(1e-300)))
     score = F.col("dsir_logw") / F.lit(float(temperature)) + gumbel
-    w = Window.orderBy(
-        F.round(score, 6).desc(), F.col(id_column).asc()
-    )
-    return (
-        weighted.withColumn("__score__", score)
-        .withColumn("dsir_rank", F.row_number().over(w))
-        .filter(F.col("dsir_rank") <= n)
-        .drop("__score__")
-    )
+    # Distributed top-n (TakeOrderedAndProject: per-partition n-row
+    # heaps, driver merge), then rank over only the n survivors. The
+    # previous un-partitioned Window.orderBy row_number shuffled the
+    # ENTIRE weighted corpus into one task — at crawl scale that single
+    # stage dominated the job. Score is rounded to 6 before ranking so
+    # 1-ulp libm differences cannot flip the order (oracle-matched).
+    from ..utils import top_k
+
+    return top_k(
+        weighted.withColumn("__score__", F.round(score, 6)),
+        [F.col("__score__").desc(), F.col(id_column).asc()],
+        n,
+        rank_col="dsir_rank",
+    ).drop("__score__")

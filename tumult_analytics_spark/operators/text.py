@@ -812,11 +812,9 @@ def top_ngrams(
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    top = counts.orderBy(F.desc("count"), F.asc("ngram")).limit(k)
-    from pyspark.sql import Window
+    from ..utils import top_k
 
-    w = Window.orderBy(F.desc("count"), F.asc("ngram"))
-    return top.withColumn("rank", F.row_number().over(w))
+    return top_k(counts, [F.desc("count"), F.asc("ngram")], k, "rank")
 
 
 def normalize_text(

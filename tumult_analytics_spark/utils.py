@@ -220,6 +220,44 @@ def zorder_key(columns: Sequence["F.Column"], bits: int = 16) -> "F.Column":
     return key
 
 
+def top_k(
+    df: DataFrame,
+    order_cols: Sequence,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Distributed global top-``k`` with a dense 1..k rank column — THE
+    sanctioned way to rank "the k best rows of a big table".
+
+    ``orderBy(...).limit(k)`` compiles to Spark's TakeOrderedAndProject:
+    every partition keeps a k-row heap, the driver merges #partitions
+    heaps — no global sort, no shuffle of the table, no single task
+    seeing more than its own partition. The ``row_number`` window that
+    assigns the rank then runs over only the k surviving rows, so the
+    "un-partitioned window" it contains is O(k), not O(table).
+
+    This utility exists because three operators independently hand-rolled
+    global ranking and two of them did it with
+    ``row_number().over(Window.orderBy(...))`` straight on the full
+    table — which shuffles EVERY row to one task (the classic Spark
+    scale-killer; at crawl scale it is the job). Route all global
+    ranking through here; ``tests/test_plan_shape.py`` locks the
+    TakeOrderedAndProject shape for each call site.
+
+    ``order_cols``: sequence of Column expressions (include ``.desc()`` /
+    ``.asc()`` and tie-breaks — ties MUST be broken for the rank to be
+    deterministic across runs and engines).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    cols = list(order_cols)
+    top = df.orderBy(*cols).limit(k)
+    w = Window.orderBy(*cols)
+    return top.withColumn(rank_col, F.row_number().over(w))
+
+
 def observe_stage(df: DataFrame, name: str, **metrics) -> tuple:
     """Attach free pipeline metrics to a DataFrame stage via Spark's
     Observation API: ``metrics`` maps metric name -> aggregate Column
@@ -257,10 +295,7 @@ def skew_report(df: DataFrame, column: str, top_n: int = 10) -> DataFrame:
         F.col(column).cast("string").alias("key")
     ).agg(F.count(F.lit(1)).alias("n_rows"))
     total = counts.agg(F.sum("n_rows").alias("__t__"))
-    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
-    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
-        F.desc("n_rows"), F.asc("key")
-    )
+    top = top_k(counts, [F.desc("n_rows"), F.asc("key")], top_n, "rank")
     return (
         top.crossJoin(F.broadcast(total))
         .withColumn(
@@ -269,6 +304,5 @@ def skew_report(df: DataFrame, column: str, top_n: int = 10) -> DataFrame:
                 F.col("n_rows").cast("double") / F.col("__t__"), 6
             ),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .drop("__t__")
+        .select("key", "n_rows", "share", "rank")
     )
