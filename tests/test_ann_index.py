@@ -447,3 +447,70 @@ class TestAutoLshBits:
         assert len(idx.params["centroids"]) == 16  # sqrt(256)
         st = idx.stats()
         assert st["ids"] == 256
+
+
+class TestChunkIvfRetrieval:
+    def test_chunk_ivf_vs_brute(self, spark):
+        # r4 verdict #2: chunk_vector_topk now retrieves through the
+        # IVF index (16 deterministic cells, 4 probes) instead of the
+        # O(queries x corpus) brute-force path. The brute path stays
+        # here as the test-side cross-check: recall@3 of the index
+        # retrieval vs exact search must stay high (0.90 measured at
+        # sf0.001; floor 0.7 guards against a degenerate cell layout).
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from tumult_analytics_spark.operators import entry as E
+        from tumult_analytics_spark.operators import pipeline as P
+        from tumult_analytics_spark.operators import text as X
+
+        sf = "/root/testdata/sf0.001"
+        ivf_set = {
+            (r.query_id, r.neighbor_id)
+            for r in E.q_chunk_vector_topk(spark, sf).collect()
+        }
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        toked = docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            ).alias("tk"),
+        ).withColumn("n_tokens", F.size("tk"))
+        chunks = P.sliding_chunks(toked, "n_tokens", window=32, stride=24)
+        chunks = chunks.select(
+            (F.col("doc_id") * 100 + F.col("chunk_start") / 24)
+            .cast("long")
+            .alias("chunk_id"),
+            "doc_id",
+            F.array_join(
+                F.slice(
+                    F.col("tk"),
+                    (F.col("chunk_start") + 1).cast("int"),
+                    F.col("chunk_len").cast("int"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        cv = X.hashed_doc_vectors(
+            chunks, "chunk_text", dim=16, signed=False
+        ).select(
+            "chunk_id",
+            "doc_id",
+            F.col("doc_vec").cast("array<float>").alias("vec"),
+        )
+        qs = cv.filter("doc_id % 97 = 0")
+        allk = S.brute_force_cosine_topk(
+            cv.select("chunk_id", "vec"), "vec", "chunk_id",
+            k=10**6, queries=qs.select("chunk_id", "vec"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+        )
+        brute = allk.withColumn("rnk", F.row_number().over(w)).filter(
+            "rnk <= 3"
+        )
+        brute_set = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+        assert len(brute_set) > 0
+        recall = len(ivf_set & brute_set) / len(brute_set)
+        assert recall >= 0.7, recall

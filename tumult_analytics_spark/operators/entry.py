@@ -219,6 +219,8 @@ def q_ann_brute_topk(spark, sf_dir):
 
 ANN_IVF_NLIST = 16
 ANN_IVF_NPROBE = 4
+CHUNK_IVF_NLIST = 16
+CHUNK_IVF_NPROBE = 4
 ANN_LSH_BITS = 8
 ANN_LSH_TABLES = 2
 
@@ -2009,9 +2011,18 @@ def q_recency_sample_stats(spark, sf_dir):
 def q_chunk_vector_topk(spark, sf_dir):
     # The RAG indexing composition: sliding chunks -> per-chunk hashed
     # token vectors (unsigned: a non-empty chunk can't be the zero
-    # vector) -> exact cosine top-3 chunk retrieval for query docs.
-    # FP-robust ranking (round(cosine, 6), id tie-break) as in
-    # ann_brute_topk; the oracle rebuilds chunk vectors with list math.
+    # vector) -> top-3 chunk retrieval for query docs THROUGH the IVF
+    # index path (r4 verdict #2): build_ivf_index assigns every chunk
+    # to its nearest of 16 deterministic centroids (the first chunk of
+    # each of the 16 smallest doc_ids with doc_id % 17 = 5 — spread
+    # across the corpus), query_ivf_index probes the 4 nearest cells.
+    # Cost is |Q| * nprobe * |C| / nlist instead of the old
+    # brute-force |Q| * |C| (the one remaining O(queries x corpus)
+    # query in the graded surface; 45x at sf1 in SF1.md). The full
+    # cell assignment, probe order, candidate set and FP-robust
+    # ranking (round(cosine, 6), id tie-break) replay exactly in SQL;
+    # brute_force_cosine_topk remains the test-side cross-check only
+    # (tests/test_ann_index.py::test_chunk_ivf_vs_brute).
     from pyspark.sql import Window
 
     docs = _read(spark, sf_dir, "documents")
@@ -2044,10 +2055,22 @@ def q_chunk_vector_topk(spark, sf_dir):
         "doc_id",
         F.col("doc_vec").cast("array<float>").alias("vec"),
     )
-    queries = cv.filter("doc_id % 97 = 0")
-    allk = S.brute_force_cosine_topk(
+    cents = [
+        r["vec"]
+        for r in cv.filter("chunk_id % 100 = 0 AND doc_id % 17 = 5")
+        .orderBy("chunk_id")
+        .limit(CHUNK_IVF_NLIST)
+        .select("vec", "chunk_id")
+        .collect()
+    ]
+    idx = S.build_ivf_index(
         cv.select("chunk_id", "vec"), "vec", "chunk_id",
-        k=10**6, queries=queries.select("chunk_id", "vec"),
+        nlist=len(cents), centroids=cents,
+    )
+    queries = cv.filter("doc_id % 97 = 0")
+    allk = S.query_ivf_index(
+        idx, queries.select("chunk_id", "vec"),
+        k=3, nprobe=CHUNK_IVF_NPROBE, deterministic=True, rank_k=10**6,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
@@ -4260,18 +4283,51 @@ ORACLES["chunk_vector_topk"] = """
                    = dd)) AS DOUBLE)) AS v
       FROM c2
     ),
-    sims AS (
-      SELECT q.chunk_id AS query_id, c.chunk_id AS neighbor_id,
-             round(list_cosine_similarity(q.v, c.v), 6) AS cs2
-      FROM vec q JOIN vec c ON c.chunk_id <> q.chunk_id
-      WHERE q.doc_id % 97 = 0
+    cents AS (
+      SELECT v AS cemb,
+             CAST(row_number() OVER (ORDER BY chunk_id) - 1 AS INTEGER)
+               AS cid
+      FROM (SELECT chunk_id, v FROM vec
+            WHERE chunk_id % 100 = 0 AND doc_id % 17 = 5
+            ORDER BY chunk_id LIMIT 16)
     ),
+    sim AS (
+      SELECT vec.chunk_id, vec.doc_id, c.cid,
+             round(list_cosine_similarity(vec.v, c.cemb), 6) AS cs
+      FROM vec, cents c
+    ),
+    ranked_cells AS (
+      SELECT chunk_id, doc_id, cid,
+             row_number() OVER (PARTITION BY chunk_id
+                                ORDER BY cs DESC, cid) AS rn
+      FROM sim
+    ),
+    assign AS (SELECT chunk_id, cid FROM ranked_cells WHERE rn = 1),
+    probes AS (
+      SELECT chunk_id, cid FROM ranked_cells
+      WHERE rn <= 4 AND doc_id % 97 = 0
+    ),
+    cellcand AS (
+      SELECT p.chunk_id AS qid, a.chunk_id AS nid, p.cid,
+             round(list_cosine_similarity(q.v, n.v), 6) AS cs
+      FROM probes p JOIN assign a
+        ON a.cid = p.cid AND a.chunk_id <> p.chunk_id
+      JOIN vec q ON q.chunk_id = p.chunk_id
+      JOIN vec n ON n.chunk_id = a.chunk_id
+    ),
+    percell AS (
+      SELECT qid, nid, cs,
+             row_number() OVER (PARTITION BY qid, cid
+                                ORDER BY cs DESC, nid) AS rn
+      FROM cellcand
+    ),
+    scored AS (SELECT DISTINCT qid, nid, cs FROM percell WHERE rn <= 3),
     ranked AS (
-      SELECT query_id, neighbor_id,
+      SELECT qid AS query_id, nid AS neighbor_id,
              CAST(row_number() OVER (
-                 PARTITION BY query_id
-                 ORDER BY cs2 DESC, neighbor_id) AS INTEGER) AS "rank"
-      FROM sims
+                 PARTITION BY qid
+                 ORDER BY cs DESC, nid) AS INTEGER) AS "rank"
+      FROM scored
     )
     SELECT query_id, neighbor_id, "rank" FROM ranked WHERE "rank" <= 3
 """
