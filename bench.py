@@ -112,18 +112,42 @@ def main() -> None:
     # "sf0.1" -> 0.1, ".sf1" -> 1 (lstrip dots so a hidden dir like
     # .sf1 doesn't parse as ".1" = 0.1).
     sf = os.path.basename(sf_dir.rstrip("/")).lstrip(".").replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(payload))
+    _write_full_artifact(payload, only)
     spark.stop()
+
+
+def _write_full_artifact(payload: dict, only: set) -> None:
+    """Commit-able full per-query record (r4 verdict #7): the driver's
+    BENCH_r* artifacts keep only a 2,000-char tail of stdout, which
+    truncates the per-query map and has repeatedly forced the judge to
+    re-run the whole session to audit a single query. Full sessions
+    (no SPARK_GRAFT_ONLY filter, default sf) also write
+    ``bench_full_r<N>.json`` next to this script, where N is inferred
+    as one past the newest driver-committed BENCH_r*.json — i.e. the
+    round this run will be recorded under."""
+    if only:
+        return  # partial session: not a round artifact
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    with open(os.path.join(here, f"bench_full_r{n:02d}.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 if __name__ == "__main__":
