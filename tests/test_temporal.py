@@ -436,3 +436,101 @@ class TestIntervalOverlapJoin:
             interval_overlap_join(
                 left, right, "user", "s", "e", "s", "e", cell_seconds=0
             )
+
+
+class TestSessionizeSalted:
+    """Skew-safe sessionize (r4 verdict #8): bucket_seconds salts the
+    window partition with a coarse time bucket so a celebrity key's
+    events spread across tasks, then stitches boundary sessions via a
+    per-bucket-summary window. Must be VALUE-IDENTICAL to the unsalted
+    path."""
+
+    def _random_events(self, spark, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        # hot key 0 holds ~10% of all rows; 30 normal keys share the rest
+        for _ in range(300):
+            rows.append((0, _ts(rng.uniform(0, 500_000)), eid))
+            eid += 1
+        for k in range(1, 31):
+            for _ in range(90):
+                rows.append((k, _ts(rng.uniform(0, 500_000)), eid))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, eid long"
+        )
+
+    def test_matches_unsalted_on_skewed_data(self, spark):
+        df = self._random_events(spark)
+        plain = {
+            (r.user_id, r.eid): r.session_id
+            for r in sessionize(df, "user_id", "ts", 1800.0).collect()
+        }
+        salted = {
+            (r.user_id, r.eid): r.session_id
+            for r in sessionize(
+                df, "user_id", "ts", 1800.0, bucket_seconds=7200.0
+            ).collect()
+        }
+        assert plain == salted
+
+    def test_session_spanning_many_buckets(self, spark):
+        # one session of events every gap/2 across 6 buckets must keep a
+        # single id, and a later isolated event gets id 2
+        rows = [(1, _ts(i * 900.0), i) for i in range(48)]
+        rows.append((1, _ts(100_000.0), 99))
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, eid long"
+        )
+        out = {
+            r.eid: r.session_id
+            for r in sessionize(
+                df, "user_id", "ts", 1800.0, bucket_seconds=7200.0
+            ).collect()
+        }
+        assert {out[i] for i in range(48)} == {1}
+        assert out[99] == 2
+
+    def test_exact_gap_at_bucket_boundary_merges(self, spark):
+        # last event of bucket 0 at t=7199, first of bucket 1 at t=8999:
+        # delta == gap exactly -> same session (strict > rule), across
+        # the bucket seam
+        df = spark.createDataFrame(
+            [(1, _ts(7199.0), 0), (1, _ts(8999.0), 1)],
+            "user_id long, ts timestamp, eid long",
+        )
+        out = {
+            r.eid: r.session_id
+            for r in sessionize(
+                df, "user_id", "ts", 1800.0, bucket_seconds=7200.0
+            ).collect()
+        }
+        assert out == {0: 1, 1: 1}
+
+    def test_bucket_must_exceed_gap(self, spark):
+        df = spark.createDataFrame(
+            [(1, _ts(0.0), 0)], "user_id long, ts timestamp, eid long"
+        )
+        with pytest.raises(ValueError, match="bucket_seconds"):
+            sessionize(df, "user_id", "ts", 1800.0, bucket_seconds=1800.0)
+
+    def test_heavy_window_is_salted(self, spark):
+        # plan shape: the per-event window partitions on (key, bucket),
+        # never on the bare key
+        df = self._random_events(spark)
+        out = sessionize(
+            df, "user_id", "ts", 1800.0, bucket_seconds=7200.0
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        ev_windows = [
+            l
+            for l in plan.split("\n")
+            if "Window" in l and "__lsid__" in l
+        ]
+        assert ev_windows, plan
+        assert all("__b__" in l for l in ev_windows), ev_windows

@@ -55,6 +55,7 @@ def sessionize(
     ts: str,
     gap_seconds: float = 1800.0,
     session_col: str = "session_id",
+    bucket_seconds: Optional[float] = None,
 ) -> DataFrame:
     """Assign gap-based session indices per key.
 
@@ -63,20 +64,94 @@ def sessionize(
     adds ``session_col`` (1-based index of the session within the key);
     (key, session_col) identifies a session globally.
 
-    Single shuffle: lag and the running sum share one window spec.
+    Default path: single shuffle — lag and the running sum share one
+    window spec partitioned by the key. A celebrity key concentrates
+    ALL its events in one task; AQE cannot split a window partition.
+
+    ``bucket_seconds`` (opt-in, must exceed ``gap_seconds``) is the
+    skew mitigation: events are salted by coarse time bucket
+    ``floor(ts / bucket_seconds)``, sessions are computed WITHIN each
+    (key, bucket) window partition — so a hot key's events spread over
+    time also spread over tasks — and bucket-boundary sessions are
+    stitched by a second, tiny window over per-bucket SUMMARIES (one
+    row per (key, bucket): first/last timestamp, local session count).
+    A session that spans buckets merges iff the first event of a bucket
+    is within ``gap`` of the last event of the key's previous non-empty
+    bucket; because ``bucket > gap``, only chains of adjacent buckets
+    can merge, and the cumulative ``(local_sessions - merged)`` offset
+    renumbers every event to EXACTLY the ids the unsalted path
+    produces (value-equality locked by
+    tests/test_temporal.py::TestSessionizeSalted).
     """
-    w = Window.partitionBy(key).orderBy(ts)
-    prev = F.lag(F.col(ts)).over(w)
     gap_us = int(gap_seconds * 1_000_000)
-    is_new = F.when(
+    if bucket_seconds is None:
+        w = Window.partitionBy(key).orderBy(ts)
+        prev = F.lag(F.col(ts)).over(w)
+        is_new = F.when(
+            prev.isNull()
+            | ((F.unix_micros(F.col(ts)) - F.unix_micros(prev)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        running = Window.partitionBy(key).orderBy(ts).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return df.withColumn(session_col, F.sum(is_new).over(running))
+
+    if bucket_seconds <= gap_seconds:
+        raise ValueError(
+            "bucket_seconds must exceed gap_seconds (a session gap may "
+            "never span a full bucket, or non-adjacent buckets could "
+            "merge)"
+        )
+    bucket_us = int(bucket_seconds * 1_000_000)
+    us = F.unix_micros(F.col(ts))
+    ev = df.withColumn("__b__", F.floor(us / F.lit(bucket_us)))
+    wl = Window.partitionBy(key, "__b__").orderBy(ts)
+    prev = F.lag(F.col(ts)).over(wl)
+    local_new = F.when(
         prev.isNull()
         | ((F.unix_micros(F.col(ts)) - F.unix_micros(prev)) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
-    running = Window.partitionBy(key).orderBy(ts).rowsBetween(
+    wlr = Window.partitionBy(key, "__b__").orderBy(ts).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return df.withColumn(session_col, F.sum(is_new).over(running))
+    ev = ev.withColumn("__lsid__", F.sum(local_new).over(wlr))
+    summ = ev.groupBy(key, "__b__").agg(
+        F.min(us).alias("__first__"),
+        F.max(us).alias("__last__"),
+        F.max("__lsid__").alias("__nsess__"),
+    )
+    wb = Window.partitionBy(key).orderBy("__b__")
+    prev_last = F.lag("__last__").over(wb)
+    summ = summ.withColumn(
+        "__merge__",
+        F.when(
+            prev_last.isNotNull()
+            & ((F.col("__first__") - prev_last) <= gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    woff = Window.partitionBy(key).orderBy("__b__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    summ = summ.select(
+        key,
+        "__b__",
+        "__merge__",
+        F.coalesce(
+            F.sum(F.col("__nsess__") - F.col("__merge__")).over(woff),
+            F.lit(0),
+        ).alias("__off__"),
+    )
+    return (
+        ev.join(summ, on=[key, "__b__"])
+        .withColumn(
+            session_col,
+            F.col("__off__") + F.col("__lsid__") - F.col("__merge__"),
+        )
+        .drop("__b__", "__lsid__", "__off__", "__merge__")
+    )
 
 
 def asof_join(
