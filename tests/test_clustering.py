@@ -142,3 +142,25 @@ class TestSemanticDedup:
             semantic_dedup(df, threshold=0.0)
         with pytest.raises(ValueError):
             semantic_dedup(df, threshold=1.5)
+
+
+def test_kmeans_auto_k_sizes_clusters(spark):
+    # k=None -> ceil(n / KMEANS_TARGET_CLUSTER_ROWS): the linear scale
+    # path (fixed k makes every per-cluster pass O(n^2/k)).
+    from tumult_analytics_spark.operators.clustering import (
+        KMEANS_TARGET_CLUSTER_ROWS,
+        kmeans_fit_predict,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    out, cents = kmeans_fit_predict(emb, k=None, n_iter=1)
+    import math
+
+    expected_k = max(1, math.ceil(n / KMEANS_TARGET_CLUSTER_ROWS))
+    assert cents.shape[0] == expected_k
+    assert out.select("cluster").distinct().count() <= expected_k
+    # semantic_dedup accepts the same auto-k and still dedups
+    kept = semantic_dedup(emb, k=None, n_iter=1, threshold=0.99)
+    assert 0 < kept.count() <= n

@@ -401,3 +401,150 @@ def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
         ).collect()
     }
     assert tags == {"first": 200, "second": 350}
+
+
+class TestStreamStreamIntervalJoin:
+    """stream_time_range_join (r4 verdict #9): a watermarked two-stream
+    interval join, value-matched against the batch time_range_join
+    operator on the same data — including matches that span
+    micro-batches (one file per trigger)."""
+
+    def _mk(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 3, 1)
+        return spark.createDataFrame(
+            [
+                (i, u, t0 + dt.timedelta(seconds=s), v)
+                for (i, u, s, v) in rows
+            ],
+            "event_id long, user_id long, event_time timestamp, value double",
+        )
+
+    def test_two_stream_run_matches_batch_operator(self, spark, tmp_path):
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from tumult_analytics_spark.operators.temporal import (
+            time_range_join,
+        )
+        from tumult_analytics_spark.streaming.joins import (
+            stream_time_range_join,
+        )
+
+        # left: impressions; right: responses. Include a cross-batch
+        # pair (left event at t=580 in file 0, right at t=1100 in
+        # file 1 -> delta 520s, must match out of join state), an
+        # exact-boundary pair (delta == 600), and a non-match (601).
+        left_rows = [
+            (1, 10, 0.0, 1.0),
+            (2, 10, 580.0, 1.0),
+            (3, 11, 100.0, 1.0),
+            (4, 12, 50.0, 1.0),
+        ]
+        right_rows = [
+            (101, 10, 300.0, 2.0),   # matches 1 (300) — same batch
+            (102, 10, 1100.0, 2.0),  # matches 2 (520) — cross batch
+            (103, 11, 700.0, 2.0),   # matches 3 (600) — boundary
+            (104, 12, 651.0, 2.0),   # 601s after 4 — no match
+            (105, 99, 10.0, 2.0),    # no left for this user
+        ]
+        lb = self._mk(spark, left_rows)
+        rb = self._mk(spark, right_rows)
+        expected = {
+            (r.event_id, r.event_id_r)
+            for r in time_range_join(
+                lb, rb, "user_id", "event_time", "event_time", 0.0, 600.0
+            ).collect()
+        }
+        assert expected == {(1, 101), (2, 102), (3, 103)}
+
+        # stage each side as two time-ordered files -> two micro-batches
+        for side, df, cut in (("l", lb, 500.0), ("r", rb, 500.0)):
+            d = tmp_path / side
+            d.mkdir()
+            import datetime as dt
+
+            t0 = dt.datetime(2024, 3, 1)
+            early = df.filter(
+                F.col("event_time") < t0 + dt.timedelta(seconds=cut)
+            )
+            late = df.filter(
+                F.col("event_time") >= t0 + dt.timedelta(seconds=cut)
+            )
+            for i, part in enumerate((early, late)):
+                pdir = tmp_path / f"{side}_stage{i}"
+                part.coalesce(1).write.parquet(str(pdir))
+                pf = [
+                    f
+                    for f in pdir.iterdir()
+                    if f.name.endswith(".parquet")
+                ][0]
+                shutil.copy(pf, d / f"p{i}.parquet")
+
+        schema = "event_id long, user_id long, event_time timestamp, value double"
+
+        def read_side(side):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path / side))
+            )
+
+        joined = stream_time_range_join(
+            read_side("l"),
+            read_side("r"),
+            "user_id",
+            "event_time",
+            "event_time",
+            0.0,
+            600.0,
+            watermark="10 minutes",
+        )
+        assert joined.isStreaming
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("tas_test_ssij")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r.event_id, r.event_id_r)
+            for r in spark.table("tas_test_ssij").collect()
+        }
+        assert got == expected
+
+    def test_validation(self, spark):
+        from tumult_analytics_spark.streaming.joins import (
+            stream_time_range_join,
+        )
+
+        df = self._mk(spark, [(1, 1, 0.0, 1.0)])
+        with pytest.raises(ValueError, match="upper_seconds"):
+            stream_time_range_join(
+                df, df, "user_id", "event_time", "event_time", 5.0, 1.0
+            )
+        with pytest.raises(ValueError, match="missing"):
+            stream_time_range_join(
+                df, df, "nope", "event_time", "event_time", 0.0, 1.0
+            )
+
+    def test_batch_input_same_semantics(self, spark):
+        from tumult_analytics_spark.streaming.joins import (
+            stream_time_range_join,
+        )
+
+        lb = self._mk(spark, [(1, 10, 0.0, 1.0)])
+        rb = self._mk(spark, [(101, 10, 300.0, 2.0), (102, 10, 700.0, 2.0)])
+        out = stream_time_range_join(
+            lb, rb, "user_id", "event_time", "event_time", 0.0, 600.0
+        )
+        rows = out.collect()
+        assert [(r.event_id, r.event_id_r) for r in rows] == [(1, 101)]
+        # suffix disambiguation mirrors the batch operator
+        assert "event_time_r" in out.columns
+        assert "value_r" in out.columns

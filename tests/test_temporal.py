@@ -534,3 +534,111 @@ class TestSessionizeSalted:
         ]
         assert ev_windows, plan
         assert all("__b__" in l for l in ev_windows), ev_windows
+
+
+class TestAsofJoinSalted:
+    """Skew-safe asof_join (r4 verdict #8): bucket_seconds salts the
+    union-window partition by coarse time bucket; rows with no earlier
+    right row in their bucket take the carry (latest right payload of
+    any earlier bucket) from a per-bucket-summary window."""
+
+    def _skewed(self, spark, seed=11):
+        import random
+
+        rng = random.Random(seed)
+        lrows, rrows = [], []
+        lid = 0
+        # hot key 0 ~10% of left rows, right quotes sparse
+        for _ in range(400):
+            lrows.append((0, _ts(rng.uniform(0, 400_000)), lid))
+            lid += 1
+        for k in range(1, 41):
+            for _ in range(90):
+                lrows.append((k, _ts(rng.uniform(0, 400_000)), lid))
+                lid += 1
+        for k in range(0, 41):
+            for q in range(20):
+                rrows.append((k, _ts(rng.uniform(0, 400_000)), k * 1000 + q))
+        left = spark.createDataFrame(
+            lrows, "user_id long, ts timestamp, lid long"
+        )
+        right = spark.createDataFrame(
+            rrows, "user_id long, ts timestamp, quote long"
+        )
+        return left, right
+
+    def test_matches_unsalted_on_skewed_data(self, spark):
+        left, right = self._skewed(spark)
+        plain = {
+            (r.lid): (r.quote_r, r.ts_r__asof)
+            for r in asof_join(
+                left, right, "user_id", "ts", right_cols=["quote"]
+            ).collect()
+        }
+        salted = {
+            (r.lid): (r.quote_r, r.ts_r__asof)
+            for r in asof_join(
+                left,
+                right,
+                "user_id",
+                "ts",
+                right_cols=["quote"],
+                bucket_seconds=50_000.0,
+            ).collect()
+        }
+        assert plain == salted
+
+    def test_carry_through_right_empty_buckets(self, spark):
+        # right row only in bucket 0; left rows in buckets 2 and 5 must
+        # still see it (carry propagates through right-empty buckets)
+        left = spark.createDataFrame(
+            [(1, _ts(2_500.0), 1), (1, _ts(5_500.0), 2), (1, _ts(100.0), 3)],
+            "user_id long, ts timestamp, lid long",
+        )
+        right = spark.createDataFrame(
+            [(1, _ts(200.0), 7)], "user_id long, ts timestamp, quote long"
+        )
+        out = {
+            r.lid: r.quote_r
+            for r in asof_join(
+                left,
+                right,
+                "user_id",
+                "ts",
+                right_cols=["quote"],
+                bucket_seconds=1_000.0,
+            ).collect()
+        }
+        # lid 3 is BEFORE the quote (t=100 < 200): null
+        assert out == {1: 7, 2: 7, 3: None}
+
+    def test_tolerance_still_applies(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts(5_000.0), 1)], "user_id long, ts timestamp, lid long"
+        )
+        right = spark.createDataFrame(
+            [(1, _ts(100.0), 7)], "user_id long, ts timestamp, quote long"
+        )
+        out = asof_join(
+            left,
+            right,
+            "user_id",
+            "ts",
+            right_cols=["quote"],
+            tolerance_seconds=60.0,
+            bucket_seconds=1_000.0,
+        ).collect()[0]
+        assert out.quote_r is None  # match exists but is too old
+
+    def test_heavy_window_is_salted(self, spark):
+        left, right = self._skewed(spark)
+        out = asof_join(
+            left, right, "user_id", "ts", right_cols=["quote"],
+            bucket_seconds=50_000.0,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        ev_windows = [
+            l for l in plan.split("\n") if "Window" in l and "__ml__" in l
+        ]
+        assert ev_windows, plan
+        assert all("__b__" in l for l in ev_windows), ev_windows

@@ -67,11 +67,18 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+#: Target rows per cluster when ``k=None``: k = ceil(n / this). 1024
+#: keeps the within-cluster pairwise pass (semantic_dedup) at ~1M sims
+#: per cluster and the per-iteration driver state (k x dim doubles) in
+#: the tens of MB even at 10^9 rows.
+KMEANS_TARGET_CLUSTER_ROWS = 1024
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k=8,
     n_iter: int = 5,
     cluster_col: str = "cluster",
     dist_col: str = "dist",
@@ -84,12 +91,23 @@ def kmeans_fit_predict(
     cluster that goes empty keeps its previous centroid. ``dist_col`` is
     the Euclidean distance to the final centroid.
 
+    ``k=None`` derives ``ceil(n / KMEANS_TARGET_CLUSTER_ROWS)`` from a
+    corpus count, so cluster SIZE stays constant as the corpus grows —
+    the scale knob: any fixed k makes every per-cluster pass O(n^2/k),
+    i.e. quadratic (measured: semantic_dedup_stats at its oracle-pinned
+    k=4 reads 26x for 10x data at sf10; the auto-k path is linear, see
+    SF1.md). Driver state per iteration is k x dim doubles either way.
+
     ``materialize=True`` eagerly ``localCheckpoint``s the result —
     worthwhile only when the caller will read it several times (e.g.
     :func:`semantic_dedup`'s per-cluster pass plus a stats pass). The
     default leaves the plan lazy: a single downstream action pays one
     assignment kernel, not an extra full materialization.
     """
+    if k is None:
+        import math
+
+        k = max(1, math.ceil(df.count() / KMEANS_TARGET_CLUSTER_ROWS))
     if k < 1:
         raise ValueError("k must be >= 1")
     if n_iter < 0:
@@ -147,7 +165,7 @@ def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k=8,
     n_iter: int = 3,
     threshold: float = 0.95,
     cluster_col: str = "cluster",
@@ -167,7 +185,10 @@ def semantic_dedup(
     Scale design (100 TB): the pairwise work is confined to clusters —
     one ``groupBy(cluster).applyInPandas`` shuffle; SemDeDup's contract
     is to pick k large enough that N/k is small (the paper uses ~11k
-    clusters for LAION). The kernel refuses clusters above
+    clusters for LAION). ``k=None`` sizes k so clusters stay
+    ~KMEANS_TARGET_CLUSTER_ROWS rows at ANY corpus size — the linear
+    scale path (a fixed k is O(n^2/k): the oracle-pinned k=4 query
+    measured 26x for 10x data at sf10). The kernel refuses clusters above
     ``max_cluster_rows`` with a message naming the fix (raise k), the
     same guard contract as ``similarity.BRUTE_FORCE_MAX_ROWS``; within a
     cluster the similarity matrix is computed in ``_SLICE``-row blocks

@@ -219,7 +219,6 @@ def q_ann_brute_topk(spark, sf_dir):
 
 ANN_IVF_NLIST = 16
 ANN_IVF_NPROBE = 4
-CHUNK_IVF_NLIST = 16
 CHUNK_IVF_NPROBE = 4
 ANN_LSH_BITS = 8
 ANN_LSH_TABLES = 2
@@ -1701,6 +1700,89 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    # TRUE two-stream interval join (r4 verdict #9): even-id events
+    # (impressions) and odd-id events (responses) arrive as two
+    # separate file streams, each split into two time-ordered files
+    # processed one per micro-batch (maxFilesPerTrigger=1 — so the
+    # join genuinely matches rows ACROSS micro-batches out of the
+    # symmetric-hash join state, not within one batch). Native
+    # watermarked stream-stream join; pairs = same user, response
+    # 0..600 s after the impression. The oracle replays the plain
+    # range join in SQL; value-parity with the batch time_range_join
+    # operator is additionally locked in tests/test_streaming.py.
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.events import EVENT_SCHEMA
+    from ..streaming.joins import stream_time_range_join
+    from ..utils import event_time
+
+    tmp = tempfile.mkdtemp(prefix="tas_stream_")
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    ts_field = src.column("ts")
+    # time-ordered split: file 0 = first half by ts, file 1 = rest, so
+    # the watermark after batch 0 can never mark batch-1 rows late.
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(src, sort_keys=[("ts", "ascending")])
+    srt = src.take(order)
+    half = srt.num_rows // 2
+    for side in ("l", "r"):
+        os.makedirs(os.path.join(tmp, side))
+        pq.write_table(
+            srt.slice(0, half), os.path.join(tmp, side, "p0.parquet")
+        )
+        pq.write_table(
+            srt.slice(half), os.path.join(tmp, side, "p1.parquet")
+        )
+
+    def read_side(side):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(tmp, side))
+        )
+
+    ls = read_side("l").filter("event_id % 2 = 0")
+    rs = read_side("r").filter("event_id % 2 = 1")
+    ls = ls.withColumn("event_time", event_time(ls, "ts")).drop("ts")
+    rs = rs.withColumn("event_time", event_time(rs, "ts")).drop("ts")
+    joined = stream_time_range_join(
+        ls.select("event_id", "user_id", "event_time"),
+        rs.select("event_id", "user_id", "event_time"),
+        "user_id",
+        "event_time",
+        "event_time",
+        0.0,
+        600.0,
+        watermark="30 minutes",
+    )
+    name = f"tas_stream_ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.table(name)
+    return out.select(
+        F.col("event_id").alias("left_event"),
+        F.col("event_id_r").alias("right_event"),
+        (
+            F.unix_micros("event_time_r") - F.unix_micros("event_time")
+        ).alias("delta_us"),
+    )
+
+
 def q_dhash_dedup(spark, sf_dir):
     # Image near-dup dedup by exact dHash bucket: images whose 9x8
     # gradient grids agree collapse to the smallest doc_id. Payload
@@ -2013,12 +2095,14 @@ def q_chunk_vector_topk(spark, sf_dir):
     # token vectors (unsigned: a non-empty chunk can't be the zero
     # vector) -> top-3 chunk retrieval for query docs THROUGH the IVF
     # index path (r4 verdict #2): build_ivf_index assigns every chunk
-    # to its nearest of 16 deterministic centroids (the first chunk of
-    # each of the 16 smallest doc_ids with doc_id % 17 = 5 — spread
-    # across the corpus), query_ivf_index probes the 4 nearest cells.
-    # Cost is |Q| * nprobe * |C| / nlist instead of the old
-    # brute-force |Q| * |C| (the one remaining O(queries x corpus)
-    # query in the graded surface; 45x at sf1 in SF1.md). The full
+    # to its nearest deterministic centroid (the first chunk of every
+    # doc with doc_id % M = 5, where M = 17 * ceil(sqrt(n_docs/500)) —
+    # so the CELL COUNT GROWS ~sqrt(n) with the corpus, the FAISS IVF
+    # sizing rule; a fixed nlist measured 53x for 10x data at sf10
+    # because per-cell cost is O(n^2/nlist)), and query_ivf_index
+    # probes the 4 nearest cells. Cost is |Q| * nprobe * |C| / nlist
+    # instead of the old brute-force |Q| * |C| (45x at sf1 in SF1.md);
+    # the oracle derives the same M from count(documents). The full
     # cell assignment, probe order, candidate set and FP-robust
     # ranking (round(cosine, 6), id tie-break) replay exactly in SQL;
     # brute_force_cosine_topk remains the test-side cross-check only
@@ -2055,11 +2139,14 @@ def q_chunk_vector_topk(spark, sf_dir):
         "doc_id",
         F.col("doc_vec").cast("array<float>").alias("vec"),
     )
+    import math
+
+    n_docs = docs.count()
+    m = 17 * max(1, math.ceil(math.sqrt(n_docs / 500.0)))
     cents = [
         r["vec"]
-        for r in cv.filter("chunk_id % 100 = 0 AND doc_id % 17 = 5")
+        for r in cv.filter(f"chunk_id % 100 = 0 AND doc_id % {m} = 5")
         .orderBy("chunk_id")
-        .limit(CHUNK_IVF_NLIST)
         .select("vec", "chunk_id")
         .collect()
     ]
@@ -3447,6 +3534,7 @@ QUERIES = {
     "cluster_representative_stats": q_cluster_representative_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
+    "streaming_interval_join": q_streaming_interval_join,
     "streaming_enriched_rollup": q_streaming_enriched_rollup,
     "streaming_sessionize_stats": q_streaming_sessionize_stats,
     "event_props_stats": q_event_props_stats,
@@ -4351,9 +4439,10 @@ ORACLES["chunk_vector_topk"] = """
       SELECT v AS cemb,
              CAST(row_number() OVER (ORDER BY chunk_id) - 1 AS INTEGER)
                AS cid
-      FROM (SELECT chunk_id, v FROM vec
-            WHERE chunk_id % 100 = 0 AND doc_id % 17 = 5
-            ORDER BY chunk_id LIMIT 16)
+      FROM vec
+      WHERE chunk_id % 100 = 0
+        AND doc_id % (17 * CAST(ceil(sqrt(
+              (SELECT count(*) FROM documents) / 500.0)) AS BIGINT)) = 5
     ),
     sim AS (
       SELECT vec.chunk_id, vec.doc_id, c.cid,
@@ -4702,6 +4791,16 @@ ORACLES["event_props_stats"] = """
            CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_missing
     FROM x GROUP BY event_type
+"""
+
+ORACLES["streaming_interval_join"] = """
+    SELECT l.event_id AS left_event, r.event_id AS right_event,
+           CAST((epoch_ns(r.ts) - epoch_ns(l.ts)) // 1000 AS BIGINT)
+             AS delta_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 600 SECOND
+    WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1
 """
 
 ORACLES["streaming_hourly_rollup"] = """

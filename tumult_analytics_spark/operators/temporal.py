@@ -163,6 +163,7 @@ def asof_join(
     right_cols: Optional[List[str]] = None,
     suffix: str = "_r",
     tolerance_seconds: Optional[float] = None,
+    bucket_seconds: Optional[float] = None,
 ) -> DataFrame:
     """Left as-of join: attach, to every left row, the payload of the
     most recent right row with the same key and ``right.ts <= left.ts``.
@@ -176,6 +177,14 @@ def asof_join(
     Implementation: union both sides with a side tag, then one window
     pass taking the last non-null right payload at-or-before each row.
     One shuffle of |L|+|R| rows; no nested-loop join.
+
+    ``bucket_seconds`` (opt-in) is the celebrity-key skew mitigation
+    (same idea as :func:`sessionize`): the window partition is salted
+    with a coarse time bucket so a hot key's rows spread over tasks;
+    rows whose bucket holds no earlier right row take their payload
+    from a per-bucket-summary carry (the latest right payload of any
+    EARLIER bucket, one tiny window over (key, bucket) summaries).
+    Value-identical to the unsalted path (tested).
     """
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
@@ -207,15 +216,60 @@ def asof_join(
     )
     # Right rows sort before left rows at equal __ts__ (side 0 < 1), so
     # an exact-tie right row is inside the window of the tied left row.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__ts__", "__side__")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     u = lu.unionByName(ru)
-    matched = u.withColumn(
-        "__m__", F.last("__r__", ignorenulls=True).over(w)
-    ).filter(F.col("__side__") == 1)
+    if bucket_seconds is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts__", "__side__")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn(
+            "__m__", F.last("__r__", ignorenulls=True).over(w)
+        ).filter(F.col("__side__") == 1)
+    else:
+        if bucket_seconds <= 0:
+            raise ValueError("bucket_seconds must be > 0")
+        bucket_us = max(int(bucket_seconds * 1_000_000), 1)
+        u = u.withColumn(
+            "__b__",
+            F.floor(F.unix_micros(F.col("__ts__")) / F.lit(bucket_us)),
+        )
+        wl = (
+            Window.partitionBy(*keys, "__b__")
+            .orderBy("__ts__", "__side__")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn(
+            "__ml__", F.last("__r__", ignorenulls=True).over(wl)
+        )
+        # Per (key, bucket) summary over ALL buckets present (left-only
+        # buckets included, so the carry propagates through them), with
+        # the bucket's LATEST right payload (null when none). The carry
+        # is the last non-null summary payload of any STRICTLY EARLIER
+        # bucket — O(#buckets per key) rows, never O(events).
+        summ = u.groupBy(*keys, "__b__").agg(
+            F.max_by(
+                "__r__",
+                F.when(F.col("__side__") == 0, F.col("__ts__")),
+            ).alias("__lastr__")
+        )
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy("__b__")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        summ = summ.select(
+            *keys,
+            "__b__",
+            F.last("__lastr__", ignorenulls=True)
+            .over(wb)
+            .alias("__carry__"),
+        )
+        matched = (
+            u.join(summ, on=[*keys, "__b__"])
+            .withColumn("__m__", F.coalesce("__ml__", "__carry__"))
+            .filter(F.col("__side__") == 1)
+        )
 
     m: Column = F.col("__m__")
     if tolerance_seconds is not None:

@@ -15,6 +15,7 @@ from .events import (
     read_event_stream,
     windowed_event_counts,
 )
+from .joins import stream_time_range_join
 from .sessionize import sessionize_events
 
 __all__ = [
@@ -26,6 +27,7 @@ __all__ = [
     "read_document_stream",
     "read_event_stream",
     "sessionize_events",
+    "stream_time_range_join",
     "streaming_dedup_exact",
     "windowed_event_counts",
 ]
