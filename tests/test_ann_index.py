@@ -514,3 +514,103 @@ class TestChunkIvfRetrieval:
         assert len(brute_set) > 0
         recall = len(ivf_set & brute_set) / len(brute_set)
         assert recall >= 0.7, recall
+
+
+class TestIvfPqIndex:
+    """IVF-PQ: codes-only storage, ADC scoring, lifecycle parity."""
+
+    def test_stores_codes_not_vectors(self, spark):
+        df = _emb_df(spark, n=200, dim=8)
+        idx = S.build_ivfpq_index(
+            df, "embedding", "vec_id", nlist=4, m=2, nbits=3,
+        )
+        assert idx.kind == "ivfpq"
+        assert set(idx.df.columns) == {"vec_id", "__cell__", "__code__"}
+        row = idx.df.first()
+        assert len(row["__code__"]) == 2  # m ints, no floats
+        assert all(0 <= c < 8 for c in row["__code__"])
+
+    def test_adc_finds_the_right_cluster(self, spark):
+        # PQ collapses every vector in a tight cluster to (nearly) the
+        # same code, so WITHIN-cluster ordering is tie-broken, not
+        # recalled — the guarantee worth testing is that ADC scores
+        # separate clusters: every returned neighbor should come from
+        # the query's cluster, and the ADC score should approximate the
+        # true cosine to within the quantization error.
+        rnd = np.random.RandomState(7)
+        centers = rnd.normal(size=(5, 8)) * 3
+        rows = []
+        vecs = {}
+        for i in range(400):
+            v = centers[i % 5] + rnd.normal(size=8) * 0.3
+            vecs[i] = v
+            rows.append((int(i), [float(x) for x in v]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        queries = df.filter("vec_id < 40")
+        idx = S.build_ivfpq_index(
+            df, "embedding", "vec_id", nlist=5, m=4, nbits=4, seed=7,
+        )
+        approx = S.query_ivfpq_index(idx, queries, k=3, nprobe=2,
+                                     deterministic=True)
+        got = approx.collect()
+        assert len(got) >= 40 * 3
+        same_cluster = 0
+        errs = []
+        for r in got:
+            same_cluster += (r["query_id"] % 5) == (r["neighbor_id"] % 5)
+            q = vecs[r["query_id"]]
+            n = vecs[r["neighbor_id"]]
+            true_cos = float(
+                np.dot(q, n) / (np.linalg.norm(q) * np.linalg.norm(n))
+            )
+            errs.append(abs(r["cosine"] - true_cos))
+        assert same_cluster / len(got) >= 0.95, same_cluster
+        assert float(np.mean(errs)) < 0.05, float(np.mean(errs))
+
+    def test_save_load_roundtrip(self, spark, tmp_path):
+        df = _emb_df(spark, n=150, dim=8)
+        idx = S.build_ivfpq_index(
+            df, "embedding", "vec_id", nlist=4, m=2, nbits=4,
+        )
+        before = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in S.query_ivfpq_index(
+                idx, df, k=2, deterministic=True
+            ).collect()
+        )
+        path = str(tmp_path / "ivfpq_index")
+        idx.save(path)
+        loaded = S.AnnIndex.load(spark, path)
+        assert loaded.kind == "ivfpq"
+        after = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in S.query_ivfpq_index(
+                loaded, df, k=2, deterministic=True
+            ).collect()
+        )
+        assert before == after
+
+    def test_stats_and_compact(self, spark):
+        df = _emb_df(spark, n=100, dim=8)
+        idx = S.build_ivfpq_index(
+            df, "embedding", "vec_id", nlist=4, m=2, nbits=4,
+        )
+        st = idx.stats()
+        assert st["rows"] == 100 and st["ids"] == 100
+        assert st["rows_per_id"] == 1.0
+        compacted = idx.compact(deleted_ids=[0, 1, 2])
+        st2 = compacted.stats()
+        assert st2["ids"] == 97
+
+    def test_kind_mismatch_raises(self, spark):
+        df = _emb_df(spark, n=50, dim=8)
+        ivf = S.build_ivf_index(df, "embedding", "vec_id", nlist=4)
+        with pytest.raises(ValueError, match="ivfpq"):
+            S.query_ivfpq_index(ivf, df)
+
+    def test_dim_not_divisible_raises(self, spark):
+        df = _emb_df(spark, n=50, dim=8)
+        with pytest.raises(ValueError, match="divisible"):
+            S.build_ivfpq_index(df, "embedding", "vec_id", nlist=4, m=3)

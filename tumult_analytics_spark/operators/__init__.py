@@ -77,11 +77,14 @@ from .similarity import (
     AnnIndex,
     brute_force_cosine_topk,
     build_ivf_index,
+    build_ivfpq_index,
     build_lsh_index,
     ivf_cosine_topk,
     lsh_cosine_topk,
     query_ivf_index,
+    query_ivfpq_index,
     query_lsh_index,
+    train_pq_codebooks,
 )
 from .text import (
     bigram_logprob_score,

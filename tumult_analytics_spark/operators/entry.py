@@ -327,6 +327,50 @@ def q_ann_ivf_index_topk(spark, sf_dir):
     )
 
 
+ANN_PQ_M = 4
+ANN_PQ_KSZ = 4  # 2^nbits codebook entries per subspace
+
+
+def q_ann_ivfpq_index_topk(spark, sf_dir):
+    # IVF-PQ (Jegou et al. 2011) through the persisted-index API with
+    # the same deterministic coarse centroids as ann_ivf_topk and fixed
+    # codebooks derived from the first ANN_PQ_KSZ normalized embeddings
+    # (subspace j's entry c = slice j of normalized vec_id=c) — so the
+    # entire encode (argmin-L2 sub-codes) and ADC scoring (per-query
+    # lookup-table sums) replays exactly in SQL. The index stores only
+    # (id, cell, 4 int codes): no corpus floats survive into the query.
+    import numpy as np
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    first = emb.filter(f"vec_id < {ANN_IVF_NLIST}").orderBy("vec_id").collect()
+    cents = [r["embedding"] for r in first]
+    dim = len(cents[0])
+    sub = dim // ANN_PQ_M
+    V = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in first[:ANN_PQ_KSZ]]
+    )
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    cbs = np.stack(
+        [V[:, j * sub : (j + 1) * sub] for j in range(ANN_PQ_M)]
+    )  # (m, ksz, sub)
+    idx = S.build_ivfpq_index(
+        emb, "embedding", "vec_id",
+        nlist=ANN_IVF_NLIST, m=ANN_PQ_M, centroids=cents, codebooks=cbs,
+    )
+    allk = S.query_ivfpq_index(
+        idx, emb, k=3, nprobe=ANN_IVF_NPROBE, deterministic=True, rank_k=10**6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        allk.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("query_id", "neighbor_id", F.col("rnk").alias("rank"))
+    )
+
+
 def q_bpe_token_count(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     tc = X.bpe_ish_token_count(docs, "text")
@@ -2750,6 +2794,99 @@ def _ann_ivf_oracle_sql(
     """
 
 
+def _ann_ivfpq_oracle_sql(
+    nlist: int = ANN_IVF_NLIST,
+    nprobe: int = ANN_IVF_NPROBE,
+    m: int = ANN_PQ_M,
+    ksz: int = ANN_PQ_KSZ,
+    dim: int = 64,
+) -> str:
+    # Replays the full IVF-PQ pipeline: coarse cell assignment (identical
+    # to the IVF oracle), per-subspace argmin-L2 codes on the rounded
+    # surrogate ||cb||^2 - 2 v.cb (the row norm term is constant per
+    # argmin), and ADC scoring as the sum of m per-(query, subspace)
+    # lookup values. All dots are raw-slice inner products divided by
+    # full-vector norms, so no normalized arrays need materializing.
+    sub = dim // m
+    return f"""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cemb
+          FROM embeddings WHERE vec_id < {nlist}
+        ), sim AS (
+          SELECT e.vec_id, c.cid,
+                 round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(c.cemb AS DOUBLE[])), 6) AS cs
+          FROM embeddings e, cents c
+        ), ranked_cells AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, cid) AS rn
+          FROM sim
+        ), assign AS (
+          SELECT vec_id, cid FROM ranked_cells WHERE rn = 1
+        ), probes AS (
+          SELECT vec_id, cid FROM ranked_cells WHERE rn <= {nprobe}
+        ), cb AS (
+          SELECT j.j, e.vec_id AS c,
+                 list_slice(CAST(e.embedding AS DOUBLE[]),
+                            j.j * {sub} + 1, j.j * {sub} + {sub}) AS raw,
+                 sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[]))) AS vn
+          FROM (SELECT unnest(generate_series(0, {m - 1})) AS j) j,
+               embeddings e
+          WHERE e.vec_id < {ksz}
+        ), rowslices AS (
+          SELECT e.vec_id, j.j,
+                 list_slice(CAST(e.embedding AS DOUBLE[]),
+                            j.j * {sub} + 1, j.j * {sub} + {sub}) AS sl,
+                 sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[]))) AS vn
+          FROM embeddings e,
+               (SELECT unnest(generate_series(0, {m - 1})) AS j) j
+        ), codedist AS (
+          SELECT r.vec_id, r.j, b.c,
+                 round(list_inner_product(b.raw, b.raw) / (b.vn * b.vn)
+                       - 2 * list_inner_product(r.sl, b.raw)
+                           / (r.vn * b.vn), 6) AS d
+          FROM rowslices r JOIN cb b ON b.j = r.j
+        ), codes AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d, c) AS rn
+            FROM codedist) WHERE rn = 1
+        ), lut AS (
+          SELECT r.vec_id AS qid, r.j, b.c,
+                 list_inner_product(r.sl, b.raw) / (r.vn * b.vn) AS v
+          FROM rowslices r JOIN cb b ON b.j = r.j
+        ), adc AS (
+          SELECT p.vec_id AS qid, a.vec_id AS nid, p.cid,
+                 round(sum(l.v), 6) AS cs
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+          JOIN codes cd ON cd.vec_id = a.vec_id
+          JOIN lut l ON l.qid = p.vec_id AND l.j = cd.j AND l.c = cd.code
+          GROUP BY 1, 2, 3
+        ), percell AS (
+          SELECT qid, nid, cs,
+                 row_number() OVER (PARTITION BY qid, cid
+                                    ORDER BY cs DESC, nid) AS rn
+          FROM adc
+        ), scored AS (
+          SELECT DISTINCT qid, nid, cs FROM percell WHERE rn <= 3
+        )
+        SELECT qid AS query_id, nid AS neighbor_id,
+               CAST(rnk AS INTEGER) AS "rank"
+        FROM (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cs DESC, nid) AS rnk
+          FROM scored)
+        WHERE rnk <= 3
+    """
+
+
 def _minhash_oracle_sql(
     num_hashes: int = 32,
     bands: int = 8,
@@ -3505,6 +3642,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_index_topk": q_ann_lsh_index_topk,
     "ann_ivf_index_topk": q_ann_ivf_index_topk,
+    "ann_ivfpq_index_topk": q_ann_ivfpq_index_topk,
     "event_hourly_rollup": q_event_hourly_rollup,
     "bpe_token_count": q_bpe_token_count,
     "media_metadata": q_media_metadata,
@@ -3639,6 +3777,7 @@ ORACLES = {
     "ann_ivf_topk": _ann_ivf_oracle_sql(),
     "ann_lsh_index_topk": _ann_lsh_oracle_sql(),
     "ann_ivf_index_topk": _ann_ivf_oracle_sql(),
+    "ann_ivfpq_index_topk": _ann_ivfpq_oracle_sql(),
     "quantize_embeddings": """
         WITH base AS (
           SELECT vec_id,

@@ -391,7 +391,7 @@ class AnnIndex:
             return "__id__", ["__band__"]
         if self.kind == "lsh":
             return self.params["id_column"], ["__t__"]
-        if self.kind == "ivf":
+        if self.kind in ("ivf", "ivfpq"):
             return self.params["id_column"], []
         raise ValueError(f"unknown index kind {self.kind!r}")
 
@@ -406,6 +406,7 @@ class AnnIndex:
             "minhash": ["__band__", "__bh__"],
             "lsh": ["__t__", "__bkt__"],
             "ivf": ["__cell__"],
+            "ivfpq": ["__cell__"],
         }[self.kind]
         row = self.df.agg(
             F.count(F.lit(1)).alias("rows"),
@@ -1031,6 +1032,260 @@ def query_ivf_index(
     )
     id_field = queries.schema[id_column]
     fn = _block_topk_fn(id_column, k, deterministic)
+    cand = (
+        probes.groupBy("__cell__")
+        .cogroup(index.df.groupBy("__cell__"))
+        .applyInPandas(fn, _topk_out_schema(id_field))
+    )
+    best = cand.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    return _rank_topk(best, k, rank_k)
+
+
+# --- IVF-PQ: product-quantized inverted file ------------------------------
+#
+# The memory-bounded ANN shape for 100 TB corpora: the index stores one
+# coarse cell id plus m sub-codes per vector (m bytes at nbits=8) instead
+# of the dim x 4-byte float vector itself — a 64-dim float corpus shrinks
+# ~32x, so a billion-vector index fits in cluster memory / a broadcastable
+# dimension table. Queries score candidates with asymmetric distance
+# computation (ADC): per query, an (m x 2^nbits) lookup table of
+# query-subvector x codebook-entry dot products; a candidate's score is
+# the sum of m table gathers — no corpus floats are ever read at query
+# time. Beyond the reference (its engine has no vector search at all);
+# the algorithm is Jegou et al., "Product Quantization for Nearest
+# Neighbor Search" (TPAMI 2011), re-expressed as Spark primitives.
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    embedding_column: str,
+    m: int = 8,
+    nbits: int = 8,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    codebooks=None,
+):
+    """(m, 2**nbits, dim/m) product-quantization codebooks: per subspace,
+    Lloyd's k-means in plain L2 over the normalized sample's subvectors.
+    Driver-side on a true random sample (same sampling contract as
+    :func:`_ivf_centroids`); pass ``codebooks`` to pin fixed entries for
+    deterministic, SQL-checkable runs."""
+    import numpy as np
+
+    if codebooks is not None:
+        return np.asarray(codebooks, dtype=np.float64)
+    n = corpus.count()
+    frac = min(1.0, (1.2 * sample_size) / max(n, 1))
+    sample = (
+        corpus.select(embedding_column)
+        .sample(fraction=frac, seed=seed)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    ksz = 1 << nbits
+    rnd = np.random.RandomState(seed)
+    cbs = []
+    for j in range(m):
+        Xj = np.ascontiguousarray(X[:, j * sub : (j + 1) * sub])
+        C = Xj[rnd.choice(len(Xj), size=min(ksz, len(Xj)), replace=False)].copy()
+        for _ in range(8):
+            d = (C**2).sum(axis=1)[None, :] - 2.0 * (Xj @ C.T)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(C)):
+                members = Xj[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        if len(C) < ksz:  # degenerate tiny sample: pad unused entries
+            C = np.vstack([C, np.zeros((ksz - len(C), sub))])
+        cbs.append(C)
+    return np.stack(cbs)
+
+
+def _pq_encode_assign(
+    df: DataFrame,
+    embedding_column: str,
+    id_column: str,
+    bc_C,
+    bc_CB,
+) -> DataFrame:
+    """One Arrow pass: (id, __cell__, __code__ array<int>) — nearest
+    coarse cell (round-6 + lowest-index ties, matching
+    :func:`_ivf_assign`) and per-subspace argmin-L2 codes on the rounded
+    distance surrogate ``||cb||^2 - 2 q.cb`` (the row's own norm term is
+    constant per argmin, so dropping it changes nothing and keeps the
+    SQL replay to one inner product per (row, entry))."""
+    import numpy as np
+    import pandas as pd
+
+    id_field = df.schema[id_column]
+    schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType, True),
+            T.StructField("__cell__", T.IntegerType(), True),
+            T.StructField("__code__", T.ArrayType(T.IntegerType()), True),
+        ]
+    )
+
+    def kernel(batches):
+        cents = bc_C.value
+        CB = bc_CB.value  # (m, ksz, sub)
+        m, _, sub = CB.shape
+        cbn = (CB**2).sum(axis=2)  # (m, ksz)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_field.name, "__cell__", "__code__"])
+                continue
+            M = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            S = np.round(M @ cents.T, 6)
+            # lowest centroid index wins rounded ties (argmax returns the
+            # first maximal entry).
+            cell = np.argmax(S, axis=1).astype(np.int32)
+            codes = np.empty((len(M), m), dtype=np.int32)
+            for j in range(m):
+                D = cbn[j][None, :] - 2.0 * (M[:, j * sub : (j + 1) * sub] @ CB[j].T)
+                codes[:, j] = np.argmin(np.round(D, 6), axis=1)
+            yield pd.DataFrame(
+                {
+                    id_field.name: pdf[id_column].to_numpy(),
+                    "__cell__": cell,
+                    "__code__": list(codes),
+                }
+            )
+
+    return df.select(id_column, embedding_column).mapInPandas(kernel, schema)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    embedding_column: str,
+    id_column: str,
+    nlist: Optional[int] = 32,
+    m: int = 8,
+    nbits: int = 8,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    centroids=None,
+    codebooks=None,
+    materialize: bool = True,
+) -> AnnIndex:
+    """Build an IVF-PQ index: coarse quantizer + per-subspace codebooks
+    (both trained on a driver-side sample unless pinned), then ONE Arrow
+    pass over the corpus emitting (id, cell, m sub-codes). The stored
+    table carries NO embedding floats — m small ints per row — which is
+    the point: at 10^9 vectors x 64 dims the float corpus is ~256 GB,
+    the PQ codes ~8 GB (m=8), broadcastable shard-by-shard. Centroids
+    and codebooks ride in ``params`` (m x 2^nbits x dim/m floats — KBs),
+    so ``save``/``load`` round-trips fully self-contained."""
+    if nlist is None:
+        nlist = _auto_nlist(corpus.count())
+    cents = _ivf_centroids(
+        corpus, embedding_column, nlist, sample_size, seed, centroids
+    )
+    CB = train_pq_codebooks(
+        corpus, embedding_column, m, nbits, sample_size, seed, codebooks
+    )
+    sc = corpus.sparkSession.sparkContext
+    bc_C = sc.broadcast(cents)
+    bc_CB = sc.broadcast(CB)
+    coded = _pq_encode_assign(
+        corpus.select(id_column, embedding_column),
+        embedding_column,
+        id_column,
+        bc_C,
+        bc_CB,
+    )
+    if materialize:
+        coded = coded.localCheckpoint(eager=True)
+    params = {
+        "embedding_column": embedding_column,
+        "id_column": id_column,
+        "centroids": [[float(v) for v in row] for row in cents],
+        "codebooks": [
+            [[float(v) for v in e] for e in book] for book in CB
+        ],
+    }
+    return AnnIndex("ivfpq", coded, params)
+
+
+def _pq_block_topk_fn(id_column: str, k: int, bc_CB, deterministic: bool):
+    """Cogrouped (queries x corpus-cell) ADC top-k: per group, one
+    (|Q| x 2^nbits) lookup table per subspace, scored with m gathers —
+    the corpus side contributes only int codes."""
+    import numpy as np
+    import pandas as pd
+
+    def block_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+        CB = bc_CB.value
+        m, _, sub = CB.shape
+        Q = np.stack(qpdf["__nv__"].to_numpy())
+        Cd = np.stack(cpdf["__code__"].to_numpy()).astype(np.int64)
+        S = np.zeros((len(Q), len(Cd)))
+        for j in range(m):
+            lut = Q[:, j * sub : (j + 1) * sub] @ CB[j].T  # (|Q|, ksz)
+            S += lut[:, Cd[:, j]]
+        qids = qpdf[id_column].to_numpy()
+        cids = cpdf[id_column].to_numpy()
+        S[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+        kk = min(k, S.shape[1])
+        idx = _topk_indices(S, cids, kk, deterministic)
+        flat = idx.ravel()
+        rows = np.repeat(np.arange(len(qids)), kk)
+        keep = np.isfinite(S[rows, flat])
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kk)[keep],
+                "neighbor_id": cids[flat][keep],
+                "cosine": S[rows, flat][keep],
+            }
+        )
+
+    return block_topk
+
+
+def query_ivfpq_index(
+    index: AnnIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    deterministic: bool = False,
+    rank_k=None,
+) -> DataFrame:
+    """Top-k ADC search against a prebuilt IVF-PQ index: assign only the
+    QUERY rows to their ``nprobe`` nearest cells (broadcast centroids),
+    cogroup with the stored code table, score via per-query lookup
+    tables, rank. The returned ``cosine`` column is the ADC estimate
+    ``q-hat . reconstruction(codes)`` of the true cosine (exact rank
+    cross-checks live in tests; the estimate's bias is the quantization
+    error of the codebooks)."""
+    import numpy as np
+
+    if index.kind != "ivfpq":
+        raise ValueError(f"expected an ivfpq index, got {index.kind!r}")
+    p = index.params
+    id_column = p["id_column"]
+    sc = queries.sparkSession.sparkContext
+    bc_C = sc.broadcast(np.asarray(p["centroids"], dtype=np.float64))
+    bc_CB = sc.broadcast(np.asarray(p["codebooks"], dtype=np.float64))
+    probes = _ivf_assign(
+        queries.select(id_column, p["embedding_column"]),
+        p["embedding_column"],
+        id_column,
+        bc_C,
+        nprobe,
+    )
+    id_field = queries.schema[id_column]
+    fn = _pq_block_topk_fn(id_column, k, bc_CB, deterministic)
     cand = (
         probes.groupBy("__cell__")
         .cogroup(index.df.groupBy("__cell__"))
