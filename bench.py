@@ -108,6 +108,14 @@ def main() -> None:
         timings[name] = round(best, 3)
         if best > 0:
             total += best
+        # Per-query progress on stderr: long sessions (sf1/sf10 scaling
+        # runs take 30+ min) are otherwise a black box, and a straggler
+        # can't be attributed to a query without this line.
+        print(
+            f"# done {name}: {best:.3f}s ({len(runs)} runs)",
+            file=sys.stderr,
+            flush=True,
+        )
 
     # "sf0.1" -> 0.1, ".sf1" -> 1 (lstrip dots so a hidden dir like
     # .sf1 doesn't parse as ".1" = 0.1).

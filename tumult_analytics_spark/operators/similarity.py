@@ -30,6 +30,15 @@ from pyspark.sql import types as T
 #: They are exact oracles, O(|corpus|) driver memory — refuse beyond this.
 BRUTE_FORCE_MAX_ROWS = 200_000
 
+#: Query-row block size for the brute-force matmuls. The similarity
+#: matrix is materialized one (block x corpus) slice at a time, so peak
+#: temp memory per task is _BRUTE_SLICE * corpus * 8 bytes (~0.8 GB at
+#: the 200k-row guard limit) no matter how large the Arrow batch is.
+#: Without this, a 10k-row Arrow batch against a 200k corpus allocates
+#: a 16 GB float64 matrix PER TASK — 32 local threads then swap the box
+#: (measured: a 33-minute straggler at sf10 with 23 GB worker RSS).
+_BRUTE_SLICE = 512
+
 
 def _guard_brute_force(df: DataFrame, max_rows: int, op: str) -> None:
     n = df.count()
@@ -160,20 +169,25 @@ def brute_force_cosine_topk(
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
                 continue
-            Q = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
-            Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-            S = Q @ Cm.T  # (q, corpus)
-            qids = pdf[id_column].to_numpy()
-            self_mask = qids[:, None] == ids_c[None, :]
-            S[self_mask] = -np.inf
-            kk = min(k, S.shape[1] - 1)
-            idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
-            rows = {
-                "query_id": np.repeat(qids, kk),
-                "neighbor_id": ids_c[idx.ravel()],
-                "cosine": S[np.repeat(np.arange(len(qids)), kk), idx.ravel()],
-            }
-            yield pd.DataFrame(rows)
+            Qa = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
+            Qa = Qa / np.maximum(np.linalg.norm(Qa, axis=1, keepdims=True), 1e-12)
+            qids_a = pdf[id_column].to_numpy()
+            for s in range(0, len(qids_a), _BRUTE_SLICE):
+                Q = Qa[s : s + _BRUTE_SLICE]
+                qids = qids_a[s : s + _BRUTE_SLICE]
+                S = Q @ Cm.T  # (block, corpus)
+                self_mask = qids[:, None] == ids_c[None, :]
+                S[self_mask] = -np.inf
+                kk = min(k, S.shape[1] - 1)
+                idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+                rows = {
+                    "query_id": np.repeat(qids, kk),
+                    "neighbor_id": ids_c[idx.ravel()],
+                    "cosine": S[
+                        np.repeat(np.arange(len(qids)), kk), idx.ravel()
+                    ],
+                }
+                yield pd.DataFrame(rows)
 
     scored = qdf.select(id_column, embedding_column).mapInPandas(kernel, out_schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -726,14 +740,19 @@ def _cosine_pairs_brute(
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=["id_a", "id_b", "cosine"])
                 continue
-            Q = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
-            Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-            qids = pdf[id_column].to_numpy()
-            S = Q @ Cm.T
-            qi, ci = np.where((S >= threshold) & (qids[:, None] < ids_c[None, :]))
-            yield pd.DataFrame(
-                {"id_a": qids[qi], "id_b": ids_c[ci], "cosine": S[qi, ci]}
-            )
+            Qa = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
+            Qa = Qa / np.maximum(np.linalg.norm(Qa, axis=1, keepdims=True), 1e-12)
+            qids_a = pdf[id_column].to_numpy()
+            for s in range(0, len(qids_a), _BRUTE_SLICE):
+                Q = Qa[s : s + _BRUTE_SLICE]
+                qids = qids_a[s : s + _BRUTE_SLICE]
+                S = Q @ Cm.T
+                qi, ci = np.where(
+                    (S >= threshold) & (qids[:, None] < ids_c[None, :])
+                )
+                yield pd.DataFrame(
+                    {"id_a": qids[qi], "id_b": ids_c[ci], "cosine": S[qi, ci]}
+                )
 
     return df.select(id_column, embedding_column).mapInPandas(kernel, out_schema)
 
