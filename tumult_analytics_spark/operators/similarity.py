@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..utils import spread_rows
+
 #: Default ceiling for driver-side collects in the brute-force paths.
 #: They are exact oracles, O(|corpus|) driver memory — refuse beyond this.
 BRUTE_FORCE_MAX_ROWS = 200_000
@@ -124,7 +126,9 @@ def _normalize_and_bucket(
                 out[f"__b{t}__"] = (signs * pw).sum(axis=1).astype(np.int32)
             yield pd.DataFrame(out)
 
-    return df.select(id_column, embedding_column).mapInPandas(kernel, out_schema)
+    return spread_rows(df.select(id_column, embedding_column)).mapInPandas(
+        kernel, out_schema
+    )
 
 
 def brute_force_cosine_topk(
@@ -189,7 +193,9 @@ def brute_force_cosine_topk(
                 }
                 yield pd.DataFrame(rows)
 
-    scored = qdf.select(id_column, embedding_column).mapInPandas(kernel, out_schema)
+    scored = spread_rows(qdf.select(id_column, embedding_column)).mapInPandas(
+        kernel, out_schema
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -754,7 +760,9 @@ def _cosine_pairs_brute(
                     {"id_a": qids[qi], "id_b": ids_c[ci], "cosine": S[qi, ci]}
                 )
 
-    return df.select(id_column, embedding_column).mapInPandas(kernel, out_schema)
+    return spread_rows(df.select(id_column, embedding_column)).mapInPandas(
+        kernel, out_schema
+    )
 
 
 #: Target mean rows per LSH bucket when bits is auto-derived. The
@@ -976,7 +984,7 @@ def _ivf_assign(
                 }
             )
 
-    return df.select(id_column, embedding_column).mapInPandas(
+    return spread_rows(df.select(id_column, embedding_column)).mapInPandas(
         kernel, assigned_schema
     )
 
@@ -1180,7 +1188,9 @@ def _pq_encode_assign(
                 }
             )
 
-    return df.select(id_column, embedding_column).mapInPandas(kernel, schema)
+    return spread_rows(df.select(id_column, embedding_column)).mapInPandas(
+        kernel, schema
+    )
 
 
 def build_ivfpq_index(

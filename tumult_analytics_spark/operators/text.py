@@ -721,7 +721,12 @@ def hashed_doc_vectors(
         return pd.Series(out)
 
     _udf = pandas_udf(_vec_fn, "array<long>")
-    return df.withColumn(output_column, _udf(F.col(text_column)))
+    # Per-token python hashing is the expensive part — make sure a
+    # single-file scan doesn't serialize it on one core (no-op on wide
+    # scans; see utils.spread_rows).
+    from ..utils import spread_rows
+
+    return spread_rows(df).withColumn(output_column, _udf(F.col(text_column)))
 
 
 def tfidf_top_terms(
