@@ -944,6 +944,69 @@ class TestProgressiveJpeg:
                 total += int(np.clip(np.round(blk + 128.0), 0, 255).sum())
             assert rec == (h, w, 1, total)
 
+    def test_subsampled_420_matches_444(self):
+        # 4:2:0 progressive: interleaved 4-luma+Cb+Cr DC MCUs, chroma
+        # AC bands over the chroma block count. Neutral chroma means
+        # the decode must be pixel-identical to the 4:4:4 progression
+        # AND to the baseline 4:2:0 encoding of the same seed.
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_jpeg,
+            synthesize_jpeg,
+            synthesize_progressive_jpeg,
+        )
+
+        for w, h, seed in [(16, 16, 0), (32, 16, 3), (48, 32, 7)]:
+            p420 = _decode_jpeg(
+                synthesize_progressive_jpeg(
+                    w, h, seed, color=True, subsampling="420"
+                )
+            )
+            p444 = _decode_jpeg(
+                synthesize_progressive_jpeg(w, h, seed, color=True)
+            )
+            b420 = _decode_jpeg(
+                synthesize_jpeg(w, h, seed, color=True, subsampling="420")
+            )
+            assert p420 is not None and p420[2] == 3
+            assert p420 == p444 == b420
+
+    def test_subsampled_420_successive_approximation(self):
+        # The DC refinement bits must follow the interleaved MCU order
+        # (4 luma bits then 2 chroma bits per MCU), not block raster —
+        # wrong ordering scrambles which blocks get +1.
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_jpeg,
+            synthesize_progressive_jpeg,
+        )
+
+        for w, h, seed in [(16, 16, 5), (32, 32, 9), (48, 16, 2)]:
+            s420 = _decode_jpeg(
+                synthesize_progressive_jpeg(
+                    w, h, seed, successive=True, color=True,
+                    subsampling="420",
+                )
+            )
+            s444 = _decode_jpeg(
+                synthesize_progressive_jpeg(
+                    w, h, seed, successive=True, color=True
+                )
+            )
+            assert s420 is not None
+            assert s420 == s444
+
+    def test_subsampled_420_truncation_fuzz(self):
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_jpeg,
+            synthesize_progressive_jpeg,
+        )
+
+        buf = synthesize_progressive_jpeg(
+            32, 16, 7, color=True, subsampling="420"
+        )
+        for cut in range(0, len(buf), 5):
+            rec = _decode_jpeg(buf[:cut])
+            assert rec is None or isinstance(rec, tuple)
+
     def test_dispatcher_routes_progressive(self, spark):
         from tumult_analytics_spark.operators.multimodal import (
             synthesize_progressive_jpeg,

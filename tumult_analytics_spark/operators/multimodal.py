@@ -9,7 +9,7 @@ and G.711 mu-law WAV; ``sample_video_frames`` samples the codec-free
 raw-RGB24 container (``RVID``); ``audio_frame_features`` and
 ``dhash_images`` compute frame/fingerprint features on the decoded data.
 All value-checked against SQL oracles. Codec-library formats (mp3/mp4/
-progressive JPEG/webp) plug into the same mapInPandas kernels. The
+webp) plug into the same mapInPandas kernels. The
 Spark-side plumbing is real and tested throughout: schemas, Arrow batch
 shapes, mapInPandas signatures, and partition-size hygiene.
 
@@ -634,7 +634,7 @@ def synthesize_jpeg(
 
 def synthesize_progressive_jpeg(
     width: int, height: int, seed: int, successive: bool = False,
-    color: bool = False,
+    color: bool = False, subsampling: str = "444",
 ) -> bytes:
     """A real, spec-conformant PROGRESSIVE grayscale JPEG (SOF2).
 
@@ -653,13 +653,32 @@ def synthesize_progressive_jpeg(
     every progressive entropy path; pixel values are no longer
     closed-form (AC cosines round per pixel), so tests compare against
     an independent IDCT reference instead of SQL.
+
+    ``subsampling="420"`` (color only, dimensions multiples of 16):
+    2x2-sampled luma with 1x1 chroma — the DC scans interleave 4 luma
+    data units + Cb + Cr per MCU (T.81 A.2.3) while the AC scans stay
+    single-component over each component's natural block raster; the
+    luma DC formula still indexes the FULL-resolution raster block
+    grid and chroma stays neutral, so the decoded image is pixel-
+    identical to the 4:4:4 progression of the same seed.
     """
     import struct
 
-    if width % 8 or height % 8 or width <= 0 or height <= 0:
-        raise ValueError("width and height must be positive multiples of 8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling == "420" and not color:
+        raise ValueError("4:2:0 requires color=True")
+    mult = 16 if subsampling == "420" else 8
+    if width % mult or height % mult or width <= 0 or height <= 0:
+        raise ValueError(
+            f"width and height must be positive multiples of {mult}"
+        )
     bw, bh = width // 8, height // 8
     nblocks = bw * bh
+    # Chroma block count for the single-component AC band scans.
+    cblocks = (
+        (width // 16) * (height // 16) if subsampling == "420" else nblocks
+    )
     dcs = []
     acs = []
     for b in range(nblocks):
@@ -697,6 +716,8 @@ def synthesize_progressive_jpeg(
         sym, r, ebits = eobn(nblocks)
         band_head = (sym, ebits, r)
         ac_syms = {sym}
+    if color:  # chroma band scans need their own EOBn length
+        ac_syms |= {eobn(cblocks)[0]}
     ac_vals = sorted(ac_syms)
     ac_bits = [0] * 16
     ac_bits[7] = len(ac_vals)  # flat table: every symbol 8 bits
@@ -708,8 +729,9 @@ def synthesize_progressive_jpeg(
     out += b"\xff\xc2" + struct.pack(
         ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
     )
+    luma_sampling = 0x22 if subsampling == "420" else 0x11
     for ci in range(ncomp):
-        out += bytes([ci + 1, 0x11, 0])
+        out += bytes([ci + 1, luma_sampling if ci == 0 else 0x11, 0])
     for cls, bits, vals in (
         (0, _JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS),
         (1, tuple(ac_bits), tuple(ac_vals)),
@@ -729,29 +751,46 @@ def synthesize_progressive_jpeg(
 
     zero_code, zero_len = dc_codes[0]
 
+    def mcu_luma_groups():
+        # Full-resolution luma block indices grouped per MCU in the
+        # interleaved DC-scan order: one block per MCU at 4:4:4, the
+        # 2x2 raster within each 16x16 MCU at 4:2:0.
+        if subsampling == "420":
+            for my in range(height // 16):
+                for mx in range(width // 16):
+                    yield [
+                        (my * 2 + by) * bw + (mx * 2 + bx)
+                        for by in range(2)
+                        for bx in range(2)
+                    ]
+        else:
+            for b in range(nblocks):
+                yield [b]
+
     def dc_scan(al: int) -> "_BitWriter":
-        # Interleaved when color: per MCU (= one block at 4:4:4) the
-        # luma DC diff then two neutral-chroma (zero-diff) DCs.
+        # Interleaved when color: per MCU the luma DC diffs (vi x hi
+        # data units) then two neutral-chroma (zero-diff) DCs.
         w = _BitWriter()
         prev = 0
-        for b in range(nblocks):
-            sv = dcs[b] >> al
-            diff = sv - prev
-            prev = sv
-            cat = size_of(diff)
-            code, length = dc_codes[cat]
-            w.write(code, length)
-            if cat:
-                w.write(amp_of(diff, cat), cat)
+        for group in mcu_luma_groups():
+            for b in group:
+                sv = dcs[b] >> al
+                diff = sv - prev
+                prev = sv
+                cat = size_of(diff)
+                code, length = dc_codes[cat]
+                w.write(code, length)
+                if cat:
+                    w.write(amp_of(diff, cat), cat)
             if color:  # Cb, Cr: DC stays 0 -> category 0, no bits
                 w.write(zero_code, zero_len)
                 w.write(zero_code, zero_len)
         return w
 
-    def eob_band() -> "_BitWriter":
+    def eob_band(n: int) -> "_BitWriter":
         # A whole-band scan that is one EOBn run across every block.
         w = _BitWriter()
-        sym, r, ebits = eobn(nblocks)
+        sym, r, ebits = eobn(n)
         code, length = ac_codes[sym]
         w.write(code, length)
         if r:
@@ -761,14 +800,15 @@ def synthesize_progressive_jpeg(
     all_ids = list(range(1, ncomp + 1))
     if not successive:
         sos(all_ids, 0, 0, 0, 0, dc_scan(0))
-        sos([1], 1, 63, 0, 0, eob_band())
+        sos([1], 1, 63, 0, 0, eob_band(nblocks))
         for cid in all_ids[1:]:
-            sos([cid], 1, 63, 0, 0, eob_band())
+            sos([cid], 1, 63, 0, 0, eob_band(cblocks))
     else:
         sos(all_ids, 0, 0, 0, 1, dc_scan(1))
         w = _BitWriter()  # DC refinement: Al=0 bit per (block, comp)
-        for b in range(nblocks):
-            w.write(dcs[b] & 1, 1)
+        for group in mcu_luma_groups():
+            for b in group:
+                w.write(dcs[b] & 1, 1)
             if color:
                 w.write(0, 1)
                 w.write(0, 1)
@@ -790,8 +830,8 @@ def synthesize_progressive_jpeg(
             w.write(acs[b] & 1, 1)  # one nonzero AC per block
         sos([1], 1, 63, 1, 0, w)
         for cid in all_ids[1:]:  # chroma bands: all zero, two scans
-            sos([cid], 1, 63, 0, 1, eob_band())
-            sos([cid], 1, 63, 1, 0, eob_band())
+            sos([cid], 1, 63, 0, 1, eob_band(cblocks))
+            sos([cid], 1, 63, 1, 0, eob_band(cblocks))
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -815,21 +855,28 @@ def _decode_jpeg(buf: bytes):
 
 def _decode_jpeg_progressive_unsafe(buf: bytes):
     """(height, width, channels, pixel_sum) for a PROGRESSIVE JPEG
-    (SOF2, 8-bit, grayscale or 4:4:4 YCbCr color, no restart markers)
-    — or None.
+    (SOF2, 8-bit, grayscale or YCbCr color at 4:4:4 / 4:2:0 / 4:2:2
+    sampling, no restart markers) — or None.
 
     Implements the full progressive entropy model of T.81 G.2: the
     per-component coefficient arrays accumulate across scans — DC
-    first (diff-coded, point-transformed by Al, interleaved or
-    single-component) and DC refinement (one bit per block), AC first
-    (run-length with EOBn end-of-band RUNS across blocks; AC scans are
-    always single-component per spec) and AC refinement (correction
-    bits for nonzero-history coefficients, new +-1<<Al insertions, EOB
-    runs carrying correction bits) — then dequantizes and runs the
-    exact float64 IDCT once at the end, with BT.601 conversion for
-    color. Subsampled color progressive, arithmetic coding, and
+    first (diff-coded, point-transformed by Al, interleaved over MCUs
+    with vi x hi data units per component, or single-component over
+    the component's natural block raster) and DC refinement (one bit
+    per block), AC first (run-length with EOBn end-of-band RUNS across
+    blocks; AC scans are always single-component per spec) and AC
+    refinement (correction bits for nonzero-history coefficients, new
+    +-1<<Al insertions, EOB runs carrying correction bits) — then
+    dequantizes and runs the exact float64 IDCT once at the end, with
+    box chroma upsampling (same non-normative choice as the baseline
+    decoder) and BT.601 conversion for color. Arithmetic coding and
     restart markers stay codec-library territory: None, and the
     :func:`register_image_codec` seam takes over.
+
+    Subsampled geometry (T.81 A.1.1/A.2.3): interleaved scans address
+    each component's PADDED grid (mcuy*vi x mcux*hi blocks, including
+    dummy edge blocks); non-interleaved scans address the NATURAL grid
+    (ceil(comp_size/8) per axis) laid out inside the padded rows.
     """
     import struct
 
@@ -889,15 +936,31 @@ def _decode_jpeg_progressive_unsafe(buf: bytes):
             for ci in range(ncomp):
                 cid = data[6 + 3 * ci]
                 sampling = data[7 + 3 * ci]
-                if sampling != 0x11:
-                    return None  # subsampled progressive: codec library
-                comps.append((cid, data[8 + 3 * ci]))
+                hi, vi = sampling >> 4, sampling & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    return None
+                comps.append((cid, hi, vi, data[8 + 3 * ci]))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                return None
             comp_ids = [c[0] for c in comps]
-            bw = (w + 7) // 8
-            bh = (h + 7) // 8
-            frame = (h, w, comps, bw, bh)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            # Padded grid (interleaved addressing, incl. edge dummies)
+            # and natural grid (non-interleaved addressing).
+            pbw = [mcux * hi for (_, hi, _, _) in comps]
+            pbh = [mcuy * vi for (_, _, vi, _) in comps]
+            nbw = [
+                (-(-(w * hi) // hmax) + 7) // 8 for (_, hi, _, _) in comps
+            ]
+            nbh = [
+                (-(-(h * vi) // vmax) + 7) // 8 for (_, _, vi, _) in comps
+            ]
+            frame = (h, w, comps)
             coef = [
-                np.zeros((bw * bh, 64), dtype=np.int64) for _ in comps
+                np.zeros((pbh[ci] * pbw[ci], 64), dtype=np.int64)
+                for ci in range(ncomp)
             ]
             dc_pred = [0] * ncomp
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -919,13 +982,34 @@ def _decode_jpeg_progressive_unsafe(buf: bytes):
             off = 1 + 2 * ns
             ss, se = data[off], data[off + 1]
             ah, al = data[off + 2] >> 4, data[off + 2] & 0xF
-            nblocks = coef[0].shape[0]
             reader = _BitReader(buf, pos + seglen)
+
+            def dc_order():
+                # Entropy order of (scan position, comp, padded block):
+                # interleaved scans walk MCUs in raster, vi x hi data
+                # units per component (T.81 A.2.3); a single-component
+                # scan walks the component's natural block raster.
+                if len(sel) > 1:
+                    for m in range(mcuy * mcux):
+                        my, mx = divmod(m, mcux)
+                        for si, (ci, _, _) in enumerate(sel):
+                            _, hi, vi, _ = comps[ci]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    yield si, ci, (
+                                        (my * vi + by) * pbw[ci]
+                                        + mx * hi
+                                        + bx
+                                    )
+                else:
+                    ci = sel[0][0]
+                    for by in range(nbh[ci]):
+                        for bx in range(nbw[ci]):
+                            yield 0, ci, by * pbw[ci] + bx
+
             if ss == 0:
                 if se != 0:
                     return None
-                # DC scan — interleaved over MCUs (1 block per comp at
-                # 4:4:4) or single-component.
                 if ah == 0:
                     tabs = []
                     for ci, td, _ in sel:
@@ -933,18 +1017,16 @@ def _decode_jpeg_progressive_unsafe(buf: bytes):
                         if t is None:
                             return None
                         tabs.append(t)
-                    for b in range(nblocks):
-                        for (ci, _, _), t in zip(sel, tabs):
-                            cat = reader.read_huff(t)
-                            dc_pred[ci] += _jpeg_extend(
-                                reader.read_bits(cat), cat
-                            )
-                            coef[ci][b, 0] = dc_pred[ci] << al
+                    for si, ci, b in dc_order():
+                        cat = reader.read_huff(tabs[si])
+                        dc_pred[ci] += _jpeg_extend(
+                            reader.read_bits(cat), cat
+                        )
+                        coef[ci][b, 0] = dc_pred[ci] << al
                 else:
-                    for b in range(nblocks):
-                        for ci, _, _ in sel:
-                            if reader.read_bit():
-                                coef[ci][b, 0] |= 1 << al
+                    for _, ci, b in dc_order():
+                        if reader.read_bit():
+                            coef[ci][b, 0] |= 1 << al
             else:
                 # AC scans cover exactly one component (T.81 G.1.1.1).
                 if ns != 1 or se > 63 or ss > se:
@@ -954,9 +1036,14 @@ def _decode_jpeg_progressive_unsafe(buf: bytes):
                 if ac_tab is None:
                     return None
                 cf = coef[ci]
+                nat_order = [
+                    by * pbw[ci] + bx
+                    for by in range(nbh[ci])
+                    for bx in range(nbw[ci])
+                ]
                 eobrun = 0
                 if ah == 0:  # AC first scan for this band
-                    for b in range(nblocks):
+                    for b in nat_order:
                         if eobrun:
                             eobrun -= 1
                             continue
@@ -981,7 +1068,7 @@ def _decode_jpeg_progressive_unsafe(buf: bytes):
                             k += 1
                 else:  # AC refinement (T.81 G.2 / jdphuff semantics)
                     p1, m1 = 1 << al, -(1 << al)
-                    for b in range(nblocks):
+                    for b in nat_order:
                         k = ss
                         if eobrun == 0:
                             while k <= se:
@@ -1028,31 +1115,40 @@ def _decode_jpeg_progressive_unsafe(buf: bytes):
         pos += seglen
     if frame is None:
         return None
-    h, w, comps, bw, bh = frame
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     M = _idct_matrix()
     planes = []
-    for ci, (_, ctq) in enumerate(comps):
+    for ci, (_, hi, vi, ctq) in enumerate(comps):
         if ctq not in qtables:
             return None
         q = qtables[ctq]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        plane = np.zeros((pbh[ci] * 8, pbw[ci] * 8), dtype=np.float64)
         for b in range(coef[ci].shape[0]):
             cz = np.zeros(64, dtype=np.float64)
             cz[list(_JPEG_ZIGZAG)] = coef[ci][b] * q
             block = M @ cz.reshape(8, 8) @ M.T
-            by, bx = divmod(b, bw)
+            by, bx = divmod(b, pbw[ci])
             plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-        planes.append(plane[:h, :w] + 128.0)
+        # Crop to the component's NATURAL size, round at component
+        # resolution (same point the baseline decoder rounds), then
+        # box-upsample subsampled chroma by pixel replication.
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        p = np.clip(np.round(plane[:ch, :cw] + 128.0), 0, 255)
+        if hi != hmax or vi != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(p[:h, :w])
     if len(planes) == 1:
-        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.int64)
-        return h, w, 1, int(gray.sum())
-    # JFIF YCbCr -> RGB (BT.601 full range) — same math as baseline,
-    # but from UNROUNDED planes (the per-component rounding happens
-    # only on the final RGB like the baseline path does on Y/Cb/Cr...
-    # match baseline exactly: round each component plane first).
-    Y = np.clip(np.round(planes[0]), 0, 255).astype(np.float64)
-    Cb = np.clip(np.round(planes[1]), 0, 255).astype(np.float64) - 128.0
-    Cr = np.clip(np.round(planes[2]), 0, 255).astype(np.float64) - 128.0
+        return h, w, 1, int(planes[0].astype(np.int64).sum())
+    # JFIF YCbCr -> RGB (BT.601 full range), rounded and clamped —
+    # same math as the baseline path.
+    Y = planes[0]
+    Cb = planes[1] - 128.0
+    Cr = planes[2] - 128.0
     r = np.clip(np.round(Y + 1.402 * Cr), 0, 255)
     g = np.clip(np.round(Y - 0.344136 * Cb - 0.714136 * Cr), 0, 255)
     b = np.clip(np.round(Y + 1.772 * Cb), 0, 255)
@@ -1570,17 +1666,17 @@ def decode_image(df: DataFrame, binary_column: str) -> DataFrame:
     gray+alpha / RGBA, full Sub/Up/Average/Paeth unfiltering via stdlib
     ``zlib``), baseline JPEG (canonical-Huffman entropy decode,
     dequantize, exact IDCT; grayscale and 4:4:4/4:2:0 color),
-    PROGRESSIVE JPEG (SOF2 multi-scan, grayscale and 4:4:4 color:
-    spectral selection, successive approximation with DC/AC refinement
-    and EOB runs, interleaved DC scans),
+    PROGRESSIVE JPEG (SOF2 multi-scan, grayscale and 4:4:4/4:2:0/4:2:2
+    color: spectral selection, successive approximation with DC/AC
+    refinement and EOB runs, interleaved subsampled DC scans),
     non-interlaced GIF (real LZW decode, global/local color tables),
     24-bit BMP, and binary PPM (P6).
     ``pixel_sum`` (sum of all decoded sample bytes) proves the decoder
     walks the actual pixel data — PNG unfiltering, JPEG entropy/IDCT,
     BMP row padding, and the bottom-up flip all have to be right for it
-    to match. Unrecognized payloads (16-bit/interlaced PNG, subsampled
-    color progressive JPEG, arithmetic-coded JPEG — codec-library
-    territory) decode to nulls —
+    to match. Unrecognized payloads (16-bit/interlaced PNG,
+    arithmetic-coded or restart-marker progressive JPEG —
+    codec-library territory) decode to nulls —
     unless a codec registered via :func:`register_image_codec` claims
     them (injected codecs are tried first, so a library decoder can
     also override a built-in format wholesale).
