@@ -300,22 +300,41 @@ def q_ann_lsh_index_topk(spark, sf_dir):
     )
 
 
+ANN_INDEX_QUERY_CAP = 2000  # fixed query batch for the index queries
+
+
+def _auto_oracle_nlist(n: int) -> int:
+    """~sqrt(n) coarse cells, floored at ANN_IVF_NLIST — the production
+    `_auto_nlist` scaling made SQL-replayable (the oracle recomputes it
+    as greatest(16, ceil(sqrt(count(*))))), so cell sizes stay ~sqrt(n)
+    at every sf instead of n/16."""
+    import math
+
+    return max(ANN_IVF_NLIST, math.ceil(math.sqrt(n)))
+
+
 def q_ann_ivf_index_topk(spark, sf_dir):
-    # IVF through the persisted-index API with the same deterministic
-    # centroids as ann_ivf_topk: build once (cells materialized), query
-    # many. Shares ann_ivf_topk's SQL oracle.
+    # IVF through the persisted-index API with deterministic centroids
+    # (the embeddings of vec_id < nlist, nlist = max(16, ceil(sqrt(n)))
+    # recomputed identically by the SQL oracle): build once (cells
+    # materialized), then query a FIXED batch of 2000 queries — the
+    # build-once/query-many contract where per-query cost is
+    # nprobe * |corpus|/nlist ~ sqrt(n), sublinear per decade.
     from pyspark.sql import Window
 
     emb = _read(spark, sf_dir, "embeddings")
+    nlist = _auto_oracle_nlist(emb.count())
     cents = [
         r["embedding"]
-        for r in emb.filter(f"vec_id < {ANN_IVF_NLIST}").orderBy("vec_id").collect()
+        for r in emb.filter(f"vec_id < {nlist}").orderBy("vec_id").collect()
     ]
     idx = S.build_ivf_index(
-        emb, "embedding", "vec_id", nlist=ANN_IVF_NLIST, centroids=cents
+        emb, "embedding", "vec_id", nlist=nlist, centroids=cents
     )
+    queries = emb.filter(f"vec_id < {ANN_INDEX_QUERY_CAP}")
     allk = S.query_ivf_index(
-        idx, emb, k=3, nprobe=ANN_IVF_NPROBE, deterministic=True, rank_k=10**6
+        idx, queries, k=3, nprobe=ANN_IVF_NPROBE, deterministic=True,
+        rank_k=10**6,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
@@ -343,7 +362,8 @@ def q_ann_ivfpq_index_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = _read(spark, sf_dir, "embeddings")
-    first = emb.filter(f"vec_id < {ANN_IVF_NLIST}").orderBy("vec_id").collect()
+    nlist = _auto_oracle_nlist(emb.count())
+    first = emb.filter(f"vec_id < {nlist}").orderBy("vec_id").collect()
     cents = [r["embedding"] for r in first]
     dim = len(cents[0])
     sub = dim // ANN_PQ_M
@@ -356,10 +376,12 @@ def q_ann_ivfpq_index_topk(spark, sf_dir):
     )  # (m, ksz, sub)
     idx = S.build_ivfpq_index(
         emb, "embedding", "vec_id",
-        nlist=ANN_IVF_NLIST, m=ANN_PQ_M, centroids=cents, codebooks=cbs,
+        nlist=nlist, m=ANN_PQ_M, centroids=cents, codebooks=cbs,
     )
+    queries = emb.filter(f"vec_id < {ANN_INDEX_QUERY_CAP}")
     allk = S.query_ivfpq_index(
-        idx, emb, k=3, nprobe=ANN_IVF_NPROBE, deterministic=True, rank_k=10**6
+        idx, queries, k=3, nprobe=ANN_IVF_NPROBE, deterministic=True,
+        rank_k=10**6,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
@@ -594,10 +616,14 @@ def q_decode_image_progressive(spark, sf_dir):
     # surface, so pixel sums replay in SQL with the same integer
     # formula as the baseline JPEG oracle — but only if the multi-scan
     # progressive entropy decode (including the EOB-run bookkeeping)
-    # reconstructs every coefficient exactly. Odd doc_ids are 4:4:4
+    # reconstructs every coefficient exactly. doc_id % 4 == 1 is 4:4:4
     # COLOR progressive (interleaved 3-component DC scan, one AC scan
-    # per component) with neutral chroma, so R=G=B=Y exactly and the
-    # pixel sum is 3x the grayscale formula. The full
+    # per component); doc_id % 4 == 3 is 4:2:0 SUBSAMPLED color
+    # progressive at 16-multiple dims (interleaved 4-luma+Cb+Cr DC
+    # MCUs, single-component AC band scans over each component's
+    # natural block raster) — both with neutral chroma, so R=G=B=Y
+    # exactly and the pixel sum is 3x the grayscale formula over the
+    # full-resolution luma block grid. The full
     # successive-approximation script (DC/AC refinement scans,
     # correction bits) is unit-tested against an independent IDCT
     # reference in tests/test_multimodal.py — per-pixel half-to-even
@@ -614,8 +640,11 @@ def q_decode_image_progressive(spark, sf_dir):
             pdf = pdf.copy()
             pdf["payload"] = [
                 M.synthesize_progressive_jpeg(
-                    8 * (1 + int(d) % 3), 8 * (1 + int(d) % 2), int(d),
+                    (16 if int(d) % 4 == 3 else 8) * (1 + int(d) % 3),
+                    (16 if int(d) % 4 == 3 else 8) * (1 + int(d) % 2),
+                    int(d),
                     color=int(d) % 2 == 1,
+                    subsampling="420" if int(d) % 4 == 3 else "444",
                 )
                 for d in pdf["doc_id"]
             ]
@@ -2745,12 +2774,26 @@ def _ann_lsh_oracle_sql(
 
 
 def _ann_ivf_oracle_sql(
-    nlist: int = ANN_IVF_NLIST, nprobe: int = ANN_IVF_NPROBE
+    nlist: int = ANN_IVF_NLIST,
+    nprobe: int = ANN_IVF_NPROBE,
+    auto_nlist: bool = False,
+    query_cap=None,
 ) -> str:
+    # auto_nlist replays the index queries' max(16, ceil(sqrt(n)))
+    # cell-count scaling; query_cap restricts the PROBE (query) side to
+    # the fixed batch the index queries use (assignment still covers the
+    # whole corpus — it is the index).
+    nlist_expr = (
+        f"(SELECT greatest({ANN_IVF_NLIST}, CAST(ceil(sqrt(count(*)))"
+        " AS BIGINT)) FROM embeddings)"
+        if auto_nlist
+        else str(nlist)
+    )
+    cap_pred = f" AND vec_id < {query_cap}" if query_cap else ""
     return f"""
         WITH cents AS (
           SELECT vec_id AS cid, embedding AS cemb
-          FROM embeddings WHERE vec_id < {nlist}
+          FROM embeddings WHERE vec_id < {nlist_expr}
         ), sim AS (
           SELECT e.vec_id, c.cid,
                  round(list_cosine_similarity(
@@ -2765,7 +2808,8 @@ def _ann_ivf_oracle_sql(
         ), assign AS (
           SELECT vec_id, cid FROM ranked_cells WHERE rn = 1
         ), probes AS (
-          SELECT vec_id, cid FROM ranked_cells WHERE rn <= {nprobe}
+          SELECT vec_id, cid FROM ranked_cells
+          WHERE rn <= {nprobe}{cap_pred}
         ), cellcand AS (
           SELECT p.vec_id AS qid, a.vec_id AS nid, p.cid,
                  round(list_cosine_similarity(
@@ -2800,6 +2844,8 @@ def _ann_ivfpq_oracle_sql(
     m: int = ANN_PQ_M,
     ksz: int = ANN_PQ_KSZ,
     dim: int = 64,
+    auto_nlist: bool = False,
+    query_cap=None,
 ) -> str:
     # Replays the full IVF-PQ pipeline: coarse cell assignment (identical
     # to the IVF oracle), per-subspace argmin-L2 codes on the rounded
@@ -2808,10 +2854,17 @@ def _ann_ivfpq_oracle_sql(
     # lookup values. All dots are raw-slice inner products divided by
     # full-vector norms, so no normalized arrays need materializing.
     sub = dim // m
+    nlist_expr = (
+        f"(SELECT greatest({ANN_IVF_NLIST}, CAST(ceil(sqrt(count(*)))"
+        " AS BIGINT)) FROM embeddings)"
+        if auto_nlist
+        else str(nlist)
+    )
+    cap_pred = f" AND vec_id < {query_cap}" if query_cap else ""
     return f"""
         WITH cents AS (
           SELECT vec_id AS cid, embedding AS cemb
-          FROM embeddings WHERE vec_id < {nlist}
+          FROM embeddings WHERE vec_id < {nlist_expr}
         ), sim AS (
           SELECT e.vec_id, c.cid,
                  round(list_cosine_similarity(
@@ -2826,7 +2879,8 @@ def _ann_ivfpq_oracle_sql(
         ), assign AS (
           SELECT vec_id, cid FROM ranked_cells WHERE rn = 1
         ), probes AS (
-          SELECT vec_id, cid FROM ranked_cells WHERE rn <= {nprobe}
+          SELECT vec_id, cid FROM ranked_cells
+          WHERE rn <= {nprobe}{cap_pred}
         ), cb AS (
           SELECT j.j, e.vec_id AS c,
                  list_slice(CAST(e.embedding AS DOUBLE[]),
@@ -3776,8 +3830,12 @@ ORACLES = {
     "ann_lsh_topk": _ann_lsh_oracle_sql(),
     "ann_ivf_topk": _ann_ivf_oracle_sql(),
     "ann_lsh_index_topk": _ann_lsh_oracle_sql(),
-    "ann_ivf_index_topk": _ann_ivf_oracle_sql(),
-    "ann_ivfpq_index_topk": _ann_ivfpq_oracle_sql(),
+    "ann_ivf_index_topk": _ann_ivf_oracle_sql(
+        auto_nlist=True, query_cap=ANN_INDEX_QUERY_CAP
+    ),
+    "ann_ivfpq_index_topk": _ann_ivfpq_oracle_sql(
+        auto_nlist=True, query_cap=ANN_INDEX_QUERY_CAP
+    ),
     "quantize_embeddings": """
         WITH base AS (
           SELECT vec_id,
@@ -3846,16 +3904,22 @@ ORACLES = {
     """,
     "decode_image_progressive": """
         -- SOF2, DC-only blocks: every pixel of raster block b is
-        -- exactly 128 + ((doc_id*7 + b*13) % 101 - 50); odd doc_ids
-        -- are 4:4:4 color with neutral chroma (R=G=B=Y -> 3x sum).
+        -- exactly 128 + ((doc_id*7 + b*13) % 101 - 50); doc_id%4=1 is
+        -- 4:4:4 color, doc_id%4=3 is 4:2:0 SUBSAMPLED color at
+        -- 16-multiple dims (4x the luma blocks) — both neutral-chroma
+        -- (R=G=B=Y -> 3x the grayscale sum over the full-res luma
+        -- block grid).
         SELECT doc_id,
-               CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
-               CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+               CAST((CASE WHEN doc_id % 4 = 3 THEN 16 ELSE 8 END)
+                    * (1 + doc_id % 2) AS INTEGER) AS height,
+               CAST((CASE WHEN doc_id % 4 = 3 THEN 16 ELSE 8 END)
+                    * (1 + doc_id % 3) AS INTEGER) AS width,
                CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END
                     AS INTEGER) AS channels,
                CAST((CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END)
                     * list_sum(list_transform(
-                        range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+                        range(0, (CASE WHEN doc_id % 4 = 3 THEN 4 ELSE 1 END)
+                                 * (1 + doc_id % 3) * (1 + doc_id % 2)),
                         b -> 64 * (128 + (doc_id * 7 + b * 13) % 101 - 50)))
                  AS BIGINT) AS pixel_sum
         FROM documents WHERE doc_id < 200

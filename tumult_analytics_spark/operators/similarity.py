@@ -207,16 +207,32 @@ def brute_force_cosine_topk(
 def _topk_indices(S, ids, kk: int, deterministic: bool):
     """Per-row top-kk column indices of S. Deterministic mode ranks on
     round(S, 6) with an id tie-break (reproducible in SQL); default mode
-    is an O(n) argpartition on the exact scores."""
+    is an O(n) argpartition on the exact scores.
+
+    The deterministic tie-break is vectorized as a composite sort key:
+    ``round(S, 6) - id_rank * 2e-13``. Rounded scores are exact multiples
+    of 1e-6 (adjacent distinct values differ by >= ~1e-6), and the
+    perturbation is at most ``n * 2e-13`` — strictly inside the half-gap
+    for n up to ~2e6 columns while each adjacent rank pair still differs
+    by 2e-13 >> ulp(1.0). One C-speed argpartition instead of a per-row
+    Python lexsort (which measured 8+ min/task on 50k x 12k blocks at
+    the sf10 scale campaign). Larger blocks fall back to the exact loop.
+    """
     import numpy as np
 
     if not deterministic:
         return np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
     Sr = np.round(S, 6)
-    out = np.empty((S.shape[0], kk), dtype=np.int64)
-    for i in range(S.shape[0]):
-        out[i] = np.lexsort((ids, -Sr[i]))[:kk]
-    return out
+    n = len(ids)
+    if n > 2_000_000:  # composite-key precision bound: exact fallback
+        out = np.empty((S.shape[0], kk), dtype=np.int64)
+        for i in range(S.shape[0]):
+            out[i] = np.lexsort((ids, -Sr[i]))[:kk]
+        return out
+    rank = np.empty(n, dtype=np.float64)
+    rank[np.argsort(ids, kind="stable")] = np.arange(n, dtype=np.float64)
+    Sr -= rank[None, :] * 2e-13
+    return np.argpartition(-Sr, kth=kk - 1, axis=1)[:, :kk]
 
 
 def _bucket_topk_fn(id_column: str, k: int, deterministic: bool = False):
@@ -224,21 +240,31 @@ def _bucket_topk_fn(id_column: str, k: int, deterministic: bool = False):
     import pandas as pd
 
     def bucket_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # Row-sliced like _block_topk_fn: a hot bucket must not put an
+        # O(|bucket|^2) score matrix in one task's memory.
         ids = pdf[id_column].to_numpy()
         if len(ids) < 2:
             return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
         M = np.stack(pdf["__nv__"].to_numpy())
-        S = M @ M.T
-        np.fill_diagonal(S, -np.inf)
         kk = min(k, len(ids) - 1)
-        idx = _topk_indices(S, ids, kk, deterministic)
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(ids, kk),
-                "neighbor_id": ids[idx.ravel()],
-                "cosine": S[np.repeat(np.arange(len(ids)), kk), idx.ravel()],
-            }
-        )
+        outs = []
+        for s in range(0, len(ids), _BRUTE_SLICE):
+            S = M[s : s + _BRUTE_SLICE] @ M.T
+            nrow = S.shape[0]
+            S[np.arange(nrow), np.arange(s, s + nrow)] = -np.inf  # self
+            idx = _topk_indices(S, ids, kk, deterministic)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids[s : s + nrow], kk),
+                        "neighbor_id": ids[idx.ravel()],
+                        "cosine": S[
+                            np.repeat(np.arange(nrow), kk), idx.ravel()
+                        ],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return bucket_topk
 
@@ -311,33 +337,45 @@ def _melt_tables(prepped: DataFrame, id_column: str, tables: int) -> DataFrame:
 
 
 def _block_topk_fn(id_column: str, k: int, deterministic: bool):
-    """Cogrouped (queries x corpus-block) top-k: one matmul per group,
+    """Cogrouped (queries x corpus-block) top-k: per QUERY SLICE of
+    ``_BRUTE_SLICE`` rows, one matmul against the cell's corpus block,
     self-matches excluded. Shared by the IVF cell search and the
-    persisted-index query paths."""
+    persisted-index query paths. Slicing bounds peak temp memory at
+    ``_BRUTE_SLICE * |cell| * 8`` bytes per score/key matrix — without
+    it a 16-cell index over a 200k corpus put a 5 GB matrix (x2 with
+    the rounded copy) in EVERY task (found by the sf10 campaign, same
+    defect class as the brute-kernel fix it mirrors)."""
     import numpy as np
     import pandas as pd
 
     def block_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0 or len(cpdf) == 0:
             return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
-        Q = np.stack(qpdf["__nv__"].to_numpy())
+        Qa = np.stack(qpdf["__nv__"].to_numpy())
         C = np.stack(cpdf["__nv__"].to_numpy())
-        S = Q @ C.T
-        qids = qpdf[id_column].to_numpy()
+        qids_a = qpdf[id_column].to_numpy()
         cids = cpdf[id_column].to_numpy()
-        S[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
-        kk = min(k, S.shape[1])
-        idx = _topk_indices(S, cids, kk, deterministic)
-        flat = idx.ravel()
-        rows = np.repeat(np.arange(len(qids)), kk)
-        keep = np.isfinite(S[rows, flat])
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(qids, kk)[keep],
-                "neighbor_id": cids[flat][keep],
-                "cosine": S[rows, flat][keep],
-            }
-        )
+        outs = []
+        for s in range(0, len(qids_a), _BRUTE_SLICE):
+            Q = Qa[s : s + _BRUTE_SLICE]
+            qids = qids_a[s : s + _BRUTE_SLICE]
+            S = Q @ C.T
+            S[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+            kk = min(k, S.shape[1])
+            idx = _topk_indices(S, cids, kk, deterministic)
+            flat = idx.ravel()
+            rows = np.repeat(np.arange(len(qids)), kk)
+            keep = np.isfinite(S[rows, flat])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, kk)[keep],
+                        "neighbor_id": cids[flat][keep],
+                        "cosine": S[rows, flat][keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return block_topk
 
@@ -1246,9 +1284,11 @@ def build_ivfpq_index(
 
 
 def _pq_block_topk_fn(id_column: str, k: int, bc_CB, deterministic: bool):
-    """Cogrouped (queries x corpus-cell) ADC top-k: per group, one
-    (|Q| x 2^nbits) lookup table per subspace, scored with m gathers —
-    the corpus side contributes only int codes."""
+    """Cogrouped (queries x corpus-cell) ADC top-k: per query slice of
+    ``_BRUTE_SLICE`` rows, one (slice x 2^nbits) lookup table per
+    subspace, scored with m gathers — the corpus side contributes only
+    int codes. Slicing bounds the (slice x |cell|) score matrix the
+    same way as :func:`_block_topk_fn`."""
     import numpy as np
     import pandas as pd
 
@@ -1257,27 +1297,34 @@ def _pq_block_topk_fn(id_column: str, k: int, bc_CB, deterministic: bool):
             return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
         CB = bc_CB.value
         m, _, sub = CB.shape
-        Q = np.stack(qpdf["__nv__"].to_numpy())
+        Qa = np.stack(qpdf["__nv__"].to_numpy())
         Cd = np.stack(cpdf["__code__"].to_numpy()).astype(np.int64)
-        S = np.zeros((len(Q), len(Cd)))
-        for j in range(m):
-            lut = Q[:, j * sub : (j + 1) * sub] @ CB[j].T  # (|Q|, ksz)
-            S += lut[:, Cd[:, j]]
-        qids = qpdf[id_column].to_numpy()
+        qids_a = qpdf[id_column].to_numpy()
         cids = cpdf[id_column].to_numpy()
-        S[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
-        kk = min(k, S.shape[1])
-        idx = _topk_indices(S, cids, kk, deterministic)
-        flat = idx.ravel()
-        rows = np.repeat(np.arange(len(qids)), kk)
-        keep = np.isfinite(S[rows, flat])
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(qids, kk)[keep],
-                "neighbor_id": cids[flat][keep],
-                "cosine": S[rows, flat][keep],
-            }
-        )
+        outs = []
+        for s in range(0, len(qids_a), _BRUTE_SLICE):
+            Q = Qa[s : s + _BRUTE_SLICE]
+            qids = qids_a[s : s + _BRUTE_SLICE]
+            S = np.zeros((len(Q), len(Cd)))
+            for j in range(m):
+                lut = Q[:, j * sub : (j + 1) * sub] @ CB[j].T  # (slice, ksz)
+                S += lut[:, Cd[:, j]]
+            S[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+            kk = min(k, S.shape[1])
+            idx = _topk_indices(S, cids, kk, deterministic)
+            flat = idx.ravel()
+            rows = np.repeat(np.arange(len(qids)), kk)
+            keep = np.isfinite(S[rows, flat])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, kk)[keep],
+                        "neighbor_id": cids[flat][keep],
+                        "cosine": S[rows, flat][keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return block_topk
 
