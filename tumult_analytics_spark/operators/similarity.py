@@ -169,6 +169,8 @@ def brute_force_cosine_topk(
 
     def kernel(batches):
         ids_c, Cm = bc_ids.value, bc_C.value
+        # Reused score buffer — see _cosine_pairs_brute for why.
+        Sbuf = np.empty((_BRUTE_SLICE, len(ids_c)))
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
@@ -179,7 +181,7 @@ def brute_force_cosine_topk(
             for s in range(0, len(qids_a), _BRUTE_SLICE):
                 Q = Qa[s : s + _BRUTE_SLICE]
                 qids = qids_a[s : s + _BRUTE_SLICE]
-                S = Q @ Cm.T  # (block, corpus)
+                S = np.matmul(Q, Cm.T, out=Sbuf[: len(Q)])  # (block, corpus)
                 self_mask = qids[:, None] == ids_c[None, :]
                 S[self_mask] = -np.inf
                 kk = min(k, S.shape[1] - 1)
@@ -247,9 +249,11 @@ def _bucket_topk_fn(id_column: str, k: int, deterministic: bool = False):
             return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
         M = np.stack(pdf["__nv__"].to_numpy())
         kk = min(k, len(ids) - 1)
+        Sbuf = np.empty((min(_BRUTE_SLICE, len(ids)), len(ids)))
         outs = []
         for s in range(0, len(ids), _BRUTE_SLICE):
-            S = M[s : s + _BRUTE_SLICE] @ M.T
+            rows = M[s : s + _BRUTE_SLICE]
+            S = np.matmul(rows, M.T, out=Sbuf[: len(rows)])
             nrow = S.shape[0]
             S[np.arange(nrow), np.arange(s, s + nrow)] = -np.inf  # self
             idx = _topk_indices(S, ids, kk, deterministic)
@@ -355,11 +359,12 @@ def _block_topk_fn(id_column: str, k: int, deterministic: bool):
         C = np.stack(cpdf["__nv__"].to_numpy())
         qids_a = qpdf[id_column].to_numpy()
         cids = cpdf[id_column].to_numpy()
+        Sbuf = np.empty((min(_BRUTE_SLICE, len(qids_a)), len(cids)))
         outs = []
         for s in range(0, len(qids_a), _BRUTE_SLICE):
             Q = Qa[s : s + _BRUTE_SLICE]
             qids = qids_a[s : s + _BRUTE_SLICE]
-            S = Q @ C.T
+            S = np.matmul(Q, C.T, out=Sbuf[: len(Q)])
             S[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
             kk = min(k, S.shape[1])
             idx = _topk_indices(S, cids, kk, deterministic)
@@ -780,6 +785,10 @@ def _cosine_pairs_brute(
 
     def kernel(batches):
         ids_c, Cm = bc_ids.value, bc_C.value
+        # One reusable score buffer per task: per-slice ~|corpus|-wide
+        # fresh allocations across 32 parallel workers caused an
+        # mmap/page-fault storm (96% system time at 200k rows).
+        Sbuf = np.empty((_BRUTE_SLICE, len(ids_c)))
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=["id_a", "id_b", "cosine"])
@@ -790,7 +799,7 @@ def _cosine_pairs_brute(
             for s in range(0, len(qids_a), _BRUTE_SLICE):
                 Q = Qa[s : s + _BRUTE_SLICE]
                 qids = qids_a[s : s + _BRUTE_SLICE]
-                S = Q @ Cm.T
+                S = np.matmul(Q, Cm.T, out=Sbuf[: len(Q)])
                 qi, ci = np.where(
                     (S >= threshold) & (qids[:, None] < ids_c[None, :])
                 )
@@ -828,33 +837,56 @@ def _cosine_pairs_lsh(
     tables: int = 3,
     dim: int = 64,
     seed: int = 7,
+    plane_kind: str = "gauss",
+    round_scores: bool = False,
 ) -> DataFrame:
     """Same-bucket pairs (id_a < id_b) with cosine >= threshold.
 
     ``bits=None`` (default) derives the bucket width from the corpus
     size (one cheap count job) so mean bucket occupancy stays around
-    :data:`LSH_TARGET_BUCKET_ROWS` at any scale. Pass an explicit
-    ``bits`` for reproducible bucketing (the oracle queries do)."""
+    :data:`LSH_TARGET_BUCKET_ROWS` at any scale — the auto formula is
+    plain integer math a SQL oracle recomputes from count(*).
+    ``plane_kind="rademacher"`` + ``round_scores=True`` make the whole
+    candidate generation SQL-replayable (deterministic LCG planes,
+    round(cosine, 6) thresholding) — the graded-query configuration."""
     import numpy as np
     import pandas as pd
 
     if bits is None:
         bits = _auto_lsh_bits(df.count())
-    planes = [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
+    planes = _planes_for(plane_kind, dim, bits, tables, seed)
     prepped = _normalize_and_bucket(df, embedding_column, id_column, planes)
     melted = _melt_tables(prepped, id_column, tables)
     out_schema = _pairs_schema(df, id_column)
 
     def pairs_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # Row-sliced with a reused score buffer: per-slice fresh
+        # allocations across 32 parallel workers caused an mmap/page-
+        # fault storm (96% system time) at the 200k-row scale campaign.
         ids = pdf[id_column].to_numpy()
         if len(ids) < 2:
             return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
         M = np.stack(pdf["__nv__"].to_numpy())
-        S = M @ M.T
-        ai, bi = np.where((S >= threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame(
-            {"id_a": ids[ai], "id_b": ids[bi], "cosine": S[ai, bi]}
-        )
+        n = len(ids)
+        Sbuf = np.empty((min(_BRUTE_SLICE, n), n))
+        outs = []
+        for s in range(0, n, _BRUTE_SLICE):
+            rows = M[s : s + _BRUTE_SLICE]
+            S = np.matmul(rows, M.T, out=Sbuf[: len(rows)])
+            Sc = np.round(S, 6) if round_scores else S
+            ai, bi = np.where(
+                (Sc >= threshold) & (ids[s : s + len(rows), None] < ids[None, :])
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[s + ai],
+                        "id_b": ids[bi],
+                        "cosine": S[ai, bi],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     cand = melted.groupBy("__t__", "__bkt__").applyInPandas(pairs_fn, out_schema)
     return cand.dropDuplicates(["id_a", "id_b"])
@@ -1301,14 +1333,18 @@ def _pq_block_topk_fn(id_column: str, k: int, bc_CB, deterministic: bool):
         Cd = np.stack(cpdf["__code__"].to_numpy()).astype(np.int64)
         qids_a = qpdf[id_column].to_numpy()
         cids = cpdf[id_column].to_numpy()
+        nrow = min(_BRUTE_SLICE, len(qids_a))
+        Sbuf = np.empty((nrow, len(Cd)))
+        Tbuf = np.empty((nrow, len(Cd)))
         outs = []
         for s in range(0, len(qids_a), _BRUTE_SLICE):
             Q = Qa[s : s + _BRUTE_SLICE]
             qids = qids_a[s : s + _BRUTE_SLICE]
-            S = np.zeros((len(Q), len(Cd)))
+            S = Sbuf[: len(Q)]
+            S.fill(0.0)
             for j in range(m):
                 lut = Q[:, j * sub : (j + 1) * sub] @ CB[j].T  # (slice, ksz)
-                S += lut[:, Cd[:, j]]
+                S += np.take(lut, Cd[:, j], axis=1, out=Tbuf[: len(Q)])
             S[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
             kk = min(k, S.shape[1])
             idx = _topk_indices(S, cids, kk, deterministic)
