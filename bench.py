@@ -141,8 +141,8 @@ def _write_full_artifact(payload: dict, only: set) -> None:
     ``bench_full_r<N>.json`` next to this script, where N is inferred
     as one past the newest driver-committed BENCH_r*.json — i.e. the
     round this run will be recorded under."""
-    if only:
-        return  # partial session: not a round artifact
+    if only or os.environ.get("SPARK_GRAFT_SF_DIR"):
+        return  # partial or non-default-sf session: not a round artifact
     import glob
     import re
 

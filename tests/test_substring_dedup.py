@@ -118,3 +118,84 @@ def test_candidate_set_is_sound_and_small(spark):
     assert flagged <= cands
     # Usefulness: the prefilter actually excludes most of the corpus.
     assert len(cands) < docs.count() / 2
+
+
+# --- cross-corpus span decontamination --------------------------------------
+
+BENCH_Q = "WHATXISXTHEXCAPITALXOFXFRANCEXANSWERXPARIS"  # 42 chars
+
+
+def test_decontaminate_cuts_benchmark_quote(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "intro " + BENCH_Q + " outro"),
+            (2, "clean document with original prose only"),
+            (3, BENCH_Q),  # doc that IS the benchmark text
+        ],
+    )
+    bench = _docs(spark, [(100, "header " + BENCH_Q + " footer")])
+    out = {
+        r["doc_id"]: r["text_decontaminated"]
+        for r in D.decontaminate_substrings(
+            corpus, bench, "text", "doc_id", min_length=30
+        ).collect()
+    }
+    # The maximal shared run includes the flanking spaces (benchmark
+    # text also has spaces around the quote), so both spaces go too.
+    assert out[1] == "introoutro"  # quote gone, own prose kept
+    assert out[2] == "clean document with original prose only"
+    assert out[3] == ""  # entirely benchmark text -> empty
+
+
+def test_decontaminate_short_overlap_survives(spark):
+    corpus = _docs(spark, [(1, "mentions " + BENCH_Q[:20] + " briefly")])
+    bench = _docs(spark, [(100, BENCH_Q)])
+    spans = D.decontaminate_spans(corpus, bench, "text", "doc_id", min_length=30)
+    assert spans.count() == 0
+
+
+def test_decontaminate_no_keep_first(spark):
+    # Unlike self-dedup, EVERY doc containing benchmark text is cut —
+    # there is no smaller-id owner that keeps its copy.
+    corpus = _docs(
+        spark,
+        [(1, "a " + BENCH_Q + " b"), (2, "c " + BENCH_Q + " d")],
+    )
+    bench = _docs(spark, [(100, BENCH_Q)])
+    spans = D.decontaminate_spans(corpus, bench, "text", "doc_id", min_length=30)
+    assert {r["doc_id"] for r in spans.collect()} == {1, 2}
+
+
+def test_decontaminate_winnow_prefilter_equivalence(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "intro " + BENCH_Q + " outro"),
+            (2, "clean document with original prose only"),
+            (3, "also clean and also fully original text"),
+            (4, BENCH_Q + " trailing commentary of its own"),
+        ],
+    )
+    bench = _docs(spark, [(100, "x " + BENCH_Q + " y")])
+    plain = D.decontaminate_substrings(
+        corpus, bench, "text", "doc_id", min_length=30
+    )
+    pre = D.decontaminate_substrings(
+        corpus, bench, "text", "doc_id", min_length=30, prefilter_winnow=True
+    )
+    assert sorted(
+        (r["doc_id"], r["text_decontaminated"]) for r in plain.collect()
+    ) == sorted((r["doc_id"], r["text_decontaminated"]) for r in pre.collect())
+
+
+def test_decontaminate_benchmark_text_column_name(spark):
+    corpus = _docs(spark, [(1, "quoting " + BENCH_Q + " here")])
+    bench = spark.createDataFrame(
+        [(9, BENCH_Q)], "bid long, question string"
+    )
+    out = D.decontaminate_substrings(
+        corpus, bench, "text", "doc_id", min_length=30,
+        benchmark_text_column="question",
+    ).collect()
+    assert out[0]["text_decontaminated"] == "quoting  here"

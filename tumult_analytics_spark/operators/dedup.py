@@ -978,10 +978,28 @@ def substring_duplicate_spans(
         )
         df = df.join(cands, on=id_column, how="leftsemi")
     L = int(min_length)
+    grams = _gram_position_hashes(df, text_column, id_column, L)
+    owners = grams.groupBy("__h__").agg(F.min("__id__").alias("__own__"))
+    matched = (
+        grams.join(owners, on="__h__")
+        .filter(F.col("__id__") > F.col("__own__"))
+        .select("__id__", "__pos__")
+        .dropDuplicates(["__id__", "__pos__"])
+    )
+    return _merge_positions_to_spans(matched, L, id_column)
+
+
+def _gram_position_hashes(
+    df: DataFrame, text_column: str, id_column: str, L: int
+) -> DataFrame:
+    """Explode every length-``L`` character gram of every document into
+    (``__id__``, ``__pos__``, ``__h__``) rows — 1-based start position
+    and the md5-60bit hash of the gram. One row per character; all
+    Catalyst (sequence + explode + substr + md5)."""
     n_grams = F.greatest(
         F.length(F.col(text_column)) - F.lit(L - 1), F.lit(0)
     )
-    grams = (
+    return (
         df.select(
             F.col(id_column).alias("__id__"),
             F.explode(
@@ -999,15 +1017,18 @@ def substring_duplicate_spans(
             ).alias("__h__"),
         )
     )
-    owners = grams.groupBy("__h__").agg(F.min("__id__").alias("__own__"))
-    matched = (
-        grams.join(owners, on="__h__")
-        .filter(F.col("__id__") > F.col("__own__"))
-        .select("__id__", "__pos__")
-        .dropDuplicates(["__id__", "__pos__"])
-    )
+
+
+def _merge_positions_to_spans(
+    matched: DataFrame, L: int, id_column: str
+) -> DataFrame:
+    """Merge matched gram start positions (``__id__``, ``__pos__``)
+    into maximal covered spans: one window per doc (matched positions
+    only — tiny next to the text); a new span starts when the gap to
+    the previous position exceeds L, i.e. the covered characters no
+    longer touch. Span covers [min(pos), max(pos)+L-1]."""
     w = Window.partitionBy("__id__").orderBy("__pos__")
-    spans = (
+    return (
         matched.withColumn(
             "__brk__",
             F.when(
@@ -1029,7 +1050,6 @@ def substring_duplicate_spans(
             F.col("__id__").alias(id_column), "span_start", "span_end"
         )
     )
-    return spans
 
 
 def substring_dedup(
@@ -1056,6 +1076,23 @@ def substring_dedup(
         df, text_column, id_column, min_length,
         prefilter_winnow=prefilter_winnow,
     )
+    return _cut_spans(df, spans, text_column, id_column, output_column)
+
+
+def _cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_column: str,
+    id_column: str,
+    output_column: str,
+) -> DataFrame:
+    """Append ``output_column``: ``text_column`` with every
+    (span_start, span_end) character range from ``spans`` removed.
+    Spans are collected per doc (O(#spans) rows after the span merge —
+    tiny next to the text) and the surviving text is the concatenation
+    of the inter-span gaps, built with ``aggregate`` over the sorted
+    span list. One broadcast-friendly left join against the span
+    table; pure Catalyst."""
     per_doc = spans.groupBy(id_column).agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))
@@ -1088,3 +1125,135 @@ def substring_dedup(
         output_column,
         F.when(F.col("__spans__").isNull(), F.col(text_column)).otherwise(cut),
     ).drop("__spans__")
+
+
+def decontaminate_span_candidates(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_column: str,
+    id_column: str,
+    min_length: int,
+    benchmark_text_column: str,
+) -> DataFrame:
+    """One-column DataFrame of corpus ids that MIGHT share a substring
+    of length >= ``min_length`` with some benchmark document — the
+    winnowing prefilter for :func:`decontaminate_spans`.
+
+    Same soundness argument as :func:`substring_candidate_ids`
+    (Schleimer et al. 2003): with ``k = ceil(L/2)`` and
+    ``window = L - k + 1``, any substring of length >= L shared between
+    a corpus doc and a benchmark doc yields a shared selected
+    fingerprint, so non-candidates provably contain no benchmark span.
+    The benchmark fingerprint set is tiny (benchmarks are MBs) and
+    broadcasts; only candidate docs pay the exact per-character gram
+    explode.
+    """
+    from .text import winnow_fingerprints
+
+    L = int(min_length)
+    k = (L + 1) // 2
+    window = L - k + 1
+    corpus_fp = winnow_fingerprints(df, text_column, k=k, window=window)
+    bench_fp = (
+        winnow_fingerprints(
+            benchmark.select(F.col(benchmark_text_column).alias("__bt__")),
+            "__bt__",
+            k=k,
+            window=window,
+        )
+        .select(F.explode("fingerprints").alias("__fp__"))
+        .distinct()
+    )
+    return (
+        corpus_fp.select(
+            F.col(id_column).alias("__id__"),
+            F.explode("fingerprints").alias("__fp__"),
+        )
+        .join(F.broadcast(bench_fp), on="__fp__")
+        .select(F.col("__id__").alias(id_column))
+        .distinct()
+    )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_column: str,
+    id_column: str,
+    min_length: int = 50,
+    benchmark_text_column: Optional[str] = None,
+    prefilter_winnow: bool = False,
+) -> DataFrame:
+    """Maximal character spans of each corpus document that are covered
+    by verbatim benchmark overlaps of length >= ``min_length``: one row
+    per (id, span_start, span_end), 1-based inclusive positions.
+
+    Span-level decontamination (Lee et al. 2022 §6.2 / Gopher-style):
+    where :func:`crosscorpus_decontaminate` drops whole documents that
+    LOOK like a benchmark doc, this finds the exact contaminated
+    characters — a doc quoting one benchmark question loses the quote,
+    not the document. A position is contaminated iff the length-L gram
+    starting there appears verbatim anywhere in the benchmark.
+
+    Plan (all Catalyst): hash the DISTINCT benchmark grams (benchmark
+    side is small -> broadcast), explode corpus gram positions exactly
+    as :func:`substring_duplicate_spans`, keep positions whose hash is
+    in the benchmark set via a broadcast semi-join (no shuffle of the
+    corpus gram rows), then merge positions into spans with the shared
+    per-doc window. ``prefilter_winnow=True`` is the 100 TB shape:
+    only docs sharing a winnowed fingerprint with the benchmark pay
+    the per-character explode (provably identical results).
+    """
+    if min_length < 2:
+        raise ValueError("min_length must be >= 2")
+    bcol = benchmark_text_column or text_column
+    if prefilter_winnow:
+        cands = decontaminate_span_candidates(
+            df, benchmark, text_column, id_column, min_length, bcol
+        )
+        df = df.join(cands, on=id_column, how="leftsemi")
+    L = int(min_length)
+    bench_hashes = (
+        _gram_position_hashes(
+            benchmark.select(F.col(bcol).alias("__bt__"), F.lit(0).alias("__bid__")),
+            "__bt__",
+            "__bid__",
+            L,
+        )
+        .select("__h__")
+        .distinct()
+    )
+    matched = (
+        _gram_position_hashes(df, text_column, id_column, L)
+        .join(F.broadcast(bench_hashes), on="__h__", how="leftsemi")
+        .select("__id__", "__pos__")
+        .dropDuplicates(["__id__", "__pos__"])
+    )
+    return _merge_positions_to_spans(matched, L, id_column)
+
+
+def decontaminate_substrings(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_column: str,
+    id_column: str,
+    min_length: int = 50,
+    output_column: str = "text_decontaminated",
+    benchmark_text_column: Optional[str] = None,
+    prefilter_winnow: bool = False,
+) -> DataFrame:
+    """Cut every verbatim benchmark overlap of length >= ``min_length``
+    out of each corpus document (see :func:`decontaminate_spans`),
+    appending ``output_column`` with the cleaned text. Docs with no
+    contaminated span pass through unchanged; a doc that is entirely
+    benchmark text becomes the empty string."""
+    spans = decontaminate_spans(
+        df,
+        benchmark,
+        text_column,
+        id_column,
+        min_length,
+        benchmark_text_column=benchmark_text_column,
+        prefilter_winnow=prefilter_winnow,
+    )
+    return _cut_spans(df, spans, text_column, id_column, output_column)

@@ -136,6 +136,87 @@ _SUBSTRING_DEDUP_ORACLE = """
 """
 
 
+def q_span_decontamination_stats(spark, sf_dir):
+    # SPAN-level cross-corpus decontamination (Lee et al. 2022 §6.2):
+    # where crosscorpus_decontaminated drops whole near-dup docs, this
+    # cuts the exact verbatim benchmark overlaps (>= 40 chars) out of
+    # the surviving text. doc_id % 10 == 0 plays the held-out
+    # benchmark; stats come FROM THE CLEANED TEXT so the span finder
+    # AND the cutter are value-checked. prefilter_winnow=True runs the
+    # 100 TB shape (only docs sharing a winnowed fingerprint with the
+    # broadcast benchmark set pay the per-character gram explode) and
+    # the oracle checks its soundness cross-corpus every round.
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 != 0")
+    benchmark = docs.filter("doc_id % 10 = 0")
+    out = D.decontaminate_substrings(
+        corpus, benchmark, "text", "doc_id", min_length=40,
+        prefilter_winnow=True,
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.length("text") != F.length("text_decontaminated")).cast(
+                "long"
+            )
+        ).alias("n_affected"),
+        F.sum(
+            F.length("text") - F.length("text_decontaminated")
+        ).alias("chars_removed"),
+        F.sum(F.length("text_decontaminated")).alias("chars_kept"),
+    )
+
+
+_SPAN_DECONTAMINATION_ORACLE = """
+    WITH bench_grams AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(substr(text, CAST(p AS INT), 40)),
+                             1, 15))::BIGINT AS h
+      FROM (
+        SELECT text,
+               unnest(range(1, greatest(length(text) - 39, 0) + 1)) AS p
+        FROM documents WHERE doc_id % 10 = 0
+      )
+    ), grams AS (
+      SELECT doc_id, CAST(p AS INT) AS p,
+             ('0x' || substr(md5(substr(text, CAST(p AS INT), 40)),
+                             1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 39, 0) + 1)) AS p
+        FROM documents WHERE doc_id % 10 <> 0
+      )
+    ), matched AS (
+      SELECT DISTINCT g.doc_id, g.p
+      FROM grams g JOIN bench_grams b ON g.h = b.h
+    ), flagged AS (
+      SELECT doc_id, p,
+        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 40
+             THEN 1 ELSE 0 END AS brk
+      FROM matched
+    ), islands AS (
+      SELECT doc_id, p,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING) AS g
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, g, min(p) AS s, max(p) + 39 AS e
+      FROM islands GROUP BY doc_id, g
+    ), removed AS (
+      SELECT doc_id, sum(e - s + 1) AS cut FROM spans GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(r.doc_id) AS BIGINT) AS n_affected,
+           CAST(coalesce(sum(r.cut), 0) AS BIGINT) AS chars_removed,
+           CAST(sum(length(d.text) - coalesce(r.cut, 0)) AS BIGINT)
+             AS chars_kept
+    FROM documents d LEFT JOIN removed r ON r.doc_id = d.doc_id
+    WHERE d.doc_id % 10 <> 0
+    GROUP BY d.lang
+"""
+
+
 def q_simhash_buckets(spark, sf_dir):
     # 60-bit md5 SimHash (pure Catalyst), bucketed by top byte;
     # value-checked against the same arithmetic in SQL.
@@ -3741,6 +3822,7 @@ QUERIES = {
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,
     "substring_dedup_stats": q_substring_dedup_stats,
+    "span_decontamination_stats": q_span_decontamination_stats,
     "incremental_dedup": q_incremental_dedup,
     "index_compaction": q_index_compaction,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
@@ -3881,6 +3963,7 @@ ORACLES = {
     "simhash_buckets": _simhash_oracle_sql(),
     "minhash_dedup": _minhash_oracle_sql(),
     "substring_dedup_stats": _SUBSTRING_DEDUP_ORACLE,
+    "span_decontamination_stats": _SPAN_DECONTAMINATION_ORACLE,
     "incremental_dedup": _incremental_dedup_oracle_sql(),
     "index_compaction": _index_compaction_oracle_sql(),
     "streaming_incremental_dedup": _incremental_dedup_oracle_sql(),
