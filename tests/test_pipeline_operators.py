@@ -1421,3 +1421,71 @@ class TestDsir:
                 self._corpus(spark), self._target(spark), "text", "doc_id",
                 n=1, temperature=0,
             )
+
+
+class TestWebdatasetExport:
+    def test_round_trip_bytes_and_manifest(self, spark, docs, tmp_path):
+        import io
+        import tarfile
+
+        path = str(tmp_path / "wds")
+        manifest = P.export_webdataset(
+            docs, path, "doc_id", {"txt": "text", "lang": "lang"},
+            n_shards=2,
+        ).collect()
+        assert {r["shard"] for r in manifest} <= {0, 1}
+        # Every non-null text byte survives; doc 4's .txt is skipped
+        # (null member) but its .lang is present.
+        total_txt = sum(r["txt_bytes"] for r in manifest)
+        want_txt = sum(
+            len(r["text"].encode()) for r in docs.collect() if r["text"]
+            is not None
+        )
+        assert total_txt == want_txt
+        n_files = sum(r["n_files"] for r in manifest)
+        assert n_files == 7 + 6  # 7 lang members + 6 non-null texts
+        # Extract one sample and compare content byte-for-byte.
+        found = {}
+        import glob
+
+        for p in glob.glob(path + "/shard-*.tar"):
+            with tarfile.open(p) as tar:
+                for info in tar:
+                    found[info.name] = tar.extractfile(info).read()
+        assert found["2.txt"] == "uno dos tres cuatro cinco".encode()
+        assert found["2.lang"] == b"es"
+        assert "4.txt" not in found and found["4.lang"] == b"de"
+
+    def test_deterministic_bytes_across_reruns(self, spark, docs, tmp_path):
+        import hashlib
+
+        def digest(d):
+            import glob
+
+            h = hashlib.md5()
+            for p in sorted(glob.glob(str(d) + "/shard-*.tar")):
+                h.update(open(p, "rb").read())
+            return h.hexdigest()
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        P.export_webdataset(
+            docs, a, "doc_id", {"txt": "text"}, n_shards=3
+        ).collect()
+        P.export_webdataset(
+            docs.orderBy(F.rand(7)), b, "doc_id", {"txt": "text"},
+            n_shards=3,
+        ).collect()
+        assert digest(a) == digest(b)  # input order cannot leak into bytes
+
+    def test_binary_member(self, spark, tmp_path):
+        rows = [(1, bytearray(b"\x00\xffPNG")), (2, bytearray(b"\x01\x02"))]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        path = str(tmp_path / "bin")
+        m = P.export_webdataset(
+            df, path, "doc_id", {"png": "payload"}, n_shards=1
+        ).collect()
+        assert m[0]["png_bytes"] == 7  # 5 + 2 payload bytes
+        import tarfile
+
+        with tarfile.open(path + "/shard-00000.tar") as tar:
+            assert tar.extractfile("1.png").read() == b"\x00\xffPNG"

@@ -3581,6 +3581,41 @@ def q_export_shard_stats(spark, sf_dir):
     )
 
 
+def q_webdataset_export_stats(spark, sf_dir):
+    # WebDataset-style tar-shard sink round trip: write documents as 8
+    # deterministic tar shards (two members per sample: <key>.txt =
+    # the text bytes, <key>.lang = the language tag), parse the tars
+    # BACK in executor tasks, and report per-shard sample/file/byte
+    # totals. The oracle replays the md5 shard assignment and the
+    # UTF-8 byte lengths on the source table — matching values prove
+    # the tars carry exactly the assigned samples with intact bytes.
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_wds_export_{spark.sparkContext.applicationId}",
+    )
+    manifest = P.export_webdataset(
+        docs, path, "doc_id", {"txt": "text", "lang": "lang"}, n_shards=8
+    )
+    return manifest.select(
+        "shard", "n_samples", "n_files", "txt_bytes", "lang_bytes"
+    )
+
+
+ORACLE_WEBDATASET = """
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                % 8 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(2 * count(*) AS BIGINT) AS n_files,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS txt_bytes,
+           CAST(sum(octet_length(encode(lang))) AS BIGINT) AS lang_bytes
+    FROM documents
+    GROUP BY 1
+"""
+
+
 #: Target mixture for the token-budget mixing query: five domains at
 #: equal weight, everything else dropped.
 MIX_WEIGHTS = {f"src{i}": 0.2 for i in range(5)}
@@ -3906,6 +3941,7 @@ QUERIES = {
     "semantic_dedup_stats": q_semantic_dedup_stats,
     "domain_capped_stats": q_domain_capped_stats,
     "export_shard_stats": q_export_shard_stats,
+    "webdataset_export_stats": q_webdataset_export_stats,
     "mix_budget_stats": q_mix_budget_stats,
     "quality_logit_stats": q_quality_logit_stats,
     "segment_dedup_stats": q_segment_dedup_stats,
@@ -6374,3 +6410,5 @@ ORACLES["export_shard_stats"] = """
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY 1
 """
+
+ORACLES["webdataset_export_stats"] = ORACLE_WEBDATASET

@@ -26,6 +26,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Mapping, Optional
 
 from pyspark.sql import Column, DataFrame, Window
@@ -465,6 +466,137 @@ def export_shards(
     spark = df.sparkSession
     back = spark.read.format(format).schema(out.schema).load(path)
     return back
+
+
+def export_webdataset(
+    df: DataFrame,
+    path: str,
+    key_column: str,
+    members: "dict[str, str]",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Write ``df`` as WebDataset-style tar shards and return a
+    read-back manifest DataFrame (one row per shard) proving the tars
+    parse: ``shard, n_samples, n_files`` plus ``<ext>_bytes`` per
+    member extension.
+
+    WebDataset (the de-facto sharded-tar layout for multimodal
+    training loaders) stores one tar per shard; a sample is the group
+    of consecutive members ``<key>.<ext>``. ``members`` maps extension
+    -> column name; string columns are written UTF-8, binary columns
+    raw — so text, JSON metadata, and opaque image/audio payloads all
+    export through the same seam.
+
+    Determinism: samples are sorted by key within a shard and tar
+    headers pin mtime=0/uid=gid=0 (USTAR), so shard bytes are
+    identical across reruns — trainers can resume and checksum.
+
+    Scale shape: shard = ``md5(key) mod n_shards`` (engine-replayable),
+    one shuffle (groupBy shard), one task writes one tar — the
+    standard WebDataset writer contract. Size ``n_shards`` so a shard
+    (~100 MB-1 GB in practice) fits in a task: the grouped Arrow batch
+    holds one shard's rows. ``path`` must be a filesystem all
+    executors can write (local dir in local mode, shared mount / fuse
+    on a cluster).
+    """
+    import pandas as pd
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if not members:
+        raise ValueError("members must map at least one extension")
+    exts = sorted(members)
+    os.makedirs(path, exist_ok=True)
+    cols = [F.col(key_column).cast("string").alias("__key__")] + [
+        F.col(c).alias(f"__m_{e}__") for e, c in members.items()
+    ]
+    staged = df.select(
+        shard_id(F.col(key_column), n_shards).alias("shard"), *cols
+    )
+
+    def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import tarfile
+
+        os.makedirs(path, exist_ok=True)  # executor-local on a cluster
+        shard = int(pdf["shard"].iloc[0])
+        out = os.path.join(path, f"shard-{shard:05d}.tar")
+        pdf = pdf.sort_values("__key__", kind="mergesort")
+        keys = pdf["__key__"].tolist()
+        mem = {e: pdf[f"__m_{e}__"].tolist() for e in exts}
+        n_files = 0
+        with tarfile.open(out, "w", format=tarfile.USTAR_FORMAT) as tar:
+            for i, key in enumerate(keys):
+                for e in exts:
+                    v = mem[e][i]
+                    if v is None:
+                        continue
+                    data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                    info = tarfile.TarInfo(name=f"{key}.{e}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(data))
+                    n_files += 1
+        return pd.DataFrame({"shard": [shard], "n_files": [n_files]})
+
+    written = staged.groupBy("shard").applyInPandas(
+        _write_shard, "shard int, n_files long"
+    )
+    written.collect()  # materialize the write (tiny: one row per shard)
+    return read_webdataset_manifest(df.sparkSession, path, exts)
+
+
+def read_webdataset_manifest(
+    spark, path: str, exts: "list[str]"
+) -> DataFrame:
+    """Parse every ``shard-*.tar`` under ``path`` back and aggregate a
+    manifest: one row per shard with ``n_samples`` (distinct keys),
+    ``n_files`` (tar members) and ``<ext>_bytes`` byte totals. Shards
+    are listed driver-side (one listing of O(n_shards) names) but each
+    tar is parsed in an executor task via ``binaryFile`` — the
+    read-back scales with shard count, not with the driver."""
+    import pandas as pd
+
+    exts = sorted(exts)
+    schema = "shard int, n_samples long, n_files long, " + ", ".join(
+        f"{e}_bytes long" for e in exts
+    )
+
+    def _parse(batches):
+        import io
+        import re
+        import tarfile
+
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"shard-(\d+)\.tar$", p)
+                keys = set()
+                by_ext = {e: 0 for e in exts}
+                n_files = 0
+                with tarfile.open(fileobj=io.BytesIO(content)) as tar:
+                    for info in tar:
+                        n_files += 1
+                        stem, _, ext = info.name.rpartition(".")
+                        keys.add(stem)
+                        if ext in by_ext:
+                            by_ext[ext] += info.size
+                rows.append(
+                    [int(m.group(1)), len(keys), n_files]
+                    + [by_ext[e] for e in exts]
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["shard", "n_samples", "n_files"]
+                + [f"{e}_bytes" for e in exts],
+            )
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "shard-*.tar")
+    )
+    return files.select("path", "content").mapInPandas(_parse, schema)
 
 
 def ngram_contamination(
