@@ -1489,3 +1489,29 @@ class TestWebdatasetExport:
 
         with tarfile.open(path + "/shard-00000.tar") as tar:
             assert tar.extractfile("1.png").read() == b"\x00\xffPNG"
+
+
+class TestEpochShuffle:
+    def test_positions_contiguous_and_reproducible(self, spark, docs):
+        a = P.epoch_shuffle(docs, "doc_id", seed=3, n_shards=2).collect()
+        b = P.epoch_shuffle(
+            docs.orderBy(F.rand(9)), "doc_id", seed=3, n_shards=2
+        ).collect()
+        key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+        assert key(a) == key(b)  # input order cannot leak
+        by_shard = {}
+        for r in a:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(1, len(positions) + 1))
+
+    def test_new_seed_new_permutation(self, spark, docs):
+        a = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in P.epoch_shuffle(docs, "doc_id", seed=1).collect()
+        }
+        b = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in P.epoch_shuffle(docs, "doc_id", seed=2).collect()
+        }
+        assert a != b

@@ -3581,6 +3581,42 @@ def q_export_shard_stats(spark, sf_dir):
     )
 
 
+def q_epoch_shuffle_stats(spark, sf_dir):
+    # Deterministic epoch shuffle: seed-keyed md5 permutation into 8
+    # shards with contiguous in-shard positions. The checksum
+    # sum(pos * doc_id) is order-SENSITIVE, so a hash match proves the
+    # exact permutation (not just the shard split) replays in SQL.
+    docs = _read(spark, sf_dir, "documents")
+    sh = P.epoch_shuffle(docs, "doc_id", seed=1, n_shards=8)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("order_checksum"),
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = """
+    WITH keyed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)),
+                             1, 13))::BIGINT AS ek
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, CAST(ek % 8 AS INT) AS shard,
+             row_number() OVER (PARTITION BY ek % 8
+                                ORDER BY ek, doc_id) AS pos
+      FROM keyed
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(pos) AS INT) AS min_pos,
+           CAST(max(pos) AS INT) AS max_pos,
+           CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM ranked GROUP BY shard
+"""
+
+
 def q_webdataset_export_stats(spark, sf_dir):
     # WebDataset-style tar-shard sink round trip: write documents as 8
     # deterministic tar shards (two members per sample: <key>.txt =
@@ -3942,6 +3978,7 @@ QUERIES = {
     "domain_capped_stats": q_domain_capped_stats,
     "export_shard_stats": q_export_shard_stats,
     "webdataset_export_stats": q_webdataset_export_stats,
+    "epoch_shuffle_stats": q_epoch_shuffle_stats,
     "mix_budget_stats": q_mix_budget_stats,
     "quality_logit_stats": q_quality_logit_stats,
     "segment_dedup_stats": q_segment_dedup_stats,
@@ -6412,3 +6449,4 @@ ORACLES["export_shard_stats"] = """
 """
 
 ORACLES["webdataset_export_stats"] = ORACLE_WEBDATASET
+ORACLES["epoch_shuffle_stats"] = ORACLE_EPOCH_SHUFFLE

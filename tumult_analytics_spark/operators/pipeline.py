@@ -468,6 +468,55 @@ def export_shards(
     return back
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_column: str,
+    seed: int = 0,
+    n_shards: int = 256,
+    shard_column: str = "shard",
+    pos_column: str = "pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: appends
+    ``shard_column`` in ``[0, n_shards)`` and ``pos_column`` (1-based,
+    contiguous within each shard) so that reading shards in order and
+    rows by position visits the dataset in a seed-keyed pseudo-random
+    permutation. Same (seed, ids) -> identical order on any cluster,
+    any partitioning, any engine with md5 — the property trainers need
+    to resume mid-epoch and to reproduce a loss curve exactly.
+
+    Plan: order key = md5(seed || id) (uniform, engine-replayable);
+    shard = key mod n_shards; position = one window per shard over the
+    key. No global sort and no single-task stage: the only shuffle is
+    the per-shard window, and each shard is ~n/n_shards rows — size
+    ``n_shards`` so a shard fits a task (the same rule as the
+    tar-shard exporter, and in practice the shard count trainers want
+    anyway). New epoch = new seed, zero data movement of the payload
+    until the write.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(int(seed))),
+                    F.lit(":"),
+                    F.col(id_column).cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("__ek__", h).withColumn(
+        shard_column, (F.col("__ek__") % F.lit(int(n_shards))).cast("int")
+    )
+    w = Window.partitionBy(shard_column).orderBy("__ek__", id_column)
+    return out.withColumn(pos_column, F.row_number().over(w)).drop("__ek__")
+
+
 def export_webdataset(
     df: DataFrame,
     path: str,
