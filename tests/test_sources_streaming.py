@@ -566,3 +566,92 @@ class TestHllSketches:
         df = spark.createDataFrame(pd.DataFrame({"u": [1]}))
         with _pytest.raises(ValueError):
             build_distinct_sketches(df, [], "u")
+
+
+class TestQuantileSketches:
+    """Mergeable histogram quantile sketches: build once at fine
+    cells, roll up by element-wise addition; answers exact to one bin
+    width."""
+
+    def _df(self, spark):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "g": ["a" if i % 3 else "b" for i in range(300)],
+                    "sub": [i % 7 for i in range(300)],
+                    "v": [float((i * 13) % 200) for i in range(300)],
+                }
+            )
+        )
+
+    def test_rollup_equals_direct_build(self, spark):
+        from tumult_analytics_spark.sources.readers import (
+            build_quantile_sketches,
+            rollup_quantiles,
+        )
+
+        df = self._df(spark)
+        fine = build_quantile_sketches(df, ["g", "sub"], "v", 0.0, 200.0, bins=64)
+        coarse = build_quantile_sketches(df, ["g"], "v", 0.0, 200.0, bins=64)
+        via_rollup = {
+            (r["g"],): (r["n"], r["q0_5"], r["q0_9"])
+            for r in rollup_quantiles(
+                fine, ["g"], (0.5, 0.9), 0.0, 200.0, bins=64
+            ).collect()
+        }
+        direct = {
+            (r["g"],): (r["n"], r["q0_5"], r["q0_9"])
+            for r in rollup_quantiles(
+                coarse, ["g"], (0.5, 0.9), 0.0, 200.0, bins=64
+            ).collect()
+        }
+        assert via_rollup == direct  # merge is lossless
+
+    def test_quantile_within_one_bin_width(self, spark):
+        import numpy as np
+
+        from tumult_analytics_spark.sources.readers import (
+            build_quantile_sketches,
+            rollup_quantiles,
+        )
+
+        df = self._df(spark)
+        sk = build_quantile_sketches(df, ["g", "sub"], "v", 0.0, 200.0, bins=100)
+        got = {
+            r["g"]: r["q0_5"]
+            for r in rollup_quantiles(
+                sk, ["g"], (0.5,), 0.0, 200.0, bins=100
+            ).collect()
+        }
+        pdf = df.toPandas()
+        width = 200.0 / 100
+        for g, grp in pdf.groupby("g"):
+            exact = np.quantile(grp["v"], 0.5, method="inverted_cdf")
+            assert abs(got[g] - exact) <= width + 1e-9
+
+    def test_out_of_range_values_clamp(self, spark):
+        from tumult_analytics_spark.sources.readers import (
+            build_quantile_sketches,
+            rollup_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [("a", -50.0), ("a", -1.0), ("a", 500.0)], "g string, v double"
+        )
+        sk = build_quantile_sketches(df, ["g"], "v", 0.0, 100.0, bins=10)
+        row = rollup_quantiles(sk, ["g"], (0.5,), 0.0, 100.0, bins=10).first()
+        assert row["n"] == 3  # nothing dropped
+        assert 0.0 < row["q0_5"] <= 10.0  # clamped lows land in bin 0
+
+    def test_global_rollup_empty_grouping(self, spark):
+        from tumult_analytics_spark.sources.readers import (
+            build_quantile_sketches,
+            rollup_quantiles,
+        )
+
+        df = self._df(spark)
+        sk = build_quantile_sketches(df, ["g", "sub"], "v", 0.0, 200.0, bins=64)
+        row = rollup_quantiles(sk, [], (0.9,), 0.0, 200.0, bins=64).first()
+        assert row["n"] == 300

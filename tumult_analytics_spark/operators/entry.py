@@ -1679,6 +1679,49 @@ def q_hll_user_rollup(spark, sf_dir):
     )
 
 
+def q_quantile_sketch_rollup(spark, sf_dir):
+    # Mergeable QUANTILE sketches (histogram family — the deterministic
+    # cousin of KLL/t-digest) completing the sketch set next to HLL
+    # distinct: build per-(lang, source) bin-count arrays over n_chars
+    # ONCE, then answer the per-lang median/p90 by element-wise
+    # ADDITION of the arrays — no second scan. Answers are exact to
+    # one bin width (2000/128 = 15.625 chars, binary-exact so the
+    # float replay is bit-identical); the oracle replays the binning,
+    # the merge, and the cumulative-rank quantile rule.
+    from ..sources.readers import build_quantile_sketches, rollup_quantiles
+
+    docs = _read(spark, sf_dir, "documents")
+    sk = build_quantile_sketches(
+        docs, ["lang", "source"], "n_chars", low=0.0, high=2000.0, bins=128
+    )
+    return rollup_quantiles(
+        sk, ["lang"], qs=(0.5, 0.9), low=0.0, high=2000.0, bins=128
+    )
+
+
+ORACLE_QUANTILE_SKETCH = """
+    WITH binned AS (
+      SELECT lang,
+             CAST(least(greatest(floor(CAST(n_chars AS DOUBLE) / 15.625),
+                                 0), 127) AS INT) AS bin
+      FROM documents WHERE n_chars IS NOT NULL
+    ), hist AS (
+      SELECT lang, bin, count(*) AS c FROM binned GROUP BY 1, 2
+    ), cum AS (
+      SELECT lang, bin, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cs,
+             sum(c) OVER (PARTITION BY lang) AS n
+      FROM hist
+    )
+    SELECT lang, CAST(max(n) AS BIGINT) AS n,
+           0.0 + 15.625 * (min(CASE WHEN cs >= ceil(0.5 * n) THEN bin END)
+                           + 1) AS q0_5,
+           0.0 + 15.625 * (min(CASE WHEN cs >= ceil(0.9 * n) THEN bin END)
+                           + 1) AS q0_9
+    FROM cum GROUP BY lang
+"""
+
+
 def q_interval_overlap_count(spark, sf_dir):
     # Interval-overlap join (sessions x campaigns shape): view events
     # become [ts, ts+600s] intervals, purchase events [ts, ts+300s];
@@ -3971,6 +4014,7 @@ QUERIES = {
     "range_join_count": q_range_join_count,
     "interval_overlap_count": q_interval_overlap_count,
     "hll_user_rollup": q_hll_user_rollup,
+    "quantile_sketch_rollup": q_quantile_sketch_rollup,
     "pack_sequences_stats": q_pack_sequences_stats,
     "sliding_chunk_stats": q_sliding_chunk_stats,
     "kmeans_cluster_stats": q_kmeans_cluster_stats,
@@ -6450,3 +6494,4 @@ ORACLES["export_shard_stats"] = """
 
 ORACLES["webdataset_export_stats"] = ORACLE_WEBDATASET
 ORACLES["epoch_shuffle_stats"] = ORACLE_EPOCH_SHUFFLE
+ORACLES["quantile_sketch_rollup"] = ORACLE_QUANTILE_SKETCH

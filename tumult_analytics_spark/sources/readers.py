@@ -445,3 +445,146 @@ def rollup_distinct(
     ).alias(output_column)
     base = sketches.groupBy(*cols) if cols else sketches.groupBy()
     return base.agg(agg)
+
+
+def build_quantile_sketches(
+    df,
+    cell_columns,
+    value_column,
+    low: float,
+    high: float,
+    bins: int = 128,
+    sketch_column="qsketch",
+):
+    """Per-cell equi-width histogram sketches of ``value_column`` — the
+    mergeable-sketch layout for quantiles at 100 TB, completing the
+    sketch family next to HLL distinct (:func:`build_distinct_sketches`),
+    Count-Min frequency, and Bloom membership: build ONCE at the finest
+    cell granularity (one pass, one shuffle), store ``bins`` longs per
+    cell, and answer any coarser rollup by element-wise ADDITION
+    (:func:`rollup_quantiles`) without re-touching the data.
+
+    The sketch is an ``array<long>`` of bin counts over ``[low, high)``
+    (values clamped to the range, like the DP engine's binned
+    aggregations); a quantile answered from it is exact to one bin
+    width ((high - low) / bins) — the deterministic, engine-replayable
+    cousin of KLL/t-digest, which trade the fixed value range for
+    adaptive error. All Catalyst: bin = one float expression,
+    histogram = pivot-free ``aggregate`` over collected (bin, count)
+    pairs.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cell_columns)
+    if not cols:
+        raise ValueError("cell_columns must not be empty")
+    if not (high > low):
+        raise ValueError("need high > low")
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    width = (float(high) - float(low)) / bins
+    b = F.least(
+        F.greatest(
+            F.floor(
+                (F.col(value_column).cast("double") - F.lit(float(low)))
+                / F.lit(width)
+            ),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    ).cast("int")
+    per_bin = (
+        df.filter(F.col(value_column).isNotNull())
+        .groupBy(*cols, b.alias("__bin__"))
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    # Scatter the (bin, count) pairs of each cell into a dense array:
+    # start from bins zeros and add each pair's count at its index.
+    dense = F.aggregate(
+        F.collect_list(F.struct("__bin__", "__n__")),
+        F.array_repeat(F.lit(0).cast("long"), bins),
+        lambda acc, p: F.transform(
+            acc,
+            lambda v, i: F.when(
+                i == p["__bin__"], v + p["__n__"]
+            ).otherwise(v),
+        ),
+    )
+    return per_bin.groupBy(*cols).agg(dense.alias(sketch_column))
+
+
+def rollup_quantiles(
+    sketches,
+    group_columns,
+    qs,
+    low: float,
+    high: float,
+    bins: int = 128,
+    sketch_column="qsketch",
+    prefix="q",
+):
+    """Roll prebuilt histogram sketches up to ``group_columns`` (merge =
+    element-wise addition of the bin arrays) and answer each quantile
+    in ``qs`` as the UPPER EDGE of the first bin whose cumulative count
+    reaches ``ceil(q * total)`` — deterministic, order-independent, and
+    exact to one bin width. No scan of the original data.
+
+    Merge shape: posexplode the bin arrays and sum per (group, bin) —
+    partial aggregation combines map-side, so a group covering millions
+    of cells never buffers its child sketches anywhere (unlike a
+    collect-then-add merge); the dense per-group array is rebuilt from
+    at most ``bins`` rows. Output columns: ``n`` plus one
+    ``<prefix><q>`` per quantile (dots stripped: q0.5 -> q0_5)."""
+    from pyspark.sql import functions as F
+
+    cols = list(group_columns)
+    per_bin = (
+        sketches.select(
+            *cols, F.posexplode(sketch_column).alias("__bin__", "__c__")
+        )
+        .groupBy(*cols, "__bin__")
+        .agg(F.sum("__c__").alias("__n__"))
+    )
+    dense = F.aggregate(
+        F.collect_list(F.struct("__bin__", "__n__")),
+        F.array_repeat(F.lit(0).cast("long"), bins),
+        lambda acc, p: F.transform(
+            acc,
+            lambda v, i: F.when(
+                i == p["__bin__"], v + p["__n__"]
+            ).otherwise(v),
+        ),
+    )
+    base = per_bin.groupBy(*cols) if cols else per_bin.groupBy()
+    merged = base.agg(dense.alias("__m__"))
+    total = F.aggregate(
+        F.col("__m__"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    merged = merged.withColumn("__t__", total)
+    width = (F.lit(float(high)) - F.lit(float(low))) / F.lit(int(bins))
+    out_cols = [F.col("__t__").alias("n")]
+    for q in qs:
+        rank = F.ceil(F.lit(float(q)) * F.col("__t__"))
+        # index of the first bin where the running sum reaches rank:
+        # fold carrying (cumsum, found_index, position).
+        idx = F.aggregate(
+            F.col("__m__"),
+            F.struct(
+                F.lit(0).cast("long").alias("c"),
+                F.lit(-1).alias("i"),
+                F.lit(0).alias("p"),
+            ),
+            lambda st, x: F.struct(
+                (st["c"] + x).alias("c"),
+                F.when(
+                    (st["i"] < 0) & (st["c"] + x >= rank), st["p"]
+                ).otherwise(st["i"]).alias("i"),
+                (st["p"] + 1).alias("p"),
+            ),
+            lambda st: st["i"],
+        )
+        name = f"{prefix}{q}".replace(".", "_")
+        out_cols.append(
+            (F.lit(float(low)) + (idx + 1) * width).alias(name)
+        )
+    return merged.select(*cols, *out_cols)
