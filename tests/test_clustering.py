@@ -164,3 +164,55 @@ def test_kmeans_auto_k_sizes_clusters(spark):
     # semantic_dedup accepts the same auto-k and still dedups
     kept = semantic_dedup(emb, k=None, n_iter=1, threshold=0.99)
     assert 0 < kept.count() <= n
+
+
+def test_semantic_dedup_lsh_vs_exact(spark):
+    """method='lsh' drops a SUBSET of what exact drops (bucket
+    collision AND cosine >= t implies cosine >= t) and always catches
+    exact copies (identical vectors share every bucket)."""
+    from tumult_analytics_spark.operators.clustering import semantic_dedup
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 8))
+    arrays = np.vstack([base, base[:12]])  # ids 100..111 copy ids 0..11
+    df = spark.createDataFrame(
+        [
+            (i if i < 40 else 100 + (i - 40), [float(x) for x in a])
+            for i, a in enumerate(arrays)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(k=3, n_iter=2, threshold=0.99)
+    kept_exact = {
+        r["vec_id"]
+        for r in semantic_dedup(df, "embedding", "vec_id", **kw).collect()
+    }
+    kept_lsh = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", method="lsh", bits=4,
+            plane_kind="rademacher", round_scores=True, **kw
+        ).collect()
+    }
+    assert kept_exact <= kept_lsh  # lsh never drops what exact keeps
+    assert all(i < 100 for i in kept_lsh)  # every exact copy caught
+
+
+def test_semantic_dedup_lsh_auto_bits(spark):
+    from tumult_analytics_spark.operators.clustering import semantic_dedup
+
+    eye = np.eye(8)
+    df = _mkdf(spark, eye)
+    kept = semantic_dedup(
+        df, "embedding", "vec_id", k=2, n_iter=1, threshold=0.5,
+        method="lsh",  # bits=None -> auto from count
+    )
+    assert kept.count() == 8  # orthogonal vectors all survive
+
+
+def test_semantic_dedup_bad_method(spark):
+    from tumult_analytics_spark.operators.clustering import semantic_dedup
+
+    df = _mkdf(spark, np.eye(4))
+    with pytest.raises(ValueError, match="method"):
+        semantic_dedup(df, method="fuzzy")

@@ -1848,9 +1848,19 @@ def q_semantic_dedup_stats(spark, sf_dir):
     dups = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(100000)
     )
+    # method="lsh": the SCALE path (r4 verdict #2/#3 pattern, same as
+    # cosine_dedup) — the oracle-replayable k=4 makes the exact
+    # in-cluster pass O(n^2/4), measured 29x for 10x data at sf10;
+    # LSH-bucketing within clusters (auto bits ceil(log2(n/128)),
+    # deterministic Rademacher planes, round(cos, 6)) keeps bucket
+    # occupancy constant so the pass is linear at any k. The injected
+    # exact copies share every bucket by construction and MUST still
+    # be dropped. The exact method remains the test-side cross-check
+    # (tests/test_clustering.py::test_semantic_dedup_lsh_vs_exact).
     kept = C.semantic_dedup(
         emb.unionByName(dups), "embedding", "vec_id", k=4, n_iter=2,
-        threshold=0.9,
+        threshold=0.9, method="lsh", bits=None, plane_kind="rademacher",
+        round_scores=True,
     )
     return kept.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -5690,12 +5700,22 @@ ORACLES["kmeans_cluster_stats"] = _kmeans_oracle_sql(4, 3)
 
 
 def _semantic_dedup_oracle_sql(
-    k: int = 4, n_iter: int = 2, threshold: float = 0.9
+    k: int = 4,
+    n_iter: int = 2,
+    threshold: float = 0.9,
+    tables: int = 3,
+    dim: int = 64,
+    target: int = 128,
 ) -> str:
     """SemDeDup replay: the shared k-means CTEs (with vectors kept) over
-    the duplicate-injected base, then drop rows with an in-cluster
-    smaller-id cosine neighbor above threshold — the same EXISTS
-    predicate the kernel evaluates."""
+    the duplicate-injected base, the LSH bucket assignment (auto bit
+    width from count(*), LCG Rademacher planes — same formulas as the
+    cosine_dedup oracle), then drop rows with a smaller-id SAME-CLUSTER
+    neighbor sharing a bucket in any table at round(cosine, 6) >=
+    threshold — the same EXISTS predicate the lsh kernel evaluates."""
+    from .similarity import _LCG_A, _LCG_C, _LCG_M
+
+    half = _LCG_M // 2
     base = (
         "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label"
         " FROM embeddings UNION ALL"
@@ -5704,9 +5724,37 @@ def _semantic_dedup_oracle_sql(
     )
     ctes = _kmeans_ctes(k, n_iter, keep_v=True, base_sql=base)
     ctes.append(
+        f"nb AS (SELECT greatest(4, least(24,"
+        f" CAST(ceil(log2(count(*) / {float(target)})) AS INT))) AS bits"
+        " FROM afin)"
+    )
+    ctes.append(
+        "grid AS (SELECT t.t, b.b, d.d,"
+        f" CASE WHEN (({_LCG_A} * (t.t * 100003 + b.b * 641 + (d.d - 1))"
+        f" + {_LCG_C}) % {_LCG_M}) >= {half} THEN 1 ELSE -1 END AS sgn"
+        f" FROM (SELECT unnest(generate_series(0, {tables - 1})) AS t) t,"
+        " (SELECT unnest(generate_series(0,"
+        " (SELECT bits FROM nb) - 1)) AS b) b,"
+        f" (SELECT unnest(generate_series(1, {dim})) AS d) d)"
+    )
+    ctes.append(
+        "dots AS (SELECT a.vec_id, g.t, g.b,"
+        " sum(a.v[g.d] * g.sgn) AS dot"
+        " FROM afin a, grid g GROUP BY 1, 2, 3)"
+    )
+    ctes.append(
+        "bkts AS (SELECT vec_id, t,"
+        " sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << b"
+        " ELSE 0 END) AS bkt FROM dots GROUP BY 1, 2)"
+    )
+    ctes.append(
         "dropped AS (SELECT DISTINCT b.vec_id FROM afin a"
         " JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id"
-        f" WHERE list_cosine_similarity(a.v, b.v) >= {threshold})"
+        " JOIN bkts ba ON ba.vec_id = a.vec_id"
+        " JOIN bkts bb ON bb.vec_id = b.vec_id"
+        " AND bb.t = ba.t AND bb.bkt = ba.bkt"
+        f" WHERE round(list_cosine_similarity(a.v, b.v), 6)"
+        f" >= {threshold})"
     )
     ctes.append(
         "kept AS (SELECT * FROM afin WHERE vec_id NOT IN"

@@ -84,23 +84,31 @@ def _normalize_and_bucket(
     embedding_column: str,
     id_column: str,
     planes_per_table: List[List[List[float]]],
+    carry: tuple = (),
 ) -> DataFrame:
     """One Arrow pass: (id, __nv__ array<double>, __b0__..__bT__ int).
 
     Normalization and all tables' sign-bucket ids come from two numpy
-    matmuls per batch.
+    matmuls per batch. ``carry`` names extra input columns copied
+    through unchanged (e.g. a cluster id), saving the caller a
+    join-back shuffle.
     """
     import numpy as np
     import pandas as pd
 
     id_field = df.schema[id_column]
-    fields = [
-        T.StructField(id_column, id_field.dataType, True),
-        T.StructField("__nv__", T.ArrayType(T.DoubleType()), True),
-    ] + [
-        T.StructField(f"__b{t}__", T.IntegerType(), True)
-        for t in range(len(planes_per_table))
-    ]
+    fields = (
+        [T.StructField(id_column, id_field.dataType, True)]
+        + [
+            T.StructField(c, df.schema[c].dataType, True)
+            for c in carry
+        ]
+        + [T.StructField("__nv__", T.ArrayType(T.DoubleType()), True)]
+        + [
+            T.StructField(f"__b{t}__", T.IntegerType(), True)
+            for t in range(len(planes_per_table))
+        ]
+    )
     out_schema = T.StructType(fields)
     plane_mats = [list(map(list, zip(*p))) for p in planes_per_table]  # dim x bits
 
@@ -117,7 +125,10 @@ def _normalize_and_bucket(
             norms = np.linalg.norm(M, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             N = M / norms
-            out = {id_column: pdf[id_column], "__nv__": list(N)}
+            out = {id_column: pdf[id_column]}
+            for c in carry:
+                out[c] = pdf[c]
+            out["__nv__"] = list(N)
             for t, (mat, pw) in enumerate(zip(mats, pows)):
                 # sign(dot) is scale-invariant: use the RAW vector so the
                 # bucket bit is reproducible without replaying the
@@ -126,9 +137,9 @@ def _normalize_and_bucket(
                 out[f"__b{t}__"] = (signs * pw).sum(axis=1).astype(np.int32)
             yield pd.DataFrame(out)
 
-    return spread_rows(df.select(id_column, embedding_column)).mapInPandas(
-        kernel, out_schema
-    )
+    return spread_rows(
+        df.select(id_column, *carry, embedding_column)
+    ).mapInPandas(kernel, out_schema)
 
 
 def brute_force_cosine_topk(
@@ -330,14 +341,16 @@ def lsh_cosine_topk(
     )
 
 
-def _melt_tables(prepped: DataFrame, id_column: str, tables: int) -> DataFrame:
+def _melt_tables(
+    prepped: DataFrame, id_column: str, tables: int, carry: tuple = ()
+) -> DataFrame:
     """(id, nv, b0..bT) -> (id, nv, __t__, __bkt__): one row per table, so
     a single groupBy(__t__, __bkt__) covers every LSH table in one
     shuffle."""
     stack_expr = "stack({}, {}) as (__t__, __bkt__)".format(
         tables, ", ".join(f"{t}, __b{t}__" for t in range(tables))
     )
-    return prepped.select(id_column, "__nv__", F.expr(stack_expr))
+    return prepped.select(id_column, *carry, "__nv__", F.expr(stack_expr))
 
 
 def _block_topk_fn(id_column: str, k: int, deterministic: bool):
