@@ -25,7 +25,16 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("tumult_analytics_spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        # default: one partition per core. The sf100 campaign needs
+        # more (600M-row shuffles / 32 = ~19M-row partitions spill);
+        # sizing shuffle.partitions to the data is the standard Spark
+        # tuning knob, and AQE coalesces the excess at small sf.
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(int(cpus), 8))
+            ),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # 16g suffices through sf10; the sf100 campaign (600M-row
