@@ -500,3 +500,51 @@ def test_skew_report_uses_take_ordered(spark):
     plan = _plan(skew_report(docs, "lang", top_n=5))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    # The permutation must rank within shards (window partitioned by
+    # shard) — never a global range-partitioned sort or a single-task
+    # window.
+    from tumult_analytics_spark.operators.pipeline import epoch_shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(epoch_shuffle(docs, "doc_id", seed=1, n_shards=8))
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(shard" in plan  # per-shard window shuffle
+    assert "SinglePartition" not in plan
+
+
+def test_decontaminate_benchmark_hashes_broadcast(spark):
+    # The benchmark gram-hash set is small — it must broadcast into the
+    # corpus gram stream (semi-join), never shuffle the per-character
+    # corpus gram rows against it.
+    from tumult_analytics_spark.operators.dedup import decontaminate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter("doc_id % 10 != 0")
+    bench = docs.filter("doc_id % 10 = 0")
+    plan = _plan(
+        decontaminate_spans(corpus, bench, "text", "doc_id", min_length=40)
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # gram hashing stays Catalyst
+
+
+def test_quantile_sketch_rollup_partial_aggregates(spark):
+    # The merge must be explode + partial-aggregating sum (map-side
+    # combine), not a collect_list of child sketches per group.
+    from tumult_analytics_spark.sources.readers import (
+        build_quantile_sketches,
+        rollup_quantiles,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sk = build_quantile_sketches(
+        docs, ["lang", "source"], "n_chars", 0.0, 2000.0, bins=64
+    )
+    plan = _plan(rollup_quantiles(sk, ["lang"], (0.5,), 0.0, 2000.0, bins=64))
+    # partial_sum on the exploded bin counts before the exchange:
+    assert "partial_sum" in plan or "partial_finalmerge" in plan
+    assert "collect_list(qsketch" not in plan
