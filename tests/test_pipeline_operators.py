@@ -1515,3 +1515,57 @@ class TestEpochShuffle:
             for r in P.epoch_shuffle(docs, "doc_id", seed=2).collect()
         }
         assert a != b
+
+
+class TestGreedyPack:
+    def test_no_doc_split_and_capacity(self, spark):
+        df = spark.createDataFrame(
+            [(i, 100 + (i * 37) % 900) for i in range(200)],
+            "doc_id long, n long",
+        )
+        out = P.pack_documents_greedy(
+            df, "doc_id", "n", max_length=1024, n_shards=4, seed=2
+        ).collect()
+        assert len(out) == 200  # every doc exactly once
+        by_seq = {}
+        for r in out:
+            by_seq.setdefault((r["shard"], r["seq"]), []).append(r)
+        for rows in by_seq.values():
+            total = sum(r["n"] for r in rows)
+            if len(rows) > 1:
+                assert total <= 1024  # multi-doc sequences never overflow
+            # offsets are the running sum in offset order
+            rows = sorted(rows, key=lambda r: r["seq_offset"])
+            acc = 0
+            for r in rows:
+                assert r["seq_offset"] == acc
+                acc += r["n"]
+
+    def test_oversized_doc_gets_own_sequence(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5000), (2, 100), (3, 100)], "doc_id long, n long"
+        )
+        out = P.pack_documents_greedy(
+            df, "doc_id", "n", max_length=1024, n_shards=1, seed=0
+        ).collect()
+        seq_of = {r["doc_id"]: r["seq"] for r in out}
+        # doc 1 shares a sequence with nobody
+        assert sum(1 for r in out if r["seq"] == seq_of[1]) == 1
+
+    def test_deterministic_vs_input_order(self, spark):
+        df = spark.createDataFrame(
+            [(i, 100 + i % 500) for i in range(300)], "doc_id long, n long"
+        )
+        a = {
+            r["doc_id"]: (r["shard"], r["seq"], r["seq_offset"])
+            for r in P.pack_documents_greedy(
+                df, "doc_id", "n", 2048, n_shards=4, seed=5
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: (r["shard"], r["seq"], r["seq_offset"])
+            for r in P.pack_documents_greedy(
+                df.orderBy(F.rand(1)), "doc_id", "n", 2048, n_shards=4, seed=5
+            ).collect()
+        }
+        assert a == b

@@ -3670,6 +3670,64 @@ ORACLE_EPOCH_SHUFFLE = """
 """
 
 
+def q_greedy_pack_stats(spark, sf_dir):
+    # Boundary-respecting sequence packing: whole documents greedily
+    # packed into 2048-char sequences in seed-keyed md5 order within 8
+    # shards. The checksum sum(seq * doc_id + seq_offset) is order- and
+    # assignment-SENSITIVE, so the hash match proves the exact packing
+    # walk (not just aggregate counts) — the oracle replays the
+    # sequential greedy rule with a recursive CTE.
+    docs = _read(spark, sf_dir, "documents")
+    packed = P.pack_documents_greedy(
+        docs, "doc_id", "n_chars", max_length=2048, n_shards=8, seed=1
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max("seq") + 1).alias("n_seqs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            F.col("seq") * F.col("doc_id") + F.col("seq_offset")
+        ).alias("pack_checksum"),
+    )
+
+
+ORACLE_GREEDY_PACK = """
+    WITH RECURSIVE keyed AS (
+      SELECT doc_id, coalesce(n_chars, 0) AS n_chars,
+             ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)),
+                             1, 13))::BIGINT AS pk
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, n_chars, CAST(pk % 8 AS INT) AS shard,
+             row_number() OVER (PARTITION BY pk % 8
+                                ORDER BY pk, doc_id) AS rn
+      FROM keyed
+    ), walk AS (
+      SELECT shard, rn, doc_id, n_chars,
+             CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS off,
+             CAST(n_chars AS BIGINT) AS used
+      FROM sharded WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.n_chars,
+             CASE WHEN w.used + s.n_chars > 2048
+                  THEN w.seq + 1 ELSE w.seq END,
+             CASE WHEN w.used + s.n_chars > 2048
+                  THEN CAST(0 AS BIGINT) ELSE w.used END,
+             CASE WHEN w.used + s.n_chars > 2048
+                  THEN CAST(s.n_chars AS BIGINT)
+                  ELSE w.used + s.n_chars END
+      FROM walk w JOIN sharded s
+        ON s.shard = w.shard AND s.rn = w.rn + 1
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(seq) + 1 AS BIGINT) AS n_seqs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(seq * doc_id + off) AS BIGINT) AS pack_checksum
+    FROM walk GROUP BY shard
+"""
+
+
 def q_webdataset_export_stats(spark, sf_dir):
     # WebDataset-style tar-shard sink round trip: write documents as 8
     # deterministic tar shards (two members per sample: <key>.txt =
@@ -4033,6 +4091,7 @@ QUERIES = {
     "export_shard_stats": q_export_shard_stats,
     "webdataset_export_stats": q_webdataset_export_stats,
     "epoch_shuffle_stats": q_epoch_shuffle_stats,
+    "greedy_pack_stats": q_greedy_pack_stats,
     "mix_budget_stats": q_mix_budget_stats,
     "quality_logit_stats": q_quality_logit_stats,
     "segment_dedup_stats": q_segment_dedup_stats,
@@ -6543,3 +6602,4 @@ ORACLES["export_shard_stats"] = """
 ORACLES["webdataset_export_stats"] = ORACLE_WEBDATASET
 ORACLES["epoch_shuffle_stats"] = ORACLE_EPOCH_SHUFFLE
 ORACLES["quantile_sketch_rollup"] = ORACLE_QUANTILE_SKETCH
+ORACLES["greedy_pack_stats"] = ORACLE_GREEDY_PACK

@@ -517,6 +517,94 @@ def epoch_shuffle(
     return out.withColumn(pos_column, F.row_number().over(w)).drop("__ek__")
 
 
+def pack_documents_greedy(
+    df: DataFrame,
+    id_column: str,
+    length_column: str,
+    max_length: int,
+    n_shards: int = 256,
+    seed: int = 0,
+    shard_column: str = "shard",
+    seq_column: str = "seq",
+    offset_column: str = "seq_offset",
+) -> DataFrame:
+    """Pack whole documents into fixed-capacity training sequences
+    WITHOUT splitting any document (the boundary-respecting variant of
+    ``pack_sequences``: no cross-document attention leakage). Appends
+    ``shard``, a per-shard ``seq`` id, and the document's start
+    ``seq_offset`` within its sequence.
+
+    Docs are walked in a seed-keyed md5 order within their shard
+    (deterministic on any cluster); greedy rule: a doc joins the
+    current sequence iff it fits in the remaining capacity, else it
+    opens a new one. A doc longer than ``max_length`` gets a sequence
+    of its own (callers filter or truncate beforehand if oversized
+    docs are disallowed). Greedy-in-hash-order is the standard
+    streaming-friendly packing (first-fit on a random permutation);
+    its waste is bounded and, unlike best-fit-decreasing, it needs no
+    global sort by length.
+
+    Scale shape: shard = md5(seed:id) mod n_shards, ONE shuffle
+    (groupBy shard); the per-shard walk is a sequential O(rows/shard)
+    kernel — size ``n_shards`` so a shard fits a task, the same rule
+    as the tar-shard exporter. The walk is inherently sequential, so
+    the shard is the parallelism unit — exactly how packing shards are
+    produced for real loaders.
+    """
+    import pandas as pd
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if max_length < 1:
+        raise ValueError("max_length must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(int(seed))),
+                    F.lit(":"),
+                    F.col(id_column).cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    staged = df.withColumn("__pk__", h).withColumn(
+        shard_column, (F.col("__pk__") % F.lit(int(n_shards))).cast("int")
+    )
+    cap = int(max_length)
+    out_schema = staged.drop("__pk__").schema.add(
+        seq_column, "long"
+    ).add(offset_column, "long")
+
+    def pack_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["__pk__", id_column], kind="mergesort"
+        ).reset_index(drop=True)
+        lens = pdf[length_column].fillna(0).astype("int64").to_numpy()
+        seqs = np.empty(len(lens), dtype="int64")
+        offs = np.empty(len(lens), dtype="int64")
+        seq, used = 0, 0
+        for i, ln in enumerate(lens):
+            if i > 0 and used + ln > cap:
+                seq += 1
+                used = 0
+            seqs[i] = seq
+            offs[i] = used
+            used += ln
+        out = pdf.drop(columns=["__pk__"])
+        out[seq_column] = seqs
+        out[offset_column] = offs
+        return out
+
+    return staged.groupBy(shard_column).applyInPandas(pack_fn, out_schema)
+
+
 def export_webdataset(
     df: DataFrame,
     path: str,
