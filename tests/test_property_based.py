@@ -274,3 +274,136 @@ def test_substring_dedup_invariants(spark, word_lists):
         assert all(ch in it for ch in cleaned), (t, cleaned)
         if not any(shares_span(t, texts[j]) for j in range(i)):
             assert cleaned == t
+
+
+# --- session-4 operators -----------------------------------------------------
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=6)
+_doc = st.lists(_word, min_size=0, max_size=25).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus_texts=st.lists(_doc, min_size=1, max_size=8),
+    bench_texts=st.lists(_doc, min_size=1, max_size=3),
+)
+def test_decontaminate_matches_python_reference(
+    spark, corpus_texts, bench_texts
+):
+    """Every cut span arithmetic matches a brute-force python oracle:
+    position p of doc d is removed iff the L-gram at p appears verbatim
+    in some benchmark text."""
+    from tumult_analytics_spark.operators.dedup import (
+        decontaminate_substrings,
+    )
+
+    L = 8
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_texts)), "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(i + 1000, t) for i, t in enumerate(bench_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["out"]
+        for r in decontaminate_substrings(
+            corpus, bench, "text", "doc_id", min_length=L,
+            output_column="out",
+        ).collect()
+    }
+    bench_grams = {
+        t[p : p + L]
+        for t in bench_texts
+        for p in range(max(len(t) - L + 1, 0))
+    }
+
+    def py_clean(t):
+        flagged = [
+            p for p in range(max(len(t) - L + 1, 0))
+            if t[p : p + L] in bench_grams
+        ]
+        covered = set()
+        for p in flagged:
+            covered.update(range(p, p + L))
+        # span merge: gaps > L between flagged starts break spans, but
+        # coverage semantics are identical to "every flagged gram's
+        # characters are removed" because span ends extend L-1 past the
+        # last start — so the union of covered positions IS the cut.
+        return "".join(ch for i, ch in enumerate(t) if i not in covered)
+
+    for i, t in enumerate(corpus_texts):
+        assert got[i] == py_clean(t), (i, t)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=600), min_size=1,
+                  max_size=40),
+    cap=st.integers(min_value=200, max_value=1000),
+)
+def test_greedy_pack_invariants(spark, lens, cap):
+    from tumult_analytics_spark.operators.pipeline import (
+        pack_documents_greedy,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(lens)), "doc_id long, n long"
+    )
+    rows = pack_documents_greedy(
+        df, "doc_id", "n", max_length=cap, n_shards=2, seed=3
+    ).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(range(len(lens)))
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r["shard"], r["seq"]), []).append(r)
+    for members in by_seq.values():
+        if len(members) > 1:
+            assert sum(m["n"] for m in members) <= cap
+        offs = sorted(m["seq_offset"] for m in members)
+        assert offs[0] == 0  # every sequence starts at offset 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=150, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_quantile_sketch_error_bound(spark, vals):
+    """Any rollup quantile is within one bin width of the exact
+    inverted-CDF quantile of the CLAMPED data."""
+    import numpy as np
+
+    from tumult_analytics_spark.sources.readers import (
+        build_quantile_sketches,
+        rollup_quantiles,
+    )
+
+    bins, lo, hi = 20, 0.0, 100.0
+    df = spark.createDataFrame(
+        [("g", i % 3, float(v)) for i, v in enumerate(vals)],
+        "g string, sub int, v double",
+    )
+    sk = build_quantile_sketches(df, ["g", "sub"], "v", lo, hi, bins=bins)
+    for q in (0.1, 0.5, 0.9):
+        got = rollup_quantiles(
+            sk, ["g"], (q,), lo, hi, bins=bins,
+        ).first()[f"q{q}".replace(".", "_")]
+        clamped = np.clip(np.array(vals), lo, hi)
+        exact = np.quantile(clamped, q, method="inverted_cdf")
+        assert abs(got - exact) <= (hi - lo) / bins + 1e-9
