@@ -1269,3 +1269,87 @@ class TestPillowCodec:
             unregister_image_codec("pillow")
         assert (taken.height, taken.width, taken.channels) == (4, 5, 3)
         assert taken.pixel_sum == int(arr.astype(np.int64).sum())
+
+
+class TestFlac:
+    """Native FLAC fixed-predictor subset: synthesizer/decoder
+    round-trips plus a HAND-CONSTRUCTED bitstream (every header byte
+    spelled out from RFC 9639) so a shared synth+decoder layout bug
+    cannot hide."""
+
+    def test_round_trip_all_orders_and_partitions(self):
+        import numpy as np
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(5)
+        for order in range(5):
+            for po in (0, 2):
+                x = rng.integers(-3000, 3000, 64).astype(np.int64)
+                rec = M._decode_flac_samples(
+                    M.synthesize_flac(x, 8000, order=order, partition_order=po)
+                )
+                assert rec is not None
+                rate, ch, got = rec
+                assert (rate, ch) == (8000, 1)
+                assert np.array_equal(got, x)
+
+    def test_compresses_smooth_signals(self):
+        import numpy as np
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        t = np.arange(96)
+        x = (1000 * np.sin(t / 5)).astype(np.int64)
+        raw = 96 * 2
+        assert len(M.synthesize_flac(x, 44100, order=4)) < raw  # real coding
+
+    def test_hand_constructed_constant_stream(self):
+        import struct
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        # STREAMINFO: bs 4/4, fs 0/0, rate 8000, mono, 16 bps, 4 samples.
+        si = bytes(
+            [0x00, 0x04, 0x00, 0x04, 0, 0, 0, 0, 0, 0,
+             0x01, 0xF4, 0x00, 0xF0, 0x00, 0x00, 0x00, 0x04]
+        ) + bytes(16)
+        meta = b"\x80\x00\x00\x22" + si
+        # Frame header: sync+fixed blocking FF F8; bs-from-8-bit + rate-
+        # from-STREAMINFO 0x60; mono + 16bps 0x08; frame#0; bs-1=3.
+        hdr = bytes([0xFF, 0xF8, 0x60, 0x08, 0x00, 0x03])
+        hdr += bytes([M._crc8(hdr)])
+        body = bytes([0x00, 0x00, 0x05])  # CONSTANT subframe, value 5
+        frame = hdr + body
+        frame += struct.pack(">H", M._crc16(frame))
+        rec = M._decode_flac_samples(b"fLaC" + meta + frame)
+        assert rec is not None
+        rate, ch, samples = rec
+        assert (rate, ch) == (8000, 1)
+        assert list(samples) == [5, 5, 5, 5]
+
+    def test_corruption_returns_none(self):
+        import numpy as np
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        x = np.arange(48, dtype=np.int64) * 7 - 100
+        buf = M.synthesize_flac(x, 8000, order=2)
+        assert M._decode_flac_samples(buf[: len(buf) // 2]) is None
+        b = bytearray(buf)
+        b[-3] ^= 0x40  # flip a residual bit -> CRC-16 must catch it
+        assert M._decode_flac_samples(bytes(b)) is None
+
+    def test_decode_audio_dispatches_flac(self, spark):
+        import numpy as np
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        x = (np.arange(50, dtype=np.int64) * 17 % 65536) - 32768
+        payload = M.synthesize_flac(x, 16000, order=1)
+        df = spark.createDataFrame([(1, bytearray(payload))],
+                                   "doc_id long, payload binary")
+        row = M.decode_audio(df, "payload").first()
+        assert row["sample_rate"] == 16000
+        assert row["n_samples"] == 50
+        assert row["sum_abs"] == int(np.abs(x).sum())

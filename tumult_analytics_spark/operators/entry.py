@@ -3983,6 +3983,53 @@ def q_decode_audio_alaw(spark, sf_dir):
     )
 
 
+def q_decode_audio_flac(spark, sf_dir):
+    # Native FLAC decode (fixed-predictor subset: Rice-coded residuals,
+    # CRC-verified): payloads synthesized per doc with the shared SQL
+    # sample formula ((id*31 + i*17) % 65536 - 32768), predictor order
+    # id % 5 and 2^(id % 2) Rice partitions so every subframe shape is
+    # graded. The oracle replays the FORMULA — a value match proves the
+    # codec round-trip reproduced every sample exactly.
+    import numpy as np
+
+    from . import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id % 10 = 4")
+    )
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 40 + 2 * (d % 25)
+                i = np.arange(n, dtype=np.int64)
+                x = (d * 31 + i * 17) % 65536 - 32768
+                payloads.append(
+                    M.synthesize_flac(
+                        x, 8000, order=d % 5, partition_order=d % 2
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf
+
+    with_flac = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields
+            + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    return M.decode_audio(with_flac, "payload").select(
+        "doc_id", "sample_rate", "n_samples", "sum_abs", "peak"
+    )
+
+
 def q_segment_dedup_stats(spark, sf_dir):
     # C4-style span dedup (8-token segments, global first occurrence):
     # per-lang surviving-character totals prove exactly which segments
@@ -4099,6 +4146,7 @@ QUERIES = {
     "audio_frame_features": q_audio_frame_features,
     "decode_audio_mulaw": q_decode_audio_mulaw,
     "decode_audio_alaw": q_decode_audio_alaw,
+    "decode_audio_flac": q_decode_audio_flac,
     "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
     "winnow_contamination": q_winnow_contamination,
     "event_anomaly_zscores": q_event_anomaly_zscores,
@@ -6504,6 +6552,25 @@ ORACLES["decode_audio_alaw"] = """
                 ELSE (2 * (aa % 16) + 33) * (1 << ((aa // 16) % 8 + 2))
            END) AS v
       FROM a
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM x GROUP BY doc_id
+"""
+
+ORACLES["decode_audio_flac"] = """
+    WITH d AS (
+      SELECT doc_id, 40 + 2 * (doc_id % 25) AS n
+      FROM documents WHERE doc_id % 10 = 4
+    ),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    x AS (
+      SELECT doc_id, n,
+             (doc_id * 31 + i * 17) % 65536 - 32768 AS v
+      FROM s
     )
     SELECT doc_id,
            CAST(8000 AS INTEGER) AS sample_rate,

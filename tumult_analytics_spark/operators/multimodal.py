@@ -1958,6 +1958,353 @@ def _mulaw_expand(u8):
     return np.where(u & 0x80, 0x84 - t, t - 0x84)
 
 
+# --- FLAC (fixed-predictor subset) ------------------------------------------
+# A real native decoder for the lossless codec training corpora actually
+# carry, covering the encoder subset every FLAC encoder's default fast
+# modes use: CONSTANT / VERBATIM / FIXED(0-4) subframes with Rice-coded
+# residuals (methods 0 and 1, any partition order), independent
+# channels, fixed blocking, CRC-8/CRC-16 verified. LPC subframes,
+# mid/side stereo, and wasted-bits are the codec-library seam (the
+# decoder returns None for them — nulls, not crashes). Reference:
+# the public FLAC format spec (RFC 9639).
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame headers."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frames."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc, self.nbits = 0, 0
+
+    def write_unary(self, q: int) -> None:
+        for _ in range(q):
+            self.write(0, 1)
+        self.write(1, 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def getvalue(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.bytepos = pos
+        self.bitpos = 0
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            if self.bytepos >= len(self.buf):
+                raise EOFError
+            bit = (self.buf[self.bytepos] >> (7 - self.bitpos)) & 1
+            v = (v << 1) | bit
+            self.bitpos += 1
+            if self.bitpos == 8:
+                self.bitpos, self.bytepos = 0, self.bytepos + 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bitpos:
+            self.bitpos, self.bytepos = 0, self.bytepos + 1
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def synthesize_flac(
+    samples, sample_rate: int, order: int = 1, partition_order: int = 0
+) -> bytes:
+    """Spec-conformant single-frame mono 16-bit FLAC: STREAMINFO +
+    one fixed-blocking frame with a FIXED(order) subframe, Rice-coded
+    residuals (method 0), ``2**partition_order`` partitions, CRC-8 and
+    CRC-16 — decodable by any FLAC decoder, and by
+    :func:`_decode_flac_samples`."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    n = len(x)
+    if not 0 <= order <= 4 or n <= order:
+        raise ValueError("need 0 <= order <= 4 and more samples than order")
+    if n % (1 << partition_order) != 0:
+        raise ValueError("blocksize must divide by 2**partition_order")
+    # STREAMINFO (34 bytes): fixed blocksize, rate, mono, 16 bps, n.
+    si = _BitWriter()
+    si.write(n, 16)
+    si.write(n, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(int(sample_rate), 20)
+    si.write(0, 3)  # channels - 1
+    si.write(15, 5)  # bps - 1
+    si.write(n, 36)
+    for _ in range(16):
+        si.write(0, 8)  # md5 unset
+    meta = b"\x80\x00\x00\x22" + si.getvalue()  # last-block, type 0, len 34
+
+    # Frame header: sync/fixed-blocking, blocksize from 16-bit field
+    # (code 0b0111), rate from STREAMINFO (0b0000), mono, 16 bps.
+    w = _BitWriter()
+    w.write(0b11111111111110_0_0, 16)
+    w.write(0b0111, 4)
+    w.write(0b0000, 4)
+    w.write(0b0000, 4)  # channel assignment: 1 channel
+    w.write(0b100, 3)  # 16 bits per sample
+    w.write(0, 1)
+    w.write(0, 8)  # frame number 0 (UTF-8 single byte)
+    w.write(n - 1, 16)
+    hdr = w.getvalue()
+    hdr += bytes([_crc8(hdr)])
+
+    body = _BitWriter()
+    body.write(0, 1)  # subframe pad bit
+    body.write(0b001000 | order, 6)  # FIXED(order)
+    body.write(0, 1)  # no wasted bits
+    for i in range(order):
+        body.write(int(x[i]) & 0xFFFF, 16)  # warmup, raw 16-bit
+    coefs = _FLAC_FIXED_COEFS[order]
+    res = x[order:].copy()
+    for j, c in enumerate(coefs):
+        res = res - c * x[order - 1 - j : n - 1 - j]
+    body.write(0, 2)  # residual method 0: 4-bit Rice
+    body.write(partition_order, 4)
+    parts = 1 << partition_order
+    per = n // parts
+    pos = 0
+    for p in range(parts):
+        cnt = per - order if p == 0 else per
+        seg = res[pos : pos + cnt]
+        pos += cnt
+        zz = np.where(seg >= 0, 2 * seg, -2 * seg - 1).astype(np.int64)
+        mean = float(zz.mean()) if len(zz) else 0.0
+        k = 0
+        while (1 << (k + 1)) < mean + 1 and k < 14:
+            k += 1
+        body.write(k, 4)
+        for v in zz:
+            body.write_unary(int(v) >> k)
+            if k:
+                body.write(int(v) & ((1 << k) - 1), k)
+    body.align()
+    frame = hdr + body.getvalue()
+    frame += struct.pack(">H", _crc16(frame))
+    return b"fLaC" + meta + frame
+
+
+def _decode_flac_samples(buf: bytes):
+    """Decode the FLAC fixed-predictor subset; returns ``(rate,
+    channels, samples)`` (interleaved int64) or None. Subset: fixed
+    blocking, independent channels, CONSTANT/VERBATIM/FIXED(0-4)
+    subframes, Rice methods 0/1 incl. escape partitions; LPC and
+    mid/side payloads return None (codec-library seam)."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if buf[:4] != b"fLaC":
+            return None
+        pos, rate, channels, bps, total = 4, None, None, None, None
+        while pos + 4 <= len(buf):
+            hdr = buf[pos]
+            is_last, btype = hdr & 0x80, hdr & 0x7F
+            (blen,) = struct.unpack(">I", b"\x00" + buf[pos + 1 : pos + 4])
+            body = buf[pos + 4 : pos + 4 + blen]
+            if btype == 0 and blen >= 34:
+                r = _BitReader(body)
+                r.read(16), r.read(16), r.read(24), r.read(24)
+                rate = r.read(20)
+                channels = r.read(3) + 1
+                bps = r.read(5) + 1
+                total = r.read(36)
+            pos += 4 + blen
+            if is_last:
+                break
+        if rate is None or bps > 32:
+            return None
+
+        out = []
+        while pos + 2 <= len(buf):
+            frame_start = pos
+            r = _BitReader(buf, pos)
+            sync = r.read(14)
+            if sync != 0b11111111111110:
+                return None
+            r.read(1)  # reserved
+            r.read(1)  # blocking strategy
+            bs_code = r.read(4)
+            sr_code = r.read(4)
+            ch_code = r.read(4)
+            ss_code = r.read(3)
+            r.read(1)
+            # UTF-8 coded frame number: skip continuation bytes.
+            lead = r.read(8)
+            extra = 0
+            if lead >= 0xC0:
+                mask = 0xE0
+                while lead & mask == mask:
+                    extra += 1
+                    mask = (mask >> 1) | 0x80
+            for _ in range(extra):
+                r.read(8)
+            if bs_code == 0b0110:
+                bs = r.read(8) + 1
+            elif bs_code == 0b0111:
+                bs = r.read(16) + 1
+            elif bs_code == 0b0001:
+                bs = 192
+            elif 0b0010 <= bs_code <= 0b0101:
+                bs = 576 << (bs_code - 2)
+            elif bs_code >= 0b1000:
+                bs = 256 << (bs_code - 8)
+            else:
+                return None
+            if sr_code == 0b1100:
+                r.read(8)
+            elif sr_code in (0b1101, 0b1110):
+                r.read(16)
+            if ch_code >= 0b1000:
+                return None  # mid/side stereo: codec-library seam
+            n_ch = ch_code + 1
+            ss_map = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+            fbps = ss_map.get(ss_code)
+            if fbps is None:
+                return None
+            hdr_end = r.bytepos
+            if _crc8(buf[frame_start:hdr_end]) != buf[hdr_end]:
+                return None
+            r = _BitReader(buf, hdr_end + 1)
+
+            chans = []
+            for _ in range(n_ch):
+                if r.read(1) != 0:
+                    return None
+                stype = r.read(6)
+                wasted = r.read(1)
+                if wasted:
+                    return None  # wasted-bits: seam
+                sign = 1 << (fbps - 1)
+
+                def s_read(nb):
+                    v = r.read(nb)
+                    return v - (1 << nb) if v & (1 << (nb - 1)) else v
+
+                if stype == 0:  # CONSTANT
+                    v = s_read(fbps)
+                    chans.append(np.full(bs, v, dtype=np.int64))
+                    continue
+                if stype == 1:  # VERBATIM
+                    chans.append(
+                        np.array([s_read(fbps) for _ in range(bs)], np.int64)
+                    )
+                    continue
+                if not (0b001000 <= stype <= 0b001100):
+                    return None  # LPC: seam
+                order = stype - 0b001000
+                warm = [s_read(fbps) for _ in range(order)]
+                method = r.read(2)
+                if method > 1:
+                    return None
+                pbits = 4 if method == 0 else 5
+                po = r.read(4)
+                parts = 1 << po
+                if bs % parts or bs // parts < order:
+                    return None
+                res = []
+                for p in range(parts):
+                    cnt = bs // parts - (order if p == 0 else 0)
+                    k = r.read(pbits)
+                    if k == (1 << pbits) - 1:  # escape: raw n-bit
+                        nb = r.read(5)
+                        for _ in range(cnt):  # raw two's complement
+                            v = r.read(nb) if nb else 0
+                            if nb and v & (1 << (nb - 1)):
+                                v -= 1 << nb
+                            res.append(v)
+                    else:
+                        for _ in range(cnt):
+                            q = r.read_unary()
+                            v = (q << k) | (r.read(k) if k else 0)
+                            res.append((v >> 1) ^ -(v & 1))
+                x = np.empty(bs, dtype=np.int64)
+                x[:order] = warm
+                coefs = _FLAC_FIXED_COEFS[order]
+                for i in range(order, bs):
+                    acc = res[i - order]
+                    for j, c in enumerate(coefs):
+                        acc += c * x[i - 1 - j]
+                    x[i] = acc
+                chans.append(x)
+            r.align()
+            crc_end = r.bytepos
+            (want,) = struct.unpack(">H", buf[crc_end : crc_end + 2])
+            if _crc16(buf[frame_start:crc_end]) != want:
+                return None
+            pos = crc_end + 2
+            out.append(
+                np.stack(chans, axis=1).reshape(-1)
+                if n_ch > 1
+                else chans[0]
+            )
+            if pos >= len(buf):
+                break
+        if not out:
+            return None
+        samples = np.concatenate(out)
+        return int(rate), int(n_ch), samples
+    except (EOFError, IndexError, struct.error, KeyError):
+        return None
+
+
 def _decode_wav(buf: bytes):
     """Parse a PCM16 or G.711 mu-law RIFF/WAVE payload; returns
     (sample_rate, channels, n_samples, sum_abs, peak) or None."""
@@ -2118,11 +2465,15 @@ def _decode_wav_samples(buf: bytes):
     """Chunk-walk a RIFF/WAVE payload and return ``(rate, channels,
     samples)`` with the decoded int64 sample array (interleaved), or
     None. Handles PCM16 (fmt 1, 16-bit) and G.711 mu-law (fmt 7,
-    8-bit); other formats need a codec library."""
+    8-bit) WAV, plus native FLAC (fixed-predictor subset — see
+    :func:`_decode_flac_samples`); other formats need a codec
+    library."""
     import struct
 
     import numpy as np
 
+    if len(buf) >= 4 and buf[:4] == b"fLaC":
+        return _decode_flac_samples(buf)
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         return None
     pos, rate, channels, bits, fmt_tag, data = 12, None, None, None, None, None
