@@ -1353,3 +1353,54 @@ class TestFlac:
         assert row["sample_rate"] == 16000
         assert row["n_samples"] == 50
         assert row["sum_abs"] == int(np.abs(x).sum())
+
+
+class TestInterlacedPng:
+    def test_interlaced_equals_plain_per_position(self, spark):
+        # Same formula image emitted plain and Adam7: decoded samples
+        # must agree at every position, so pos_checksum (position-
+        # weighted) matches too — grading the scatter, not just sums.
+        from tumult_analytics_spark.operators import multimodal as M
+
+        rows = []
+        for d in range(24):
+            ct = [0, 2, 6, 3][d % 4]
+            rows.append(
+                (2 * d, bytearray(M.synthesize_png(
+                    3 + d % 9, 2 + d % 7, d, color_type=ct))),
+            )
+            rows.append(
+                (2 * d + 1, bytearray(M.synthesize_png(
+                    3 + d % 9, 2 + d % 7, d, color_type=ct,
+                    interlace=True))),
+            )
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {
+            r["doc_id"]: (r["height"], r["width"], r["channels"],
+                          r["pixel_sum"], r["pos_checksum"])
+            for r in M.decode_png_verified(df, "payload").collect()
+        }
+        for d in range(24):
+            assert got[2 * d] == got[2 * d + 1], d
+            assert got[2 * d][3] is not None
+
+    def test_single_pixel_and_tall_thin(self):
+        import numpy as np
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        for w, h in [(1, 1), (1, 16), (16, 1), (2, 2)]:
+            buf = M.synthesize_png(w, h, 5, color_type=2, interlace=True)
+            rec = M._decode_png_pixels(buf)
+            assert rec is not None, (w, h)
+            H, W, C, img = rec
+            n = w * h * 3
+            exp = ((5 * 7 + np.arange(n) * 13) % 256).reshape(h, w, 3)
+            assert np.array_equal(img, exp), (w, h)
+
+    def test_truncated_interlaced_returns_none(self):
+        from tumult_analytics_spark.operators import multimodal as M
+
+        buf = M.synthesize_png(9, 9, 3, color_type=2, interlace=True)
+        # cut inside IDAT: zlib fails or passes run short -> None
+        assert M._decode_png(buf[: len(buf) - 20]) is None

@@ -3983,6 +3983,94 @@ def q_decode_audio_alaw(spark, sf_dir):
     )
 
 
+def q_decode_image_interlaced(spark, sf_dir):
+    # Adam7-interlaced PNG decode: payloads synthesized with the shared
+    # position formula (flat sample i = (seed*7 + i*13) % 256 addressed
+    # by FULL-IMAGE position), seven passes extracted and filtered per
+    # the spec. pos_checksum = sum(sample_i * (i+1)) is position-
+    # sensitive, so the oracle match grades the pass-to-position
+    # scatter itself — a plain pixel_sum cannot (de-interleaving
+    # preserves the sample multiset). Color type varies per doc
+    # (gray / RGB / RGBA / palette).
+    from . import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id % 10 = 6")
+    )
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_png(
+                    3 + int(d) % 12,
+                    2 + int(d) % 11,
+                    int(d),
+                    color_type=[0, 2, 6, 3][int(d) % 4],
+                    interlace=True,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_png = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields
+            + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    return M.decode_png_verified(with_png, "payload").select(
+        "doc_id", "height", "width", "channels", "pixel_sum",
+        "pos_checksum",
+    )
+
+
+ORACLE_PNG_INTERLACED = """
+    WITH d AS (
+      SELECT doc_id,
+             3 + doc_id % 12 AS w,
+             2 + doc_id % 11 AS h,
+             doc_id % 4 AS ctsel
+      FROM documents WHERE doc_id % 10 = 6
+    ), dims AS (
+      SELECT doc_id, w, h, ctsel,
+             CASE ctsel WHEN 0 THEN 1 WHEN 1 THEN 3
+                        WHEN 2 THEN 4 ELSE 1 END AS bpp
+      FROM d
+    ), s AS (
+      SELECT doc_id, w, h, ctsel, bpp,
+             unnest(range(0, w * h * bpp)) AS i
+      FROM dims
+    ), v AS (
+      SELECT doc_id, w, h, ctsel, bpp, i,
+             (doc_id * 7 + i * 13) % 256 AS raw
+      FROM s
+    ), px AS (
+      -- palette images (ctsel 3) map index p, channel c to
+      -- (p*5 + c*11 + 3) % 256 and report 3 channels; others pass raw.
+      SELECT doc_id, w, h, ctsel,
+             CASE WHEN ctsel = 3 THEN i * 3 + c.c ELSE i END AS j,
+             CASE WHEN ctsel = 3 THEN (raw * 5 + c.c * 11 + 3) % 256
+                  ELSE raw END AS val
+      FROM v, (SELECT unnest(range(0, 3)) AS c) c
+      WHERE ctsel = 3 OR c.c = 0
+    )
+    SELECT doc_id,
+           CAST(max(h) AS INTEGER) AS height,
+           CAST(max(w) AS INTEGER) AS width,
+           CAST(CASE max(ctsel) WHEN 0 THEN 1 WHEN 1 THEN 3
+                                WHEN 2 THEN 4 ELSE 3 END AS INTEGER)
+             AS channels,
+           CAST(sum(val) AS BIGINT) AS pixel_sum,
+           CAST(sum(val * (j + 1)) AS BIGINT) AS pos_checksum
+    FROM px GROUP BY doc_id
+"""
+
+
 def q_decode_audio_flac(spark, sf_dir):
     # Native FLAC decode (fixed-predictor subset: Rice-coded residuals,
     # CRC-verified): payloads synthesized per doc with the shared SQL
@@ -4147,6 +4235,7 @@ QUERIES = {
     "decode_audio_mulaw": q_decode_audio_mulaw,
     "decode_audio_alaw": q_decode_audio_alaw,
     "decode_audio_flac": q_decode_audio_flac,
+    "decode_image_interlaced": q_decode_image_interlaced,
     "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
     "winnow_contamination": q_winnow_contamination,
     "event_anomaly_zscores": q_event_anomaly_zscores,
@@ -6560,6 +6649,8 @@ ORACLES["decode_audio_alaw"] = """
            CAST(max(abs(v)) AS BIGINT) AS peak
     FROM x GROUP BY doc_id
 """
+
+ORACLES["decode_image_interlaced"] = ORACLE_PNG_INTERLACED
 
 ORACLES["decode_audio_flac"] = """
     WITH d AS (

@@ -151,43 +151,35 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def synthesize_png(
-    width: int, height: int, seed: int, color_type: int = 2
-) -> bytes:
-    """A real, spec-conformant PNG (8-bit, non-interlaced) whose flat
-    sample stream byte i is ``(seed*7 + i*13) % 256`` — the same integer
-    formula as :func:`synthesize_bmp`, so a SQL oracle can recompute the
-    exact ``pixel_sum``. Scanline filters CYCLE through all five types
-    (row r uses filter ``r % 5``), so a decoder only matches the oracle
-    if its Sub/Up/Average/Paeth unfiltering is correct.
+#: Adam7 interlace passes: (x0, y0, dx, dy) per the PNG spec.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    ``color_type=3`` emits a PALETTE image: the formula stream becomes
-    palette indices and a PLTE chunk maps index p, channel c to
-    ``(p*5 + c*11 + 3) % 256`` — also SQL-replayable."""
-    import struct
-    import zlib
 
+def _png_paeth(a, b, c):
     import numpy as np
 
-    if color_type not in _PNG_CHANNELS and color_type != 3:
-        raise ValueError(f"unsupported color_type {color_type}")
-    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-    stride = width * bpp
-    n = stride * height
-    flat = ((seed * 7 + np.arange(n, dtype=np.int64) * 13) % 256).reshape(
-        height, stride
-    )
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
-    def _paeth(a, b, c):
-        p = a + b - c
-        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-        return np.where(
-            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-        )
+
+def _png_filter_rows(flat, bpp: int) -> bytearray:
+    """Filter an (height, stride) int64 sample matrix into PNG scanline
+    bytes, cycling filter types (row r uses ``r % 5``)."""
+    import numpy as np
 
     raw = bytearray()
+    stride = flat.shape[1]
     prev = np.zeros(stride, dtype=np.int64)
-    for r in range(height):
+    for r in range(flat.shape[0]):
         cur = flat[r]
         left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
         upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
@@ -201,10 +193,62 @@ def synthesize_png(
         elif t == 3:
             filt = cur - (left + prev) // 2
         else:
-            filt = cur - _paeth(left, prev, upleft)
+            filt = cur - _png_paeth(left, prev, upleft)
         raw.append(t)
         raw.extend((filt % 256).astype(np.uint8).tobytes())
         prev = cur
+    return raw
+
+
+def synthesize_png(
+    width: int,
+    height: int,
+    seed: int,
+    color_type: int = 2,
+    interlace: bool = False,
+) -> bytes:
+    """A real, spec-conformant PNG (8-bit) whose flat sample stream
+    byte i is ``(seed*7 + i*13) % 256`` — the same integer formula as
+    :func:`synthesize_bmp`, so a SQL oracle can recompute the exact
+    ``pixel_sum``. Scanline filters CYCLE through all five types
+    (row r uses filter ``r % 5``), so a decoder only matches the oracle
+    if its Sub/Up/Average/Paeth unfiltering is correct.
+
+    ``color_type=3`` emits a PALETTE image: the formula stream becomes
+    palette indices and a PLTE chunk maps index p, channel c to
+    ``(p*5 + c*11 + 3) % 256`` — also SQL-replayable.
+
+    ``interlace=True`` emits ADAM7: the formula still addresses samples
+    by their FULL-IMAGE position (i = (y*width + x)*channels + c), and
+    the seven passes are extracted, filtered, and concatenated per the
+    spec — so a decoder's pass-to-position scatter is value-checked by
+    any position-sensitive statistic."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if color_type not in _PNG_CHANNELS and color_type != 3:
+        raise ValueError(f"unsupported color_type {color_type}")
+    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    n = stride * height
+    flat = ((seed * 7 + np.arange(n, dtype=np.int64) * 13) % 256).reshape(
+        height, width, bpp
+    )
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = flat[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw.extend(
+                _png_filter_rows(
+                    sub.reshape(sub.shape[0], sub.shape[1] * bpp), bpp
+                )
+            )
+    else:
+        raw = _png_filter_rows(flat.reshape(height, stride), bpp)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         body = ctype + data
@@ -214,7 +258,9 @@ def synthesize_png(
             + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     plte = b""
     if color_type == 3:
         plte = chunk(
@@ -234,17 +280,70 @@ def synthesize_png(
     )
 
 
-def _decode_png(buf: bytes):
-    """(height, width, channels, pixel_sum) for an 8-bit non-interlaced
-    gray / RGB / gray+alpha / RGBA / palette (PLTE) PNG, or None.
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int):
+    """Invert PNG scanline filtering for a (sub-)image: ``raw`` holds
+    ``height`` scanlines of 1 filter byte + ``width*bpp`` samples.
+    Returns an int64 (height, width*bpp) matrix, or None on a bad
+    filter type / short buffer. The sequential filters (Sub/Average/
+    Paeth) loop over pixels with the channel lanes vectorized, so cost
+    is ``width`` iterations per row, not ``width*channels``."""
+    import numpy as np
 
-    Pure stdlib + numpy: chunk walk, ``zlib`` inflate, and full
-    None/Sub/Up/Average/Paeth scanline unfiltering; palette images
-    unfilter the index plane then map through PLTE (channels reported
-    as 3). 16-bit and Adam7-interlaced images return None. Unfiltering
-    is O(pixels); the sequential filters (Sub/Average/Paeth) loop over
-    pixels with the channel lanes vectorized, so cost is ``width``
-    iterations per row, not ``width*channels``."""
+    stride = width * bpp
+    if len(raw) < (stride + 1) * height:
+        return None
+    out = np.empty((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(height):
+        off = r * (stride + 1)
+        t = raw[off]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int64)
+        if t == 0:
+            recon = cur
+        elif t == 2:
+            recon = (cur + prev) % 256
+        elif t == 1:
+            # Sub: recon[x] = cur[x] + recon[x-bpp] — a running sum per
+            # channel lane; mod-256 cumsum reproduces uint8 wraparound.
+            recon = (
+                np.cumsum(cur.reshape(width, bpp), axis=0) % 256
+            ).reshape(stride)
+        elif t in (3, 4):
+            cur2 = cur.reshape(width, bpp)
+            prev2 = prev.reshape(width, bpp)
+            recon2 = np.empty_like(cur2)
+            a = np.zeros(bpp, dtype=np.int64)
+            c = np.zeros(bpp, dtype=np.int64)
+            for x in range(width):
+                b = prev2[x]
+                if t == 3:
+                    v = cur2[x] + (a + b) // 2
+                else:
+                    v = cur2[x] + _png_paeth(a, b, c)
+                a = v % 256
+                recon2[x] = a
+                c = b
+            recon = recon2.reshape(stride)
+        else:
+            return None  # invalid filter type
+        out[r] = recon
+        prev = recon
+    return out
+
+
+def _decode_png_pixels(buf: bytes):
+    """Full-pixel decode of an 8-bit gray / RGB / gray+alpha / RGBA /
+    palette (PLTE) PNG, non-interlaced OR Adam7-interlaced: returns
+    ``(height, width, channels, img)`` with ``img`` an int64
+    (height, width, channels) array in IMAGE position order, or None.
+
+    Pure stdlib + numpy: chunk walk, ``zlib`` inflate, full
+    None/Sub/Up/Average/Paeth unfiltering per pass, Adam7
+    pass-to-position scatter; palette images unfilter the index plane
+    then map through PLTE (channels reported as 3). 16-bit images
+    return None (codec-library territory)."""
     import struct
     import zlib
 
@@ -285,71 +384,113 @@ def _decode_png(buf: bytes):
         or (color_type not in _PNG_CHANNELS and color_type != 3)
         or comp != 0
         or filt != 0
-        or interlace != 0
+        or interlace not in (0, 1)
         or width <= 0
         or height <= 0
     ):
         return None
     bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-    stride = width * bpp
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    if len(raw) < (stride + 1) * height:
+    if interlace == 0:
+        rec = _png_unfilter(raw, width, height, bpp)
+        if rec is None:
+            return None
+        img = rec.reshape(height, width, bpp)
+    else:
+        img = np.zeros((height, width, bpp), dtype=np.int64)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = (pw * bpp + 1) * ph
+            rec = _png_unfilter(raw[off : off + need], pw, ph, bpp)
+            if rec is None:
+                return None
+            off += need
+            img[y0::dy, x0::dx, :] = rec.reshape(ph, pw, bpp)
+    if palette is not None:
+        if int(img.max()) >= len(palette):
+            return None  # index past the palette
+        img = palette[img.reshape(height, width)]
+    return height, width, (3 if palette is not None else bpp), img
+
+
+def _decode_png(buf: bytes):
+    """(height, width, channels, pixel_sum) for an 8-bit PNG
+    (non-interlaced or Adam7) — see :func:`_decode_png_pixels`."""
+    rec = _decode_png_pixels(buf)
+    if rec is None:
         return None
+    height, width, ch, img = rec
+    return height, width, ch, int(img.sum())
 
-    def _paeth(a, b, c):
-        p = a + b - c
-        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-        return np.where(
-            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-        )
 
-    total = 0
-    prev = np.zeros(stride, dtype=np.int64)
-    for r in range(height):
-        off = r * (stride + 1)
-        t = raw[off]
-        cur = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=off + 1
-        ).astype(np.int64)
-        if t == 0:
-            recon = cur
-        elif t == 2:
-            recon = (cur + prev) % 256
-        elif t == 1:
-            # Sub: recon[x] = cur[x] + recon[x-bpp] — a running sum per
-            # channel lane; mod-256 cumsum reproduces uint8 wraparound.
-            recon = (
-                np.cumsum(cur.reshape(width, bpp), axis=0) % 256
-            ).reshape(stride)
-        elif t in (3, 4):
-            cur2 = cur.reshape(width, bpp)
-            prev2 = prev.reshape(width, bpp)
-            recon2 = np.empty_like(cur2)
-            a = np.zeros(bpp, dtype=np.int64)
-            c = np.zeros(bpp, dtype=np.int64)
-            for x in range(width):
-                b = prev2[x]
-                if t == 3:
-                    v = cur2[x] + (a + b) // 2
+def decode_png_verified(df: DataFrame, binary_column: str) -> DataFrame:
+    """PNG decode with a POSITION-sensitive statistic: (height, width,
+    channels, pixel_sum, pos_checksum) where ``pos_checksum`` is
+    ``sum(sample[i] * (i + 1))`` over the decoded image's flat samples
+    in IMAGE order. A plain ``pixel_sum`` cannot distinguish a wrong
+    Adam7 de-interleave (the multiset of samples is preserved); the
+    weighted checksum pins every sample to its position, so it grades
+    the pass-to-position scatter itself. Unrecognized payloads decode
+    to nulls."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("pixel_sum", T.LongType(), True),
+            T.StructField("pos_checksum", T.LongType(), True),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("height", "width", "channels", "pixel_sum",
+                     "pos_checksum")}
+            for payload in pdf[binary_column]:
+                try:
+                    rec = (
+                        _decode_png_pixels(bytes(payload))
+                        if payload is not None
+                        else None
+                    )
+                except Exception:
+                    rec = None
+                if rec is None:
+                    vals = (None,) * 5
                 else:
-                    v = cur2[x] + _paeth(a, b, c)
-                a = v % 256
-                recon2[x] = a
-                c = b
-            recon = recon2.reshape(stride)
-        else:
-            return None  # invalid filter type
-        if palette is not None:
-            if int(recon.max()) >= len(palette):
-                return None  # index past the palette
-            total += int(palette[recon].sum())
-        else:
-            total += int(recon.sum())
-        prev = recon
-    return height, width, (3 if palette is not None else bpp), total
+                    h, w, c, img = rec
+                    flat = img.reshape(-1)
+                    vals = (
+                        h,
+                        w,
+                        c,
+                        int(flat.sum()),
+                        int(
+                            (flat * (np.arange(flat.size, dtype=np.int64)
+                                     + 1)).sum()
+                        ),
+                    )
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            out = pdf.copy()
+            for k in ("height", "width", "channels"):
+                out[k] = pd.array(cols[k], dtype="Int32")
+            for k in ("pixel_sum", "pos_checksum"):
+                out[k] = pd.array(cols[k], dtype="Int64")
+            yield out
+
+    return df.mapInPandas(decode, out_schema)
 
 
 # --- Baseline JPEG (grayscale) ---------------------------------------------
@@ -1993,7 +2134,7 @@ def _crc16(data: bytes) -> int:
     return crc
 
 
-class _BitWriter:
+class _FlacBitWriter:
     def __init__(self):
         self.buf = bytearray()
         self.acc = 0
@@ -2021,7 +2162,7 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-class _BitReader:
+class _FlacBitReader:
     def __init__(self, buf: bytes, pos: int = 0):
         self.buf = buf
         self.bytepos = pos
@@ -2078,7 +2219,7 @@ def synthesize_flac(
     if n % (1 << partition_order) != 0:
         raise ValueError("blocksize must divide by 2**partition_order")
     # STREAMINFO (34 bytes): fixed blocksize, rate, mono, 16 bps, n.
-    si = _BitWriter()
+    si = _FlacBitWriter()
     si.write(n, 16)
     si.write(n, 16)
     si.write(0, 24)
@@ -2093,7 +2234,7 @@ def synthesize_flac(
 
     # Frame header: sync/fixed-blocking, blocksize from 16-bit field
     # (code 0b0111), rate from STREAMINFO (0b0000), mono, 16 bps.
-    w = _BitWriter()
+    w = _FlacBitWriter()
     w.write(0b11111111111110_0_0, 16)
     w.write(0b0111, 4)
     w.write(0b0000, 4)
@@ -2105,7 +2246,7 @@ def synthesize_flac(
     hdr = w.getvalue()
     hdr += bytes([_crc8(hdr)])
 
-    body = _BitWriter()
+    body = _FlacBitWriter()
     body.write(0, 1)  # subframe pad bit
     body.write(0b001000 | order, 6)  # FIXED(order)
     body.write(0, 1)  # no wasted bits
@@ -2160,7 +2301,7 @@ def _decode_flac_samples(buf: bytes):
             (blen,) = struct.unpack(">I", b"\x00" + buf[pos + 1 : pos + 4])
             body = buf[pos + 4 : pos + 4 + blen]
             if btype == 0 and blen >= 34:
-                r = _BitReader(body)
+                r = _FlacBitReader(body)
                 r.read(16), r.read(16), r.read(24), r.read(24)
                 rate = r.read(20)
                 channels = r.read(3) + 1
@@ -2175,7 +2316,7 @@ def _decode_flac_samples(buf: bytes):
         out = []
         while pos + 2 <= len(buf):
             frame_start = pos
-            r = _BitReader(buf, pos)
+            r = _FlacBitReader(buf, pos)
             sync = r.read(14)
             if sync != 0b11111111111110:
                 return None
@@ -2222,7 +2363,7 @@ def _decode_flac_samples(buf: bytes):
             hdr_end = r.bytepos
             if _crc8(buf[frame_start:hdr_end]) != buf[hdr_end]:
                 return None
-            r = _BitReader(buf, hdr_end + 1)
+            r = _FlacBitReader(buf, hdr_end + 1)
 
             chans = []
             for _ in range(n_ch):
