@@ -1404,3 +1404,37 @@ class TestInterlacedPng:
         buf = M.synthesize_png(9, 9, 3, color_type=2, interlace=True)
         # cut inside IDAT: zlib fails or passes run short -> None
         assert M._decode_png(buf[: len(buf) - 20]) is None
+
+
+class TestFlacStereo:
+    def test_all_decorrelation_modes_round_trip(self):
+        import numpy as np
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(9)
+        for mode in ("independent", "left_side", "right_side", "mid_side"):
+            for order in (0, 2, 4):
+                s2 = rng.integers(-3000, 3000, (48, 2)).astype(np.int64)
+                rec = M._decode_flac_samples(
+                    M.synthesize_flac(s2, 44100, order=order,
+                                      stereo_mode=mode)
+                )
+                assert rec is not None, (mode, order)
+                rate, ch, got = rec
+                assert ch == 2
+                assert np.array_equal(got.reshape(-1, 2), s2), (mode, order)
+
+    def test_mid_side_odd_parity_exact(self):
+        # (L + R) odd exercises the mid parity bit: reconstruction must
+        # still be exact integers.
+        import numpy as np
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        s2 = np.array([[5, 2], [7, -4], [-3, 8], [1, 1]] * 12,
+                      dtype=np.int64)
+        got = M._decode_flac_samples(
+            M.synthesize_flac(s2, 8000, order=1, stereo_mode="mid_side")
+        )[2]
+        assert np.array_equal(got.reshape(-1, 2), s2)

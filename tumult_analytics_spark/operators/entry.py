@@ -4075,9 +4075,11 @@ def q_decode_audio_flac(spark, sf_dir):
     # Native FLAC decode (fixed-predictor subset: Rice-coded residuals,
     # CRC-verified): payloads synthesized per doc with the shared SQL
     # sample formula ((id*31 + i*17) % 65536 - 32768), predictor order
-    # id % 5 and 2^(id % 2) Rice partitions so every subframe shape is
-    # graded. The oracle replays the FORMULA — a value match proves the
-    # codec round-trip reproduced every sample exactly.
+    # id % 5, 2^(id % 2) Rice partitions, and STEREO frames for odd
+    # ids (decorrelation mode cycling left/right/mid-side by id % 3 —
+    # the interleaved decode must reproduce the formula sequence, so
+    # the side/mid integer reconstruction is value-graded too). The
+    # oracle replays the FORMULA — a match proves an exact round-trip.
     import numpy as np
 
     from . import multimodal as M
@@ -4090,17 +4092,23 @@ def q_decode_audio_flac(spark, sf_dir):
     )
 
     def make(batches):
+        modes = ["left_side", "mid_side", "right_side"]
         for pdf in batches:
             pdf = pdf.copy()
             payloads = []
             for d in pdf["doc_id"]:
                 d = int(d)
                 n = 40 + 2 * (d % 25)
-                i = np.arange(n, dtype=np.int64)
+                stereo = d % 2 == 1
+                i = np.arange(n * (2 if stereo else 1), dtype=np.int64)
                 x = (d * 31 + i * 17) % 65536 - 32768
                 payloads.append(
                     M.synthesize_flac(
-                        x, 8000, order=d % 5, partition_order=d % 2
+                        x.reshape(n, 2) if stereo else x,
+                        8000,
+                        order=d % 5,
+                        partition_order=d % 2,
+                        stereo_mode=modes[d % 3],
                     )
                 )
             pdf["payload"] = payloads
@@ -4114,7 +4122,8 @@ def q_decode_audio_flac(spark, sf_dir):
         ),
     )
     return M.decode_audio(with_flac, "payload").select(
-        "doc_id", "sample_rate", "n_samples", "sum_abs", "peak"
+        "doc_id", "sample_rate", "n_channels", "n_samples", "sum_abs",
+        "peak",
     )
 
 
@@ -6654,17 +6663,19 @@ ORACLES["decode_image_interlaced"] = ORACLE_PNG_INTERLACED
 
 ORACLES["decode_audio_flac"] = """
     WITH d AS (
-      SELECT doc_id, 40 + 2 * (doc_id % 25) AS n
+      SELECT doc_id, 40 + 2 * (doc_id % 25) AS n,
+             1 + doc_id % 2 AS ch
       FROM documents WHERE doc_id % 10 = 4
     ),
-    s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    s AS (SELECT doc_id, n, ch, unnest(range(0, n * ch)) AS i FROM d),
     x AS (
-      SELECT doc_id, n,
+      SELECT doc_id, n, ch,
              (doc_id * 31 + i * 17) % 65536 - 32768 AS v
       FROM s
     )
     SELECT doc_id,
            CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(max(ch) AS INTEGER) AS n_channels,
            CAST(max(n) AS BIGINT) AS n_samples,
            CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
            CAST(max(abs(v)) AS BIGINT) AS peak

@@ -2104,8 +2104,9 @@ def _mulaw_expand(u8):
 # carry, covering the encoder subset every FLAC encoder's default fast
 # modes use: CONSTANT / VERBATIM / FIXED(0-4) subframes with Rice-coded
 # residuals (methods 0 and 1, any partition order), independent
-# channels, fixed blocking, CRC-8/CRC-16 verified. LPC subframes,
-# mid/side stereo, and wasted-bits are the codec-library seam (the
+# channels plus left/right/mid-side stereo decorrelation, fixed
+# blocking, CRC-8/CRC-16 verified. LPC subframes and wasted-bits are
+# the codec-library seam (the
 # decoder returns None for them — nulls, not crashes). Reference:
 # the public FLAC format spec (RFC 9639).
 
@@ -2201,31 +2202,55 @@ _FLAC_FIXED_COEFS = {
 
 
 def synthesize_flac(
-    samples, sample_rate: int, order: int = 1, partition_order: int = 0
+    samples,
+    sample_rate: int,
+    order: int = 1,
+    partition_order: int = 0,
+    stereo_mode: str = "independent",
 ) -> bytes:
-    """Spec-conformant single-frame mono 16-bit FLAC: STREAMINFO +
-    one fixed-blocking frame with a FIXED(order) subframe, Rice-coded
+    """Spec-conformant single-frame 16-bit FLAC: STREAMINFO + one
+    fixed-blocking frame of FIXED(order) subframes, Rice-coded
     residuals (method 0), ``2**partition_order`` partitions, CRC-8 and
     CRC-16 — decodable by any FLAC decoder, and by
-    :func:`_decode_flac_samples`."""
+    :func:`_decode_flac_samples`.
+
+    1-D ``samples`` emit mono; an (n, 2) array emits stereo with
+    ``stereo_mode`` in independent / left_side / right_side / mid_side
+    (spec 9.2.6-9.2.8 — the side channel carries bps+1 bits)."""
     import struct
 
     import numpy as np
 
     x = np.asarray(samples, dtype=np.int64)
-    n = len(x)
+    stereo = x.ndim == 2
+    n = x.shape[0]
     if not 0 <= order <= 4 or n <= order:
         raise ValueError("need 0 <= order <= 4 and more samples than order")
     if n % (1 << partition_order) != 0:
         raise ValueError("blocksize must divide by 2**partition_order")
-    # STREAMINFO (34 bytes): fixed blocksize, rate, mono, 16 bps, n.
+    if stereo:
+        L, R = x[:, 0], x[:, 1]
+        if stereo_mode == "independent":
+            ch_code, streams = 0b0001, [(L, 16), (R, 16)]
+        elif stereo_mode == "left_side":
+            ch_code, streams = 0b1000, [(L, 16), (L - R, 17)]
+        elif stereo_mode == "right_side":
+            ch_code, streams = 0b1001, [(L - R, 17), (R, 16)]
+        elif stereo_mode == "mid_side":
+            ch_code, streams = 0b1010, [((L + R) >> 1, 16), (L - R, 17)]
+        else:
+            raise ValueError(f"unknown stereo_mode {stereo_mode}")
+    else:
+        ch_code, streams = 0b0000, [(x, 16)]
+
+    # STREAMINFO (34 bytes): fixed blocksize, rate, channels, 16 bps, n.
     si = _FlacBitWriter()
     si.write(n, 16)
     si.write(n, 16)
     si.write(0, 24)
     si.write(0, 24)
     si.write(int(sample_rate), 20)
-    si.write(0, 3)  # channels - 1
+    si.write(1 if stereo else 0, 3)  # channels - 1
     si.write(15, 5)  # bps - 1
     si.write(n, 36)
     for _ in range(16):
@@ -2233,12 +2258,12 @@ def synthesize_flac(
     meta = b"\x80\x00\x00\x22" + si.getvalue()  # last-block, type 0, len 34
 
     # Frame header: sync/fixed-blocking, blocksize from 16-bit field
-    # (code 0b0111), rate from STREAMINFO (0b0000), mono, 16 bps.
+    # (code 0b0111), rate from STREAMINFO (0b0000), 16 bps.
     w = _FlacBitWriter()
     w.write(0b11111111111110_0_0, 16)
     w.write(0b0111, 4)
     w.write(0b0000, 4)
-    w.write(0b0000, 4)  # channel assignment: 1 channel
+    w.write(ch_code, 4)
     w.write(0b100, 3)  # 16 bits per sample
     w.write(0, 1)
     w.write(0, 8)  # frame number 0 (UTF-8 single byte)
@@ -2247,34 +2272,35 @@ def synthesize_flac(
     hdr += bytes([_crc8(hdr)])
 
     body = _FlacBitWriter()
-    body.write(0, 1)  # subframe pad bit
-    body.write(0b001000 | order, 6)  # FIXED(order)
-    body.write(0, 1)  # no wasted bits
-    for i in range(order):
-        body.write(int(x[i]) & 0xFFFF, 16)  # warmup, raw 16-bit
-    coefs = _FLAC_FIXED_COEFS[order]
-    res = x[order:].copy()
-    for j, c in enumerate(coefs):
-        res = res - c * x[order - 1 - j : n - 1 - j]
-    body.write(0, 2)  # residual method 0: 4-bit Rice
-    body.write(partition_order, 4)
-    parts = 1 << partition_order
-    per = n // parts
-    pos = 0
-    for p in range(parts):
-        cnt = per - order if p == 0 else per
-        seg = res[pos : pos + cnt]
-        pos += cnt
-        zz = np.where(seg >= 0, 2 * seg, -2 * seg - 1).astype(np.int64)
-        mean = float(zz.mean()) if len(zz) else 0.0
-        k = 0
-        while (1 << (k + 1)) < mean + 1 and k < 14:
-            k += 1
-        body.write(k, 4)
-        for v in zz:
-            body.write_unary(int(v) >> k)
-            if k:
-                body.write(int(v) & ((1 << k) - 1), k)
+    for ch, bits in streams:
+        body.write(0, 1)  # subframe pad bit
+        body.write(0b001000 | order, 6)  # FIXED(order)
+        body.write(0, 1)  # no wasted bits
+        for i in range(order):
+            body.write(int(ch[i]) & ((1 << bits) - 1), bits)  # warmup
+        coefs = _FLAC_FIXED_COEFS[order]
+        res = ch[order:].copy()
+        for j, c in enumerate(coefs):
+            res = res - c * ch[order - 1 - j : n - 1 - j]
+        body.write(0, 2)  # residual method 0: 4-bit Rice
+        body.write(partition_order, 4)
+        parts = 1 << partition_order
+        per = n // parts
+        pos = 0
+        for p in range(parts):
+            cnt = per - order if p == 0 else per
+            seg = res[pos : pos + cnt]
+            pos += cnt
+            zz = np.where(seg >= 0, 2 * seg, -2 * seg - 1).astype(np.int64)
+            mean = float(zz.mean()) if len(zz) else 0.0
+            k = 0
+            while (1 << (k + 1)) < mean + 1 and k < 14:
+                k += 1
+            body.write(k, 4)
+            for v in zz:
+                body.write_unary(int(v) >> k)
+                if k:
+                    body.write(int(v) & ((1 << k) - 1), k)
     body.align()
     frame = hdr + body.getvalue()
     frame += struct.pack(">H", _crc16(frame))
@@ -2284,9 +2310,11 @@ def synthesize_flac(
 def _decode_flac_samples(buf: bytes):
     """Decode the FLAC fixed-predictor subset; returns ``(rate,
     channels, samples)`` (interleaved int64) or None. Subset: fixed
-    blocking, independent channels, CONSTANT/VERBATIM/FIXED(0-4)
-    subframes, Rice methods 0/1 incl. escape partitions; LPC and
-    mid/side payloads return None (codec-library seam)."""
+    blocking, CONSTANT/VERBATIM/FIXED(0-4) subframes, Rice methods 0/1
+    incl. escape partitions, independent channels AND the three stereo
+    decorrelation modes (left/side, right/side, mid/side — exact
+    integer reconstruction incl. the mid parity bit); LPC and
+    wasted-bits payloads return None (codec-library seam)."""
     import struct
 
     import numpy as np
@@ -2353,9 +2381,18 @@ def _decode_flac_samples(buf: bytes):
                 r.read(8)
             elif sr_code in (0b1101, 0b1110):
                 r.read(16)
-            if ch_code >= 0b1000:
-                return None  # mid/side stereo: codec-library seam
-            n_ch = ch_code + 1
+            if ch_code > 0b1010:
+                return None
+            # Stereo decorrelation modes (spec 9.2.6-9.2.8): the SIDE
+            # channel carries one extra bit of sample width.
+            if ch_code == 0b1000:  # left/side
+                n_ch, extra = 2, (0, 1)
+            elif ch_code == 0b1001:  # right/side (side is channel 0)
+                n_ch, extra = 2, (1, 0)
+            elif ch_code == 0b1010:  # mid/side
+                n_ch, extra = 2, (0, 1)
+            else:
+                n_ch, extra = ch_code + 1, (0,) * (ch_code + 1)
             ss_map = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
             fbps = ss_map.get(ss_code)
             if fbps is None:
@@ -2366,32 +2403,32 @@ def _decode_flac_samples(buf: bytes):
             r = _FlacBitReader(buf, hdr_end + 1)
 
             chans = []
-            for _ in range(n_ch):
+            for ch_i in range(n_ch):
+                cbps = fbps + extra[ch_i]
                 if r.read(1) != 0:
                     return None
                 stype = r.read(6)
                 wasted = r.read(1)
                 if wasted:
                     return None  # wasted-bits: seam
-                sign = 1 << (fbps - 1)
 
                 def s_read(nb):
                     v = r.read(nb)
                     return v - (1 << nb) if v & (1 << (nb - 1)) else v
 
                 if stype == 0:  # CONSTANT
-                    v = s_read(fbps)
+                    v = s_read(cbps)
                     chans.append(np.full(bs, v, dtype=np.int64))
                     continue
                 if stype == 1:  # VERBATIM
                     chans.append(
-                        np.array([s_read(fbps) for _ in range(bs)], np.int64)
+                        np.array([s_read(cbps) for _ in range(bs)], np.int64)
                     )
                     continue
                 if not (0b001000 <= stype <= 0b001100):
                     return None  # LPC: seam
                 order = stype - 0b001000
-                warm = [s_read(fbps) for _ in range(order)]
+                warm = [s_read(cbps) for _ in range(order)]
                 method = r.read(2)
                 if method > 1:
                     return None
@@ -2431,6 +2468,19 @@ def _decode_flac_samples(buf: bytes):
             if _crc16(buf[frame_start:crc_end]) != want:
                 return None
             pos = crc_end + 2
+            # Undo stereo decorrelation (spec 4.3: side = L - R;
+            # mid = (L + R) >> 1, reconstructed exactly because
+            # (L + R) & 1 == side & 1).
+            if ch_code == 0b1000:  # left/side
+                left, side = chans
+                chans = [left, left - side]
+            elif ch_code == 0b1001:  # side/right
+                side, right = chans
+                chans = [right + side, right]
+            elif ch_code == 0b1010:  # mid/side
+                mid, side = chans
+                total_lr = (mid << 1) | (side & 1)
+                chans = [(total_lr + side) >> 1, (total_lr - side) >> 1]
             out.append(
                 np.stack(chans, axis=1).reshape(-1)
                 if n_ch > 1
