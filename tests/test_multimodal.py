@@ -1438,3 +1438,34 @@ class TestFlacStereo:
             M.synthesize_flac(s2, 8000, order=1, stereo_mode="mid_side")
         )[2]
         assert np.array_equal(got.reshape(-1, 2), s2)
+
+
+class TestPng16:
+    def test_16bit_pixel_exact_all_types(self):
+        import numpy as np
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        for ct in (0, 2, 4, 6):
+            for il in (False, True):
+                seed = 11 + ct
+                buf = M.synthesize_png(
+                    7, 5, seed, color_type=ct, interlace=il, depth=16
+                )
+                rec = M._decode_png_pixels(buf)
+                assert rec is not None, (ct, il)
+                H, W, C, img = rec
+                nch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+                assert (H, W, C) == (5, 7, nch)
+                nb = 7 * 5 * nch * 2
+                b = (seed * 7 + np.arange(nb) * 13) % 256
+                exp = (b[0::2] * 256 + b[1::2]).reshape(5, 7, nch)
+                assert np.array_equal(img, exp), (ct, il)
+
+    def test_16bit_palette_rejected(self):
+        import pytest as _pytest
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        with _pytest.raises(ValueError):
+            M.synthesize_png(4, 4, 1, color_type=3, depth=16)

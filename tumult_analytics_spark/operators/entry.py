@@ -4071,6 +4071,78 @@ ORACLE_PNG_INTERLACED = """
 """
 
 
+def q_decode_image_png16(spark, sf_dir):
+    # 16-bit PNG decode (gray / RGB / RGBA, plain AND Adam7 by doc
+    # parity): PNG filters operate on BYTES, so sample j decodes to
+    # 256*b(2j) + b(2j+1) with b the shared byte formula — the oracle
+    # recomputes exactly that, and pos_checksum grades positions
+    # through the byte-pair combination and (for odd docs) the
+    # interlace scatter.
+    from . import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id % 10 = 8")
+    )
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                M.synthesize_png(
+                    3 + int(d) % 10,
+                    2 + int(d) % 9,
+                    int(d),
+                    color_type=[0, 2, 6][int(d) % 3],
+                    interlace=int(d) % 2 == 1,
+                    depth=16,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_png = docs.mapInPandas(
+        make,
+        T.StructType(
+            docs.schema.fields
+            + [T.StructField("payload", T.BinaryType(), True)]
+        ),
+    )
+    return M.decode_png_verified(with_png, "payload").select(
+        "doc_id", "height", "width", "channels", "pixel_sum",
+        "pos_checksum",
+    )
+
+
+ORACLE_PNG16 = """
+    WITH d AS (
+      SELECT doc_id,
+             3 + doc_id % 10 AS w,
+             2 + doc_id % 9 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nch
+      FROM documents WHERE doc_id % 10 = 8
+    ), s AS (
+      SELECT doc_id, w, h, nch,
+             unnest(range(0, w * h * nch)) AS j
+      FROM d
+    ), v AS (
+      SELECT doc_id, w, h, nch, j,
+             256 * ((doc_id * 7 + (2 * j) * 13) % 256)
+               + ((doc_id * 7 + (2 * j + 1) * 13) % 256) AS val
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(max(h) AS INTEGER) AS height,
+           CAST(max(w) AS INTEGER) AS width,
+           CAST(max(nch) AS INTEGER) AS channels,
+           CAST(sum(val) AS BIGINT) AS pixel_sum,
+           CAST(sum(val * (j + 1)) AS BIGINT) AS pos_checksum
+    FROM v GROUP BY doc_id
+"""
+
+
 def q_decode_audio_flac(spark, sf_dir):
     # Native FLAC decode (fixed-predictor subset: Rice-coded residuals,
     # CRC-verified): payloads synthesized per doc with the shared SQL
@@ -4245,6 +4317,7 @@ QUERIES = {
     "decode_audio_alaw": q_decode_audio_alaw,
     "decode_audio_flac": q_decode_audio_flac,
     "decode_image_interlaced": q_decode_image_interlaced,
+    "decode_image_png16": q_decode_image_png16,
     "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
     "winnow_contamination": q_winnow_contamination,
     "event_anomaly_zscores": q_event_anomaly_zscores,
@@ -6660,6 +6733,7 @@ ORACLES["decode_audio_alaw"] = """
 """
 
 ORACLES["decode_image_interlaced"] = ORACLE_PNG_INTERLACED
+ORACLES["decode_image_png16"] = ORACLE_PNG16
 
 ORACLES["decode_audio_flac"] = """
     WITH d AS (

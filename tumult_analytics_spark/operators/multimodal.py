@@ -206,6 +206,7 @@ def synthesize_png(
     seed: int,
     color_type: int = 2,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """A real, spec-conformant PNG (8-bit) whose flat sample stream
     byte i is ``(seed*7 + i*13) % 256`` — the same integer formula as
@@ -222,7 +223,12 @@ def synthesize_png(
     by their FULL-IMAGE position (i = (y*width + x)*channels + c), and
     the seven passes are extracted, filtered, and concatenated per the
     spec — so a decoder's pass-to-position scatter is value-checked by
-    any position-sensitive statistic."""
+    any position-sensitive statistic.
+
+    ``depth=16`` emits 16-bit samples (gray/RGB/GA/RGBA only): the
+    formula addresses the raw BYTE stream (PNG filters operate on
+    bytes), so sample j decodes to ``256*b(2j) + b(2j+1)`` with
+    ``b(i) = (seed*7 + i*13) % 256`` — still SQL-replayable."""
     import struct
     import zlib
 
@@ -230,7 +236,10 @@ def synthesize_png(
 
     if color_type not in _PNG_CHANNELS and color_type != 3:
         raise ValueError(f"unsupported color_type {color_type}")
-    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    if depth not in (8, 16) or (depth == 16 and color_type == 3):
+        raise ValueError("depth must be 8 or 16 (16 not with palette)")
+    nch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    bpp = nch * (depth // 8)  # filter unit is BYTES per pixel
     stride = width * bpp
     n = stride * height
     flat = ((seed * 7 + np.arange(n, dtype=np.int64) * 13) % 256).reshape(
@@ -259,7 +268,8 @@ def synthesize_png(
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, color_type, 0, 0,
+        1 if interlace else 0,
     )
     plte = b""
     if color_type == 3:
@@ -342,8 +352,9 @@ def _decode_png_pixels(buf: bytes):
     Pure stdlib + numpy: chunk walk, ``zlib`` inflate, full
     None/Sub/Up/Average/Paeth unfiltering per pass, Adam7
     pass-to-position scatter; palette images unfilter the index plane
-    then map through PLTE (channels reported as 3). 16-bit images
-    return None (codec-library territory)."""
+    then map through PLTE (channels reported as 3); 16-bit images
+    decode big-endian byte pairs into sample values (filters operate
+    on bytes per the spec)."""
     import struct
     import zlib
 
@@ -380,7 +391,8 @@ def _decode_png_pixels(buf: bytes):
             np.int64
         ).reshape(-1, 3)
     if (
-        depth != 8
+        depth not in (8, 16)
+        or (depth == 16 and color_type == 3)
         or (color_type not in _PNG_CHANNELS and color_type != 3)
         or comp != 0
         or filt != 0
@@ -389,7 +401,8 @@ def _decode_png_pixels(buf: bytes):
         or height <= 0
     ):
         return None
-    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    nch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    bpp = nch * (depth // 8)  # filter unit is BYTES per pixel
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
@@ -417,11 +430,14 @@ def _decode_png_pixels(buf: bytes):
         if int(img.max()) >= len(palette):
             return None  # index past the palette
         img = palette[img.reshape(height, width)]
-    return height, width, (3 if palette is not None else bpp), img
+    elif depth == 16:
+        # big-endian byte pairs -> 16-bit sample values
+        img = img[:, :, 0::2] * 256 + img[:, :, 1::2]
+    return height, width, (3 if palette is not None else nch), img
 
 
 def _decode_png(buf: bytes):
-    """(height, width, channels, pixel_sum) for an 8-bit PNG
+    """(height, width, channels, pixel_sum) for an 8/16-bit PNG
     (non-interlaced or Adam7) — see :func:`_decode_png_pixels`."""
     rec = _decode_png_pixels(buf)
     if rec is None:
