@@ -1294,6 +1294,44 @@ class TestFlac:
                 assert (rate, ch) == (8000, 1)
                 assert np.array_equal(got, x)
 
+    def test_multi_frame_round_trip_frame_numbers_over_128(self):
+        # Frame numbers >= 128 take multi-byte UTF-8 coding in the
+        # frame header; an undercounted continuation byte makes the
+        # CRC-8 check fail on every frame past 127 (a real decoder bug
+        # this test pins). 150 mono frames + stereo multi-frame per
+        # decorrelation mode.
+        import numpy as np
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        x = ((np.arange(600, dtype=np.int64) * 17 + 31) % 65536) - 32768
+        rec = M._decode_flac_samples(
+            M.synthesize_flac(x, 8000, order=2, block_size=4)
+        )
+        assert rec is not None
+        rate, ch, got = rec
+        assert (rate, ch) == (8000, 1)
+        assert np.array_equal(got, x)
+
+        for mode in ("independent", "left_side", "right_side", "mid_side"):
+            s = ((np.arange(128, dtype=np.int64) * 17 + 7) % 65536) - 32768
+            rec = M._decode_flac_samples(
+                M.synthesize_flac(
+                    s.reshape(64, 2), 44100, order=3,
+                    stereo_mode=mode, block_size=16,
+                )
+            )
+            assert rec is not None
+            rate, ch, got = rec
+            assert (rate, ch) == (44100, 2)
+            assert np.array_equal(got, s)
+
+    def test_utf8_frame_number_coding_matches_unicode(self):
+        from tumult_analytics_spark.operators import multimodal as M
+
+        for v in (0, 127, 128, 300, 2047, 2048, 65535, 70000):
+            assert M._utf8_code(v) == chr(v).encode("utf-8")
+
     def test_compresses_smooth_signals(self):
         import numpy as np
 

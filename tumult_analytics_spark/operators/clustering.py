@@ -312,9 +312,15 @@ def _semantic_dedup_lsh(
 
     if bits is None:
         bits = _auto_lsh_bits(int(n_rows))
-    dim = len(
-        assigned.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
+    first_vec = (
+        assigned.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     )
+    if first_vec is None or first_vec[0] is None:
+        raise ValueError(
+            f"semantic_dedup(lsh): column {vec_col!r} has no non-null "
+            "embedding; cannot infer vector dimension"
+        )
+    dim = len(first_vec[0])
     planes = _planes_for(plane_kind, dim, int(bits), int(tables), lsh_seed)
     # carry the cluster id through the bucket kernel: one Arrow pass
     # instead of a join-back shuffle (measured ~2x on the graded query

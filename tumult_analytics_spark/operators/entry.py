@@ -3991,7 +3991,9 @@ def q_decode_image_interlaced(spark, sf_dir):
     # sensitive, so the oracle match grades the pass-to-position
     # scatter itself — a plain pixel_sum cannot (de-interleaving
     # preserves the sample multiset). Color type varies per doc
-    # (gray / RGB / RGBA / palette).
+    # (gray / RGB / RGBA / palette) via doc_id // 10, which takes all
+    # residues under the % 10 = 6 filter (doc_id % 4 there only hits
+    # {0, 2}, so gray/RGBA would be the only types exercised).
     from . import multimodal as M
     from pyspark.sql import types as T
 
@@ -4006,10 +4008,10 @@ def q_decode_image_interlaced(spark, sf_dir):
             pdf = pdf.copy()
             pdf["payload"] = [
                 M.synthesize_png(
-                    3 + int(d) % 12,
-                    2 + int(d) % 11,
+                    3 + (int(d) // 10) % 12,
+                    2 + (int(d) // 10) % 11,
                     int(d),
-                    color_type=[0, 2, 6, 3][int(d) % 4],
+                    color_type=[0, 2, 6, 3][(int(d) // 10) % 4],
                     interlace=True,
                 )
                 for d in pdf["doc_id"]
@@ -4032,9 +4034,9 @@ def q_decode_image_interlaced(spark, sf_dir):
 ORACLE_PNG_INTERLACED = """
     WITH d AS (
       SELECT doc_id,
-             3 + doc_id % 12 AS w,
-             2 + doc_id % 11 AS h,
-             doc_id % 4 AS ctsel
+             3 + (doc_id // 10) % 12 AS w,
+             2 + (doc_id // 10) % 11 AS h,
+             (doc_id // 10) % 4 AS ctsel
       FROM documents WHERE doc_id % 10 = 6
     ), dims AS (
       SELECT doc_id, w, h, ctsel,
@@ -4072,12 +4074,14 @@ ORACLE_PNG_INTERLACED = """
 
 
 def q_decode_image_png16(spark, sf_dir):
-    # 16-bit PNG decode (gray / RGB / RGBA, plain AND Adam7 by doc
-    # parity): PNG filters operate on BYTES, so sample j decodes to
-    # 256*b(2j) + b(2j+1) with b the shared byte formula — the oracle
-    # recomputes exactly that, and pos_checksum grades positions
-    # through the byte-pair combination and (for odd docs) the
-    # interlace scatter.
+    # 16-bit PNG decode (gray / RGB / RGBA, plain AND Adam7): PNG
+    # filters operate on BYTES, so sample j decodes to 256*b(2j) +
+    # b(2j+1) with b the shared byte formula — the oracle recomputes
+    # exactly that, and pos_checksum grades positions through the
+    # byte-pair combination and (for interlaced docs) the Adam7
+    # scatter. Knobs derive from doc_id // 10, which takes ALL
+    # residues under the % 10 = 8 filter (doc_id itself is always
+    # even there, so d % 2 would never pick interlace).
     from . import multimodal as M
     from pyspark.sql import types as T
 
@@ -4092,11 +4096,11 @@ def q_decode_image_png16(spark, sf_dir):
             pdf = pdf.copy()
             pdf["payload"] = [
                 M.synthesize_png(
-                    3 + int(d) % 10,
-                    2 + int(d) % 9,
+                    3 + (int(d) // 10) % 10,
+                    2 + (int(d) // 10) % 9,
                     int(d),
-                    color_type=[0, 2, 6][int(d) % 3],
-                    interlace=int(d) % 2 == 1,
+                    color_type=[0, 2, 6][(int(d) // 10) % 3],
+                    interlace=(int(d) // 10) % 2 == 1,
                     depth=16,
                 )
                 for d in pdf["doc_id"]
@@ -4119,9 +4123,10 @@ def q_decode_image_png16(spark, sf_dir):
 ORACLE_PNG16 = """
     WITH d AS (
       SELECT doc_id,
-             3 + doc_id % 10 AS w,
-             2 + doc_id % 9 AS h,
-             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nch
+             3 + (doc_id // 10) % 10 AS w,
+             2 + (doc_id // 10) % 9 AS h,
+             CASE (doc_id // 10) % 3
+               WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nch
       FROM documents WHERE doc_id % 10 = 8
     ), s AS (
       SELECT doc_id, w, h, nch,
@@ -4146,12 +4151,16 @@ ORACLE_PNG16 = """
 def q_decode_audio_flac(spark, sf_dir):
     # Native FLAC decode (fixed-predictor subset: Rice-coded residuals,
     # CRC-verified): payloads synthesized per doc with the shared SQL
-    # sample formula ((id*31 + i*17) % 65536 - 32768), predictor order
-    # id % 5, 2^(id % 2) Rice partitions, and STEREO frames for odd
-    # ids (decorrelation mode cycling left/right/mid-side by id % 3 —
-    # the interleaved decode must reproduce the formula sequence, so
-    # the side/mid integer reconstruction is value-graded too). The
-    # oracle replays the FORMULA — a match proves an exact round-trip.
+    # sample formula ((id*31 + i*17) % 65536 - 32768). Knobs derive
+    # from e = doc_id // 10, which takes ALL residues under the
+    # % 10 = 4 filter (doc_id itself is always even there): predictor
+    # order e % 5, 2^(e % 2) Rice partitions, STEREO frames for odd e
+    # (decorrelation mode cycling left/right/mid-side by e % 3 — the
+    # interleaved decode must reproduce the formula sequence, so the
+    # side/mid integer reconstruction is value-graded too), and
+    # MULTI-FRAME files (two equal blocks; the >=128-frame UTF-8
+    # frame-number coding is unit-tested) when e % 4 == 2. The oracle
+    # replays the FORMULA — a match proves an exact round-trip.
     import numpy as np
 
     from . import multimodal as M
@@ -4170,17 +4179,19 @@ def q_decode_audio_flac(spark, sf_dir):
             payloads = []
             for d in pdf["doc_id"]:
                 d = int(d)
+                e = d // 10
                 n = 40 + 2 * (d % 25)
-                stereo = d % 2 == 1
+                stereo = e % 2 == 1
                 i = np.arange(n * (2 if stereo else 1), dtype=np.int64)
                 x = (d * 31 + i * 17) % 65536 - 32768
                 payloads.append(
                     M.synthesize_flac(
                         x.reshape(n, 2) if stereo else x,
                         8000,
-                        order=d % 5,
-                        partition_order=d % 2,
-                        stereo_mode=modes[d % 3],
+                        order=e % 5,
+                        partition_order=e % 2,
+                        stereo_mode=modes[e % 3],
+                        block_size=n // 2 if e % 4 == 2 else None,
                     )
                 )
             pdf["payload"] = payloads
@@ -6738,7 +6749,7 @@ ORACLES["decode_image_png16"] = ORACLE_PNG16
 ORACLES["decode_audio_flac"] = """
     WITH d AS (
       SELECT doc_id, 40 + 2 * (doc_id % 25) AS n,
-             1 + doc_id % 2 AS ch
+             1 + (doc_id // 10) % 2 AS ch
       FROM documents WHERE doc_id % 10 = 4
     ),
     s AS (SELECT doc_id, n, ch, unnest(range(0, n * ch)) AS i FROM d),

@@ -2217,22 +2217,48 @@ _FLAC_FIXED_COEFS = {
 }
 
 
+def _utf8_code(v: int) -> bytes:
+    """Standard UTF-8-style coding for FLAC frame numbers (RFC 9639
+    §9.1.5): 1 byte below 128, else a lead byte with (length) leading
+    1-bits followed by 0x80|6-bit continuation bytes."""
+    if v < 0x80:
+        return bytes([v])
+    out = []
+    nbytes = 2
+    while v >= (1 << (nbytes * 5 + 1)) and nbytes < 7:
+        nbytes += 1
+    lead_bits = 7 - nbytes
+    shift = 6 * (nbytes - 1)
+    lead = (0xFF << (lead_bits + 1)) & 0xFF | (v >> shift)
+    out.append(lead)
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((v >> shift) & 0x3F))
+    return bytes(out)
+
+
 def synthesize_flac(
     samples,
     sample_rate: int,
     order: int = 1,
     partition_order: int = 0,
     stereo_mode: str = "independent",
+    block_size: int | None = None,
 ) -> bytes:
-    """Spec-conformant single-frame 16-bit FLAC: STREAMINFO + one
-    fixed-blocking frame of FIXED(order) subframes, Rice-coded
-    residuals (method 0), ``2**partition_order`` partitions, CRC-8 and
-    CRC-16 — decodable by any FLAC decoder, and by
-    :func:`_decode_flac_samples`.
+    """Spec-conformant 16-bit FLAC: STREAMINFO + fixed-blocking frames
+    of FIXED(order) subframes, Rice-coded residuals (method 0),
+    ``2**partition_order`` partitions, CRC-8 and CRC-16 — decodable by
+    any FLAC decoder, and by :func:`_decode_flac_samples`.
 
     1-D ``samples`` emit mono; an (n, 2) array emits stereo with
     ``stereo_mode`` in independent / left_side / right_side / mid_side
-    (spec 9.2.6-9.2.8 — the side channel carries bps+1 bits)."""
+    (spec 9.2.6-9.2.8 — the side channel carries bps+1 bits).
+
+    ``block_size=None`` emits a single frame. Otherwise samples split
+    into ceil(n/block_size) frames with UTF-8-coded frame numbers (so
+    files with >=128 frames exercise multi-byte frame-number coding);
+    every block, including a short tail, must satisfy the order /
+    partition divisibility rules."""
     import struct
 
     import numpy as np
@@ -2240,29 +2266,31 @@ def synthesize_flac(
     x = np.asarray(samples, dtype=np.int64)
     stereo = x.ndim == 2
     n = x.shape[0]
-    if not 0 <= order <= 4 or n <= order:
-        raise ValueError("need 0 <= order <= 4 and more samples than order")
-    if n % (1 << partition_order) != 0:
-        raise ValueError("blocksize must divide by 2**partition_order")
-    if stereo:
-        L, R = x[:, 0], x[:, 1]
-        if stereo_mode == "independent":
-            ch_code, streams = 0b0001, [(L, 16), (R, 16)]
-        elif stereo_mode == "left_side":
-            ch_code, streams = 0b1000, [(L, 16), (L - R, 17)]
-        elif stereo_mode == "right_side":
-            ch_code, streams = 0b1001, [(L - R, 17), (R, 16)]
-        elif stereo_mode == "mid_side":
-            ch_code, streams = 0b1010, [((L + R) >> 1, 16), (L - R, 17)]
-        else:
-            raise ValueError(f"unknown stereo_mode {stereo_mode}")
-    else:
-        ch_code, streams = 0b0000, [(x, 16)]
+    if not 0 <= order <= 4:
+        raise ValueError("need 0 <= order <= 4")
 
-    # STREAMINFO (34 bytes): fixed blocksize, rate, channels, 16 bps, n.
+    def _streams(blk):
+        if stereo:
+            L, R = blk[:, 0], blk[:, 1]
+            if stereo_mode == "independent":
+                return 0b0001, [(L, 16), (R, 16)]
+            if stereo_mode == "left_side":
+                return 0b1000, [(L, 16), (L - R, 17)]
+            if stereo_mode == "right_side":
+                return 0b1001, [(L - R, 17), (R, 16)]
+            if stereo_mode == "mid_side":
+                return 0b1010, [((L + R) >> 1, 16), (L - R, 17)]
+            raise ValueError(f"unknown stereo_mode {stereo_mode}")
+        return 0b0000, [(blk, 16)]
+
+    bs_nominal = n if block_size is None else int(block_size)
+    starts = list(range(0, n, bs_nominal))
+
+    # STREAMINFO (34 bytes): blocksize range, rate, channels, 16 bps, n.
+    last_bs = n - starts[-1]
     si = _FlacBitWriter()
-    si.write(n, 16)
-    si.write(n, 16)
+    si.write(min(bs_nominal, last_bs), 16)
+    si.write(bs_nominal, 16)
     si.write(0, 24)
     si.write(0, 24)
     si.write(int(sample_rate), 20)
@@ -2273,54 +2301,69 @@ def synthesize_flac(
         si.write(0, 8)  # md5 unset
     meta = b"\x80\x00\x00\x22" + si.getvalue()  # last-block, type 0, len 34
 
-    # Frame header: sync/fixed-blocking, blocksize from 16-bit field
-    # (code 0b0111), rate from STREAMINFO (0b0000), 16 bps.
-    w = _FlacBitWriter()
-    w.write(0b11111111111110_0_0, 16)
-    w.write(0b0111, 4)
-    w.write(0b0000, 4)
-    w.write(ch_code, 4)
-    w.write(0b100, 3)  # 16 bits per sample
-    w.write(0, 1)
-    w.write(0, 8)  # frame number 0 (UTF-8 single byte)
-    w.write(n - 1, 16)
-    hdr = w.getvalue()
-    hdr += bytes([_crc8(hdr)])
+    frames = []
+    for fno, start in enumerate(starts):
+        blk = x[start : start + bs_nominal]
+        bn = blk.shape[0]
+        if bn <= order:
+            raise ValueError("every block needs more samples than order")
+        if bn % (1 << partition_order) != 0:
+            raise ValueError(
+                "blocksize must divide by 2**partition_order"
+            )
+        ch_code, streams = _streams(blk)
+        # Frame header: sync/fixed-blocking, blocksize from 16-bit
+        # field (code 0b0111), rate from STREAMINFO (0b0000), 16 bps.
+        w = _FlacBitWriter()
+        w.write(0b11111111111110_0_0, 16)
+        w.write(0b0111, 4)
+        w.write(0b0000, 4)
+        w.write(ch_code, 4)
+        w.write(0b100, 3)  # 16 bits per sample
+        w.write(0, 1)
+        for b in _utf8_code(fno):  # UTF-8 coded frame number
+            w.write(b, 8)
+        w.write(bn - 1, 16)
+        hdr = w.getvalue()
+        hdr += bytes([_crc8(hdr)])
 
-    body = _FlacBitWriter()
-    for ch, bits in streams:
-        body.write(0, 1)  # subframe pad bit
-        body.write(0b001000 | order, 6)  # FIXED(order)
-        body.write(0, 1)  # no wasted bits
-        for i in range(order):
-            body.write(int(ch[i]) & ((1 << bits) - 1), bits)  # warmup
-        coefs = _FLAC_FIXED_COEFS[order]
-        res = ch[order:].copy()
-        for j, c in enumerate(coefs):
-            res = res - c * ch[order - 1 - j : n - 1 - j]
-        body.write(0, 2)  # residual method 0: 4-bit Rice
-        body.write(partition_order, 4)
-        parts = 1 << partition_order
-        per = n // parts
-        pos = 0
-        for p in range(parts):
-            cnt = per - order if p == 0 else per
-            seg = res[pos : pos + cnt]
-            pos += cnt
-            zz = np.where(seg >= 0, 2 * seg, -2 * seg - 1).astype(np.int64)
-            mean = float(zz.mean()) if len(zz) else 0.0
-            k = 0
-            while (1 << (k + 1)) < mean + 1 and k < 14:
-                k += 1
-            body.write(k, 4)
-            for v in zz:
-                body.write_unary(int(v) >> k)
-                if k:
-                    body.write(int(v) & ((1 << k) - 1), k)
-    body.align()
-    frame = hdr + body.getvalue()
-    frame += struct.pack(">H", _crc16(frame))
-    return b"fLaC" + meta + frame
+        body = _FlacBitWriter()
+        for ch, bits in streams:
+            body.write(0, 1)  # subframe pad bit
+            body.write(0b001000 | order, 6)  # FIXED(order)
+            body.write(0, 1)  # no wasted bits
+            for i in range(order):
+                body.write(int(ch[i]) & ((1 << bits) - 1), bits)  # warmup
+            coefs = _FLAC_FIXED_COEFS[order]
+            res = ch[order:].copy()
+            for j, c in enumerate(coefs):
+                res = res - c * ch[order - 1 - j : bn - 1 - j]
+            body.write(0, 2)  # residual method 0: 4-bit Rice
+            body.write(partition_order, 4)
+            parts = 1 << partition_order
+            per = bn // parts
+            pos = 0
+            for p in range(parts):
+                cnt = per - order if p == 0 else per
+                seg = res[pos : pos + cnt]
+                pos += cnt
+                zz = np.where(
+                    seg >= 0, 2 * seg, -2 * seg - 1
+                ).astype(np.int64)
+                mean = float(zz.mean()) if len(zz) else 0.0
+                k = 0
+                while (1 << (k + 1)) < mean + 1 and k < 14:
+                    k += 1
+                body.write(k, 4)
+                for v in zz:
+                    body.write_unary(int(v) >> k)
+                    if k:
+                        body.write(int(v) & ((1 << k) - 1), k)
+        body.align()
+        frame = hdr + body.getvalue()
+        frame += struct.pack(">H", _crc16(frame))
+        frames.append(frame)
+    return b"fLaC" + meta + b"".join(frames)
 
 
 def _decode_flac_samples(buf: bytes):
@@ -2375,6 +2418,10 @@ def _decode_flac_samples(buf: bytes):
             lead = r.read(8)
             extra = 0
             if lead >= 0xC0:
+                # continuation-byte count = leading 1-bits minus one:
+                # 0xC0-0xDF -> 1, 0xE0-0xEF -> 2, ... (frame numbers
+                # >= 128 use multi-byte encodings).
+                extra = 1
                 mask = 0xE0
                 while lead & mask == mask:
                     extra += 1
