@@ -422,6 +422,113 @@ def q_replace_null_binned(spark, sf_dir):
     return s.evaluate(q, INF)
 
 
+def q_select_count_distinct(spark, sf_dir):
+    # Select is load-bearing here: count_distinct() with no columns
+    # counts distinct rows over ALL remaining columns, so narrowing to
+    # (status, priority) makes the measurement "distinct priorities per
+    # status" — without the select it would be ~row count (reference
+    # Select semantics: _query_expr.py:427-473).
+    s = _sess(spark, sf_dir, {"orders": AddOneRow()})
+    ks = KeySet.from_dict({"o_orderstatus": _STATUS})
+    q = (
+        QueryBuilder("orders")
+        .select(["o_orderstatus", "o_orderpriority"])
+        .groupby(ks)
+        .count_distinct(name="nd")
+    )
+    return s.evaluate(q, INF)
+
+
+def _inf_ratio_batch(pdf):
+    # Deterministic +/-inf injection (vectorized map batch fn): rows
+    # with o_orderkey % 7 == 0 -> +inf, == 1 -> -inf, else k % 100.
+    import numpy as np
+
+    k = pdf["o_orderkey"].to_numpy()
+    v = (k % 100).astype("float64")
+    v[k % 7 == 0] = np.inf
+    v[k % 7 == 1] = -np.inf
+    return {"ratio": v}
+
+
+def q_replace_infinity_sum(spark, sf_dir):
+    # ReplaceInfinity maps -inf/+inf to finite endpoints BEFORE the
+    # clamp (reference _query_expr.py:1183-1287): +inf -> 500, -inf ->
+    # -500, so the replaced rows contribute the endpoints to the sum
+    # rather than being dropped.
+    s = _sess(spark, sf_dir, {"orders": AddOneRow()})
+    ks = KeySet.from_dict({"o_orderstatus": _STATUS})
+    q = (
+        QueryBuilder("orders")
+        .map(_inf_ratio_batch, {"ratio": "DECIMAL"}, augment=True,
+             vectorized=True)
+        .replace_infinity({"ratio": (-500.0, 500.0)})
+        .groupby(ks)
+        .sum("ratio", -500.0, 500.0, name="sum_ratio")
+    )
+    return s.evaluate(q, INF)
+
+
+def _nan_null_batch(pdf):
+    # NaN in a DOUBLE column (k % 7 == 0) and true NULL in a nullable
+    # INTEGER column (k % 7 == 1) — exercising both drop paths of
+    # DropNullAndNan, which Spark treats differently (isnan vs isNull).
+    import numpy as np
+    import pandas as pd
+
+    k = pdf["o_orderkey"].to_numpy()
+    a = (k % 100).astype("float64")
+    a[k % 7 == 0] = np.nan
+    b = pd.array(k % 10, dtype="Int64")
+    b[k % 7 == 1] = pd.NA
+    return {"a": a, "b": b}
+
+
+def q_drop_null_and_nan_sum(spark, sf_dir):
+    # DropNullAndNan(columns) drops rows where ANY listed column is
+    # null or NaN (reference _query_expr.py:1290-1371): here the k%7==0
+    # rows fall to the NaN in `a` and k%7==1 rows to the NULL in `b`.
+    s = _sess(spark, sf_dir, {"orders": AddOneRow()})
+    ks = KeySet.from_dict({"o_orderstatus": _STATUS})
+    q = (
+        QueryBuilder("orders")
+        .map(_nan_null_batch, {"a": "DECIMAL", "b": "INTEGER"},
+             augment=True, vectorized=True)
+        .drop_null_and_nan(["a", "b"])
+        .groupby(ks)
+        .sum("a", 0.0, 100.0, name="sum_a")
+    )
+    return s.evaluate(q, INF)
+
+
+def _inf_v_batch(pdf):
+    import numpy as np
+
+    k = pdf["o_orderkey"].to_numpy()
+    v = (k % 50).astype("float64")
+    v[k % 5 == 0] = np.inf
+    v[k % 5 == 1] = -np.inf
+    return {"v": v}
+
+
+def q_drop_infinity_average(spark, sf_dir):
+    # DropInfinity removes the +/-inf rows entirely (reference
+    # _query_expr.py:1374-1452) — contrast with replace_infinity_sum
+    # where they contribute endpoint values; the DP average then sees
+    # only the finite k % 50 values.
+    s = _sess(spark, sf_dir, {"orders": AddOneRow()})
+    ks = KeySet.from_dict({"o_orderstatus": _STATUS})
+    q = (
+        QueryBuilder("orders")
+        .map(_inf_v_batch, {"v": "DECIMAL"}, augment=True,
+             vectorized=True)
+        .drop_infinity(["v"])
+        .groupby(ks)
+        .average("v", 0.0, 49.0, name="avg_v")
+    )
+    return s.evaluate(q, INF)
+
+
 def q_min_max(spark, sf_dir):
     # min and max from ONE multi-quantile measurement (quantiles 0 and 1
     # share a single clamp->bin->count histogram pass — the engine's
@@ -843,6 +950,57 @@ _ORACLES = {
         SELECT ks.price_bin, CAST(coalesce(agg.c, 0) AS BIGINT) AS count
         FROM ks LEFT JOIN agg USING (price_bin)
     """,
+    "select_count_distinct": """
+        WITH ks AS (SELECT * FROM (VALUES ('F'),('O'),('P'))
+                    t(o_orderstatus)),
+        agg AS (SELECT o_orderstatus,
+                       count(DISTINCT o_orderpriority) AS c
+                FROM orders GROUP BY 1)
+        SELECT ks.o_orderstatus, CAST(coalesce(agg.c, 0) AS BIGINT) AS nd
+        FROM ks LEFT JOIN agg USING (o_orderstatus)
+    """,
+    "replace_infinity_sum": """
+        WITH ks AS (SELECT * FROM (VALUES ('F'),('O'),('P'))
+                    t(o_orderstatus)),
+        v AS (SELECT o_orderstatus,
+                     CASE o_orderkey % 7
+                       WHEN 0 THEN 500.0 WHEN 1 THEN -500.0
+                       ELSE CAST(o_orderkey % 100 AS DOUBLE) END AS ratio
+              FROM orders),
+        agg AS (SELECT o_orderstatus,
+                       sum(least(greatest(ratio, -500), 500)) AS s
+                FROM v GROUP BY 1)
+        SELECT ks.o_orderstatus,
+               CAST(coalesce(agg.s, 0.0) AS DOUBLE) AS sum_ratio
+        FROM ks LEFT JOIN agg USING (o_orderstatus)
+    """,
+    "drop_null_and_nan_sum": """
+        WITH ks AS (SELECT * FROM (VALUES ('F'),('O'),('P'))
+                    t(o_orderstatus)),
+        v AS (SELECT o_orderstatus, CAST(o_orderkey % 100 AS DOUBLE) AS a
+              FROM orders WHERE o_orderkey % 7 NOT IN (0, 1)),
+        agg AS (SELECT o_orderstatus,
+                       sum(least(greatest(a, 0), 100)) AS s
+                FROM v GROUP BY 1)
+        SELECT ks.o_orderstatus,
+               CAST(coalesce(agg.s, 0.0) AS DOUBLE) AS sum_a
+        FROM ks LEFT JOIN agg USING (o_orderstatus)
+    """,
+    "drop_infinity_average": """
+        WITH ks AS (SELECT * FROM (VALUES ('F'),('O'),('P'))
+                    t(o_orderstatus)),
+        v AS (SELECT o_orderstatus, CAST(o_orderkey % 50 AS DOUBLE) AS v
+              FROM orders WHERE o_orderkey % 5 NOT IN (0, 1)),
+        agg AS (SELECT o_orderstatus,
+                       sum(least(greatest(v, 0), 49) - 24.5) AS sdev,
+                       count(*) AS n
+                FROM v GROUP BY 1)
+        SELECT ks.o_orderstatus,
+               24.5 + coalesce(agg.sdev, 0.0)
+                     / greatest(CAST(coalesce(agg.n, 0) AS DOUBLE), 1.0)
+                   AS avg_v
+        FROM ks LEFT JOIN agg USING (o_orderstatus)
+    """,
     "groups_per_id_count": """
         WITH ks AS (SELECT * FROM (VALUES ('click'),('error'),('purchase'),
                     ('signup'),('view')) t(event_type)),
@@ -906,6 +1064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flat_map_by_id": q_flat_map_by_id,
         "private_join_nonunique": q_private_join_nonunique,
         "replace_null_binned": q_replace_null_binned,
+        "select_count_distinct": q_select_count_distinct,
+        "replace_infinity_sum": q_replace_infinity_sum,
+        "drop_null_and_nan_sum": q_drop_null_and_nan_sum,
+        "drop_infinity_average": q_drop_infinity_average,
         "min_max": q_min_max,
         "multi_quantile": q_multi_quantile,
         "groups_per_id_count": q_groups_per_id_count,
