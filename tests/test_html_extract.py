@@ -1,0 +1,178 @@
+"""HTML -> text extraction: hand cases, a pure-Python reference oracle
+over fuzzed malformed markup, and the C4 line filter semantics."""
+
+import random
+import re
+
+import pytest
+
+from tumult_analytics_spark.operators import text as X
+
+
+def _py_extract(s: str, entities: str = "core") -> str:
+    """Reference implementation of html_extract's exact chain using
+    Python's `re` (a third regex engine besides Java and RE2 — the
+    chain is engine-portable by design)."""
+    s = re.sub(r"(?s)<!--.*?-->", " ", s)
+    s = re.sub(r"(?s)<!--.*\Z", " ", s)
+    s = re.sub(r"(?s)<!\[CDATA\[(.*?)\]\]>", r" \1 ", s)
+    for tag in X.HTML_CONTAINER_TAGS:
+        s = re.sub(rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ", s)
+        s = re.sub(rf"(?is)<{tag}\b[^>]*>.*\Z", " ", s)
+    s = re.sub(rf"(?is)</?(?:{X.HTML_BLOCK_TAGS})\b[^>]*>", "\n", s)
+    s = re.sub(r"(?s)<[a-zA-Z/!?][^>]*>", " ", s)
+    s = re.sub(r"(?s)<[a-zA-Z/!?][^>]*\Z", " ", s)
+    if entities == "core":
+        for src, dst in X.HTML_CORE_ENTITIES:
+            s = s.replace(src, dst)
+    elif entities == "full":
+        import html
+
+        s = html.unescape(s)
+    s = re.sub(r"\s*\n\s*", "\n", s)
+    s = re.sub(r"[^\S\n]+", " ", s)
+    s = re.sub(r"^\s+|\s+$", "", s)
+    return s
+
+
+HAND_CASES = [
+    (
+        '<html><!-- c --><head><title>T</title><script>if(a<b){x=1}'
+        "</script><style>p{}</style></head><body><h1>Title &amp; Stats"
+        '</h1><p>hello world</p><div class="f">Copyright &copy; 2024 '
+        "&lt;Corp&gt;</div>5 &lt; 6<br/>end</body></html>",
+        "Title & Stats\nhello world\nCopyright © 2024 <Corp>"
+        "\n5 < 6\nend",
+    ),
+    ("<script>never closed...", ""),
+    ("<p>unclosed para <b>bold", "unclosed para bold"),
+    ("no html at all", "no html at all"),
+    ("<!-- unterminated", ""),
+    ("<p>A&amp;lt;B</p>", "A&lt;B"),  # one-pass unescape semantics
+    ("<![CDATA[keep me]]>", "keep me"),
+    ("", ""),
+    ("<p>5 &lt; 6 and x > y</p>", "5 < 6 and x > y"),
+    ("<SCRIPT SRC='x'>UPPER case</ScRiPt>after", "after"),
+    ("<p>a</p><p></p><p>b</p>", "a\nb"),  # empty blocks collapse
+    ("<td>cell1</td><td>cell2</td>", "cell1\ncell2"),
+    ("&#x2603; stays in core", "&#x2603; stays in core"),
+]
+
+
+def _extract_all(spark, cases, entities="core"):
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], ["i", "html"]
+    )
+    rows = X.html_extract(df, "html", "t", entities=entities).collect()
+    return {r["i"]: r["t"] for r in rows}
+
+
+def test_hand_cases(spark):
+    got = _extract_all(spark, [c for c, _ in HAND_CASES])
+    for i, (case, want) in enumerate(HAND_CASES):
+        assert got[i] == want, (case, got[i], want)
+
+
+def test_full_entities_numeric(spark):
+    got = _extract_all(
+        spark, ["<p>&#x2603;&#65; &amp; &unknown;</p>"], entities="full"
+    )
+    assert got[0] == "☃A & &unknown;"
+
+
+_FUZZ_VOCAB = [
+    "<", ">", "</", "<p", "<p>", "</p>", "<div class='", "'>",
+    "<script>", "</script>", "<script", "<style>", "</style>",
+    "<!--", "-->", "<![CDATA[", "]]>", "&amp;", "&lt;", "&gt;", "&",
+    ";", "&#65;", "&#x41;", "word", "two words", " ", "\n", "\t",
+    '"', "'", "=", "<br/>", "<hr>", "<b>", "</b>", "<h1>", "</h1>",
+    "<a href='x'>", "</a>", "<iframe>", "</iframe>", "<head>",
+    "</head>", "<table><tr><td>", "é中文", "<!DOCTYPE html>",
+    "<?xml?>", "a<b", "x>y",
+]
+
+
+def test_fuzz_matches_python_reference(spark):
+    """300 random concatenations of HTML fragments (many malformed):
+    the Spark chain must equal the pure-Python re implementation and
+    never crash. Seeded, so failures reproduce."""
+    rng = random.Random(20260815)
+    cases = [
+        "".join(rng.choices(_FUZZ_VOCAB, k=rng.randint(1, 40)))
+        for _ in range(300)
+    ]
+    got = _extract_all(spark, cases)
+    for i, c in enumerate(cases):
+        want = _py_extract(c)
+        assert got[i] == want, (repr(c), repr(got[i]), repr(want))
+
+
+def test_fuzz_full_entities(spark):
+    rng = random.Random(42)
+    cases = [
+        "".join(rng.choices(_FUZZ_VOCAB, k=rng.randint(1, 30)))
+        for _ in range(100)
+    ]
+    got = _extract_all(spark, cases, entities="full")
+    for i, c in enumerate(cases):
+        assert got[i] == _py_extract(c, entities="full"), repr(c)
+
+
+def test_no_container_content_leaks(spark):
+    """Whatever the surrounding malformation, script/style content must
+    never appear in extracted text."""
+    rng = random.Random(7)
+    cases = []
+    for _ in range(80):
+        pre = "".join(rng.choices(_FUZZ_VOCAB, k=rng.randint(0, 10)))
+        post = "".join(rng.choices(_FUZZ_VOCAB, k=rng.randint(0, 10)))
+        closed = rng.random() < 0.5
+        body = "SECRETJS var x = 1;"
+        cases.append(
+            pre + "<script>" + body + ("</script>" if closed else "") + post
+        )
+    got = _extract_all(spark, cases)
+    for i in range(len(cases)):
+        assert "SECRETJS" not in got[i], repr(cases[i])
+
+
+def test_invalid_entities_mode():
+    import pandas as pd  # noqa: F401
+
+    with pytest.raises(ValueError, match="entities"):
+        X.html_extract(None, "x", entities="bogus")
+
+
+class TestC4LineFilter:
+    def test_basic_rules(self, spark):
+        text = (
+            "this is a good long line\nok bye\njavascript needed\n"
+            "buy { now }\nfive words in this line"
+        )
+        df = spark.createDataFrame([(0, text)], ["i", "t"])
+        r = X.c4_line_filter(df, "t").collect()[0]
+        assert r["text_clean"] == (
+            "this is a good long line\nfive words in this line"
+        )
+        assert r["n_kept_lines"] == 2
+
+    def test_terminal_punctuation(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a proper sentence here.\nno terminal punctuation here")],
+            ["i", "t"],
+        )
+        r = X.c4_line_filter(df, "t", require_terminal=True).collect()[0]
+        assert r["text_clean"] == "a proper sentence here."
+
+    def test_min_kept_lines_drops_page(self, spark):
+        df = spark.createDataFrame(
+            [(0, "only one good line here"), (1, "good one\ngood two here")],
+            ["i", "t"],
+        )
+        out = X.c4_line_filter(df, "t", min_words=2, min_kept_lines=2)
+        assert [r["i"] for r in out.collect()] == [1]
+
+    def test_empty_text(self, spark):
+        df = spark.createDataFrame([(0, "")], ["i", "t"])
+        r = X.c4_line_filter(df, "t").collect()[0]
+        assert r["text_clean"] == "" and r["n_kept_lines"] == 0

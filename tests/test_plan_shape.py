@@ -548,3 +548,23 @@ def test_quantile_sketch_rollup_partial_aggregates(spark):
     # partial_sum on the exploded bin counts before the exchange:
     assert "partial_sum" in plan or "partial_finalmerge" in plan
     assert "collect_list(qsketch" not in plan
+
+
+def test_html_extract_plan_is_pure_codegen(spark):
+    # html_extract is a Catalyst regexp/replace chain: no shuffle, no
+    # Python (neither Arrow nor row-wise), so it runs inside
+    # whole-stage codegen over the scan — the 100 TB stage-0 shape.
+    from tumult_analytics_spark.operators.text import (
+        c4_line_filter,
+        html_extract,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(c4_line_filter(html_extract(docs, "text"), "text_extracted"))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # neither Batch- nor Arrow-
+    # the regexp/replace extraction chain sits in a codegen stage
+    # ("*(1) Project [...regexp_replace..."); only the higher-order
+    # line-filter lambda above it is interpreted (Spark never codegens
+    # ArrayFilter) — and that's a Project, not a shuffle or a UDF.
+    assert "*(1) Project" in plan and "regexp_replace" in plan

@@ -898,6 +898,71 @@ def q_normalize_text_stats(spark, sf_dir):
     )
 
 
+def q_html_extract_stats(spark, sf_dir):
+    # HTML -> text extraction (crawl-pipeline stage 0): each doc's text
+    # is wrapped in a full synthetic page IN-QUERY via Catalyst concat —
+    # comments, script/style with HTML-hostile content (a<b, braces,
+    # &amp; inside code), attributes, block structure, named entities,
+    # and the doc text HTML-escaped exactly as a generator would.
+    # html_extract must drop the non-prose containers, map block tags
+    # to newlines, and decode entities; md5 of the extracted string is
+    # the grade, so the oracle (which states the EXPECTED text rather
+    # than mirroring the regex chain) proves exact extraction.
+    docs = _read(spark, sf_dir, "documents").filter("doc_id % 7 = 3")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit(
+            '<html><!-- nav & junk --><head><title>T</title>'
+            '<script type="text/x">if (a<b && c>d) { f("&amp;"); }'
+            "</script><style>p { c: r; }</style></head>"
+            '<body id="b"><h1>Title &amp; Stats</h1><p>'
+        ),
+        esc,
+        F.lit('</p><div class="foot">Copyright &copy; '),
+        (F.lit(2000) + F.col("doc_id") % 30).cast("string"),
+        F.lit(" &lt;Corp&gt;</div>5 &lt; 6<br/>end</body></html>"),
+    )
+    out = X.html_extract(docs.withColumn("html", page), "html", "t")
+    return out.select(
+        "doc_id",
+        "lang",
+        F.length("t").alias("n_chars"),
+        F.md5(F.col("t")).alias("fp"),
+    )
+
+
+def q_c4_line_filter_stats(spark, sf_dir):
+    # C4-style line-level cleaning: four boilerplate lines appended per
+    # doc — one too short, one with the 'javascript' marker, one with a
+    # brace, one clean 5-word keeper — so per-lang kept-line and
+    # kept-char totals prove which lines each rule dropped.
+    docs = _read(spark, sf_dir, "documents")
+    dirty = docs.withColumn(
+        "text_dirty",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\nok bye"
+                "\njavascript needed today ok"
+                "\nbuy now { cheap }"
+                "\nthis line has five words."
+            ),
+        ),
+    )
+    out = X.c4_line_filter(dirty, "text_dirty")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_kept_lines").cast("long").alias("total_kept_lines"),
+        F.sum(F.length("text_clean")).alias("total_clean_chars"),
+    )
+
+
 def q_pipeline_compose(spark, sf_dir):
     # End-to-end training-data pipeline: quality filter -> exact dedup ->
     # token stats per language. Exactly SQL-reproducible.
@@ -4259,6 +4324,8 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "pipeline_compose": q_pipeline_compose,
     "normalize_text_stats": q_normalize_text_stats,
+    "html_extract_stats": q_html_extract_stats,
+    "c4_line_filter_stats": q_c4_line_filter_stats,
     "dsir_selection": q_dsir_selection,
     "repetition_stats": q_repetition_stats,
     "pii_stats": q_pii_stats,
@@ -5795,6 +5862,62 @@ ORACLES["normalize_text_stats"] = r"""
            CAST(sum(length(text_norm)) AS BIGINT) AS chars_norm
     FROM norm
     GROUP BY lang
+"""
+
+ORACLES["html_extract_stats"] = r"""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 3
+    ),
+    tn AS (
+      -- the doc text round-trips escape->decode exactly, so the
+      -- expected body is just the whitespace-normalized text
+      SELECT doc_id, lang,
+        regexp_replace(regexp_replace(regexp_replace(text,
+            '\s*\n\s*', chr(10), 'g'),
+            '[^\S\n]+', ' ', 'g'),
+            '^\s+|\s+$', '', 'g') AS t0
+      FROM d
+    ),
+    e AS (
+      SELECT doc_id, lang,
+             'Title & Stats' || chr(10) || t0 || chr(10)
+               || 'Copyright ' || chr(169) || ' '
+               || CAST(2000 + doc_id % 30 AS VARCHAR) || ' <Corp>'
+               || chr(10) || '5 < 6' || chr(10) || 'end' AS t
+      FROM tn
+    )
+    SELECT doc_id, lang,
+           CAST(length(t) AS INTEGER) AS n_chars,
+           md5(t) AS fp
+    FROM e
+"""
+
+ORACLES["c4_line_filter_stats"] = """
+    WITH dirty AS (
+      SELECT lang,
+             text || chr(10) || 'ok bye'
+                  || chr(10) || 'javascript needed today ok'
+                  || chr(10) || 'buy now { cheap }'
+                  || chr(10) || 'this line has five words.' AS t
+      FROM documents
+    ),
+    kept AS (
+      SELECT lang,
+             list_filter(string_split(t, chr(10)),
+               x -> len(list_filter(
+                        string_split_regex(trim(x), ' +'),
+                        w -> w <> '')) >= 3
+                    AND NOT contains(lower(x), 'javascript')
+                    AND NOT contains(lower(x), 'lorem ipsum')
+                    AND NOT contains(lower(x), '{')) AS l
+      FROM dirty
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(l)) AS BIGINT) AS total_kept_lines,
+           CAST(sum(length(array_to_string(l, chr(10)))) AS BIGINT)
+             AS total_clean_chars
+    FROM kept GROUP BY lang
 """
 
 ORACLES["interval_overlap_count"] = """

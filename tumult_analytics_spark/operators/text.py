@@ -873,3 +873,177 @@ def normalize_text(
     if collapse_whitespace:
         col = F.trim(F.regexp_replace(col, "\\s+", " "))
     return df.withColumn(output_column, col)
+
+
+# --- HTML -> text extraction (crawl-pipeline stage 0) -----------------------
+
+#: Elements whose CONTENT is dropped along with the tags (non-prose
+#: containers). One regexp_replace per tag keeps every pattern free of
+#: backreferences, so the exact chain replays in RE2 engines (DuckDB)
+#: as well as Java regex.
+HTML_CONTAINER_TAGS = (
+    "script", "style", "noscript", "template", "svg", "iframe", "head",
+)
+
+#: Tags that delimit text blocks: each becomes a newline so paragraph
+#: structure survives extraction (jusText/CCNet segment on these too).
+HTML_BLOCK_TAGS = (
+    "html|body|p|div|br|hr|li|ul|ol|dl|dt|dd|h1|h2|h3|h4|h5|h6|tr|td|th"
+    "|table|thead|tbody|tfoot|caption|blockquote|pre|section|article"
+    "|header|footer|nav|aside|main|form|fieldset|figure|figcaption"
+    "|address|details|summary|option|select"
+)
+
+#: Core named/numeric entities decoded JVM-side (string replace chain).
+#: Order matters: ``&amp;`` LAST gives single-pass unescape semantics —
+#: ``&amp;lt;`` decodes to the literal ``&lt;``, exactly like
+#: ``html.unescape``. ``&nbsp;`` maps to a plain space (the whitespace
+#: pass would merge it anyway; U+00A0 would survive as a distinct byte).
+HTML_CORE_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&#34;", '"'),
+    ("&ndash;", "–"),
+    ("&mdash;", "—"),
+    ("&hellip;", "…"),
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&trade;", "™"),
+    ("&amp;", "&"),
+)
+
+
+def html_extract(
+    df: DataFrame,
+    html_column: str,
+    output_column: str = "text_extracted",
+    entities: str = "core",
+) -> DataFrame:
+    """HTML/boilerplate-to-text extraction — the first stage of a crawl
+    pipeline (CCNet/C4 start FROM extracted text; this produces it).
+
+    Pure Catalyst regexp/replace chain (whole-stage codegen, zero
+    shuffles, no Python in the hot path), deliberately restricted to
+    RE2-compatible patterns (no backreferences, no lookaround) so the
+    exact transformation replays in DuckDB/Trino for verification:
+
+    1. comments ``<!-- -->`` (and an unterminated trailing comment)
+       drop; CDATA wrappers drop, keeping the inner text;
+    2. non-prose container elements (:data:`HTML_CONTAINER_TAGS`) drop
+       WITH their content — unterminated ones drop to end-of-string, so
+       a malformed ``<script>`` can never leak code into the text;
+    3. block-level tags (:data:`HTML_BLOCK_TAGS`) become newlines —
+       paragraph structure survives for line-level cleaning
+       (:func:`c4_line_filter`);
+    4. every remaining tag (and an unterminated trailing ``<tag``)
+       becomes a space; a bare ``<`` between words ("5 < 6") survives,
+       matching standard extractor behavior;
+    5. entity decode: ``entities="core"`` decodes
+       :data:`HTML_CORE_ENTITIES` JVM-side (``&amp;`` last = one-pass
+       semantics); ``entities="full"`` runs ``html.unescape`` in ONE
+       Arrow-batched kernel (numeric ``&#x2603;`` etc.) — the only
+       non-Catalyst option; ``entities="none"`` skips decoding;
+    6. whitespace: runs containing a newline collapse to one newline,
+       horizontal runs to one space, leading/trailing whitespace drops.
+
+    Attributes containing ``>`` (``title="a>b"``) split the tag early —
+    the standard, documented limitation of every regex-based extractor;
+    the malformed-input guarantee is "text out, never a crash".
+    """
+    if entities not in ("core", "full", "none"):
+        raise ValueError(f"unknown entities mode {entities!r}")
+    col = F.col(html_column)
+    col = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
+    col = F.regexp_replace(col, r"(?s)<!--.*\z", " ")
+    col = F.regexp_replace(col, r"(?s)<!\[CDATA\[(.*?)\]\]>", " $1 ")
+    for tag in HTML_CONTAINER_TAGS:
+        col = F.regexp_replace(
+            col, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " "
+        )
+        col = F.regexp_replace(col, rf"(?is)<{tag}\b[^>]*>.*\z", " ")
+    col = F.regexp_replace(
+        col, rf"(?is)</?(?:{HTML_BLOCK_TAGS})\b[^>]*>", "\n"
+    )
+    col = F.regexp_replace(col, r"(?s)<[a-zA-Z/!?][^>]*>", " ")
+    col = F.regexp_replace(col, r"(?s)<[a-zA-Z/!?][^>]*\z", " ")
+    if entities == "core":
+        for src, dst in HTML_CORE_ENTITIES:
+            col = F.replace(col, F.lit(src), F.lit(dst))
+    out = df.withColumn(output_column, col)
+    if entities == "full":
+        out = _arrow_unescape(out, output_column)
+    col = F.col(output_column)
+    col = F.regexp_replace(col, r"\s*\n\s*", "\n")
+    col = F.regexp_replace(col, r"[^\S\n]+", " ")
+    col = F.regexp_replace(col, r"^\s+|\s+$", "")
+    return out.withColumn(output_column, col)
+
+
+def _arrow_unescape(df: DataFrame, column: str) -> DataFrame:
+    """Full entity decode (named + numeric) via one Arrow-batched pass
+    of ``html.unescape`` — the slow-path option for corpora where the
+    core JVM-side entity set isn't enough."""
+    import html
+
+    import pandas as pd
+
+    schema = df.schema
+
+    def fn(batches):
+        for pdf in batches:
+            pdf[column] = pd.Series(
+                [
+                    html.unescape(v) if isinstance(v, str) else v
+                    for v in pdf[column]
+                ],
+                index=pdf.index,
+                dtype="object",
+            )
+            yield pdf
+
+    return df.mapInPandas(fn, schema)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_column: str,
+    output_column: str = "text_clean",
+    min_words: int = 3,
+    drop_substrings: tuple = ("javascript", "lorem ipsum", "{"),
+    require_terminal: bool = False,
+    min_kept_lines: int | None = None,
+) -> DataFrame:
+    """C4-style line-level boilerplate cleaning over extracted text
+    (public heuristics from the C4 paper): keep lines with at least
+    ``min_words`` whitespace words, drop lines containing any of
+    ``drop_substrings`` (case-insensitive), optionally require terminal
+    punctuation; ``min_kept_lines`` (page-level rule, C4 uses 3
+    sentences) drops documents left with fewer lines.
+
+    Spark higher-order functions (split / filter / array_join) — pure
+    JVM, no UDF, no shuffle; adds ``output_column`` and
+    ``n_kept_lines``.
+    """
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        words = F.filter(F.split(t, " +"), lambda w: w != F.lit(""))
+        cond = F.size(words) >= int(min_words)
+        low = F.lower(t)
+        for s in drop_substrings:
+            cond = cond & ~low.contains(s.lower())
+        if require_terminal:
+            cond = cond & t.rlike('[.!?"”]$')
+        return cond
+
+    kept = F.filter(F.split(F.col(text_column), "\n"), _keep)
+    out = df.withColumn(output_column, F.array_join(kept, "\n")).withColumn(
+        "n_kept_lines", F.size(kept)
+    )
+    if min_kept_lines is not None:
+        out = out.filter(F.col("n_kept_lines") >= int(min_kept_lines))
+    return out
