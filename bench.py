@@ -22,28 +22,29 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # Input size drives the two knobs a human used to hand-set (SF1.md
+    # sf100 campaign). Driver memory must be fixed before the JVM
+    # starts, so size it here from the on-disk bytes: local mode folds
+    # a cluster's aggregate executor memory into one heap, and the
+    # 600M-row truncation-window shuffles at sf100 need ~5x the input
+    # bytes. Small sf keeps the old 16g.
+    disk_bytes = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                disk_bytes += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    auto_mem = f"{min(64, max(16, (disk_bytes * 5) >> 30))}g"
+
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("tumult_analytics_spark-bench")
-        # default: one partition per core. The sf100 campaign needs
-        # more (600M-row shuffles / 32 = ~19M-row partitions spill);
-        # sizing shuffle.partitions to the data is the standard Spark
-        # tuning knob, and AQE coalesces the excess at small sf.
-        .config(
-            "spark.sql.shuffle.partitions",
-            os.environ.get(
-                "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(int(cpus), 8))
-            ),
-        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # 16g suffices through sf10; the sf100 campaign (600M-row
-        # truncation-window shuffles in ONE local JVM) needs more —
-        # a real cluster's aggregate executor memory, which local mode
-        # must fold into the single driver heap.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", auto_mem),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -51,6 +52,21 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Shuffle partitions derived from scanned bytes (ceil(bytes * 4 /
+    # 256 MB), floored at core count): the default one-per-core spills
+    # at 600M-row shuffles (~19M rows/partition), and AQE coalesces
+    # any excess at small sf — no env var needed; SPARK_GRAFT_
+    # SHUFFLE_PARTITIONS remains as an explicit override.
+    env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env_parts:
+        spark.conf.set("spark.sql.shuffle.partitions", env_parts)
+    else:
+        from tumult_analytics_spark.utils import configure_shuffle_partitions
+
+        configure_shuffle_partitions(
+            spark, [sf_dir], floor=max(int(cpus), 8)
+        )
 
     import __spark_entry__ as entry
 

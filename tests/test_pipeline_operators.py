@@ -491,6 +491,81 @@ class TestQualityLogit:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+class TestQualityTrainLogreg:
+    def _toy(self, spark):
+        # Separable: long prose (label 1) vs short punctuation soup
+        # (label 0) — the token-count feature alone separates them.
+        good = " ".join(["a quick brown fox jumps over the lazy dog"] * 8)
+        bad = "!!! ???"
+        rows = [(i, good, 1.0) for i in range(12)] + [
+            (100 + i, bad, 0.0) for i in range(12)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, label double"
+        )
+
+    def test_loss_decreases_and_weights_feed_inference(self, spark):
+        from tumult_analytics_spark.operators import text as X
+
+        df = self._toy(spark)
+        hist = X.quality_train_logreg(
+            df, "text", "label", steps=6, lr=4.0
+        ).collect()
+        mses = [r["mse"] for r in hist]
+        assert mses[0] == pytest.approx(0.25)  # zero-init: s = 0.5
+        assert mses[-1] < mses[0]
+        assert all(b["mse"] <= a["mse"] + 1e-9
+                   for a, b in zip(hist, hist[1:]))
+        last = hist[-1]
+        # Trained weights drop into the serving path and classify the
+        # training set correctly.
+        scored = X.quality_logit(
+            df,
+            "text",
+            weights={
+                "tokens_capped": last["w_tokens"],
+                "mean_tok_capped": last["w_mean_tok"],
+                "punct_ratio": last["w_punct"],
+            },
+            bias=last["bias"],
+        ).collect()
+        for r in scored:
+            assert r["keep"] == (r["label"] == 1.0), r
+
+    def test_step_one_matches_hand_gradient(self, spark):
+        import numpy as np
+
+        from tumult_analytics_spark.operators import text as X
+
+        df = self._toy(spark)
+        got = X.quality_train_logreg(df, "text", "label", steps=1).collect()[0]
+        pdf = df.toPandas()
+        nt = pdf["text"].str.split().str.len().to_numpy(dtype=float)
+        nc = pdf["text"].str.len().to_numpy(dtype=float)
+        npunct = pdf["text"].str.count(r"[!-/:-@\[-`{-~]").to_numpy(float)
+        f = np.stack(
+            [
+                np.minimum(nt, 100) / 100.0,
+                np.minimum(np.where(nt > 0, nc / nt, 0.0), 10.0) / 10.0,
+                np.where(nc > 0, npunct / nc, 0.0),
+            ]
+        )
+        y = pdf["label"].to_numpy(float)
+        s = 0.5  # z = 0 at zero init
+        e = s - y
+        g = 2 * e * 0.5
+        assert got["mse"] == pytest.approx(np.mean(e * e))
+        assert got["bias"] == pytest.approx(-np.mean(g))
+        for i, name in enumerate(["w_tokens", "w_mean_tok", "w_punct"]):
+            assert got[name] == pytest.approx(-np.mean(g * f[i])), name
+
+    def test_invalid_steps(self, spark):
+        from tumult_analytics_spark.operators import text as X
+
+        with pytest.raises(ValueError, match="steps"):
+            X.quality_train_logreg(self._toy(spark), "text", "label", steps=0)
+
+
 class TestDedupSegments:
     def test_first_occurrence_wins_and_reassembly(self, spark):
         from tumult_analytics_spark.operators import dedup as D

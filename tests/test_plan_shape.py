@@ -568,3 +568,27 @@ def test_html_extract_plan_is_pure_codegen(spark):
     # line-filter lambda above it is interpreted (Spark never codegens
     # ArrayFilter) — and that's a Project, not a shuffle or a UDF.
     assert "*(1) Project" in plan and "regexp_replace" in plan
+
+
+def test_derive_shuffle_partitions_from_input_size(spark):
+    # floor wins for small inputs; the bytes formula takes over when
+    # the target partition size shrinks (stand-in for inputs growing).
+    from tumult_analytics_spark.utils import (
+        derive_shuffle_partitions,
+        input_bytes,
+    )
+
+    path = "/root/testdata/sf0.001"
+    total = input_bytes(spark, path)
+    assert total > 0
+    assert derive_shuffle_partitions(spark, [path], floor=16) == 16
+    import math
+
+    want = math.ceil(total * 4.0 / 4096)
+    got = derive_shuffle_partitions(
+        spark, [path], target_partition_bytes=4096, floor=1, cap=10**9
+    )
+    assert got == want
+    assert derive_shuffle_partitions(
+        spark, [path], target_partition_bytes=4096, floor=1, cap=7
+    ) == 7

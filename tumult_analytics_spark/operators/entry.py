@@ -963,6 +963,85 @@ def q_c4_line_filter_stats(spark, sf_dir):
     )
 
 
+def q_quality_train_stats(spark, sf_dir):
+    # In-engine quality-classifier training: 3 full-batch GD steps on
+    # the rational-sigmoid linear model over quality_logit's features,
+    # labels synthesized as (length > 400) so the gradient genuinely
+    # moves. The oracle unrolls the identical 3 steps as CTEs — pure
+    # +,*,/,abs arithmetic, no exp/log, so it replays to float
+    # equality; per-step post-update weights AND pre-update mse are
+    # all graded (rounded to 6 on both sides).
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "label", (F.length("text") > 400).cast("double")
+    )
+    out = X.quality_train_logreg(docs, "text", "label", steps=3, lr=1.0)
+    return out.select(
+        "step",
+        F.round("bias", 6).alias("bias"),
+        F.round("w_tokens", 6).alias("w_tokens"),
+        F.round("w_mean_tok", 6).alias("w_mean_tok"),
+        F.round("w_punct", 6).alias("w_punct"),
+        F.round("mse", 6).alias("mse"),
+    )
+
+
+def _quality_train_oracle_sql(steps: int = 3) -> str:
+    """Unroll the GD trajectory as CTEs: w{k} holds the weights after
+    step k, s{k} the gradient/mse aggregates computed at w{k-1}."""
+    parts = [
+        r"""
+    WITH raw AS (
+      SELECT length(text) AS nc,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '')) AS nt,
+             length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+               AS np
+      FROM documents
+    ),
+    f AS (
+      SELECT CAST(nc > 400 AS DOUBLE) AS y,
+             least(nt, 100) / 100.0 AS f1,
+             least(CASE WHEN nt > 0 THEN CAST(nc AS DOUBLE) / nt
+                        ELSE 0.0 END, 10.0) / 10.0 AS f2,
+             CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc
+                  ELSE 0.0 END AS f3
+      FROM raw
+    ),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    ]
+    for k in range(1, steps + 1):
+        p = k - 1
+        parts.append(f""",
+    s{k} AS (
+      SELECT avg(e * e) AS mse, avg(g) AS gb,
+             avg(g * f1) AS g1, avg(g * f2) AS g2, avg(g * f3) AS g3
+      FROM (
+        SELECT (0.5 * (1 + z / (1 + abs(z))) - y) AS e,
+               2 * (0.5 * (1 + z / (1 + abs(z))) - y)
+                 * (0.5 / ((1 + abs(z)) * (1 + abs(z)))) AS g,
+               f1, f2, f3
+        FROM (SELECT y, f1, f2, f3,
+                     w{p}.b + w{p}.w1 * f1 + w{p}.w2 * f2 + w{p}.w3 * f3
+                       AS z
+              FROM f CROSS JOIN w{p}) t
+      ) t2
+    ),
+    w{k} AS (
+      SELECT w{p}.b - s{k}.gb AS b, w{p}.w1 - s{k}.g1 AS w1,
+             w{p}.w2 - s{k}.g2 AS w2, w{p}.w3 - s{k}.g3 AS w3
+      FROM w{p} CROSS JOIN s{k}
+    )""")
+    selects = [
+        f"""
+    SELECT CAST({k} AS INTEGER) AS step, round(w{k}.b, 6) AS bias,
+           round(w{k}.w1, 6) AS w_tokens, round(w{k}.w2, 6) AS w_mean_tok,
+           round(w{k}.w3, 6) AS w_punct, round(s{k}.mse, 6) AS mse
+    FROM w{k} CROSS JOIN s{k}"""
+        for k in range(1, steps + 1)
+    ]
+    return "".join(parts) + "\n    UNION ALL".join(selects)
+
+
 def q_pipeline_compose(spark, sf_dir):
     # End-to-end training-data pipeline: quality filter -> exact dedup ->
     # token stats per language. Exactly SQL-reproducible.
@@ -4326,6 +4405,7 @@ QUERIES = {
     "normalize_text_stats": q_normalize_text_stats,
     "html_extract_stats": q_html_extract_stats,
     "c4_line_filter_stats": q_c4_line_filter_stats,
+    "quality_train_stats": q_quality_train_stats,
     "dsir_selection": q_dsir_selection,
     "repetition_stats": q_repetition_stats,
     "pii_stats": q_pii_stats,
@@ -5919,6 +5999,8 @@ ORACLES["c4_line_filter_stats"] = """
              AS total_clean_chars
     FROM kept GROUP BY lang
 """
+
+ORACLES["quality_train_stats"] = _quality_train_oracle_sql(steps=3)
 
 ORACLES["interval_overlap_count"] = """
     WITH v AS (

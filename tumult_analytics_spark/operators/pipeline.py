@@ -545,11 +545,15 @@ def pack_documents_greedy(
     global sort by length.
 
     Scale shape: shard = md5(seed:id) mod n_shards, ONE shuffle
-    (groupBy shard); the per-shard walk is a sequential O(rows/shard)
-    kernel — size ``n_shards`` so a shard fits a task, the same rule
-    as the tar-shard exporter. The walk is inherently sequential, so
-    the shard is the parallelism unit — exactly how packing shards are
-    produced for real loaders.
+    (groupBy shard); the per-shard walk is sequential in sequence
+    order but runs as O(#sequences) ``np.searchsorted`` jumps on the
+    length cumsum (each jump closes one sequence), NOT a per-row
+    Python loop — with ~16 docs/sequence that is ~16x fewer
+    interpreter iterations, and offsets/ids assign vectorized. Size
+    ``n_shards`` so a shard fits a task (the tar-shard exporter's
+    rule: target ~1-5M rows per shard, i.e. ``n_shards >= rows /
+    5e6``); the shard is the parallelism unit — exactly how packing
+    shards are produced for real loaders.
     """
     import pandas as pd
 
@@ -587,16 +591,27 @@ def pack_documents_greedy(
             ["__pk__", id_column], kind="mergesort"
         ).reset_index(drop=True)
         lens = pdf[length_column].fillna(0).astype("int64").to_numpy()
-        seqs = np.empty(len(lens), dtype="int64")
-        offs = np.empty(len(lens), dtype="int64")
-        seq, used = 0, 0
-        for i, ln in enumerate(lens):
-            if i > 0 and used + ln > cap:
-                seq += 1
-                used = 0
-            seqs[i] = seq
-            offs[i] = used
-            used += ln
+        n = len(lens)
+        csum = np.cumsum(lens)
+        excl = csum - lens  # exclusive prefix sum
+        # First-fit boundaries, vectorized: for EVERY position s, the
+        # sequence that starts at s would end at nxt[s] =
+        # searchsorted(csum, excl[s] + cap) (extend while used + len
+        # <= cap; the maximum() forces progress, so an oversized doc
+        # becomes a singleton). One C-speed pass computes all
+        # candidates; the actual boundary chain is then O(#sequences)
+        # array lookups — no per-row Python loop.
+        nxt = np.searchsorted(csum, excl + cap, side="right")
+        nxt = np.maximum(nxt, np.arange(1, n + 1))
+        bounds = [0]
+        s = 0
+        while s < n:
+            s = int(nxt[s])
+            bounds.append(s)
+        bounds = np.asarray(bounds, dtype="int64")
+        counts = np.diff(bounds)
+        seqs = np.repeat(np.arange(len(counts), dtype="int64"), counts)
+        offs = excl - np.repeat(excl[bounds[:-1]], counts)
         out = pdf.drop(columns=["__pk__"])
         out[seq_column] = seqs
         out[offset_column] = offs

@@ -1047,3 +1047,98 @@ def c4_line_filter(
     if min_kept_lines is not None:
         out = out.filter(F.col("n_kept_lines") >= int(min_kept_lines))
     return out
+
+
+def _quality_features(text: Column):
+    """The three quality_logit features as Catalyst expressions —
+    shared by inference (:func:`quality_logit`) and training
+    (:func:`quality_train_logreg`) so trained weights drop straight
+    into the serving path."""
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    mean_tok = F.when(
+        n_tokens > 0, n_chars.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = F.when(
+        n_chars > 0, punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    f1 = F.least(n_tokens, F.lit(100)).cast("double") / F.lit(100.0)
+    f2 = F.least(mean_tok, F.lit(10.0)) / F.lit(10.0)
+    return [f1, f2, punct_ratio]
+
+
+def quality_train_logreg(
+    df: DataFrame,
+    text_column: str,
+    label_column: str,
+    steps: int = 3,
+    lr: float = 1.0,
+    init: tuple = (0.0, 0.0, 0.0, 0.0),
+) -> DataFrame:
+    """In-engine quality-classifier TRAINING: full-batch gradient
+    descent on a squashed linear model over the same three features
+    :func:`quality_logit` serves, so the trained ``(bias, w1, w2, w3)``
+    drop directly into the inference path
+    (``quality_logit(df, col, weights={...}, bias=...)``).
+
+    Distributed-GD shape (the classic Spark pattern): weights live on
+    the driver (4 floats), each step is ONE map-side-combined
+    aggregation over the data — sum of per-row gradients — so the
+    per-step cost is a scan + 5-double exchange, never a weight
+    shuffle; the feature frame is computed once and cached for the k
+    scans. At 100 TB each step is exactly one pass, the same shape as
+    MLlib's gradient aggregation.
+
+    Engine-portability: the squashing function is the RATIONAL
+    logistic ``s(z) = 0.5 * (1 + z / (1 + |z|))`` (softsign-based
+    "fast sigmoid") and the loss is mean squared error, so the whole
+    trajectory is +,*,/,abs arithmetic — no exp/log whose libm last
+    ulps differ across engines — and an ANSI-SQL oracle replays the
+    unrolled steps to float equality. Gradient per row:
+    ``2 * (s - y) * s'(z) * x`` with ``s'(z) = 0.5 / (1 + |z|)^2``.
+
+    Returns one row per step: ``step`` (1-based), the POST-update
+    weights ``bias, w_tokens, w_mean_tok, w_punct``, and ``mse``
+    measured BEFORE the update (so step 1's mse is the init loss).
+    """
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    feats = _quality_features(F.col(text_column))
+    y = F.col(label_column).cast("double")
+    cols = [f.alias(f"__f{i}__") for i, f in enumerate(feats)]
+    data = df.select(y.alias("__y__"), *cols)
+    data = data.persist()
+    try:
+        b, w = float(init[0]), [float(v) for v in init[1:4]]
+        rows = []
+        for step in range(1, int(steps) + 1):
+            z = F.lit(b)
+            for i in range(3):
+                z = z + F.lit(w[i]) * F.col(f"__f{i}__")
+            s = F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+            e = s - F.col("__y__")
+            sp = F.lit(0.5) / (
+                (F.lit(1.0) + F.abs(z)) * (F.lit(1.0) + F.abs(z))
+            )
+            g = F.lit(2.0) * e * sp
+            agg = data.agg(
+                F.avg(e * e).alias("mse"),
+                F.avg(g).alias("gb"),
+                *[
+                    F.avg(g * F.col(f"__f{i}__")).alias(f"g{i}")
+                    for i in range(3)
+                ],
+            ).collect()[0]
+            b -= float(lr) * agg["gb"]
+            for i in range(3):
+                w[i] -= float(lr) * agg[f"g{i}"]
+            rows.append((step, b, w[0], w[1], w[2], float(agg["mse"])))
+    finally:
+        data.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows,
+        "step int, bias double, w_tokens double, w_mean_tok double, "
+        "w_punct double, mse double",
+    )

@@ -306,3 +306,57 @@ def skew_report(df: DataFrame, column: str, top_n: int = 10) -> DataFrame:
         )
         .select("key", "n_rows", "share", "rank")
     )
+
+
+def input_bytes(spark, *paths: str) -> int:
+    """Total on-disk bytes under each path, via the Hadoop FileSystem
+    API — so the same call works for local files, HDFS, and object
+    stores (anything the session's Hadoop conf can open)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for path in paths:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        total += fs.getContentSummary(p).getLength()
+    return int(total)
+
+
+def derive_shuffle_partitions(
+    spark,
+    paths: Sequence[str],
+    target_partition_bytes: int = 256 << 20,
+    expansion: float = 4.0,
+    floor: int = None,
+    cap: int = 4096,
+) -> int:
+    """Size ``spark.sql.shuffle.partitions`` from the INPUT, not from a
+    human: ``ceil(input_bytes * expansion / target_partition_bytes)``,
+    floored at the core count and capped.
+
+    ``expansion`` ~4 covers parquet's compression ratio (columnar
+    snappy text/ints decode to roughly 3-5x their on-disk size); 256 MB
+    of in-memory rows per post-shuffle partition is the standard
+    sizing rule — small enough to sort/hash without spilling, large
+    enough to amortize task overhead. Oversizing is cheap: AQE's
+    partition coalescing merges the excess at runtime, so the derived
+    value is an upper bound the optimizer trims, while UNDERSIZING
+    (the default 32 at 600M rows = ~19M rows/partition) spills — the
+    measured sf100 failure mode this replaces (SF1.md: 79.6 s -> 47.0 s
+    at 256 partitions for private_join_nonunique).
+    """
+    import math
+
+    if floor is None:
+        floor = spark.sparkContext.defaultParallelism
+    total = input_bytes(spark, *paths)
+    need = math.ceil(total * float(expansion) / int(target_partition_bytes))
+    return int(min(int(cap), max(int(floor), need, 1)))
+
+
+def configure_shuffle_partitions(spark, paths: Sequence[str], **kwargs) -> int:
+    """Set ``spark.sql.shuffle.partitions`` from the input size (see
+    :func:`derive_shuffle_partitions`) and return the chosen value."""
+    n = derive_shuffle_partitions(spark, paths, **kwargs)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
