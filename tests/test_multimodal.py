@@ -1326,6 +1326,81 @@ class TestFlac:
             assert (rate, ch) == (44100, 2)
             assert np.array_equal(got, s)
 
+    def test_lpc_round_trips(self):
+        # LPC subframes (RFC 9639 9.2.5): residuals are exact for ANY
+        # integer coefficients, so round-trip equality grades the qlp
+        # precision/shift/coef parsing and the arithmetic-shift
+        # prediction — orders 1 through 12, zero and negative coefs.
+        import numpy as np
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(11)
+        for coefs, shift in [
+            ([3], 1), ([5, -2], 2), ([4, -6, 4, -1], 0),
+            ([7, -3, 1, 0, -2, 5], 3), ([-1] * 12, 4),
+        ]:
+            x = rng.integers(-20000, 20000, 96).astype(np.int64)
+            rec = M._decode_flac_samples(
+                M.synthesize_flac(
+                    x, 8000, lpc=(coefs, shift), partition_order=2
+                )
+            )
+            assert rec is not None, (coefs, shift)
+            assert np.array_equal(rec[2], x), (coefs, shift)
+        # stereo: the side channel (bps+1) takes the LPC path too
+        for mode in ("left_side", "right_side", "mid_side"):
+            s = rng.integers(-20000, 20000, 128).astype(np.int64)
+            rec = M._decode_flac_samples(
+                M.synthesize_flac(
+                    s.reshape(64, 2), 44100, lpc=([3, -1], 1),
+                    stereo_mode=mode,
+                )
+            )
+            assert rec[1] == 2 and np.array_equal(rec[2], s), mode
+
+    def test_wasted_bits_round_trips(self):
+        # Wasted bits (RFC 9639 9.2.4): subframes code x >> k at
+        # bps - k with a flag + unary count; decoder restores << k.
+        import numpy as np
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(12)
+        for k in (1, 2, 4):
+            x = (rng.integers(-2000, 2000, 80) << k).astype(np.int64)
+            for kwargs in (
+                {"order": 2},
+                {"lpc": ([3, -1], 1), "block_size": 20},
+            ):
+                rec = M._decode_flac_samples(
+                    M.synthesize_flac(x, 8000, wasted_bits=k, **kwargs)
+                )
+                assert rec is not None and np.array_equal(rec[2], x), (
+                    k, kwargs,
+                )
+        # stereo left/side: L and L-R stay divisible when inputs are
+        s = (rng.integers(-2000, 2000, 128) << 2).astype(np.int64)
+        rec = M._decode_flac_samples(
+            M.synthesize_flac(
+                s.reshape(64, 2), 8000, order=1, wasted_bits=2,
+                stereo_mode="left_side",
+            )
+        )
+        assert np.array_equal(rec[2], s)
+
+    def test_wasted_bits_mid_side_divisibility_guard(self):
+        import numpy as np
+        import pytest
+
+        from tumult_analytics_spark.operators import multimodal as M
+
+        bad = np.array([[2, 4]] * 40, dtype=np.int64)  # mid = 3
+        with pytest.raises(ValueError, match="divisible"):
+            M.synthesize_flac(
+                bad, 8000, order=1, wasted_bits=1, stereo_mode="mid_side"
+            )
+
     def test_utf8_frame_number_coding_matches_unicode(self):
         from tumult_analytics_spark.operators import multimodal as M
 

@@ -4293,18 +4293,22 @@ ORACLE_PNG16 = """
 
 
 def q_decode_audio_flac(spark, sf_dir):
-    # Native FLAC decode (fixed-predictor subset: Rice-coded residuals,
-    # CRC-verified): payloads synthesized per doc with the shared SQL
-    # sample formula ((id*31 + i*17) % 65536 - 32768). Knobs derive
-    # from e = doc_id // 10, which takes ALL residues under the
-    # % 10 = 4 filter (doc_id itself is always even there): predictor
-    # order e % 5, 2^(e % 2) Rice partitions, STEREO frames for odd e
+    # Native FLAC decode (Rice-coded residuals, CRC-verified):
+    # payloads synthesized per doc with the shared SQL sample formula
+    # ((id*31 + i*17) % 65536 - 32768). Knobs derive from
+    # e = doc_id // 10, which takes ALL residues under the % 10 = 4
+    # filter (doc_id itself is always even there): predictor order
+    # e % 5, 2^(e % 2) Rice partitions, STEREO frames for odd e
     # (decorrelation mode cycling left/right/mid-side by e % 3 — the
     # interleaved decode must reproduce the formula sequence, so the
-    # side/mid integer reconstruction is value-graded too), and
+    # side/mid integer reconstruction is value-graded too),
     # MULTI-FRAME files (two equal blocks; the >=128-frame UTF-8
-    # frame-number coding is unit-tested) when e % 4 == 2. The oracle
-    # replays the FORMULA — a match proves an exact round-trip.
+    # frame-number coding is unit-tested) when e % 4 == 2, LPC
+    # subframes (coefs [3, -1], shift 1) when e % 8 == 3, and 2
+    # WASTED BITS (samples floored to multiples of 4 — e % 8 == 6 is
+    # even, so mono: no mid/side divisibility clash) when e % 8 == 6.
+    # The oracle replays the FORMULA — a match proves an exact
+    # round-trip.
     import numpy as np
 
     from . import multimodal as M
@@ -4328,14 +4332,22 @@ def q_decode_audio_flac(spark, sf_dir):
                 stereo = e % 2 == 1
                 i = np.arange(n * (2 if stereo else 1), dtype=np.int64)
                 x = (d * 31 + i * 17) % 65536 - 32768
+                kwargs = {}
+                if e % 8 == 3:
+                    kwargs["lpc"] = ([3, -1], 1)
+                else:
+                    kwargs["order"] = e % 5
+                if e % 8 == 6:
+                    x = (x >> 2) << 2
+                    kwargs["wasted_bits"] = 2
                 payloads.append(
                     M.synthesize_flac(
                         x.reshape(n, 2) if stereo else x,
                         8000,
-                        order=e % 5,
                         partition_order=e % 2,
                         stereo_mode=modes[e % 3],
                         block_size=n // 2 if e % 4 == 2 else None,
+                        **kwargs,
                     )
                 )
             pdf["payload"] = payloads
@@ -6959,8 +6971,14 @@ ORACLES["decode_audio_flac"] = """
     ),
     s AS (SELECT doc_id, n, ch, unnest(range(0, n * ch)) AS i FROM d),
     x AS (
+      -- wasted-bits docs ((doc_id // 10) % 8 = 6) floor samples to
+      -- multiples of 4 (arithmetic >>2 <<2 = floor toward -inf)
       SELECT doc_id, n, ch,
-             (doc_id * 31 + i * 17) % 65536 - 32768 AS v
+             CASE WHEN (doc_id // 10) % 8 = 6
+                  THEN CAST(floor(
+                    ((doc_id * 31 + i * 17) % 65536 - 32768) / 4.0
+                  ) * 4 AS BIGINT)
+                  ELSE (doc_id * 31 + i * 17) % 65536 - 32768 END AS v
       FROM s
     )
     SELECT doc_id,

@@ -2115,14 +2115,14 @@ def _mulaw_expand(u8):
     return np.where(u & 0x80, 0x84 - t, t - 0x84)
 
 
-# --- FLAC (fixed-predictor subset) ------------------------------------------
+# --- FLAC --------------------------------------------------------------------
 # A real native decoder for the lossless codec training corpora actually
-# carry, covering the encoder subset every FLAC encoder's default fast
-# modes use: CONSTANT / VERBATIM / FIXED(0-4) subframes with Rice-coded
-# residuals (methods 0 and 1, any partition order), independent
-# channels plus left/right/mid-side stereo decorrelation, fixed
-# blocking, CRC-8/CRC-16 verified. LPC subframes and wasted-bits are
-# the codec-library seam (the
+# carry: CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32) subframes with
+# Rice-coded residuals (methods 0 and 1, any partition order, escape
+# partitions), wasted bits-per-sample, independent channels plus
+# left/right/mid-side stereo decorrelation, fixed blocking, multi-frame
+# files with UTF-8-coded frame numbers, CRC-8/CRC-16 verified.
+# Variable blocking and non-16 bps stay behind the codec seam (the
 # decoder returns None for them — nulls, not crashes). Reference:
 # the public FLAC format spec (RFC 9639).
 
@@ -2244,6 +2244,8 @@ def synthesize_flac(
     partition_order: int = 0,
     stereo_mode: str = "independent",
     block_size: int | None = None,
+    lpc: "tuple | None" = None,
+    wasted_bits: int = 0,
 ) -> bytes:
     """Spec-conformant 16-bit FLAC: STREAMINFO + fixed-blocking frames
     of FIXED(order) subframes, Rice-coded residuals (method 0),
@@ -2258,7 +2260,15 @@ def synthesize_flac(
     into ceil(n/block_size) frames with UTF-8-coded frame numbers (so
     files with >=128 frames exercise multi-byte frame-number coding);
     every block, including a short tail, must satisfy the order /
-    partition divisibility rules."""
+    partition divisibility rules.
+
+    ``lpc=(coefs, shift)`` emits LPC subframes instead of FIXED
+    (RFC 9639 9.2.5): integer ``coefs`` (most-recent-sample first) at
+    the minimal signed precision, prediction ``(sum c_j * x[i-1-j])
+    >> shift`` — residuals are computed exactly, so ANY integer
+    coefficients round-trip. ``wasted_bits=k`` (9.2.4) requires every
+    sample divisible by ``2**k``; subframes then code ``x >> k`` at
+    ``bps - k`` with the flag + unary count in the header."""
     import struct
 
     import numpy as np
@@ -2268,6 +2278,27 @@ def synthesize_flac(
     n = x.shape[0]
     if not 0 <= order <= 4:
         raise ValueError("need 0 <= order <= 4")
+    wasted_bits = int(wasted_bits)
+    if wasted_bits < 0:
+        raise ValueError("wasted_bits must be >= 0")
+    if lpc is not None:
+        lpc_coefs = [int(c) for c in lpc[0]]
+        lpc_shift = int(lpc[1])
+        if not lpc_coefs or len(lpc_coefs) > 32:
+            raise ValueError("lpc needs 1..32 coefficients")
+        if not 0 <= lpc_shift <= 15:
+            raise ValueError("lpc shift must be in [0, 15]")
+        # minimal signed precision holding every coefficient (2..15)
+        lpc_prec = max(
+            2,
+            max(
+                c.bit_length() + 1 if c >= 0 else (-c - 1).bit_length() + 1
+                for c in lpc_coefs
+            ),
+        )
+        if lpc_prec > 15:
+            raise ValueError("lpc coefficients exceed 15-bit precision")
+        order = len(lpc_coefs)
 
     def _streams(blk):
         if stereo:
@@ -2330,14 +2361,42 @@ def synthesize_flac(
         body = _FlacBitWriter()
         for ch, bits in streams:
             body.write(0, 1)  # subframe pad bit
-            body.write(0b001000 | order, 6)  # FIXED(order)
-            body.write(0, 1)  # no wasted bits
+            if lpc is not None:
+                body.write(0b100000 | (order - 1), 6)  # LPC(order)
+            else:
+                body.write(0b001000 | order, 6)  # FIXED(order)
+            if wasted_bits:
+                # per-STREAM check: mid/side derivations can break a
+                # divisibility that held on the raw samples
+                if (ch % (1 << wasted_bits) != 0).any():
+                    raise ValueError(
+                        "every coded sample (incl. mid/side streams) "
+                        f"must be divisible by 2**{wasted_bits}"
+                    )
+                body.write(1, 1)
+                for _ in range(wasted_bits - 1):  # unary count-1
+                    body.write(0, 1)
+                body.write(1, 1)
+                ch = ch >> wasted_bits
+                bits = bits - wasted_bits
+            else:
+                body.write(0, 1)
             for i in range(order):
                 body.write(int(ch[i]) & ((1 << bits) - 1), bits)  # warmup
-            coefs = _FLAC_FIXED_COEFS[order]
-            res = ch[order:].copy()
-            for j, c in enumerate(coefs):
-                res = res - c * ch[order - 1 - j : bn - 1 - j]
+            if lpc is not None:
+                body.write(lpc_prec - 1, 4)
+                body.write(lpc_shift, 5)
+                for c in lpc_coefs:
+                    body.write(c & ((1 << lpc_prec) - 1), lpc_prec)
+                pred = np.zeros(bn - order, dtype=np.int64)
+                for j, c in enumerate(lpc_coefs):
+                    pred += c * ch[order - 1 - j : bn - 1 - j]
+                res = ch[order:] - (pred >> lpc_shift)
+            else:
+                coefs = _FLAC_FIXED_COEFS[order]
+                res = ch[order:].copy()
+                for j, c in enumerate(coefs):
+                    res = res - c * ch[order - 1 - j : bn - 1 - j]
             body.write(0, 2)  # residual method 0: 4-bit Rice
             body.write(partition_order, 4)
             parts = 1 << partition_order
@@ -2367,13 +2426,15 @@ def synthesize_flac(
 
 
 def _decode_flac_samples(buf: bytes):
-    """Decode the FLAC fixed-predictor subset; returns ``(rate,
-    channels, samples)`` (interleaved int64) or None. Subset: fixed
-    blocking, CONSTANT/VERBATIM/FIXED(0-4) subframes, Rice methods 0/1
-    incl. escape partitions, independent channels AND the three stereo
-    decorrelation modes (left/side, right/side, mid/side — exact
-    integer reconstruction incl. the mid parity bit); LPC and
-    wasted-bits payloads return None (codec-library seam)."""
+    """Decode FLAC; returns ``(rate, channels, samples)`` (interleaved
+    int64) or None. Coverage: fixed blocking, CONSTANT / VERBATIM /
+    FIXED(0-4) / LPC(1-32) subframes (RFC 9639 9.2.5: qlp precision +
+    shift + signed coefficients, arithmetic-shift prediction), Rice
+    methods 0/1 incl. escape partitions, wasted bits-per-sample
+    (9.2.4), independent channels AND the three stereo decorrelation
+    modes (left/side, right/side, mid/side — exact integer
+    reconstruction incl. the mid parity bit); variable blocking and
+    reserved subframe types return None (codec-library seam)."""
     import struct
 
     import numpy as np
@@ -2471,9 +2532,11 @@ def _decode_flac_samples(buf: bytes):
                 if r.read(1) != 0:
                     return None
                 stype = r.read(6)
-                wasted = r.read(1)
-                if wasted:
-                    return None  # wasted-bits: seam
+                # Wasted bits (RFC 9639 9.2.2): flag bit, then count-1
+                # in unary; the subframe codes samples >> wasted at a
+                # reduced bps, restored by << wasted at the end.
+                wasted = r.read_unary() + 1 if r.read(1) else 0
+                cbps -= wasted
 
                 def s_read(nb):
                     v = r.read(nb)
@@ -2481,49 +2544,65 @@ def _decode_flac_samples(buf: bytes):
 
                 if stype == 0:  # CONSTANT
                     v = s_read(cbps)
-                    chans.append(np.full(bs, v, dtype=np.int64))
-                    continue
-                if stype == 1:  # VERBATIM
-                    chans.append(
-                        np.array([s_read(cbps) for _ in range(bs)], np.int64)
+                    x = np.full(bs, v, dtype=np.int64)
+                elif stype == 1:  # VERBATIM
+                    x = np.array(
+                        [s_read(cbps) for _ in range(bs)], np.int64
                     )
-                    continue
-                if not (0b001000 <= stype <= 0b001100):
-                    return None  # LPC: seam
-                order = stype - 0b001000
-                warm = [s_read(cbps) for _ in range(order)]
-                method = r.read(2)
-                if method > 1:
-                    return None
-                pbits = 4 if method == 0 else 5
-                po = r.read(4)
-                parts = 1 << po
-                if bs % parts or bs // parts < order:
-                    return None
-                res = []
-                for p in range(parts):
-                    cnt = bs // parts - (order if p == 0 else 0)
-                    k = r.read(pbits)
-                    if k == (1 << pbits) - 1:  # escape: raw n-bit
-                        nb = r.read(5)
-                        for _ in range(cnt):  # raw two's complement
-                            v = r.read(nb) if nb else 0
-                            if nb and v & (1 << (nb - 1)):
-                                v -= 1 << nb
-                            res.append(v)
-                    else:
-                        for _ in range(cnt):
-                            q = r.read_unary()
-                            v = (q << k) | (r.read(k) if k else 0)
-                            res.append((v >> 1) ^ -(v & 1))
-                x = np.empty(bs, dtype=np.int64)
-                x[:order] = warm
-                coefs = _FLAC_FIXED_COEFS[order]
-                for i in range(order, bs):
-                    acc = res[i - order]
-                    for j, c in enumerate(coefs):
-                        acc += c * x[i - 1 - j]
-                    x[i] = acc
+                elif 0b001000 <= stype <= 0b001100 or stype & 0b100000:
+                    if stype & 0b100000:  # LPC (RFC 9639 9.2.5)
+                        order = (stype & 0b011111) + 1
+                        warm = [s_read(cbps) for _ in range(order)]
+                        prec = r.read(4)
+                        if prec == 0b1111:
+                            return None  # invalid precision code
+                        prec += 1
+                        shift = r.read(5)
+                        if shift & 0b10000:
+                            return None  # negative shift: reserved
+                        coefs = [s_read(prec) for _ in range(order)]
+                    else:  # FIXED(0-4): integer coefs, no shift
+                        order = stype - 0b001000
+                        warm = [s_read(cbps) for _ in range(order)]
+                        coefs = _FLAC_FIXED_COEFS[order]
+                        shift = 0
+                    method = r.read(2)
+                    if method > 1:
+                        return None
+                    pbits = 4 if method == 0 else 5
+                    po = r.read(4)
+                    parts = 1 << po
+                    if bs % parts or bs // parts < order:
+                        return None
+                    res = []
+                    for p in range(parts):
+                        cnt = bs // parts - (order if p == 0 else 0)
+                        k = r.read(pbits)
+                        if k == (1 << pbits) - 1:  # escape: raw n-bit
+                            nb = r.read(5)
+                            for _ in range(cnt):  # raw two's complement
+                                v = r.read(nb) if nb else 0
+                                if nb and v & (1 << (nb - 1)):
+                                    v -= 1 << nb
+                                res.append(v)
+                        else:
+                            for _ in range(cnt):
+                                q = r.read_unary()
+                                v = (q << k) | (r.read(k) if k else 0)
+                                res.append((v >> 1) ^ -(v & 1))
+                    x = np.empty(bs, dtype=np.int64)
+                    x[:order] = warm
+                    for i in range(order, bs):
+                        acc = 0
+                        for j, c in enumerate(coefs):
+                            acc += c * x[i - 1 - j]
+                        # arithmetic shift (floor), per spec — Python's
+                        # >> on negative ints matches
+                        x[i] = res[i - order] + (int(acc) >> shift)
+                else:
+                    return None  # reserved subframe type
+                if wasted:
+                    x = x << wasted
                 chans.append(x)
             r.align()
             crc_end = r.bytepos
