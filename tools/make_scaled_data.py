@@ -27,10 +27,22 @@ cross-shard shingles/buckets disjoint:
   norms and within-shard cosines exact), which compose with axis 1's
   rotations without aliasing (flip pattern identifies the shard).
 
+- axis 3 (sf10 -> sf100, round 6): QUADRATIC position shift ``char at
+  1-based in-word position p -> char + t*p^2 (mod 26)``. Composed
+  shift across all axes is ``j + s*p + t*p^2``: two shard triples
+  (j,s,t) != (j',s',t') agreeing on every p >= 1 would need 2*(t-t')
+  = 0 mod 26, i.e. t-t' in {0, +-13} — impossible with per-axis shard
+  indices 0..9 — so words of length >= 3 are disjoint across shards
+  (length-1/2 words share axis 2's caveat). Embeddings get a SECOND
+  independent sign-flip family (different hash constants); a product
+  of two sign patterns is another sign pattern, and with 64 dims the
+  probability any two composed patterns coincide is ~2^-64.
+
 ids offset by ``shard * (1 + max(id))`` as in the relational tables.
 
 Usage: python tools/make_scaled_data.py  (writes only missing files;
-~30 s). Needs /root/repo/.sf1 to exist with documents/embeddings.
+~30 s for .sf10, ~6 min for .sf100). Needs /root/repo/.sf1 to exist
+with documents/embeddings; .sf100 additionally needs .sf10.
 """
 
 from __future__ import annotations
@@ -48,9 +60,10 @@ SF10 = os.path.join(REPO, ".sf10")
 SHARDS = 10
 
 
-def word_rotate(texts, s: int):
-    """Apply the axis-2 vocabulary bijection to every string: each a-z
-    char at 1-based position p within its word shifts by s*p (mod 26).
+def word_rotate(texts, s: int, quadratic: bool = False):
+    """Apply the axis-2 (``s*p``) or axis-3 (``quadratic=True``,
+    ``s*p^2``) vocabulary bijection to every string: each a-z char at
+    1-based position p within its word shifts by the rule (mod 26).
     Deterministic per word (all occurrences map identically), length-
     preserving, and a bijection on words for each s. Vectorized: one
     numpy pass over the shard's concatenated bytes."""
@@ -64,26 +77,28 @@ def word_rotate(texts, s: int):
     boundary = np.where(~alpha, idx, -1)
     np.maximum.accumulate(boundary, out=boundary)
     p = idx - boundary  # 1-based position within the current word
-    rot = (s * p) % 26
+    rot = (s * p * p) % 26 if quadratic else (s * p) % 26
     a[alpha] = 97 + (a[alpha] - 97 + rot[alpha]) % 26
     return a.tobytes().decode().split("\n")
 
 
-def sign_pattern(s: int, dim: int) -> np.ndarray:
-    """Deterministic per-shard sign-flip vector (+-1), identity at s=0."""
+def sign_pattern(s: int, dim: int, family: int = 0) -> np.ndarray:
+    """Deterministic per-shard sign-flip vector (+-1), identity at s=0.
+    ``family=1`` is the independent axis-3 hash family."""
     if s == 0:
         return np.ones(dim, dtype=np.float32)
     i = np.arange(dim, dtype=np.uint64)
-    h = (np.uint64(s) * np.uint64(0x9E3779B1) + i * np.uint64(0x85EBCA77)) >> np.uint64(13)
+    mults = ((0x9E3779B1, 0x85EBCA77), (0xC2B2AE3D, 0x27D4EB2F))[family]
+    h = (np.uint64(s) * np.uint64(mults[0]) + i * np.uint64(mults[1])) >> np.uint64(13)
     return np.where(h & np.uint64(1), -1.0, 1.0).astype(np.float32)
 
 
-def scale_documents() -> None:
-    out = os.path.join(SF10, "documents.parquet")
+def scale_documents(src_dir=None, dst_dir=None, quadratic=False) -> None:
+    out = os.path.join(dst_dir or SF10, "documents.parquet")
     if os.path.exists(out):
         print(f"skip {out} (exists)")
         return
-    t = pq.read_table(os.path.join(SF1, "documents.parquet"))
+    t = pq.read_table(os.path.join(src_dir or SF1, "documents.parquet"))
     n = t.num_rows
     base_ids = t.column("doc_id").to_numpy()
     offset = int(base_ids.max()) + 1
@@ -94,7 +109,9 @@ def scale_documents() -> None:
             pa.table(
                 {
                     "doc_id": pa.array(base_ids + s * offset, pa.int64()),
-                    "text": pa.array(word_rotate(texts, s), pa.string()),
+                    "text": pa.array(
+                        word_rotate(texts, s, quadratic), pa.string()
+                    ),
                     "lang": t.column("lang"),
                     "source": t.column("source"),
                     "n_chars": t.column("n_chars"),
@@ -106,12 +123,12 @@ def scale_documents() -> None:
     print(f"wrote {out}")
 
 
-def scale_embeddings() -> None:
-    out = os.path.join(SF10, "embeddings.parquet")
+def scale_embeddings(src_dir=None, dst_dir=None, family=0) -> None:
+    out = os.path.join(dst_dir or SF10, "embeddings.parquet")
     if os.path.exists(out):
         print(f"skip {out} (exists)")
         return
-    t = pq.read_table(os.path.join(SF1, "embeddings.parquet"))
+    t = pq.read_table(os.path.join(src_dir or SF1, "embeddings.parquet"))
     base_ids = t.column("vec_id").to_numpy()
     offset = int(base_ids.max()) + 1
     emb = np.stack(
@@ -121,7 +138,7 @@ def scale_embeddings() -> None:
     dim = emb.shape[1]
     shards = []
     for s in range(SHARDS):
-        flipped = emb * sign_pattern(s, dim)[None, :]
+        flipped = emb * sign_pattern(s, dim, family)[None, :]
         shards.append(
             pa.table(
                 {
@@ -144,6 +161,10 @@ def main() -> None:
     os.makedirs(SF10, exist_ok=True)
     scale_documents()
     scale_embeddings()
+    sf100 = os.path.join(REPO, ".sf100")
+    os.makedirs(sf100, exist_ok=True)
+    scale_documents(SF10, sf100, quadratic=True)
+    scale_embeddings(SF10, sf100, family=1)
 
 
 if __name__ == "__main__":
