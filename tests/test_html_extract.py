@@ -176,3 +176,37 @@ class TestC4LineFilter:
         df = spark.createDataFrame([(0, "")], ["i", "t"])
         r = X.c4_line_filter(df, "t").collect()[0]
         assert r["text_clean"] == "" and r["n_kept_lines"] == 0
+
+
+class TestSplitSentences:
+    def test_boundaries_and_edges(self, spark):
+        cases = [
+            (0, "First sentence. Second one! Third? tail without terminal"),
+            (1, "no punctuation here at all"),
+            (2, ""),
+            (3, "  Multiple   spaces.   After.  "),
+            (4, "Dotted.End"),  # no whitespace after '.' -> one sentence
+        ]
+        out = {
+            r["i"]: (r["sentences"], r["n_sentences"])
+            for r in X.split_sentences(
+                spark.createDataFrame(cases, ["i", "t"]), "t"
+            ).collect()
+        }
+        assert out[0] == (
+            ["First sentence.", "Second one!", "Third?",
+             "tail without terminal"],
+            4,
+        )
+        assert out[1] == (["no punctuation here at all"], 1)
+        assert out[2] == ([], 0)
+        assert out[3] == (["Multiple   spaces.", "After."], 2)
+        assert out[4] == (["Dotted.End"], 1)
+
+    def test_pure_catalyst(self, spark):
+        df = spark.createDataFrame([(0, "a. b")], ["i", "t"])
+        plan = (
+            X.split_sentences(df, "t")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan and "Exchange" not in plan

@@ -963,6 +963,36 @@ def q_c4_line_filter_stats(spark, sf_dir):
     )
 
 
+def q_sentence_stats(spark, sf_dir):
+    # Sentence segmentation (the unit C4's page rules actually count):
+    # punctuation spliced in-query at fixed char positions (the corpus
+    # text is unpunctuated), then split_sentences; per-lang totals
+    # plus the summed FIRST-sentence length grade the boundary
+    # positions, not just the counts.
+    docs = _read(spark, sf_dir, "documents")
+    spliced = docs.withColumn(
+        "text2",
+        F.concat(
+            F.expr("substr(text, 1, 50)"),
+            F.lit(". "),
+            F.expr("substr(text, 51, 70)"),
+            F.lit("! "),
+            F.expr("substr(text, 121)"),
+        ),
+    )
+    out = X.split_sentences(spliced, "text2")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sentences").cast("long").alias("total_sentences"),
+        F.sum(F.length(F.col("sentences")[0])).cast("long").alias(
+            "sum_first_len"
+        ),
+        F.sum((F.col("n_sentences") >= 3).cast("long")).alias(
+            "n_three_plus"
+        ),
+    )
+
+
 def q_quality_train_stats(spark, sf_dir):
     # In-engine quality-classifier training: 3 full-batch GD steps on
     # the rational-sigmoid linear model over quality_logit's features,
@@ -4418,6 +4448,7 @@ QUERIES = {
     "html_extract_stats": q_html_extract_stats,
     "c4_line_filter_stats": q_c4_line_filter_stats,
     "quality_train_stats": q_quality_train_stats,
+    "sentence_stats": q_sentence_stats,
     "dsir_selection": q_dsir_selection,
     "repetition_stats": q_repetition_stats,
     "pii_stats": q_pii_stats,
@@ -6013,6 +6044,32 @@ ORACLES["c4_line_filter_stats"] = """
 """
 
 ORACLES["quality_train_stats"] = _quality_train_oracle_sql(steps=3)
+
+ORACLES["sentence_stats"] = r"""
+    WITH spliced AS (
+      SELECT lang,
+             substr(text, 1, 50) || '. ' || substr(text, 51, 70)
+               || '! ' || substr(text, 121) AS t
+      FROM documents
+    ),
+    sent AS (
+      SELECT lang,
+             list_filter(
+               string_split(
+                 regexp_replace(trim(t), '([.!?])\s+',
+                                '\1' || chr(30), 'g'),
+                 chr(30)),
+               s -> trim(s) <> '') AS ss
+      FROM spliced
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(ss)) AS BIGINT) AS total_sentences,
+           CAST(sum(length(ss[1])) AS BIGINT) AS sum_first_len,
+           CAST(sum(CASE WHEN len(ss) >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_three_plus
+    FROM sent GROUP BY lang
+"""
 
 ORACLES["interval_overlap_count"] = """
     WITH v AS (
