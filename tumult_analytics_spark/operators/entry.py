@@ -2998,8 +2998,11 @@ def _incr_emb_dedup_oracle_sql(
           SELECT * FROM corpus UNION ALL SELECT * FROM batch
         ), grid AS (
           SELECT t.t, b.b, d.d,
-                 CASE WHEN (({_LCG_A} * (t.t * 100003 + b.b * 641 + (d.d - 1))
-                             + {_LCG_C}) % {_LCG_M}) >= {half}
+                 CASE WHEN (((({_LCG_A} * (t.t * 100003 + b.b * 641
+                               + (d.d - 1)) + {_LCG_C}) % {_LCG_M})
+                             * (({_LCG_A} * (t.t * 100003 + b.b * 641
+                               + (d.d - 1)) + {_LCG_C}) % {_LCG_M}))
+                            // 32768) % {_LCG_M} >= {half}
                       THEN 1 ELSE -1 END AS sgn
           FROM (SELECT unnest(generate_series(0, {tables - 1})) AS t) t,
                (SELECT unnest(generate_series(0, {bits - 1})) AS b) b,
@@ -3050,8 +3053,11 @@ def _cosine_dedup_oracle_sql(
           FROM embeddings
         ), grid AS (
           SELECT t.t, b.b, d.d,
-                 CASE WHEN (({_LCG_A} * (t.t * 100003 + b.b * 641 + (d.d - 1))
-                             + {_LCG_C}) % {_LCG_M}) >= {half}
+                 CASE WHEN (((({_LCG_A} * (t.t * 100003 + b.b * 641
+                               + (d.d - 1)) + {_LCG_C}) % {_LCG_M})
+                             * (({_LCG_A} * (t.t * 100003 + b.b * 641
+                               + (d.d - 1)) + {_LCG_C}) % {_LCG_M}))
+                            // 32768) % {_LCG_M} >= {half}
                       THEN 1 ELSE -1 END AS sgn
           FROM (SELECT unnest(generate_series(0, {tables - 1})) AS t) t,
                (SELECT unnest(generate_series(0,
@@ -3095,8 +3101,11 @@ def _ann_lsh_oracle_sql(
           SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
         ), grid AS (
           SELECT t.t, b.b, d.d,
-                 CASE WHEN (({_LCG_A} * (t.t * 100003 + b.b * 641 + (d.d - 1))
-                             + {_LCG_C}) % {_LCG_M}) >= {half}
+                 CASE WHEN (((({_LCG_A} * (t.t * 100003 + b.b * 641
+                               + (d.d - 1)) + {_LCG_C}) % {_LCG_M})
+                             * (({_LCG_A} * (t.t * 100003 + b.b * 641
+                               + (d.d - 1)) + {_LCG_C}) % {_LCG_M}))
+                            // 32768) % {_LCG_M} >= {half}
                       THEN 1 ELSE -1 END AS sgn
           FROM (SELECT unnest(generate_series(0, {tables - 1})) AS t) t,
                (SELECT unnest(generate_series(0, {bits - 1})) AS b) b,
@@ -6293,8 +6302,11 @@ def _semantic_dedup_oracle_sql(
     )
     ctes.append(
         "grid AS (SELECT t.t, b.b, d.d,"
-        f" CASE WHEN (({_LCG_A} * (t.t * 100003 + b.b * 641 + (d.d - 1))"
-        f" + {_LCG_C}) % {_LCG_M}) >= {half} THEN 1 ELSE -1 END AS sgn"
+        f" CASE WHEN (((({_LCG_A} * (t.t * 100003 + b.b * 641"
+        f" + (d.d - 1)) + {_LCG_C}) % {_LCG_M})"
+        f" * (({_LCG_A} * (t.t * 100003 + b.b * 641"
+        f" + (d.d - 1)) + {_LCG_C}) % {_LCG_M}))"
+        f" // 32768) % {_LCG_M} >= {half} THEN 1 ELSE -1 END AS sgn"
         f" FROM (SELECT unnest(generate_series(0, {tables - 1})) AS t) t,"
         " (SELECT unnest(generate_series(0,"
         " (SELECT bits FROM nb) - 1)) AS b) b,"
