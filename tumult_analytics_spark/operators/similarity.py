@@ -998,10 +998,11 @@ def ivf_cosine_topk(
         .cogroup(corpus_cells.groupBy("__cell__"))
         .applyInPandas(fn, _topk_out_schema(id_field))
     )
-    best = cand.groupBy("query_id", "neighbor_id").agg(
-        F.max("cosine").alias("cosine")
-    )
-    return _rank_topk(best, k, rank_k)
+    # No (query, neighbor) dedup shuffle: a corpus row lives in exactly
+    # ONE cell and a query's probed cells are distinct, so each pair is
+    # produced at most once — unlike the multi-table LSH paths, which
+    # must merge per-table candidates with a max-cosine groupBy.
+    return _rank_topk(cand, k, rank_k)
 
 
 def _ivf_centroids(
@@ -1157,10 +1158,11 @@ def query_ivf_index(
         .cogroup(index.df.groupBy("__cell__"))
         .applyInPandas(fn, _topk_out_schema(id_field))
     )
-    best = cand.groupBy("query_id", "neighbor_id").agg(
-        F.max("cosine").alias("cosine")
-    )
-    return _rank_topk(best, k, rank_k)
+    # No (query, neighbor) dedup shuffle: an index row lives in exactly
+    # ONE cell and a query's probed cells are distinct, so each pair is
+    # produced at most once — unlike the multi-table LSH paths, which
+    # must merge per-table candidates with a max-cosine groupBy.
+    return _rank_topk(cand, k, rank_k)
 
 
 # --- IVF-PQ: product-quantized inverted file ------------------------------
@@ -1426,7 +1428,8 @@ def query_ivfpq_index(
         .cogroup(index.df.groupBy("__cell__"))
         .applyInPandas(fn, _topk_out_schema(id_field))
     )
-    best = cand.groupBy("query_id", "neighbor_id").agg(
-        F.max("cosine").alias("cosine")
-    )
-    return _rank_topk(best, k, rank_k)
+    # No (query, neighbor) dedup shuffle: an index row lives in exactly
+    # ONE cell and a query's probed cells are distinct, so each pair is
+    # produced at most once — unlike the multi-table LSH paths, which
+    # must merge per-table candidates with a max-cosine groupBy.
+    return _rank_topk(cand, k, rank_k)
