@@ -210,3 +210,42 @@ class TestSplitSentences:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+class TestHtmlMetadata:
+    def test_fields(self, spark):
+        cases = [
+            (0, '<html lang="en-US"><head><title> Hello &amp; World '
+                '</title><link rel="canonical" href="https://ex.com/a"/>'
+                '<meta name="robots" content="noindex,nofollow"></head>'
+                "<body>x</body></html>"),
+            (1, '<html><head><link href="https://ex.com/b" rel=canonical>'
+                '<META NAME=robots CONTENT="index,follow"></head>'),
+            (2, "no html"),
+            (3, "<html lang='fr'><title>Deux\n  lignes</title>"),
+        ]
+        out = {
+            r["i"]: r
+            for r in X.html_metadata(
+                spark.createDataFrame(cases, ["i", "h"]), "h"
+            ).collect()
+        }
+        assert out[0]["html_title"] == "Hello & World"
+        assert out[0]["html_lang"] == "en-US"
+        assert out[0]["html_canonical"] == "https://ex.com/a"
+        assert out[0]["html_noindex"] is True
+        # href-before-rel attribute order; robots without noindex
+        assert out[1]["html_canonical"] == "https://ex.com/b"
+        assert out[1]["html_noindex"] is False
+        assert out[1]["html_title"] is None and out[1]["html_lang"] is None
+        assert out[2]["html_title"] is None and out[2]["html_canonical"] is None
+        assert out[3]["html_title"] == "Deux lignes"
+        assert out[3]["html_lang"] == "fr"
+
+    def test_pure_catalyst(self, spark):
+        df = spark.createDataFrame([(0, "<title>t</title>")], ["i", "h"])
+        plan = (
+            X.html_metadata(df, "h")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan and "Exchange" not in plan

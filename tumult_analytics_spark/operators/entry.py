@@ -993,6 +993,47 @@ def q_sentence_stats(spark, sf_dir):
     )
 
 
+def q_html_metadata_stats(spark, sf_dir):
+    # Structured page metadata (the fields a crawler keys on before
+    # reading body text): pages synthesized in-query — lang attribute
+    # from the doc's lang column, title from the text head, canonical
+    # link on doc_id % 3 == 0, robots-noindex on doc_id % 5 == 0 —
+    # then html_metadata must get every field back out.
+    docs = _read(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<html lang="'),
+        F.col("lang"),
+        F.lit('"><head><title>'),
+        F.expr("substr(text, 1, 30)"),
+        F.lit("</title>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://ex.com/'),
+                F.col("doc_id").cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit('<meta name="robots" content="noindex,nofollow">'),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    out = X.html_metadata(docs.withColumn("html", page), "html")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("html_title")).alias("sum_title_chars"),
+        F.count("html_canonical").alias("n_canonical"),
+        F.sum(F.col("html_noindex").cast("long")).alias("n_noindex"),
+        F.sum((F.col("html_lang") == F.col("lang")).cast("long")).alias(
+            "n_lang_match"
+        ),
+    )
+
+
 def q_quality_train_stats(spark, sf_dir):
     # In-engine quality-classifier training: 3 full-batch GD steps on
     # the rational-sigmoid linear model over quality_logit's features,
@@ -2084,6 +2125,71 @@ def q_streaming_hourly_rollup(spark, sf_dir):
         "event_type",
         F.col("n"),
         F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_streaming_html_ingest(spark, sf_dir):
+    # Crawl-ingest stage 0 AS A STREAM: file-source readStream over the
+    # documents table -> in-query page synthesis (the html_extract_stats
+    # template) -> html_extract -> token-count quality gate -> per-lang
+    # aggregate, replayed to completion with trigger(availableNow) into
+    # a memory sink. The extraction chain is stateless Catalyst, so the
+    # incremental plan is the batch plan — which is the point: the same
+    # stage-0 operators serve batch backfills and live ingest. Oracle:
+    # the batch SQL equivalent (expected-text form).
+    import shutil
+    import tempfile
+    import uuid
+
+    tmp = tempfile.mkdtemp(prefix="tas_stream_html_")
+    stage = os.path.join(tmp, "docs")
+    os.makedirs(stage)
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(stage, "part-000.parquet"),
+    )
+    name = f"tas_stream_html_{uuid.uuid4().hex[:8]}"
+    schema = _read(spark, sf_dir, "documents").schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit(
+            '<html><!-- nav & junk --><head><title>T</title>'
+            '<script type="text/x">if (a<b && c>d) { f("&amp;"); }'
+            "</script><style>p { c: r; }</style></head>"
+            '<body id="b"><h1>Title &amp; Stats</h1><p>'
+        ),
+        esc,
+        F.lit('</p><div class="foot">Copyright &copy; '),
+        (F.lit(2000) + F.col("doc_id") % 30).cast("string"),
+        F.lit(" &lt;Corp&gt;</div>5 &lt; 6<br/>end</body></html>"),
+    )
+    extracted = X.html_extract(
+        stream.withColumn("html", page), "html", "t"
+    )
+    gated = X.token_count(extracted, "text", "nt").filter(F.col("nt") >= 50)
+    agg = gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("t")).alias("sum_extracted_chars"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name).select(
+        "lang", "n_docs", "sum_extracted_chars"
     )
 
 
@@ -4458,6 +4564,7 @@ QUERIES = {
     "c4_line_filter_stats": q_c4_line_filter_stats,
     "quality_train_stats": q_quality_train_stats,
     "sentence_stats": q_sentence_stats,
+    "html_metadata_stats": q_html_metadata_stats,
     "dsir_selection": q_dsir_selection,
     "repetition_stats": q_repetition_stats,
     "pii_stats": q_pii_stats,
@@ -4475,6 +4582,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "streaming_interval_join": q_streaming_interval_join,
+    "streaming_html_ingest": q_streaming_html_ingest,
     "streaming_enriched_rollup": q_streaming_enriched_rollup,
     "streaming_sessionize_stats": q_streaming_sessionize_stats,
     "event_props_stats": q_event_props_stats,
@@ -5752,6 +5860,31 @@ ORACLES["streaming_interval_join"] = """
     WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1
 """
 
+ORACLES["streaming_html_ingest"] = r"""
+    WITH tn AS (
+      SELECT doc_id, lang,
+        regexp_replace(regexp_replace(regexp_replace(text,
+            '\s*\n\s*', chr(10), 'g'),
+            '[^\S\n]+', ' ', 'g'),
+            '^\s+|\s+$', '', 'g') AS t0,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> x <> '')) AS nt
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, lang, nt,
+             'Title & Stats' || chr(10) || t0 || chr(10)
+               || 'Copyright ' || chr(169) || ' '
+               || CAST(2000 + doc_id % 30 AS VARCHAR) || ' <Corp>'
+               || chr(10) || '5 < 6' || chr(10) || 'end' AS t
+      FROM tn
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(t)) AS BIGINT) AS sum_extracted_chars
+    FROM e WHERE nt >= 50 GROUP BY lang
+"""
+
 ORACLES["streaming_hourly_rollup"] = """
     SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_id,
            event_type,
@@ -6053,6 +6186,20 @@ ORACLES["c4_line_filter_stats"] = """
 """
 
 ORACLES["quality_train_stats"] = _quality_train_oracle_sql(steps=3)
+
+ORACLES["html_metadata_stats"] = r"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(
+             trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g'))
+           )) AS BIGINT) AS sum_title_chars,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_canonical,
+           CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_noindex,
+           CAST(count(*) AS BIGINT) AS n_lang_match
+    FROM documents GROUP BY lang
+"""
 
 ORACLES["sentence_stats"] = r"""
     WITH spliced AS (

@@ -1167,3 +1167,68 @@ def split_sentences(
     return df.withColumn(output_column, arr).withColumn(
         count_column, F.size(F.col(output_column))
     )
+
+
+def html_metadata(
+    df: DataFrame,
+    html_column: str,
+    prefix: str = "html_",
+) -> DataFrame:
+    """Structured page metadata alongside :func:`html_extract` — the
+    fields a crawl pipeline keys on before it ever reads body text:
+
+    - ``<prefix>title``: first ``<title>`` content (entity-decoded via
+      the core set, whitespace-collapsed); null when absent.
+    - ``<prefix>lang``: the ``lang`` attribute of the ``<html>`` tag.
+    - ``<prefix>canonical``: href of ``<link rel="canonical">``.
+    - ``<prefix>noindex``: true when a ``<meta name="robots">`` content
+      lists ``noindex`` (the politeness gate: such pages are dropped
+      before extraction).
+
+    Pure Catalyst ``regexp_extract`` chain, RE2-portable (no
+    lookaround, no backreferences), codegen, zero shuffles. Attribute
+    order is handled for the common layouts (rel before or after href;
+    name before content); exotic orderings degrade to null, never to a
+    crash.
+    """
+    col = F.col(html_column)
+    title = F.regexp_extract(col, r"(?is)<title\b[^>]*>([^<]*)</title", 1)
+    for src, dst in HTML_CORE_ENTITIES:
+        title = F.replace(title, F.lit(src), F.lit(dst))
+    title = F.trim(F.regexp_replace(title, r"\s+", " "))
+    lang = F.regexp_extract(
+        col, r"""(?is)<html\b[^>]*\blang\s*=\s*["']?([a-zA-Z-]+)""", 1
+    )
+    canon = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                col,
+                r"""(?is)<link\b[^>]*\brel\s*=\s*["']?canonical["']?"""
+                r"""[^>]*\bhref\s*=\s*["']([^"']*)""",
+                1,
+            ),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(
+                col,
+                r"""(?is)<link\b[^>]*\bhref\s*=\s*["']([^"']*)["']"""
+                r"""[^>]*\brel\s*=\s*["']?canonical""",
+                1,
+            ),
+            F.lit(""),
+        ),
+    )
+    robots = F.regexp_extract(
+        col,
+        r"""(?is)<meta\b[^>]*\bname\s*=\s*["']?robots["']?"""
+        r"""[^>]*\bcontent\s*=\s*["']([^"']*)""",
+        1,
+    )
+    noindex = F.lower(robots).contains("noindex")
+    return (
+        df.withColumn(prefix + "title", F.nullif(title, F.lit("")))
+        .withColumn(prefix + "lang", F.nullif(lang, F.lit("")))
+        .withColumn(prefix + "canonical", canon)
+        .withColumn(prefix + "noindex", noindex)
+    )
