@@ -249,3 +249,40 @@ class TestHtmlMetadata:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+class TestScriptProfile:
+    def test_counts_and_main(self, spark):
+        cases = [
+            (0, "hello world 123!"),
+            (1, "Привет мир"),
+            (2, "你好世界 hello"),
+            (3, ""),
+            (4, "!!! ,,, ..."),
+            (5, "مرحبا"),
+        ]
+        out = {
+            r["i"]: r
+            for r in X.script_profile(
+                spark.createDataFrame(cases, ["i", "t"]), "t"
+            ).collect()
+        }
+        assert (out[0]["script_latin"], out[0]["script_digit"],
+                out[0]["script_other"], out[0]["script_main"]) == (
+            10, 3, 1, "latin")
+        assert (out[1]["script_cyrillic"], out[1]["script_main"]) == (
+            9, "cyrillic")
+        # latin ties with... no: 5 latin vs 4 cjk -> latin wins
+        assert (out[2]["script_cjk"], out[2]["script_main"]) == (4, "latin")
+        assert out[3]["script_main"] == "none"
+        assert (out[4]["script_other"], out[4]["script_main"]) == (9, "none")
+        assert (out[5]["script_arabic"], out[5]["script_main"]) == (
+            5, "arabic")
+
+    def test_pure_catalyst(self, spark):
+        df = spark.createDataFrame([(0, "abc")], ["i", "t"])
+        plan = (
+            X.script_profile(df, "t")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan and "Exchange" not in plan

@@ -1034,6 +1034,35 @@ def q_html_metadata_stats(spark, sf_dir):
     )
 
 
+def q_script_profile_stats(spark, sf_dir):
+    # Unicode-script profiling (the does-script-match-claimed-language
+    # gate): Cyrillic / heavy CJK / Arabic+digit content injected per
+    # doc_id residue — the CJK injection (400 chars) outweighs the
+    # Latin body, so the argmax column is value-graded too, not just
+    # the counts.
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit(" Привет мир"))
+            .when(F.col("doc_id") % 4 == 2, F.expr("repeat('你好世界', 100)"))
+            .when(F.col("doc_id") % 4 == 3, F.lit(" مرحبا 7"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    prof = X.script_profile(injected, "text2")
+    return prof.groupBy("lang", "script_main").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("script_latin").cast("long").alias("sum_latin"),
+        F.sum("script_cyrillic").cast("long").alias("sum_cyrillic"),
+        F.sum("script_cjk").cast("long").alias("sum_cjk"),
+        F.sum("script_arabic").cast("long").alias("sum_arabic"),
+        F.sum("script_digit").cast("long").alias("sum_digit"),
+        F.sum("script_other").cast("long").alias("sum_other"),
+    )
+
+
 def q_quality_train_stats(spark, sf_dir):
     # In-engine quality-classifier training: 3 full-batch GD steps on
     # the rational-sigmoid linear model over quality_logit's features,
@@ -4565,6 +4594,7 @@ QUERIES = {
     "quality_train_stats": q_quality_train_stats,
     "sentence_stats": q_sentence_stats,
     "html_metadata_stats": q_html_metadata_stats,
+    "script_profile_stats": q_script_profile_stats,
     "dsir_selection": q_dsir_selection,
     "repetition_stats": q_repetition_stats,
     "pii_stats": q_pii_stats,
@@ -6199,6 +6229,61 @@ ORACLES["html_metadata_stats"] = r"""
              AS BIGINT) AS n_noindex,
            CAST(count(*) AS BIGINT) AS n_lang_match
     FROM documents GROUP BY lang
+"""
+
+ORACLES["script_profile_stats"] = r"""
+    WITH injected AS (
+      SELECT lang,
+             text || CASE doc_id % 4
+               WHEN 1 THEN ' ' || chr(1055) || chr(1088) || chr(1080)
+                 || chr(1074) || chr(1077) || chr(1090) || ' '
+                 || chr(1084) || chr(1080) || chr(1088)
+               WHEN 2 THEN repeat(chr(20320) || chr(22909) || chr(19990)
+                 || chr(30028), 100)
+               WHEN 3 THEN ' ' || chr(1605) || chr(1585) || chr(1581)
+                 || chr(1576) || chr(1575) || ' 7'
+               ELSE '' END AS t
+      FROM documents
+    ),
+    counted AS (
+      SELECT lang,
+        length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+          AS c_latin,
+        length(t) - length(regexp_replace(t,
+          '[\x{0400}-\x{04ff}]', '', 'g')) AS c_cyrillic,
+        length(t) - length(regexp_replace(t,
+          '[\x{3040}-\x{30ff}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}]',
+          '', 'g')) AS c_cjk,
+        length(t) - length(regexp_replace(t,
+          '[\x{0600}-\x{06ff}]', '', 'g')) AS c_arabic,
+        length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+          AS c_digit,
+        length(regexp_replace(t,
+          '[A-Za-z\x{0400}-\x{04ff}\x{3040}-\x{30ff}'
+          || '\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}\x{0600}-\x{06ff}0-9]',
+          '', 'g'))
+          - (length(t) - length(regexp_replace(t, '\s', '', 'g')))
+          AS c_other
+      FROM injected
+    ),
+    named AS (
+      -- argmax with the operator's class order (strict > to replace,
+      -- ties keep the earlier class); the corpus is Latin-bodied, so
+      -- only the heavy CJK injection can overtake Latin here
+      SELECT *, CASE WHEN c_cjk > c_latin THEN 'cjk'
+                     WHEN c_latin > 0 THEN 'latin'
+                     ELSE 'none' END AS script_main
+      FROM counted
+    )
+    SELECT lang, script_main,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c_latin) AS BIGINT) AS sum_latin,
+           CAST(sum(c_cyrillic) AS BIGINT) AS sum_cyrillic,
+           CAST(sum(c_cjk) AS BIGINT) AS sum_cjk,
+           CAST(sum(c_arabic) AS BIGINT) AS sum_arabic,
+           CAST(sum(c_digit) AS BIGINT) AS sum_digit,
+           CAST(sum(c_other) AS BIGINT) AS sum_other
+    FROM named GROUP BY lang, script_main
 """
 
 ORACLES["sentence_stats"] = r"""

@@ -1232,3 +1232,65 @@ def html_metadata(
         .withColumn(prefix + "canonical", canon)
         .withColumn(prefix + "noindex", noindex)
     )
+
+
+#: Unicode script classes for :func:`script_profile` — each a regex
+#: character class (BMP ranges, RE2-portable) and a column suffix.
+SCRIPT_CLASSES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "\\u0400-\\u04ff"),
+    ("cjk", "\\u3040-\\u30ff\\u4e00-\\u9fff\\uac00-\\ud7af"),
+    ("arabic", "\\u0600-\\u06ff"),
+    ("digit", "0-9"),
+)
+
+
+def script_profile(
+    df: DataFrame,
+    text_column: str,
+    prefix: str = "script_",
+) -> DataFrame:
+    """Per-document Unicode-script character profile — the standard
+    check that a doc's script matches its claimed language (a 'en' doc
+    that is 80% CJK is mislabeled; CCNet-style pipelines gate on this
+    before the language-ID model ever runs).
+
+    Adds ``<prefix><name>`` counts for each :data:`SCRIPT_CLASSES`
+    entry plus ``<prefix>other`` (non-whitespace chars in no class)
+    and ``<prefix>main`` — the argmax class name ('none' for blank
+    text, ties broken by class order). Counting is
+    ``length(x) - length(regexp_replace(x, '[class]', ''))`` — pure
+    Catalyst codegen, zero shuffles, replayable in any regex engine
+    with BMP escapes."""
+    text = F.col(text_column)
+    total_len = F.length(text)
+    counts = {}
+    for name, cls in SCRIPT_CLASSES:
+        counts[name] = total_len - F.length(
+            F.regexp_replace(text, f"[{cls}]", "")
+        )
+    all_cls = "".join(cls for _, cls in SCRIPT_CLASSES)
+    # chars in NO class, minus whitespace = "other" (punctuation,
+    # symbols, unclassified scripts)
+    nonclass = F.length(F.regexp_replace(text, f"[{all_cls}]", ""))
+    ws = total_len - F.length(F.regexp_replace(text, r"\s", ""))
+    other = nonclass - ws
+    out = df
+    for name, _ in SCRIPT_CLASSES:
+        out = out.withColumn(prefix + name, counts[name])
+    out = out.withColumn(prefix + "other", other)
+    # argmax by class order: fold a (count, name) struct comparison
+    best = F.struct(
+        F.col(prefix + SCRIPT_CLASSES[0][0]).alias("c"),
+        F.lit(SCRIPT_CLASSES[0][0]).alias("n"),
+    )
+    for name, _ in SCRIPT_CLASSES[1:]:
+        cand = F.struct(
+            F.col(prefix + name).alias("c"), F.lit(name).alias("n")
+        )
+        best = F.when(cand["c"] > best["c"], cand).otherwise(best)
+    out = out.withColumn(
+        prefix + "main",
+        F.when(best["c"] > 0, best["n"]).otherwise(F.lit("none")),
+    )
+    return out
