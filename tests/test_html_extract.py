@@ -286,3 +286,53 @@ class TestScriptProfile:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+class TestBm25:
+    def test_matches_hand_math(self, spark):
+        import math
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),
+                (2, "the lazy dog sleeps"),
+                (3, "quick quick quick fox"),
+                (4, "unrelated words entirely here"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = X.bm25_topk(
+            docs, "text", "doc_id",
+            [("q1", "quick fox"), ("q2", "lazy dog")], k=3,
+        ).orderBy("query_id", "rank").collect()
+        N, avgdl = 4, (5 + 4 + 4 + 4) / 4
+
+        def s(tf, dl, dfq, k1=1.2, b=0.75):
+            idf = math.log(1 + (N - dfq + 0.5) / (dfq + 0.5))
+            return idf * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        got = [(r["query_id"], r["doc_id"], r["score"], r["rank"])
+               for r in out]
+        assert got == [
+            ("q1", 3, round(s(3, 4, 2) + s(1, 4, 2), 6), 1),
+            ("q1", 1, round(s(1, 5, 2) + s(1, 5, 2), 6), 2),
+            ("q2", 2, round(s(1, 4, 1) + s(1, 4, 1), 6), 1),
+        ]
+
+    def test_empty_queries_rejected(self, spark):
+        docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="queries"):
+            X.bm25_topk(docs, "text", "doc_id", [])
+
+    def test_no_global_sort(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"word{i} shared") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        plan = (
+            X.bm25_topk(docs, "text", "doc_id", [("q", "shared")], k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # ranking is per-query (hash-partitioned window), never a
+        # global range-partitioned sort of the corpus
+        assert "rangepartitioning" not in plan.lower()

@@ -1034,6 +1034,23 @@ def q_html_metadata_stats(spark, sf_dir):
     )
 
 
+#: Fixed BM25 query set (terms from the synthetic corpus vocabulary).
+BM25_QUERIES = [
+    ("q1", "table scan"),
+    ("q2", "hash join spark"),
+    ("q3", "window sort batch"),
+]
+
+
+def q_bm25_topk(spark, sf_dir):
+    # BM25 lexical retrieval (the sparse baseline next to the ANN
+    # family): top-5 docs for three fixed queries; scores rounded to 6
+    # BEFORE ranking, ties by doc id — the oracle replays the full
+    # tf/df/dl pipeline and the Robertson idf in SQL.
+    docs = _read(spark, sf_dir, "documents")
+    return X.bm25_topk(docs, "text", "doc_id", BM25_QUERIES, k=5)
+
+
 def q_script_profile_stats(spark, sf_dir):
     # Unicode-script profiling (the does-script-match-claimed-language
     # gate): Cyrillic / heavy CJK / Arabic+digit content injected per
@@ -4595,6 +4612,7 @@ QUERIES = {
     "sentence_stats": q_sentence_stats,
     "html_metadata_stats": q_html_metadata_stats,
     "script_profile_stats": q_script_profile_stats,
+    "bm25_topk": q_bm25_topk,
     "dsir_selection": q_dsir_selection,
     "repetition_stats": q_repetition_stats,
     "pii_stats": q_pii_stats,
@@ -6229,6 +6247,50 @@ ORACLES["html_metadata_stats"] = r"""
              AS BIGINT) AS n_noindex,
            CAST(count(*) AS BIGINT) AS n_lang_match
     FROM documents GROUP BY lang
+"""
+
+ORACLES["bm25_topk"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (
+      SELECT * FROM (VALUES
+        ('q1', 'table'), ('q1', 'scan'),
+        ('q2', 'hash'), ('q2', 'join'), ('q2', 'spark'),
+        ('q3', 'window'), ('q3', 'sort'), ('q3', 'batch')
+      ) t(query_id, term)
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               ln(1 + (stats.n_docs - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5))
+               * tf.tf / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN q USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
 """
 
 ORACLES["script_profile_stats"] = r"""

@@ -1294,3 +1294,96 @@ def script_profile(
         F.when(best["c"] > 0, best["n"]).otherwise(F.lit("none")),
     )
     return out
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    queries: "list[tuple]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical retrieval — the classic sparse baseline next to the
+    embedding ANN family: top-``k`` documents per query with Robertson/
+    Sparck-Jones idf and tf saturation.
+
+    ``queries``: a small list of ``(query_id, query_text)`` pairs
+    (the driver-side query set — broadcast, never shuffled). Scoring:
+
+        idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(q,d)= sum over t in q of
+                    idf(t) * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    Plan shape (term-keyed, corpus-scale-safe): one explode ->
+    groupBy(doc, term) tf shuffle; document frequencies aggregate from
+    the SAME tf frame (map-side combined); the query-term table is a
+    broadcast join, so only rows whose term appears in some query
+    survive to the per-(query, doc) score aggregation; ranking runs
+    per-query over the candidate set (window partitioned by query_id —
+    never a global sort). Whitespace tokens, lowercased; duplicate
+    terms within a query contribute once per occurrence (standard bag
+    semantics). Output: (query_id, doc_id renamed from ``id_column``,
+    score, rank), ties broken by ascending doc id. Scores are rounded
+    to 6 decimals BEFORE ranking so rank order is reproducible across
+    engines (the ann_*_topk convention)."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("queries must be a non-empty list of (id, text)")
+    spark = df.sparkSession
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_column))), r"\s+"),
+        lambda t: t != "",
+    )
+    exploded = df.select(
+        F.col(id_column).alias("__doc__"), F.explode(toks).alias("__term__")
+    )
+    tf = exploded.groupBy("__doc__", "__term__").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = tf.groupBy("__doc__").agg(F.sum("tf").alias("dl"))
+    n_docs, avgdl = (
+        dl.agg(F.count(F.lit(1)), F.avg("dl")).collect()[0]
+    )
+    dfreq = tf.groupBy("__term__").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    qrows = []
+    for qid, qtext in queries:
+        for term in str(qtext).lower().split():
+            qrows.append((qid, term))
+    qterms = F.broadcast(
+        spark.createDataFrame(qrows, "query_id string, __term__ string")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") / (
+        F.col("tf")
+        + F.lit(float(k1))
+        * (
+            F.lit(1.0 - float(b))
+            + F.lit(float(b)) * F.col("dl") / F.lit(float(avgdl))
+        )
+    )
+    scored = (
+        tf.join(qterms, "__term__")
+        .join(F.broadcast(dfreq.join(qterms.select("__term__").distinct(),
+                                     "__term__")), "__term__")
+        .join(dl, "__doc__")
+        .groupBy("query_id", "__doc__")
+        .agg(F.round(F.sum(idf * norm), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("__doc__")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .withColumnRenamed("__doc__", id_column)
+        .select("query_id", id_column, "score", "rank")
+    )
