@@ -88,14 +88,21 @@ from .similarity import (
 )
 from .text import (
     bigram_logprob_score,
+    bm25_topk,
     bpe_ish_token_count,
+    c4_line_filter,
     canonicalize_urls,
     char_entropy,
     document_fingerprint,
     hashed_doc_vectors,
+    html_extract,
+    html_metadata,
     language_id,
     quality_logit,
     quality_score,
+    quality_train_logreg,
+    script_profile,
+    split_sentences,
     tfidf_top_terms,
     token_count,
     top_ngrams,
