@@ -1080,6 +1080,50 @@ def q_script_profile_stats(spark, sf_dir):
     )
 
 
+def q_crawl_prep_stats(spark, sf_dir):
+    # End-to-end crawl preparation over the round-6 stage-0 surface:
+    # page synthesis (with boilerplate divs INSIDE the body, so the
+    # line filter has real work) -> html_extract -> c4_line_filter
+    # (drops 'end', 'ok bye', the javascript marker line) -> token
+    # gate -> exact dedup -> per-lang totals. One oracle replays the
+    # whole chain, proving the operators compose, not just run alone.
+    from . import dedup as D
+
+    docs = _read(spark, sf_dir, "documents")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit(
+            "<html><head><title>T</title><style>p{}</style></head>"
+            "<body><h1>Title &amp; Stats</h1><p>"
+        ),
+        esc,
+        F.lit(
+            "</p><div>ok bye</div>"
+            "<div>javascript needed today ok</div>"
+            '<div class="foot">Copyright &copy; 2024 &lt;Corp&gt;</div>'
+            "5 &lt; 6<br/>end</body></html>"
+        ),
+    )
+    extracted = X.html_extract(docs.withColumn("html", page), "html", "t")
+    cleaned = X.c4_line_filter(extracted, "t", "t_clean")
+    gated = X.token_count(cleaned, "t_clean", "nt").filter(
+        F.col("nt") >= 50
+    )
+    deduped = D.dedup_exact(gated, ["lang", "t_clean"])
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("t_clean")).alias("sum_clean_chars"),
+        F.sum("nt").cast("long").alias("sum_tokens"),
+        F.sum("n_kept_lines").cast("long").alias("sum_kept_lines"),
+    )
+
+
 def q_quality_train_stats(spark, sf_dir):
     # In-engine quality-classifier training: 3 full-batch GD steps on
     # the rational-sigmoid linear model over quality_logit's features,
@@ -4613,6 +4657,7 @@ QUERIES = {
     "html_metadata_stats": q_html_metadata_stats,
     "script_profile_stats": q_script_profile_stats,
     "bm25_topk": q_bm25_topk,
+    "crawl_prep_stats": q_crawl_prep_stats,
     "dsir_selection": q_dsir_selection,
     "repetition_stats": q_repetition_stats,
     "pii_stats": q_pii_stats,
@@ -6247,6 +6292,39 @@ ORACLES["html_metadata_stats"] = r"""
              AS BIGINT) AS n_noindex,
            CAST(count(*) AS BIGINT) AS n_lang_match
     FROM documents GROUP BY lang
+"""
+
+ORACLES["crawl_prep_stats"] = r"""
+    WITH tn AS (
+      SELECT lang,
+        regexp_replace(regexp_replace(regexp_replace(text,
+            '\s*\n\s*', chr(10), 'g'),
+            '[^\S\n]+', ' ', 'g'),
+            '^\s+|\s+$', '', 'g') AS t0
+      FROM documents
+    ),
+    e AS (
+      -- extraction output after the line filter: 'ok bye' (2 words),
+      -- the javascript marker line, and 'end' (1 word) are dropped
+      SELECT lang,
+             'Title & Stats' || chr(10) || t0 || chr(10)
+               || 'Copyright ' || chr(169) || ' 2024 <Corp>'
+               || chr(10) || '5 < 6' AS t
+      FROM tn
+    ),
+    g AS (
+      SELECT lang, t,
+             len(list_filter(string_split_regex(t, '\s+'),
+                 x -> x <> '')) AS nt
+      FROM e
+    ),
+    d AS (SELECT DISTINCT lang, t, nt FROM g WHERE nt >= 50)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(t)) AS BIGINT) AS sum_clean_chars,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens,
+           CAST(4 * count(*) AS BIGINT) AS sum_kept_lines
+    FROM d GROUP BY lang
 """
 
 ORACLES["bm25_topk"] = r"""
