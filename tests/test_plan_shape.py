@@ -592,3 +592,32 @@ def test_derive_shuffle_partitions_from_input_size(spark):
     assert derive_shuffle_partitions(
         spark, [path], target_partition_bytes=4096, floor=1, cap=7
     ) == 7
+
+
+def test_bm25_query_terms_are_broadcast(spark):
+    # The query-term table must reach the tf frame via broadcast join —
+    # a shuffled join on the term would move the whole corpus tf table
+    # for a handful of query terms.
+    from tumult_analytics_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bm25_topk(docs, "text", "doc_id", [("q", "table scan")]))
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_quality_train_gradient_agg_is_partial(spark):
+    # Each GD step is one map-side-combined aggregation: the plan of
+    # the per-step agg must carry partial_avg (combiner state), so the
+    # exchange moves 5 doubles per partition, not rows.
+    from pyspark.sql import functions as F
+
+    from tumult_analytics_spark.operators.text import _quality_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = _quality_features(F.col("text"))
+    agg = docs.select(*[f.alias(f"f{i}") for i, f in enumerate(feats)]).agg(
+        F.avg("f0"), F.avg("f1"), F.avg("f2")
+    )
+    plan = _plan(agg)
+    assert "partial_avg" in plan
