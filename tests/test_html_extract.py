@@ -203,6 +203,16 @@ class TestSplitSentences:
         assert out[3] == (["Multiple   spaces.", "After."], 2)
         assert out[4] == (["Dotted.End"], 1)
 
+    def test_inband_sentinel_stripped(self, spark):
+        # U+001E in the INPUT must not act as a boundary: it is the
+        # operator's internal record separator and gets stripped first.
+        df = spark.createDataFrame(
+            [(0, "alpha\x1ebeta gamma. next one")], ["i", "t"]
+        )
+        row = X.split_sentences(df, "t").collect()[0]
+        assert row["n_sentences"] == 2
+        assert row["sentences"] == ["alphabeta gamma.", "next one"]
+
     def test_pure_catalyst(self, spark):
         df = spark.createDataFrame([(0, "a. b")], ["i", "t"])
         plan = (
@@ -323,6 +333,15 @@ class TestBm25:
         docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="queries"):
             X.bm25_topk(docs, "text", "doc_id", [])
+
+    def test_empty_corpus_rejected(self, spark):
+        # All-blank text -> zero scoreable docs -> explicit ValueError,
+        # not a float(None) TypeError from the null avgdl.
+        docs = spark.createDataFrame(
+            [(1, "   "), (2, "")], ["doc_id", "text"]
+        )
+        with pytest.raises(ValueError, match="no documents"):
+            X.bm25_topk(docs, "text", "doc_id", [("q", "x")])
 
     def test_no_global_sort(self, spark):
         docs = spark.createDataFrame(

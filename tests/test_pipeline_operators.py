@@ -565,6 +565,13 @@ class TestQualityTrainLogreg:
         with pytest.raises(ValueError, match="steps"):
             X.quality_train_logreg(self._toy(spark), "text", "label", steps=0)
 
+    def test_empty_input_rejected(self, spark):
+        from tumult_analytics_spark.operators import text as X
+
+        empty = self._toy(spark).filter("1 = 0")
+        with pytest.raises(ValueError, match="empty training input"):
+            X.quality_train_logreg(empty, "text", "label", steps=1)
+
 
 class TestDedupSegments:
     def test_first_occurrence_wins_and_reassembly(self, spark):
@@ -1551,6 +1558,22 @@ class TestWebdatasetExport:
             n_shards=3,
         ).collect()
         assert digest(a) == digest(b)  # input order cannot leak into bytes
+
+    def test_manifest_fails_loudly_on_bad_path(self, spark, tmp_path):
+        from tumult_analytics_spark.operators.pipeline import (
+            read_webdataset_manifest,
+        )
+
+        # Remote URI: the glob+open contract is local/shared-FS only.
+        with pytest.raises(ValueError, match="locally-readable"):
+            read_webdataset_manifest(spark, "s3a://bucket/wds", ["txt"])
+        # Local dir with no shards: error, never a silent empty manifest.
+        empty = str(tmp_path / "nothing")
+        import os as _os
+
+        _os.makedirs(empty)
+        with pytest.raises(FileNotFoundError, match="shard-"):
+            read_webdataset_manifest(spark, empty, ["txt"])
 
     def test_binary_member(self, spark, tmp_path):
         rows = [(1, bytearray(b"\x00\xffPNG")), (2, bytearray(b"\x01\x02"))]

@@ -2263,7 +2263,9 @@ def q_streaming_html_ingest(spark, sf_dir):
     extracted = X.html_extract(
         stream.withColumn("html", page), "html", "t"
     )
-    gated = X.token_count(extracted, "text", "nt").filter(F.col("nt") >= 50)
+    # Quality gate on the EXTRACTED text (the stage-0 contract: junk
+    # markup must not count toward the token threshold).
+    gated = X.token_count(extracted, "t", "nt").filter(F.col("nt") >= 50)
     agg = gated.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("t")).alias("sum_extracted_chars"),
@@ -5959,23 +5961,27 @@ ORACLES["streaming_html_ingest"] = r"""
         regexp_replace(regexp_replace(regexp_replace(text,
             '\s*\n\s*', chr(10), 'g'),
             '[^\S\n]+', ' ', 'g'),
-            '^\s+|\s+$', '', 'g') AS t0,
-        len(list_filter(string_split_regex(trim(text), '\s+'),
-            x -> x <> '')) AS nt
+            '^\s+|\s+$', '', 'g') AS t0
       FROM documents
     ),
     e AS (
-      SELECT doc_id, lang, nt,
+      SELECT doc_id, lang,
              'Title & Stats' || chr(10) || t0 || chr(10)
                || 'Copyright ' || chr(169) || ' '
                || CAST(2000 + doc_id % 30 AS VARCHAR) || ' <Corp>'
                || chr(10) || '5 < 6' || chr(10) || 'end' AS t
       FROM tn
+    ),
+    g AS (
+      SELECT lang, t,
+        len(list_filter(string_split_regex(trim(t), '\s+'),
+            x -> x <> '')) AS nt
+      FROM e
     )
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(length(t)) AS BIGINT) AS sum_extracted_chars
-    FROM e WHERE nt >= 50 GROUP BY lang
+    FROM g WHERE nt >= 50 GROUP BY lang
 """
 
 ORACLES["streaming_hourly_rollup"] = """
@@ -6437,8 +6443,9 @@ ORACLES["sentence_stats"] = r"""
       SELECT lang,
              list_filter(
                string_split(
-                 regexp_replace(trim(t), '([.!?])\s+',
-                                '\1' || chr(30), 'g'),
+                 regexp_replace(
+                   regexp_replace(trim(t), chr(30), '', 'g'),
+                   '([.!?])\s+', '\1' || chr(30), 'g'),
                  chr(30)),
                s -> trim(s) <> '') AS ss
       FROM spliced

@@ -27,6 +27,7 @@ Scale design notes (100 TB):
 from __future__ import annotations
 
 import os
+import re
 from typing import Dict, Mapping, Optional
 
 from pyspark.sql import Column, DataFrame, Window
@@ -729,7 +730,27 @@ def read_webdataset_manifest(
     schema = "shard int, n_samples long, n_files long, " + ", ".join(
         f"{e}_bytes long" for e in exts
     )
-    shard_paths = sorted(glob.glob(os.path.join(path, "shard-*.tar")))
+    # The listing is driver-side glob + executor-side open(), which is a
+    # LOCAL/SHARED-FILESYSTEM contract (local dir in local mode, NFS/fuse
+    # mount on a cluster). A remote-FS URI (hdfs://, s3a://, ...) would
+    # glob to nothing and silently yield an empty manifest — fail loudly
+    # instead so the contract is visible.
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
+        "file://"
+    ):
+        raise ValueError(
+            f"read_webdataset_manifest requires a locally-readable path "
+            f"(local dir or shared mount); got remote URI {path!r}. "
+            f"Mount the store (fuse/NFS) or copy the shards local first."
+        )
+    shard_paths = sorted(
+        glob.glob(os.path.join(path.removeprefix("file://"), "shard-*.tar"))
+    )
+    if not shard_paths:
+        raise FileNotFoundError(
+            f"no shard-*.tar files under {path!r} — nothing to manifest "
+            f"(wrong directory, or shards not visible on this filesystem)"
+        )
 
     def _parse(batches):
         import re

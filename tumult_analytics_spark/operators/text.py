@@ -1096,7 +1096,10 @@ def quality_train_logreg(
     "fast sigmoid") and the loss is mean squared error, so the whole
     trajectory is +,*,/,abs arithmetic — no exp/log whose libm last
     ulps differ across engines — and an ANSI-SQL oracle replays the
-    unrolled steps to float equality. Gradient per row:
+    unrolled steps to equality after round-to-6 (the distributed
+    ``avg()`` sums in partition-dependent order, so agreement is
+    up to the ulp drift that rounding absorbs, not bit-exact).
+    Gradient per row:
     ``2 * (s - y) * s'(z) * x`` with ``s'(z) = 0.5 / (1 + |z|)^2``.
 
     Returns one row per step: ``step`` (1-based), the POST-update
@@ -1111,6 +1114,11 @@ def quality_train_logreg(
     data = df.select(y.alias("__y__"), *cols)
     data = data.persist()
     try:
+        if data.limit(1).count() == 0:
+            raise ValueError(
+                "quality_train_logreg: empty training input — the "
+                "gradient averages would be null"
+            )
         b, w = float(init[0]), [float(v) for v in init[1:4]]
         rows = []
         for step in range(1, int(steps) + 1):
@@ -1156,10 +1164,13 @@ def split_sentences(
     portable two-step — rewrite ``([.!?])\\s+`` to ``$1<RS>`` (RS =
     U+001E record separator) then split on RS — because the natural
     lookbehind split ``(?<=[.!?])\\s+`` is not RE2-expressible and
-    this chain must replay in DuckDB. Blank text gets an empty array.
-    Pure Catalyst; codegen; zero shuffles."""
+    this chain must replay in DuckDB. Any U+001E already present in
+    the input is stripped first so the in-band sentinel can never
+    collide with data (control chars have no sentence semantics).
+    Blank text gets an empty array. Pure Catalyst; codegen; zero
+    shuffles."""
     rs = "\x1e"
-    t = F.trim(F.col(text_column))
+    t = F.regexp_replace(F.trim(F.col(text_column)), rs, "")
     marked = F.regexp_replace(t, r"([.!?])\s+", "$1" + rs)
     arr = F.filter(
         F.split(marked, rs), lambda s: F.trim(s) != F.lit("")
@@ -1340,13 +1351,21 @@ def bm25_topk(
     exploded = df.select(
         F.col(id_column).alias("__doc__"), F.explode(toks).alias("__term__")
     )
+    # tf feeds THREE derivations (dl, dfreq, the scored join) — persist
+    # it so the explode+groupBy shuffle runs once, not three times.
     tf = exploded.groupBy("__doc__", "__term__").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).persist()
     dl = tf.groupBy("__doc__").agg(F.sum("tf").alias("dl"))
     n_docs, avgdl = (
         dl.agg(F.count(F.lit(1)), F.avg("dl")).collect()[0]
     )
+    if not n_docs:
+        tf.unpersist()
+        raise ValueError(
+            "bm25_topk: corpus has no documents with at least one token "
+            "(empty or all-blank text column) — nothing to score"
+        )
     dfreq = tf.groupBy("__term__").agg(
         F.count(F.lit(1)).alias("df")
     )
