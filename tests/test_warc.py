@@ -1,0 +1,187 @@
+"""WARC source/sink: round trip, determinism, filtering, and the
+malformed-input contract (damaged records skip, truncation never
+crashes a task)."""
+
+import glob
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tumult_analytics_spark.sources import warc as W
+
+
+@pytest.fixture()
+def pages(spark):
+    rows = [
+        (
+            f"http://crawl.test/{lang}/{i}",
+            f"<html><body><p>doc {i} says héllo &amp; bye</p></body></html>",
+            lang,
+            i,
+        )
+        for i, lang in enumerate(["en", "de", "en", "fr", "de", "en"])
+    ]
+    return spark.createDataFrame(
+        rows, "url string, html string, lang string, i long"
+    )
+
+
+class TestRoundTrip:
+    def test_write_read_values(self, spark, pages, tmp_path):
+        path = str(tmp_path / "warc")
+        manifest = W.write_warc(
+            pages, path, "url", "html", n_shards=3
+        ).collect()
+        assert sum(r["n_records"] for r in manifest) == 6
+        got = {
+            r["url"]: r
+            for r in W.read_warc(spark, path).collect()
+        }
+        assert len(got) == 6
+        for row in pages.collect():
+            r = got[row["url"]]
+            assert r["html"] == row["html"]  # UTF-8 survives intact
+            assert r["http_status"] == 200
+            assert r["warc_type"] == "response"
+            assert r["http_content_type"].startswith("text/html")
+            assert r["payload_bytes"] > len(row["html"].encode())
+        # manifest byte totals = UTF-8 body bytes
+        want = sum(len(r["html"].encode()) for r in pages.collect())
+        assert sum(r["payload_bytes"] for r in manifest) == want
+
+    def test_deterministic_bytes(self, spark, pages, tmp_path):
+        import hashlib
+
+        def digest(d):
+            h = hashlib.md5()
+            for p in sorted(glob.glob(str(d) + "/shard-*.warc.gz")):
+                h.update(open(p, "rb").read())
+            return h.hexdigest()
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        W.write_warc(pages, a, "url", "html", n_shards=2).collect()
+        W.write_warc(
+            pages.orderBy(F.rand(5)), b, "url", "html", n_shards=2
+        ).collect()
+        assert digest(a) == digest(b)
+
+    def test_date_column_and_single_file(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("http://x/1", "<p>a</p>", "2024-03-01T12:00:00Z")],
+            "url string, html string, d string",
+        )
+        path = str(tmp_path / "w")
+        W.write_warc(df, path, "url", "html", date_column="d", n_shards=1)
+        f = glob.glob(path + "/*.warc.gz")[0]
+        rows = W.read_warc(spark, f).collect()  # file path accepted too
+        assert rows[0]["warc_date"] == "2024-03-01T12:00:00Z"
+
+    def test_record_type_filter(self, spark, pages, tmp_path):
+        # Splice a non-response record between members: it must be
+        # filtered by default and visible when asked for.
+        path = str(tmp_path / "w")
+        W.write_warc(pages.limit(2), path, "url", "html", n_shards=1)
+        f = glob.glob(path + "/*.warc.gz")[0]
+        meta = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: warcinfo\r\n"
+            b"WARC-Record-ID: <urn:x:1>\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            b"Content-Length: 9\r\n\r\nsoftware\n\r\n\r\n"
+        )
+        with open(f, "ab") as fh:
+            fh.write(gzip.compress(meta, mtime=0))
+        assert W.read_warc(spark, path).count() == 2
+        both = W.read_warc(
+            spark, path, record_types=("response", "warcinfo")
+        )
+        assert both.count() == 3
+        info = both.filter("warc_type = 'warcinfo'").collect()[0]
+        assert info["html"] == "software\n" and info["http_status"] is None
+
+    def test_errors_loudly(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="locally-readable"):
+            W.read_warc(spark, "s3a://bucket/crawl")
+        empty = str(tmp_path / "none")
+        os.makedirs(empty)
+        with pytest.raises(FileNotFoundError, match="warc"):
+            W.read_warc(spark, empty)
+        with pytest.raises(ValueError, match="n_shards"):
+            W.write_warc(
+                spark.createDataFrame([("u", "h")], "url string, html string"),
+                str(tmp_path / "x"), "url", "html", n_shards=0,
+            )
+
+
+class TestMalformed:
+    def _one_shard(self, spark, pages, tmp_path, name):
+        path = str(tmp_path / name)
+        W.write_warc(pages, path, "url", "html", n_shards=1)
+        return path, glob.glob(path + "/*.warc.gz")[0]
+
+    def test_truncated_gzip_member(self, spark, pages, tmp_path):
+        # Chop the file mid-member: records before the cut parse,
+        # nothing crashes.
+        path, f = self._one_shard(spark, pages, tmp_path, "t")
+        data = open(f, "rb").read()
+        open(f, "wb").write(data[: len(data) - len(data) // 3])
+        n = W.read_warc(spark, path).count()
+        assert 0 < n < 6
+
+    def test_garbage_between_records_resyncs(self, spark, pages, tmp_path):
+        path, f = self._one_shard(spark, pages.limit(3), tmp_path, "g")
+        data = gzip.decompress(open(f, "rb").read())
+        # splice junk + a header-corrupt record between real records
+        bad = (
+            b"JUNKJUNK\r\n"
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"Content-Length: notanumber\r\n\r\n"
+        )
+        first_end = data.find(b"\r\n\r\nWARC/1.0") + 4
+        patched = data[:first_end] + bad + data[first_end:]
+        open(f, "wb").write(gzip.compress(patched, mtime=0))
+        # all 3 well-formed records survive; the corrupt one is skipped
+        assert W.read_warc(spark, path).count() == 3
+
+    def test_fuzz_truncation_never_crashes(self, spark, pages, tmp_path):
+        # Property: ANY byte-length truncation of a valid archive
+        # parses without error and yields a prefix of the records.
+        path, f = self._one_shard(spark, pages, tmp_path, "z")
+        data = open(f, "rb").read()
+        full = W.read_warc(spark, path).count()
+        for frac in (0.05, 0.2, 0.4, 0.6, 0.8, 0.95):
+            open(f, "wb").write(data[: int(len(data) * frac)])
+            n = W.read_warc(spark, path).count()
+            assert 0 <= n <= full
+
+    def test_oversize_content_length_skipped(self, spark, tmp_path):
+        big = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: 999999999999\r\n\r\n"
+        )
+        ok = W._record_bytes("http://x/ok", "1970-01-01T00:00:00Z",
+                             b"<p>fine</p>")
+        p = str(tmp_path / "big")
+        os.makedirs(p)
+        with open(os.path.join(p, "a.warc.gz"), "wb") as fh:
+            fh.write(gzip.compress(big + ok, mtime=0))
+        rows = W.read_warc(spark, p).collect()
+        assert [r["url"] for r in rows] == ["http://x/ok"]
+
+
+class TestStage0Integration:
+    def test_feeds_html_extract(self, spark, pages, tmp_path):
+        from tumult_analytics_spark.operators import text as X
+
+        path = str(tmp_path / "w")
+        W.write_warc(pages, path, "url", "html", n_shards=2)
+        out = X.html_extract(W.read_warc(spark, path), "html", "t")
+        got = {r["url"]: r["t"] for r in out.collect()}
+        for row in pages.collect():
+            i = row["i"]
+            assert got[row["url"]] == f"doc {i} says héllo & bye"

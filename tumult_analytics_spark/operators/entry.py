@@ -937,6 +937,69 @@ def q_html_extract_stats(spark, sf_dir):
     )
 
 
+def q_warc_ingest_stats(spark, sf_dir):
+    # Crawl-archive ingestion end to end (the TRUE stage-0 entry
+    # point): synthesize a full HTML page per document (the
+    # html_extract_stats template), WRITE the corpus as WARC/1.0
+    # shards — one gzip member per record, the Common Crawl layout —
+    # then READ the archives back (paths shipped to tasks, records
+    # gzip-streamed executor-side, never binaryFile), recover doc
+    # identity from the crawled URL, and run html_extract on the
+    # fetched body. Grade: per-record md5 of the extracted text (the
+    # strictest value check) plus HTTP status and payload byte count,
+    # so the oracle proves byte-exact page survival through
+    # gzip/WARC/HTTP framing AND exact extraction after the round
+    # trip. Sources: `sources/warc.py`.
+    import tempfile
+
+    from ..sources import warc as WRC
+
+    docs = _read(spark, sf_dir, "documents").filter("doc_id % 3 = 1")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit(
+            '<html><!-- nav & junk --><head><title>T</title>'
+            '<script type="text/x">if (a<b && c>d) { f("&amp;"); }'
+            "</script><style>p { c: r; }</style></head>"
+            '<body id="b"><h1>Title &amp; Stats</h1><p>'
+        ),
+        esc,
+        F.lit('</p><div class="foot">Copyright &copy; '),
+        (F.lit(2000) + F.col("doc_id") % 30).cast("string"),
+        F.lit(" &lt;Corp&gt;</div>5 &lt; 6<br/>end</body></html>"),
+    )
+    staged = docs.select(
+        F.concat(
+            F.lit("http://crawl.test/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        page.alias("html"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_warc_{spark.sparkContext.applicationId}",
+    )
+    WRC.write_warc(staged, path, "url", "html", n_shards=8)
+    crawled = WRC.read_warc(spark, path)
+    extracted = X.html_extract(crawled, "html", "t")
+    return extracted.select(
+        F.regexp_extract("url", r"/([a-z]+)/(\d+)$", 2)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("url", r"/([a-z]+)/(\d+)$", 1).alias("lang"),
+        "http_status",
+        F.col("payload_bytes").cast("long").alias("payload_bytes"),
+        F.length("t").alias("n_chars"),
+        F.md5(F.col("t")).alias("fp"),
+    )
+
+
 def q_c4_line_filter_stats(spark, sf_dir):
     # C4-style line-level cleaning: four boilerplate lines appended per
     # doc — one too short, one with the 'javascript' marker, one with a
@@ -4653,6 +4716,7 @@ QUERIES = {
     "pipeline_compose": q_pipeline_compose,
     "normalize_text_stats": q_normalize_text_stats,
     "html_extract_stats": q_html_extract_stats,
+    "warc_ingest_stats": q_warc_ingest_stats,
     "c4_line_filter_stats": q_c4_line_filter_stats,
     "quality_train_stats": q_quality_train_stats,
     "sentence_stats": q_sentence_stats,
@@ -6251,6 +6315,60 @@ ORACLES["html_extract_stats"] = r"""
       FROM tn
     )
     SELECT doc_id, lang,
+           CAST(length(t) AS INTEGER) AS n_chars,
+           md5(t) AS fp
+    FROM e
+"""
+
+ORACLES["warc_ingest_stats"] = r"""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 1
+    ),
+    raw AS (
+      -- the RAW page exactly as the query synthesizes it, to replay
+      -- the WARC payload byte count (HTTP head + page body)
+      SELECT doc_id, lang, text,
+        '<html><!-- nav & junk --><head><title>T</title>'
+          || '<script type="text/x">if (a<b && c>d) { f("&amp;"); }'
+          || '</script><style>p { c: r; }</style></head>'
+          || '<body id="b"><h1>Title &amp; Stats</h1><p>'
+          || replace(replace(replace(text, '&', '&amp;'),
+                             '<', '&lt;'), '>', '&gt;')
+          || '</p><div class="foot">Copyright &copy; '
+          || CAST(2000 + doc_id % 30 AS VARCHAR)
+          || ' &lt;Corp&gt;</div>5 &lt; 6<br/>end</body></html>' AS page
+      FROM d
+    ),
+    sized AS (
+      SELECT doc_id, lang, text,
+             octet_length(encode(page)) AS body_n
+      FROM raw
+    ),
+    tn AS (
+      SELECT doc_id, lang, body_n,
+        regexp_replace(regexp_replace(regexp_replace(text,
+            '\s*\n\s*', chr(10), 'g'),
+            '[^\S\n]+', ' ', 'g'),
+            '^\s+|\s+$', '', 'g') AS t0
+      FROM sized
+    ),
+    e AS (
+      SELECT doc_id, lang, body_n,
+             'Title & Stats' || chr(10) || t0 || chr(10)
+               || 'Copyright ' || chr(169) || ' '
+               || CAST(2000 + doc_id % 30 AS VARCHAR) || ' <Corp>'
+               || chr(10) || '5 < 6' || chr(10) || 'end' AS t
+      FROM tn
+    )
+    SELECT doc_id, lang,
+           CAST(200 AS INTEGER) AS http_status,
+           CAST(octet_length(encode(
+                  'HTTP/1.1 200 OK' || chr(13) || chr(10)
+                  || 'Content-Type: text/html; charset=utf-8'
+                  || chr(13) || chr(10)
+                  || 'Content-Length: ' || CAST(body_n AS VARCHAR)
+                  || chr(13) || chr(10) || chr(13) || chr(10)
+                )) + body_n AS BIGINT) AS payload_bytes,
            CAST(length(t) AS INTEGER) AS n_chars,
            md5(t) AS fp
     FROM e

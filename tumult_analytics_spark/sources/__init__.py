@@ -20,8 +20,11 @@ from .readers import (
     write_bucketed_table,
     write_table,
 )
+from .warc import read_warc, write_warc
 
 __all__ = [
+    "read_warc",
+    "write_warc",
     "ab_test_summary",
     "correlation_matrix",
     "numeric_summary",
