@@ -1266,6 +1266,243 @@ def _quality_train_oracle_sql(steps: int = 3) -> str:
     return "".join(parts) + "\n    UNION ALL".join(selects)
 
 
+#: Marker vocabularies for the trained language-id queries: per-language
+#: function words deliberately DISJOINT from text.STOPWORDS, so the
+#: stopword-vote heuristic cannot separate the corpus (it sees only the
+#: shared filler vocabulary and votes 'en' for every doc via the filler
+#: words "the"/"a") while the trained char-ngram model can.
+LANG_MARKERS = {
+    "de": "auch nach werden über einer wenn schon beim jahr mehr",
+    "en": "about which their people would there been time more other",
+    "es": "pero sobre entre hacer tiempo años donde mismo según cosa",
+    "fr": "être cette aussi comme faire chose temps leur bien sans",
+}
+LANG_CLASSES = ["de", "en", "es", "fr"]
+LANG_DIM, LANG_NGRAM, LANG_STEPS = 32, 3, 3
+LANG_DENSITY = 80  # one marker block per this many source chars
+
+
+def _lang_corpus(spark, sf_dir):
+    """The script-confusable corpus both language queries train/grade
+    on: a BALANCED synthetic label (doc_id % 4 — the source lang column
+    is 44% en, which pins one-vs-rest GD to the majority class) whose
+    language signal is injected as marker function words at realistic
+    density (one 10-word block per ~80 chars, ~35% function-word mass,
+    matching natural text). All four languages are Latin script."""
+    docs = _read(spark, sf_dir, "documents")
+    langs = F.array(*[F.lit(c) for c in LANG_CLASSES])
+    marks = F.array(*[F.lit(LANG_MARKERS[c] + " ") for c in LANG_CLASSES])
+    idx = (F.col("doc_id") % 4).cast("int") + 1
+    reps = (F.lit(1) + F.expr(f"length(text) div {LANG_DENSITY}")).cast("int")
+    return docs.select(
+        F.element_at(langs, idx).alias("lang_true"),
+        F.concat(
+            F.repeat(F.element_at(marks, idx), reps), F.lower("text")
+        ).alias("t"),
+    )
+
+
+def q_language_train_stats(spark, sf_dir):
+    # In-engine TRAINED language-id (fastText recipe at engine scale:
+    # hashed char-trigram features -> K one-vs-rest rational-logistic
+    # models, full-batch GD, one partial aggregation per step). The
+    # oracle unrolls the identical 3 steps over the identical
+    # md5-hashed trigram features — pure +,*,/,abs arithmetic — and
+    # grades every post-update weight and pre-update mse per class.
+    corpus = _lang_corpus(spark, sf_dir)
+    hist = X.language_train_logreg(
+        corpus, "t", "lang_true", LANG_CLASSES,
+        dim=LANG_DIM, n=LANG_NGRAM, steps=LANG_STEPS, lr=1.0,
+    )
+    return hist.select(
+        "step",
+        "class",
+        F.round("bias", 6).alias("bias"),
+        *[F.round(f"w{j}", 6).alias(f"w{j}") for j in range(LANG_DIM)],
+        F.round("mse", 6).alias("mse"),
+    )
+
+
+def q_language_id_confusion(spark, sf_dir):
+    # The trained model SERVING the language_id API, graded on what
+    # users care about: the confusion matrix on the script-confusable
+    # corpus (measured 100% diagonal at sf0.001-sf0.01 — the stopword
+    # heuristic votes 'en' for every one of these docs; see
+    # tests/test_language_id.py for the side-by-side). Weights are
+    # rounded to 6 BEFORE serving on both sides, so both engines score
+    # with bit-identical weights and the argmax replays exactly.
+    corpus = _lang_corpus(spark, sf_dir)
+    hist = X.language_train_logreg(
+        corpus, "t", "lang_true", LANG_CLASSES,
+        dim=LANG_DIM, n=LANG_NGRAM, steps=LANG_STEPS, lr=1.0,
+    )
+    final = {
+        r["class"]: (
+            round(r["bias"], 6),
+            [round(r[f"w{j}"], 6) for j in range(LANG_DIM)],
+        )
+        for r in hist.filter(F.col("step") == LANG_STEPS).collect()
+    }
+    served = X.language_id(
+        corpus, "t", model={c: final[c] for c in LANG_CLASSES}
+    )
+    return served.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _lang_feature_sql() -> str:
+    """Shared oracle prologue: the marker-injected corpus and the
+    md5-hashed char-trigram features, replayed exactly (one md5 per
+    gram, then one cheap list pass per slot)."""
+    D = LANG_DIM
+    lang_case = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(LANG_CLASSES)
+    ) + " END"
+    mark_case = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN '{LANG_MARKERS[c]} '"
+        for i, c in enumerate(LANG_CLASSES)
+    ) + " END"
+    xs = ",\n             ".join(
+        f"coalesce(list_sum(list_transform(hs, h -> CASE WHEN h % {D} = {j}"
+        f" THEN 1 - 2 * ((h // {D}) % 2) ELSE 0 END)), 0) / nt AS x{j}"
+        for j in range(D)
+    )
+    ys = ",\n             ".join(
+        f"CAST(lang_true = '{c}' AS DOUBLE) AS y{i}"
+        for i, c in enumerate(LANG_CLASSES)
+    )
+    return f"""
+    WITH d AS (
+      SELECT {lang_case} AS lang_true,
+             repeat({mark_case},
+                    1 + length(text) // {LANG_DENSITY}) || lower(text) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT lang_true,
+             list_transform(range(1, greatest(length(t) - 1, 1)),
+                 i -> ('0x' || substr(md5(substr(t, i, 3)), 1, 15))::BIGINT)
+               AS hs,
+             CAST(greatest(length(t) - 2, 1) AS DOUBLE) AS nt
+      FROM d
+    ),
+    f AS (
+      SELECT lang_true,
+             {ys},
+             {xs}
+      FROM g
+    ),
+    w0 AS (SELECT """ + ", ".join(
+        f"0.0 AS b{c}, " + ", ".join(f"0.0 AS w{c}_{j}" for j in range(D))
+        for c in range(len(LANG_CLASSES))
+    ) + ")"
+
+
+def _lang_step_sql(steps: int) -> str:
+    """GD step CTEs s{k}/w{k}, the quality_train_stats unroll shape
+    generalized to K classes x D dims."""
+    D, K = LANG_DIM, len(LANG_CLASSES)
+    out = []
+    xl = ", ".join(f"x{j}" for j in range(D))
+    for k in range(1, steps + 1):
+        p = k - 1
+        zs = ",\n                     ".join(
+            f"w.b{c} + " + " + ".join(
+                f"w.w{c}_{j} * x{j}" for j in range(D)
+            ) + f" AS z{c}"
+            for c in range(K)
+        )
+        egs = ",\n               ".join(
+            f"(0.5 * (1 + z{c} / (1 + abs(z{c}))) - y{c}) AS e{c},\n"
+            f"               2 * (0.5 * (1 + z{c} / (1 + abs(z{c}))) - y{c})"
+            f" * (0.5 / ((1 + abs(z{c})) * (1 + abs(z{c})))) AS g{c}"
+            for c in range(K)
+        )
+        aggs = ",\n             ".join(
+            f"avg(e{c} * e{c}) AS mse{c}, avg(g{c}) AS gb{c}, " + ", ".join(
+                f"avg(g{c} * x{j}) AS g{c}_{j}" for j in range(D)
+            )
+            for c in range(K)
+        )
+        ws = ", ".join(
+            f"w.b{c} - s.gb{c} AS b{c}, " + ", ".join(
+                f"w.w{c}_{j} - s.g{c}_{j} AS w{c}_{j}" for j in range(D)
+            )
+            for c in range(K)
+        )
+        out.append(f""",
+    s{k} AS (
+      SELECT {aggs}
+      FROM (
+        SELECT {xl},
+               {egs}
+        FROM (SELECT f.*,
+                     {zs}
+              FROM f CROSS JOIN w{p} w) tz
+      ) te
+    ),
+    w{k} AS (SELECT {ws} FROM w{p} w CROSS JOIN s{k} s)""")
+    return "".join(out)
+
+
+def _language_train_oracle_sql() -> str:
+    D, K = LANG_DIM, len(LANG_CLASSES)
+    selects = []
+    for k in range(1, LANG_STEPS + 1):
+        for c in range(K):
+            cols = ", ".join(
+                f"round(w{k}.w{c}_{j}, 6) AS w{j}" for j in range(D)
+            )
+            selects.append(
+                f"""
+    SELECT CAST({k} AS INTEGER) AS step, '{LANG_CLASSES[c]}' AS class,
+           round(w{k}.b{c}, 6) AS bias, {cols},
+           round(s{k}.mse{c}, 6) AS mse
+    FROM w{k} CROSS JOIN s{k}"""
+            )
+    return (
+        _lang_feature_sql()
+        + _lang_step_sql(LANG_STEPS)
+        + "\n    UNION ALL".join(selects)
+    )
+
+
+def _language_confusion_oracle_sql() -> str:
+    D, K = LANG_DIM, len(LANG_CLASSES)
+    S = LANG_STEPS
+    wr = ", ".join(
+        f"round(b{c}, 6) AS b{c}, " + ", ".join(
+            f"round(w{c}_{j}, 6) AS w{c}_{j}" for j in range(D)
+        )
+        for c in range(K)
+    )
+    zs = ",\n             ".join(
+        f"wr.b{c} + " + " + ".join(
+            f"wr.w{c}_{j} * x{j}" for j in range(D)
+        ) + f" AS z{c}"
+        for c in range(K)
+    )
+    m = "greatest(" + ", ".join(f"z{c}" for c in range(K)) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN z{c} = {m} THEN '{LANG_CLASSES[c]}'" for c in range(K)
+    ) + " END"
+    return (
+        _lang_feature_sql()
+        + _lang_step_sql(S)
+        + f""",
+    wr AS (SELECT {wr} FROM w{S}),
+    scored AS (
+      SELECT lang_true,
+             {zs}
+      FROM f CROSS JOIN wr
+    )
+    SELECT lang_true, {pred} AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2"""
+    )
+
+
 def q_pipeline_compose(spark, sf_dir):
     # End-to-end training-data pipeline: quality filter -> exact dedup ->
     # token stats per language. Exactly SQL-reproducible.
@@ -4719,6 +4956,8 @@ QUERIES = {
     "warc_ingest_stats": q_warc_ingest_stats,
     "c4_line_filter_stats": q_c4_line_filter_stats,
     "quality_train_stats": q_quality_train_stats,
+    "language_train_stats": q_language_train_stats,
+    "language_id_confusion": q_language_id_confusion,
     "sentence_stats": q_sentence_stats,
     "html_metadata_stats": q_html_metadata_stats,
     "script_profile_stats": q_script_profile_stats,
@@ -6403,6 +6642,8 @@ ORACLES["c4_line_filter_stats"] = """
 """
 
 ORACLES["quality_train_stats"] = _quality_train_oracle_sql(steps=3)
+ORACLES["language_train_stats"] = _language_train_oracle_sql()
+ORACLES["language_id_confusion"] = _language_confusion_oracle_sql()
 
 ORACLES["html_metadata_stats"] = r"""
     SELECT lang,

@@ -4,7 +4,7 @@ hot path) so they run inside whole-stage codegen over 100 TB of text."""
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -361,11 +361,20 @@ def bpe_apply(
 
 
 def language_id(
-    df: DataFrame, text_column: str, output_column: str = "lang_pred"
+    df: DataFrame,
+    text_column: str,
+    output_column: str = "lang_pred",
+    model: "Optional[dict]" = None,
 ) -> DataFrame:
     """Stopword-vote language heuristic: the language whose stopword list
     matches the most (lowercased) tokens wins (zh votes by substring
     count); ties and no-hits -> 'und'.
+
+    Pass ``model`` — a ``{class: (bias, [w...])}`` dict trained by
+    :func:`language_train_logreg` — to serve the TRAINED hashed
+    char-ngram classifier through this same API instead of the
+    heuristic (delegates to :func:`language_id_trained`; weight-vector
+    length sets the feature dim).
 
     Arrow-batched kernel: Catalyst higher-order filters measured ~1 ms/doc
     (interpreted lambdas); the per-batch Python dict-lookup loop is ~10x
@@ -373,6 +382,12 @@ def language_id(
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    if model is not None:
+        dim = len(next(iter(model.values()))[1])
+        return language_id_trained(
+            df, text_column, model, dim=dim, output_column=output_column
+        )
 
     word_langs = {
         w: lang for lang, ws in STOPWORDS.items() if lang != "zh" for w in ws
@@ -401,6 +416,212 @@ def language_id(
 
     _lang = pandas_udf(_lang_fn, "string")
     return df.withColumn(output_column, _lang(F.col(text_column)))
+
+
+def hashed_char_ngrams(
+    df: DataFrame,
+    text_column: str,
+    dim: int = 8,
+    n: int = 3,
+    output_column: str = "char_vec",
+    signed: bool = True,
+) -> DataFrame:
+    """Feature-hashed character n-gram vectors — the fastText-style
+    featurization for language identification: every char ``n``-gram
+    hashes to a slot (md5, 60 bits -> ``h % dim``) with Weinberger
+    signed counting (``1 - 2 * ((h // dim) % 2)``), exactly the
+    :func:`hashed_doc_vectors` scheme applied to sliding character
+    windows instead of whitespace tokens. Integer output
+    (``array<long>``) so any md5-capable engine replays it exactly.
+
+    Arrow-batched pure projection — one md5 per UNIQUE gram per batch
+    (cached; natural text reuses grams heavily), no shuffle, scales
+    like a map at 100 TB. Docs shorter than ``n`` get the zero
+    vector; null docs stay null.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def _vec_fn(texts):
+        md5 = hashlib.md5
+        cache = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            vec = np.zeros(dim, dtype=np.int64)
+            for i in range(len(t) - n + 1):
+                g = t[i : i + n]
+                sv = cache.get(g)
+                if sv is None:
+                    h = int(md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    sv = (
+                        h % dim,
+                        (1 - 2 * ((h // dim) % 2)) if signed else 1,
+                    )
+                    cache[g] = sv
+                vec[sv[0]] += sv[1]
+            out.append(vec)
+        return pd.Series(out)
+
+    _udf = pandas_udf(_vec_fn, "array<long>")
+    return df.withColumn(output_column, _udf(F.col(text_column)))
+
+
+def _char_ngram_features(text: Column, dim: int, n: int) -> "list[Column]":
+    """Normalized char-ngram features x_j = signed-count_j / n_grams as
+    Catalyst expressions OVER an already-computed ``char_vec`` — shared
+    by training and trained inference so weights transfer exactly.
+    (Callers attach the vec via :func:`hashed_char_ngrams` first; this
+    helper only does the exact-rational normalization.)"""
+    nt = F.greatest(F.length(text) - (n - 1), F.lit(1)).cast("double")
+    return [
+        (F.col("__cv__")[j].cast("double") / nt).alias(f"__x{j}__")
+        for j in range(dim)
+    ]
+
+
+def language_train_logreg(
+    df: DataFrame,
+    text_column: str,
+    label_column: str,
+    classes: "list[str]",
+    dim: int = 8,
+    n: int = 3,
+    steps: int = 2,
+    lr: float = 1.0,
+) -> DataFrame:
+    """In-engine TRAINED language identification: K one-vs-rest
+    rational-logistic models over hashed char-``n``-gram features —
+    the fastText recipe (hashed char n-grams -> linear classifier)
+    shrunk to the engine's exactly-replayable arithmetic. Replaces
+    guessing with learning where :func:`language_id`'s stopword vote
+    cannot separate same-script languages.
+
+    Same distributed-GD shape as :func:`quality_train_logreg` (its
+    docstring carries the full rationale): weights driver-side
+    (K x (dim+1) floats), each step ONE map-side-combined aggregation
+    computing every class's gradient averages in a single pass;
+    rational logistic ``0.5 * (1 + z / (1 + |z|))``, MSE loss, so the
+    whole trajectory is +,*,/,abs arithmetic and a SQL oracle replays
+    it to equality-after-round-6. Features are exact rationals:
+    signed gram count / gram count (both integers).
+
+    Returns one row per (step, class): POST-update ``bias, w0..w{dim-1}``
+    and that class's pre-update ``mse``.
+    """
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    if not classes:
+        raise ValueError("classes must be non-empty")
+    with_vec = hashed_char_ngrams(
+        df, text_column, dim=dim, n=n, output_column="__cv__"
+    )
+    xs = _char_ngram_features(F.col(text_column), dim, n)
+    ys = [
+        (F.col(label_column) == F.lit(c)).cast("double").alias(f"__y{i}__")
+        for i, c in enumerate(classes)
+    ]
+    data = with_vec.select(*ys, *xs).persist()
+    try:
+        if data.limit(1).count() == 0:
+            raise ValueError(
+                "language_train_logreg: empty training input"
+            )
+        K = len(classes)
+        b = [0.0] * K
+        w = [[0.0] * dim for _ in range(K)]
+        rows = []
+        for step in range(1, int(steps) + 1):
+            aggs = []
+            for ci in range(K):
+                z = F.lit(b[ci])
+                for j in range(dim):
+                    z = z + F.lit(w[ci][j]) * F.col(f"__x{j}__")
+                s = F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+                e = s - F.col(f"__y{ci}__")
+                sp = F.lit(0.5) / (
+                    (F.lit(1.0) + F.abs(z)) * (F.lit(1.0) + F.abs(z))
+                )
+                g = F.lit(2.0) * e * sp
+                aggs.append(F.avg(e * e).alias(f"mse{ci}"))
+                aggs.append(F.avg(g).alias(f"gb{ci}"))
+                aggs.extend(
+                    F.avg(g * F.col(f"__x{j}__")).alias(f"g{ci}_{j}")
+                    for j in range(dim)
+                )
+            agg = data.agg(*aggs).collect()[0]
+            for ci, c in enumerate(classes):
+                b[ci] -= float(lr) * agg[f"gb{ci}"]
+                for j in range(dim):
+                    w[ci][j] -= float(lr) * agg[f"g{ci}_{j}"]
+                rows.append(
+                    (step, c, b[ci], *w[ci], float(agg[f"mse{ci}"]))
+                )
+    finally:
+        data.unpersist()
+    schema = (
+        "step int, class string, bias double, "
+        + ", ".join(f"w{j} double" for j in range(dim))
+        + ", mse double"
+    )
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
+def language_id_trained(
+    df: DataFrame,
+    text_column: str,
+    weights: "dict[str, tuple]",
+    dim: int = 8,
+    n: int = 3,
+    output_column: str = "lang_pred",
+) -> DataFrame:
+    """Serve a :func:`language_train_logreg` model: per-class linear
+    scores over the same hashed char-ngram features, argmax with a
+    strictly-greater fold in ``weights`` insertion order (first class
+    wins ties — deterministic, engine-replayable as a CASE chain).
+    ``weights``: ``{class: (bias, [w0..w{dim-1}])}``. Round the
+    trained floats (e.g. to 6 decimals) before serving when an
+    external engine must replay the argmax bit-for-bit.
+
+    Pure projection after the vec kernel — no shuffle; the score
+    arithmetic is a fixed left-to-right chain so IEEE doubles agree
+    across engines."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    with_vec = hashed_char_ngrams(
+        df, text_column, dim=dim, n=n, output_column="__cv__"
+    )
+    nt = F.greatest(F.length(F.col(text_column)) - (n - 1), F.lit(1)).cast(
+        "double"
+    )
+    classes = list(weights)
+    zs = {}
+    for c in classes:
+        bias, ws = weights[c]
+        if len(ws) != dim:
+            raise ValueError(f"weights[{c!r}] must have {dim} entries")
+        z = F.lit(float(bias))
+        for j in range(dim):
+            z = z + F.lit(float(ws[j])) * (
+                F.col("__cv__")[j].cast("double") / nt
+            )
+        zs[c] = z
+    best_z, best_c = zs[classes[0]], F.lit(classes[0])
+    for c in classes[1:]:
+        gt = zs[c] > best_z
+        best_z = F.when(gt, zs[c]).otherwise(best_z)
+        best_c = F.when(gt, F.lit(c)).otherwise(best_c)
+    return with_vec.withColumn(output_column, best_c).drop("__cv__")
 
 
 def quality_score(
