@@ -1,0 +1,119 @@
+"""Trained language identification: feature hashing, GD training,
+serving, and the heuristic-vs-trained separation story."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tumult_analytics_spark.operators import text as X
+
+MARK = {
+    "de": "auch nach werden über einer wenn schon beim jahr mehr",
+    "en": "about which their people would there been time more other",
+    "es": "pero sobre entre hacer tiempo años donde mismo según cosa",
+    "fr": "être cette aussi comme faire chose temps leur bien sans",
+}
+CLASSES = ["de", "en", "es", "fr"]
+
+
+@pytest.fixture()
+def corpus(spark):
+    # Balanced, marker-injected, Latin-script-confusable: the shared
+    # filler contains the english stopwords "the"/"a", so the stopword
+    # heuristic votes 'en' for EVERY doc.
+    rows = []
+    for i in range(200):
+        lang = CLASSES[i % 4]
+        rows.append(
+            (i, lang, (MARK[lang] + " ") * 3
+             + f"the batch a window value spark data number {i}")
+        )
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+class TestHashedCharNgrams:
+    def test_matches_hand_hash(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame([(0, "abcd"), (1, "ab"), (2, None)],
+                                   ["i", "t"])
+        out = {r["i"]: r["char_vec"]
+               for r in X.hashed_char_ngrams(df, "t", dim=4).collect()}
+        import numpy as np
+
+        want = np.zeros(4, dtype=int)
+        for g in ["abc", "bcd"]:
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            want[h % 4] += 1 - 2 * ((h // 4) % 2)
+        assert list(out[0]) == list(want)
+        assert list(out[1]) == [0, 0, 0, 0]  # shorter than n
+        assert out[2] is None
+
+    def test_invalid_args(self, spark):
+        df = spark.createDataFrame([(0, "x")], ["i", "t"])
+        with pytest.raises(ValueError, match="dim"):
+            X.hashed_char_ngrams(df, "t", dim=0)
+        with pytest.raises(ValueError, match="n must"):
+            X.hashed_char_ngrams(df, "t", n=0)
+
+
+class TestLanguageTrain:
+    def test_trajectory_shape_and_learning(self, spark, corpus):
+        hist = X.language_train_logreg(
+            corpus, "text", "lang", CLASSES, dim=16, steps=3
+        )
+        rows = hist.collect()
+        assert len(rows) == 3 * 4
+        # mse (measured pre-update) must decrease per class over steps
+        by_class = {}
+        for r in sorted(rows, key=lambda r: (r["class"], r["step"])):
+            by_class.setdefault(r["class"], []).append(r["mse"])
+        for c, mses in by_class.items():
+            assert mses[0] > mses[-1], c
+
+    def test_guards(self, spark, corpus):
+        with pytest.raises(ValueError, match="steps"):
+            X.language_train_logreg(corpus, "text", "lang", CLASSES, steps=0)
+        with pytest.raises(ValueError, match="classes"):
+            X.language_train_logreg(corpus, "text", "lang", [], steps=1)
+        with pytest.raises(ValueError, match="empty training"):
+            X.language_train_logreg(
+                corpus.filter("1=0"), "text", "lang", CLASSES, steps=1
+            )
+
+
+class TestServing:
+    def _train(self, corpus, dim=16, steps=3):
+        hist = X.language_train_logreg(
+            corpus, "text", "lang", CLASSES, dim=dim, steps=steps
+        )
+        return {
+            r["class"]: (round(r["bias"], 6),
+                         [round(r[f"w{j}"], 6) for j in range(dim)])
+            for r in hist.filter(F.col("step") == steps).collect()
+        }
+
+    def test_trained_separates_heuristic_cannot(self, spark, corpus):
+        n = corpus.count()
+        heur = X.language_id(corpus, "text")
+        heur_acc = heur.filter("lang = lang_pred").count() / n
+        # every doc contains 'the'/'a' filler and no other stopwords:
+        # the heuristic is pinned to 'en'
+        assert heur.filter("lang_pred = 'en'").count() == n
+        assert heur_acc == pytest.approx(0.25, abs=0.01)
+        model = self._train(corpus)
+        trained = X.language_id(corpus, "text", model=model)
+        trained_acc = trained.filter("lang = lang_pred").count() / n
+        assert trained_acc >= 0.95
+
+    def test_tie_break_first_class_wins(self, spark):
+        df = spark.createDataFrame([(0, "xy")], ["i", "t"])  # zero vec
+        model = {c: (0.0, [0.0] * 4) for c in CLASSES}  # all scores equal
+        out = X.language_id_trained(df, "t", model, dim=4).collect()[0]
+        assert out["lang_pred"] == CLASSES[0]
+
+    def test_guards(self, spark, corpus):
+        with pytest.raises(ValueError, match="weights"):
+            X.language_id_trained(corpus, "text", {})
+        with pytest.raises(ValueError, match="entries"):
+            X.language_id_trained(corpus, "text", {"en": (0.0, [0.0])},
+                                  dim=4)

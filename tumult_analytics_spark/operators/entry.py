@@ -474,6 +474,151 @@ def q_ann_ivfpq_index_topk(spark, sf_dir):
     )
 
 
+RECALL_QUERY_CAP = 200
+
+
+def q_ann_recall_stats(spark, sf_dir):
+    # ANN QUALITY grading (not just determinism): recall@3 of each
+    # approximate index — LSH, IVF, IVF-PQ, all with the same pinned
+    # deterministic parameters as their ann_*_topk keys — against the
+    # guarded brute-force exact top-3 for a fixed 200-query batch. The
+    # recall computation is a left join truth->approx plus one
+    # aggregate, so the oracle replays every path AND the comparison;
+    # the VALUE of this key is the recall matrix itself. Trade-off
+    # curves (recall vs nprobe/bits) are documented in SF1.md.
+    import numpy as np
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(f"vec_id < {RECALL_QUERY_CAP}")
+
+    def top3(allk):
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+        )
+        return (
+            allk.withColumn("rnk", F.row_number().over(w))
+            .filter("rnk <= 3")
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = top3(
+        S.brute_force_cosine_topk(emb, "embedding", "vec_id",
+                                  k=10**6, queries=q)
+    )
+    nlist = _auto_oracle_nlist(emb.count())
+    first = emb.filter(f"vec_id < {nlist}").orderBy("vec_id").collect()
+    cents = [r["embedding"] for r in first]
+    ivf_idx = S.build_ivf_index(
+        emb, "embedding", "vec_id", nlist=nlist, centroids=cents
+    )
+    ivf = top3(
+        S.query_ivf_index(ivf_idx, q, k=3, nprobe=ANN_IVF_NPROBE,
+                          deterministic=True, rank_k=10**6)
+    )
+    dim = len(cents[0])
+    sub = dim // ANN_PQ_M
+    V = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in first[:ANN_PQ_KSZ]]
+    )
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    cbs = np.stack([V[:, j * sub : (j + 1) * sub] for j in range(ANN_PQ_M)])
+    pq_idx = S.build_ivfpq_index(
+        emb, "embedding", "vec_id",
+        nlist=nlist, m=ANN_PQ_M, centroids=cents, codebooks=cbs,
+    )
+    pq = top3(
+        S.query_ivfpq_index(pq_idx, q, k=3, nprobe=ANN_IVF_NPROBE,
+                            deterministic=True, rank_k=10**6)
+    )
+    emb2k = emb.filter("vec_id < 2000")
+    truth_sub = top3(
+        S.brute_force_cosine_topk(emb2k, "embedding", "vec_id",
+                                  k=10**6, queries=q)
+    )
+    lsh_idx = S.build_lsh_index(
+        emb2k, "embedding", "vec_id",
+        bits=ANN_LSH_BITS, tables=ANN_LSH_TABLES, plane_kind="rademacher",
+    )
+    lsh = top3(
+        S.query_lsh_index(lsh_idx, q, k=3, deterministic=True,
+                          rank_k=10**6)
+    )
+
+    def stats(method, approx, t):
+        j = t.join(
+            approx.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        return j.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
+        ).select(
+            F.lit(method).alias("method"),
+            F.col("hits").cast("long").alias("hits"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("hits") / F.col("n_pairs"), 4).alias("recall"),
+        )
+
+    return (
+        stats("ivf", ivf, truth)
+        .unionAll(stats("ivfpq", pq, truth))
+        .unionAll(stats("lsh", lsh, truth_sub))
+    )
+
+
+def _ann_recall_oracle_sql() -> str:
+    cap = RECALL_QUERY_CAP
+
+    def truth_cte(corpus_pred: str) -> str:
+        return f"""(
+      WITH sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 6) AS cs
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {cap}{corpus_pred}
+      )
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, neighbor_id) AS r
+        FROM sims) WHERE r <= 3
+    )"""
+
+    def method_stats(name: str, mcte: str, tcte: str) -> str:
+        return f"""
+    SELECT '{name}' AS method,
+           CAST(count(m.neighbor_id) AS BIGINT) AS hits,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(count(m.neighbor_id) AS DOUBLE) / count(*), 4)
+             AS recall
+    FROM {tcte} t LEFT JOIN {mcte} m
+      ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id"""
+
+    return (
+        "WITH truth_full AS "
+        + truth_cte("")
+        + ",\n    truth_sub AS "
+        + truth_cte(" AND c.vec_id < 2000")
+        + ",\n    m_ivf AS (SELECT query_id, neighbor_id FROM ("
+        + _ann_ivf_oracle_sql(auto_nlist=True, query_cap=cap)
+        + ") t),\n    m_pq AS (SELECT query_id, neighbor_id FROM ("
+        + _ann_ivfpq_oracle_sql(auto_nlist=True, query_cap=cap)
+        + ") t),\n    m_lsh AS (SELECT query_id, neighbor_id FROM ("
+        + _ann_lsh_oracle_sql(query_cap=cap)
+        + ") t)"
+        + method_stats("ivf", "m_ivf", "truth_full")
+        + "\n    UNION ALL"
+        + method_stats("ivfpq", "m_pq", "truth_full")
+        + "\n    UNION ALL"
+        + method_stats("lsh", "m_lsh", "truth_sub")
+    )
+
+
 def q_bpe_token_count(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     tc = X.bpe_ish_token_count(docs, "text")
@@ -3589,11 +3734,15 @@ def _cosine_dedup_oracle_sql(
 
 
 def _ann_lsh_oracle_sql(
-    bits: int = ANN_LSH_BITS, tables: int = ANN_LSH_TABLES, dim: int = 64
+    bits: int = ANN_LSH_BITS,
+    tables: int = ANN_LSH_TABLES,
+    dim: int = 64,
+    query_cap=None,
 ) -> str:
     from .similarity import _LCG_A, _LCG_C, _LCG_M
 
     half = _LCG_M // 2
+    cap_pred = f" AND a.vec_id < {query_cap}" if query_cap else ""
     return f"""
         WITH emb AS (
           SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
@@ -3624,7 +3773,7 @@ def _ann_lsh_oracle_sql(
                      CAST(q.embedding AS DOUBLE[]),
                      CAST(n.embedding AS DOUBLE[])), 6) AS cs
           FROM buckets a JOIN buckets c
-            ON a.t = c.t AND a.bkt = c.bkt AND a.vec_id <> c.vec_id
+            ON a.t = c.t AND a.bkt = c.bkt AND a.vec_id <> c.vec_id{cap_pred}
           JOIN emb q ON q.vec_id = a.vec_id
           JOIN emb n ON n.vec_id = c.vec_id
         ), percell AS (
@@ -4939,6 +5088,7 @@ QUERIES = {
     "ann_lsh_index_topk": q_ann_lsh_index_topk,
     "ann_ivf_index_topk": q_ann_ivf_index_topk,
     "ann_ivfpq_index_topk": q_ann_ivfpq_index_topk,
+    "ann_recall_stats": q_ann_recall_stats,
     "event_hourly_rollup": q_event_hourly_rollup,
     "bpe_token_count": q_bpe_token_count,
     "media_metadata": q_media_metadata,
@@ -5098,6 +5248,7 @@ ORACLES = {
     "ann_ivfpq_index_topk": _ann_ivfpq_oracle_sql(
         auto_nlist=True, query_cap=ANN_INDEX_QUERY_CAP
     ),
+    "ann_recall_stats": _ann_recall_oracle_sql(),
     "quantize_embeddings": """
         WITH base AS (
           SELECT vec_id,
