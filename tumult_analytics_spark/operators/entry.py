@@ -1332,6 +1332,59 @@ def q_crawl_prep_stats(spark, sf_dir):
     )
 
 
+def q_pipeline_provenance_stats(spark, sf_dir):
+    # Document-level pipeline PROVENANCE (operators/provenance.py):
+    # the crawl-prep chain run in mark-don't-drop mode — every stage
+    # sets its bit on the rows it would have dropped (token gate,
+    # length cap, exact dedup with dup_of = absorbing keeper) — then
+    # one aggregation yields the survival funnel: which stage killed
+    # each doc (lowest set bit, so a doc dead at stage 0 never
+    # double-counts at stage 2) and how many survive after each. The
+    # oracle replays the bitmask with integer CASE arithmetic.
+    from . import provenance as PR
+
+    docs = _read(spark, sf_dir, "documents")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit(
+            "<html><head><title>T</title><style>p{}</style></head>"
+            "<body><h1>Title &amp; Stats</h1><p>"
+        ),
+        esc,
+        F.lit(
+            '</p><div class="foot">Copyright &copy; 2024 &lt;Corp&gt;'
+            "</div>5 &lt; 6<br/>end</body></html>"
+        ),
+    )
+    extracted = X.html_extract(docs.withColumn("html", page), "html", "t")
+    with_nt = X.token_count(extracted, "t", "nt")
+    flagged = PR.mark_stage(with_nt, 0, F.col("nt") < 50)
+    flagged = PR.mark_stage(flagged, 1, F.length("t") > 560)
+    flagged = PR.mark_duplicates(flagged, ["lang", "t"], "doc_id", 2)
+    flagged = flagged.persist()
+    try:
+        funnel = PR.provenance_funnel(
+            flagged, ["token_gate", "too_long", "exact_dup"]
+        )
+        nk = flagged.agg(
+            F.countDistinct("dup_of").alias("nk")
+        ).collect()[0]["nk"]
+    finally:
+        flagged.unpersist()
+    return funnel.withColumn(
+        "n_absorbing_keepers",
+        F.when(F.col("stage") == 2, F.lit(int(nk)))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
 def q_quality_train_stats(spark, sf_dir):
     # In-engine quality-classifier training: 3 full-batch GD steps on
     # the rational-sigmoid linear model over quality_logit's features,
@@ -5113,6 +5166,7 @@ QUERIES = {
     "script_profile_stats": q_script_profile_stats,
     "bm25_topk": q_bm25_topk,
     "crawl_prep_stats": q_crawl_prep_stats,
+    "pipeline_provenance_stats": q_pipeline_provenance_stats,
     "dsir_selection": q_dsir_selection,
     "repetition_stats": q_repetition_stats,
     "pii_stats": q_pii_stats,
@@ -6790,6 +6844,62 @@ ORACLES["c4_line_filter_stats"] = """
            CAST(sum(length(array_to_string(l, chr(10)))) AS BIGINT)
              AS total_clean_chars
     FROM kept GROUP BY lang
+"""
+
+ORACLES["pipeline_provenance_stats"] = r"""
+    WITH tn AS (
+      SELECT doc_id, lang,
+        regexp_replace(regexp_replace(regexp_replace(text,
+            '\s*\n\s*', chr(10), 'g'),
+            '[^\S\n]+', ' ', 'g'),
+            '^\s+|\s+$', '', 'g') AS t0
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, lang,
+             'Title & Stats' || chr(10) || t0 || chr(10)
+               || 'Copyright ' || chr(169) || ' 2024 <Corp>'
+               || chr(10) || '5 < 6' || chr(10) || 'end' AS t
+      FROM tn
+    ),
+    g AS (
+      SELECT doc_id, lang, t,
+             len(list_filter(string_split_regex(trim(t), '\s+'),
+                 x -> x <> '')) AS nt
+      FROM e
+    ),
+    fl AS (
+      SELECT doc_id,
+             CASE WHEN nt < 50 THEN 1 ELSE 0 END
+           + CASE WHEN length(t) > 560 THEN 2 ELSE 0 END
+           + CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY lang, t)
+                  THEN 4 ELSE 0 END AS flags,
+             CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY lang, t)
+                  THEN min(doc_id) OVER (PARTITION BY lang, t) END
+               AS dup_of
+      FROM g
+    ),
+    agg AS (
+      SELECT
+        sum(CASE WHEN flags % 2 = 1 THEN 1 ELSE 0 END) AS d0,
+        sum(CASE WHEN flags % 2 = 0 THEN 1 ELSE 0 END) AS r0,
+        sum(CASE WHEN flags % 4 = 2 THEN 1 ELSE 0 END) AS d1,
+        sum(CASE WHEN flags % 4 = 0 THEN 1 ELSE 0 END) AS r1,
+        sum(CASE WHEN flags % 8 = 4 THEN 1 ELSE 0 END) AS d2,
+        sum(CASE WHEN flags % 8 = 0 THEN 1 ELSE 0 END) AS r2,
+        count(DISTINCT dup_of) AS nk
+      FROM fl
+    )
+    SELECT CAST(0 AS INTEGER) AS stage, 'token_gate' AS stage_name,
+           CAST(d0 AS BIGINT) AS n_dropped_here,
+           CAST(r0 AS BIGINT) AS n_remaining,
+           CAST(0 AS BIGINT) AS n_absorbing_keepers FROM agg
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), 'too_long', CAST(d1 AS BIGINT),
+           CAST(r1 AS BIGINT), CAST(0 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'exact_dup', CAST(d2 AS BIGINT),
+           CAST(r2 AS BIGINT), CAST(nk AS BIGINT) FROM agg
 """
 
 ORACLES["quality_train_stats"] = _quality_train_oracle_sql(steps=3)
