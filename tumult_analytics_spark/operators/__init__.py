@@ -86,6 +86,7 @@ from .similarity import (
     query_lsh_index,
     train_pq_codebooks,
 )
+from .provenance import mark_duplicates, mark_stage, provenance_funnel
 from .text import (
     bigram_logprob_score,
     bm25_topk,
@@ -94,10 +95,13 @@ from .text import (
     canonicalize_urls,
     char_entropy,
     document_fingerprint,
+    hashed_char_ngrams,
     hashed_doc_vectors,
     html_extract,
     html_metadata,
     language_id,
+    language_id_trained,
+    language_train_logreg,
     quality_logit,
     quality_score,
     quality_train_logreg,

@@ -1128,7 +1128,8 @@ def q_warc_ingest_stats(spark, sf_dir):
     )
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_warc_{spark.sparkContext.applicationId}",
+        f"spark_graft_warc_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
     )
     WRC.write_warc(staged, path, "url", "html", n_shards=8)
     crawled = WRC.read_warc(spark, path)
