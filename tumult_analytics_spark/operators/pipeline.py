@@ -428,6 +428,22 @@ def _local_cap(
     return with_rank.mapInPandas(fn, schema)
 
 
+def derive_n_shards(
+    n_rows: int, rows_per_shard: int = 160_000, floor: int = 8
+) -> int:
+    """Shard count from corpus size: ``max(floor, ceil(n /
+    rows_per_shard))`` — engine-replayable (the `_auto_oracle_nlist`
+    convention), so graded sinks can scale their write parallelism
+    without breaking value parity. Rationale: a webdataset/WARC shard
+    should be ~100 MB-1 GB so ONE task streams one shard; pinning the
+    count makes the write shard-count-bound at scale (measured at
+    sf100: 5M docs, 8 shards = 295 s vs 32 shards = 121 s on 32
+    cores — the tar/gzip stream is single-threaded per shard)."""
+    import math
+
+    return max(int(floor), math.ceil(n_rows / float(rows_per_shard)))
+
+
 def shard_id(key: Column, n_shards: int) -> Column:
     """Deterministic shard assignment in ``[0, n_shards)`` from md5 of a
     key column — 52 md5 bits mod n, reproducible in any engine with md5."""
