@@ -621,3 +621,78 @@ def test_quality_train_gradient_agg_is_partial(spark):
     )
     plan = _plan(agg)
     assert "partial_avg" in plan
+
+
+def test_warc_reader_ships_paths_not_bytes(spark, tmp_path):
+    # The WARC source must scan a PATHS relation (one string per file)
+    # and stream records in Python — never a binaryFile content scan
+    # (whole-archive cells) and never an extra exchange beyond the
+    # round-robin path spread.
+    from tumult_analytics_spark.sources import warc as W
+
+    df = spark.createDataFrame(
+        [("http://x/1", "<p>a</p>")], "url string, html string"
+    )
+    W.write_warc(df, str(tmp_path), "url", "html", n_shards=1)
+    plan = _plan(W.read_warc(spark, str(tmp_path)))
+    assert "binaryFile" not in plan
+    assert "MapInPandas" in plan
+    # one round-robin repartition of the path list, nothing else
+    assert plan.count("Exchange") <= 1
+
+
+def test_mark_stage_adds_no_exchange(spark):
+    # Provenance marking is a pure projection: instrumenting a filter
+    # stage must not introduce any shuffle or Python stage.
+    from pyspark.sql import functions as F
+
+    from tumult_analytics_spark.operators import provenance as PR
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    marked = PR.mark_stage(
+        PR.mark_stage(docs, 0, F.length("text") < 50),
+        1, F.col("lang") == "zh",
+    )
+    plan = _plan(marked)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_provenance_funnel_single_partial_aggregation(spark):
+    # The funnel is ONE wide aggregation with map-side combine: the
+    # exchange moves 2K longs per partition, never rows.
+    from pyspark.sql import functions as F
+
+    from tumult_analytics_spark.operators import provenance as PR
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    marked = PR.mark_stage(docs, 0, F.length("text") < 50)
+    flags = F.col("stage_flags")
+    agg = marked.agg(
+        F.sum((flags % 2 == 1).cast("long")),
+        F.sum((flags % 2 == 0).cast("long")),
+    )
+    plan = _plan(agg)
+    assert "partial_sum" in plan
+
+
+def test_language_train_step_agg_is_partial_and_broadcast(spark):
+    # A GD step = broadcast one-row weights + projection + ONE
+    # map-side-combined aggregation: partial_avg must appear, the
+    # weight join must be broadcast, and there is no row shuffle
+    # (the only exchange is the broadcast one).
+    from pyspark.sql import functions as F
+
+    from tumult_analytics_spark.operators import text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with_vec = X.hashed_char_ngrams(docs, "text", dim=4, output_column="__cv__")
+    xs = X._char_ngram_features(F.col("text"), 4, 3)
+    data = with_vec.select(*xs)
+    wrow = spark.createDataFrame([(0.0,)], "__b0__ double")
+    joined = data.crossJoin(F.broadcast(wrow))
+    agg = joined.agg(*[F.avg(f"__x{j}__") for j in range(4)])
+    plan = _plan(agg)
+    assert "partial_avg" in plan
+    assert "Broadcast" in plan
+    assert "Exchange hashpartitioning" not in plan
