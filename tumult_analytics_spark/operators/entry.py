@@ -1152,6 +1152,90 @@ def q_warc_ingest_stats(spark, sf_dir):
     )
 
 
+def q_streaming_warc_ingest(spark, sf_dir):
+    # LIVE crawl ingestion: the same WARC corpus as warc_ingest_stats,
+    # but arriving as a STREAM — archives are announced on a manifest
+    # stream (one path per line; the only scalable whole-file
+    # streaming shape, since binaryFile cells are the measured
+    # anti-pattern), read with maxFilesPerTrigger=1 so the two
+    # manifest files process in separate micro-batches, parsed
+    # executor-side by the exact batch kernel, extracted with the
+    # stateless Catalyst chain, and aggregated per language across
+    # micro-batches. Oracle: the batch SQL equivalent.
+    import glob as _glob
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import warc as WRC
+
+    docs = _read(spark, sf_dir, "documents").filter("doc_id % 3 = 1")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit(
+            '<html><!-- nav & junk --><head><title>T</title>'
+            '<script type="text/x">if (a<b && c>d) { f("&amp;"); }'
+            "</script><style>p { c: r; }</style></head>"
+            '<body id="b"><h1>Title &amp; Stats</h1><p>'
+        ),
+        esc,
+        F.lit('</p><div class="foot">Copyright &copy; '),
+        (F.lit(2000) + F.col("doc_id") % 30).cast("string"),
+        F.lit(" &lt;Corp&gt;</div>5 &lt; 6<br/>end</body></html>"),
+    )
+    staged = docs.select(
+        F.concat(
+            F.lit("http://crawl.test/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        page.alias("html"),
+    )
+    tmp = tempfile.mkdtemp(prefix="tas_stream_warc_")
+    shards = os.path.join(tmp, "archives")
+    WRC.write_warc(
+        staged, shards, "url", "html",
+        n_shards=P.derive_n_shards(docs.count()),
+    )
+    paths = sorted(_glob.glob(os.path.join(shards, "*.warc.gz")))
+    manifest = os.path.join(tmp, "manifest")
+    os.makedirs(manifest)
+    half = max(len(paths) // 2, 1)
+    for i, chunk in enumerate((paths[:half], paths[half:])):
+        if chunk:
+            with open(os.path.join(manifest, f"m{i}.txt"), "w") as fh:
+                fh.write("\n".join(chunk) + "\n")
+    stream = WRC.read_warc_stream(
+        spark, manifest, max_files_per_trigger=1
+    )
+    extracted = X.html_extract(stream, "html", "t")
+    agg = extracted.groupBy(
+        F.regexp_extract("url", r"/([a-z]+)/(\d+)$", 1).alias("lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.length("t")).alias("sum_extracted_chars"),
+    )
+    name = f"tas_stream_warc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name).select(
+        "lang", "n_records", "sum_extracted_chars"
+    )
+
+
 def q_c4_line_filter_stats(spark, sf_dir):
     # C4-style line-level cleaning: four boilerplate lines appended per
     # doc — one too short, one with the 'javascript' marker, one with a
@@ -5175,6 +5259,7 @@ QUERIES = {
     "normalize_text_stats": q_normalize_text_stats,
     "html_extract_stats": q_html_extract_stats,
     "warc_ingest_stats": q_warc_ingest_stats,
+    "streaming_warc_ingest": q_streaming_warc_ingest,
     "c4_line_filter_stats": q_c4_line_filter_stats,
     "quality_train_stats": q_quality_train_stats,
     "language_train_stats": q_language_train_stats,
@@ -6834,6 +6919,32 @@ ORACLES["warc_ingest_stats"] = r"""
            CAST(length(t) AS INTEGER) AS n_chars,
            md5(t) AS fp
     FROM e
+"""
+
+ORACLES["streaming_warc_ingest"] = r"""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 1
+    ),
+    tn AS (
+      SELECT doc_id, lang,
+        regexp_replace(regexp_replace(regexp_replace(text,
+            '\s*\n\s*', chr(10), 'g'),
+            '[^\S\n]+', ' ', 'g'),
+            '^\s+|\s+$', '', 'g') AS t0
+      FROM d
+    ),
+    e AS (
+      SELECT doc_id, lang,
+             'Title & Stats' || chr(10) || t0 || chr(10)
+               || 'Copyright ' || chr(169) || ' '
+               || CAST(2000 + doc_id % 30 AS VARCHAR) || ' <Corp>'
+               || chr(10) || '5 < 6' || chr(10) || 'end' AS t
+      FROM tn
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(length(t)) AS BIGINT) AS sum_extracted_chars
+    FROM e GROUP BY lang
 """
 
 ORACLES["c4_line_filter_stats"] = """

@@ -37,7 +37,7 @@ from typing import Iterable, Iterator, Optional, Tuple
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_warc", "read_warc"]
+__all__ = ["write_warc", "read_warc", "read_warc_stream"]
 
 #: Records whose Content-Length exceeds this are skipped (a sane bound
 #: for a single crawled page; guards a parser OOM on a lying header).
@@ -216,55 +216,13 @@ def _parse_http(payload: bytes):
     return status, ctype, body
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
-    record_types: Iterable[str] = ("response",),
-    batch_rows: int = 1024,
-) -> DataFrame:
-    """Read WARC crawl archives under ``path`` (every ``*.warc.gz`` /
-    ``*.warc``) into a DataFrame of one row per record:
-
-    ``warc_file, record_id, warc_type, url, warc_date, http_status,
-    http_content_type, html, payload_bytes``
-
-    ``html`` is the HTTP body decoded UTF-8 (errors replaced) for
-    ``application/http`` response payloads, the raw payload text for
-    anything else — ready to feed :func:`...operators.text.html_extract`.
-    Records whose ``WARC-Type`` is not in ``record_types`` are skipped
-    (their payloads are seeked past via Content-Length, so filtering
-    is O(headers)).
-
-    Execution shape (the 100 TB contract, same as the webdataset
-    read-back): paths are listed driver-side, ONE path per task,
-    records streamed through ``gzip.open`` (concatenated members read
-    transparently) with at most one record in memory; rows leave in
-    Arrow batches of ``batch_rows``. Malformed records are skipped,
-    truncated files end cleanly — corrupt bytes never fail the job.
-    Local/shared-filesystem contract as `pipeline.py`
-    read_webdataset_manifest: remote URIs fail loudly.
-    """
+def _make_parser(record_types: Iterable[str], batch_rows: int):
+    """The executor-side WARC parse kernel shared by :func:`read_warc`
+    (batch, paths listed driver-side) and :func:`read_warc_stream`
+    (streaming, paths arrive on a manifest stream): consumes batches
+    of a ``path`` column, yields record-row frames."""
     import pandas as pd
 
-    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
-        "file://"
-    ):
-        raise ValueError(
-            f"read_warc requires a locally-readable path (local dir or "
-            f"shared mount); got remote URI {path!r}"
-        )
-    root = path.removeprefix("file://")
-    if os.path.isfile(root):
-        files = [root]
-    else:
-        files = sorted(
-            glob.glob(os.path.join(root, "*.warc.gz"))
-            + glob.glob(os.path.join(root, "*.warc"))
-        )
-    if not files:
-        raise FileNotFoundError(
-            f"no *.warc / *.warc.gz files under {path!r}"
-        )
     wanted = {t.lower() for t in record_types}
     n_batch = int(batch_rows)
 
@@ -321,7 +279,101 @@ def read_warc(
                 if rows:
                     yield _flush(rows)
 
+    return _parse
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: Iterable[str] = ("response",),
+    batch_rows: int = 1024,
+) -> DataFrame:
+    """Read WARC crawl archives under ``path`` (every ``*.warc.gz`` /
+    ``*.warc``) into a DataFrame of one row per record:
+
+    ``warc_file, record_id, warc_type, url, warc_date, http_status,
+    http_content_type, html, payload_bytes``
+
+    ``html`` is the HTTP body decoded UTF-8 (errors replaced) for
+    ``application/http`` response payloads, the raw payload text for
+    anything else — ready to feed :func:`...operators.text.html_extract`.
+    Records whose ``WARC-Type`` is not in ``record_types`` are skipped
+    (their payloads are seeked past via Content-Length, so filtering
+    is O(headers)).
+
+    Execution shape (the 100 TB contract, same as the webdataset
+    read-back): paths are listed driver-side, ONE path per task,
+    records streamed through ``gzip.open`` (concatenated members read
+    transparently) with at most one record in memory; rows leave in
+    Arrow batches of ``batch_rows``. Malformed records are skipped,
+    truncated files end cleanly — corrupt bytes never fail the job.
+    Local/shared-filesystem contract as `pipeline.py`
+    read_webdataset_manifest: remote URIs fail loudly.
+    """
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
+        "file://"
+    ):
+        raise ValueError(
+            f"read_warc requires a locally-readable path (local dir or "
+            f"shared mount); got remote URI {path!r}"
+        )
+    root = path.removeprefix("file://")
+    if os.path.isfile(root):
+        files = [root]
+    else:
+        files = sorted(
+            glob.glob(os.path.join(root, "*.warc.gz"))
+            + glob.glob(os.path.join(root, "*.warc"))
+        )
+    if not files:
+        raise FileNotFoundError(
+            f"no *.warc / *.warc.gz files under {path!r}"
+        )
+    _parse = _make_parser(record_types, batch_rows)
     paths_df = spark.createDataFrame(
         [(p,) for p in files], "path string"
     ).repartition(len(files))
     return paths_df.mapInPandas(_parse, _READ_SCHEMA)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    manifest_path: str,
+    record_types: Iterable[str] = ("response",),
+    batch_rows: int = 1024,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """STREAMING WARC ingestion via a manifest stream — the live-crawl
+    entry point: the crawler (or a post-upload notifier) appends
+    manifest files under ``manifest_path``, each line one archive
+    path; Structured Streaming's file source picks up NEW manifest
+    files per micro-batch, and each named archive is parsed
+    executor-side with the exact batch kernel (:func:`read_warc`'s
+    streaming gzip parse — one record in memory, malformed records
+    skip, truncation ends the file cleanly).
+
+    Why a manifest and not the archive directory itself: Spark's only
+    whole-file streaming source is ``binaryFile``, which materializes
+    each archive as ONE content cell (the measured whole-shard
+    anti-pattern); a manifest line is ~100 bytes, so listing state
+    stays tiny and the heavy bytes never enter the JVM. This is also
+    the operational shape crawl pipelines actually use (upload
+    completes -> name is announced), and it gives exactly-once file
+    handling for free from the file source's checkpointed listing.
+
+    Returns an unbounded DataFrame with the :func:`read_warc` schema —
+    feed it the same stage-0 operators (``html_extract`` is stateless
+    Catalyst, so the incremental plan is the batch plan) and any
+    watermarked aggregation.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    paths = (
+        reader.load(manifest_path)
+        .select(F.trim(F.col("value")).alias("path"))
+        .filter(F.col("path") != "")
+    )
+    return paths.mapInPandas(
+        _make_parser(record_types, batch_rows), _READ_SCHEMA
+    )
