@@ -174,6 +174,80 @@ class TestMalformed:
         assert [r["url"] for r in rows] == ["http://x/ok"]
 
 
+class TestParserProperties:
+    """Hypothesis properties of the pure-Python record parser — no
+    Spark, so hundreds of examples are cheap."""
+
+    def _records(self, data: bytes):
+        import io
+
+        return list(W._iter_warc_records(io.BufferedReader(io.BytesIO(data))))
+
+    def test_arbitrary_bytes_never_crash(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=4096))
+        def prop(data):
+            out = self._records(data)
+            assert isinstance(out, list)
+
+        prop()
+
+    def test_valid_records_survive_garbage_neighbors(self):
+        # Any junk (without the WARC/ magic at line start) spliced
+        # BETWEEN records must not lose the records around it.
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        rec1 = W._record_bytes("http://a/1", "1970-01-01T00:00:00Z",
+                               b"<p>one</p>")
+        rec2 = W._record_bytes("http://b/2", "1970-01-01T00:00:00Z",
+                               b"<p>two</p>")
+
+        junk = st.binary(max_size=200).filter(
+            lambda b: b"WARC/" not in b and b"\nContent-Length" not in b
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(junk, junk)
+        def prop(j1, j2):
+            data = j1 + b"\n" + rec1 + j2 + b"\n" + rec2
+            urls = [
+                h.get("warc-target-uri")
+                for h, _ in self._records(data)
+            ]
+            assert urls[-2:] == ["http://a/1", "http://b/2"]
+
+        prop()
+
+    def test_any_truncation_yields_prefix(self):
+        # Truncating the DECOMPRESSED stream at any byte yields a
+        # prefix of the full record list, never an error or a phantom.
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        full = b"".join(
+            W._record_bytes(f"http://x/{i}", "1970-01-01T00:00:00Z",
+                            f"<p>doc {i}</p>".encode())
+            for i in range(4)
+        )
+        want = [h["warc-target-uri"] for h, _ in self._records(full)]
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(min_value=0, max_value=len(full)))
+        def prop(cut):
+            got = [
+                h["warc-target-uri"]
+                for h, _ in self._records(full[:cut])
+            ]
+            assert got == want[: len(got)]
+            assert len(got) >= cut // len(full) * 4 - 1  # sanity
+
+        prop()
+
+
 class TestStreamIngest:
     def test_manifest_stream_matches_batch(self, spark, pages, tmp_path):
         # Two manifest files, one per micro-batch: the streamed record
