@@ -157,6 +157,41 @@ class TestMalformed:
             n = W.read_warc(spark, path).count()
             assert 0 <= n <= full
 
+    def test_charset_honored(self, spark, tmp_path):
+        # A latin-1 page with a declared charset must decode to the
+        # right characters; an unknown charset falls back to UTF-8.
+        body = "café münü".encode("latin-1")
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n" + body
+        )
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://x/l1\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+        http2 = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=no-such-cs\r\n\r\n"
+            + "plain".encode()
+        )
+        rec2 = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://x/u\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http2)).encode() + b"\r\n\r\n"
+            + http2 + b"\r\n\r\n"
+        )
+        p = str(tmp_path / "cs")
+        os.makedirs(p)
+        with open(os.path.join(p, "a.warc.gz"), "wb") as fh:
+            fh.write(gzip.compress(rec + rec2, mtime=0))
+        got = {r["url"]: r["html"] for r in W.read_warc(spark, p).collect()}
+        assert got["http://x/l1"] == "café münü"
+        assert got["http://x/u"] == "plain"
+
     def test_oversize_content_length_skipped(self, spark, tmp_path):
         big = (
             b"WARC/1.0\r\n"

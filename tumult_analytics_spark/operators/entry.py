@@ -1152,6 +1152,88 @@ def q_warc_ingest_stats(spark, sf_dir):
     )
 
 
+def q_crawl_funnel_stats(spark, sf_dir):
+    # THE first-byte-to-funnel story, every round-7 piece composed:
+    # pages (some stamped <meta name="robots" content="noindex">) are
+    # written as WARC archives, read back via the streaming gzip
+    # parser, and pushed through the politeness gate (html_metadata
+    # noindex), token gate, length cap, and exact dedup — all in
+    # mark-don't-drop provenance mode — ending in the survival funnel
+    # with duplicate->keeper attribution. One oracle replays the WARC
+    # round trip (expected text), the metadata gate, and the funnel's
+    # lowest-set-bit arithmetic.
+    import tempfile
+
+    from . import provenance as PR
+    from ..sources import warc as WRC
+
+    docs = _read(spark, sf_dir, "documents").filter("doc_id % 3 = 2")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    robots = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit('<meta name="robots" content="noindex,nofollow">'),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit('<html><head><title>T</title>'),
+        robots,
+        F.lit('<style>p { c: r; }</style></head>'
+              '<body id="b"><h1>Title &amp; Stats</h1><p>'),
+        esc,
+        F.lit('</p><div class="foot">Copyright &copy; '),
+        (F.lit(2000) + F.col("doc_id") % 30).cast("string"),
+        F.lit(" &lt;Corp&gt;</div>5 &lt; 6<br/>end</body></html>"),
+    )
+    staged = docs.select(
+        F.concat(
+            F.lit("http://crawl.test/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        page.alias("html"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_crawl_funnel_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    WRC.write_warc(
+        staged, path, "url", "html",
+        n_shards=P.derive_n_shards(docs.count()),
+    )
+    crawled = WRC.read_warc(spark, path)
+    crawled = crawled.withColumn(
+        "lang", F.regexp_extract("url", r"/([a-z]+)/(\d+)$", 1)
+    )
+    meta = X.html_metadata(crawled, "html")
+    extracted = X.html_extract(meta, "html", "t")
+    with_nt = X.token_count(extracted, "t", "nt")
+    flagged = PR.mark_stage(with_nt, 0, F.col("html_noindex"))
+    flagged = PR.mark_stage(flagged, 1, F.col("nt") < 50)
+    flagged = PR.mark_stage(flagged, 2, F.length("t") > 560)
+    flagged = PR.mark_duplicates(flagged, ["lang", "t"], "url", 3)
+    flagged = flagged.persist()
+    try:
+        funnel = PR.provenance_funnel(
+            flagged, ["noindex", "token_gate", "too_long", "exact_dup"]
+        )
+        nk = flagged.agg(
+            F.countDistinct("dup_of").alias("nk")
+        ).collect()[0]["nk"]
+    finally:
+        flagged.unpersist()
+    return funnel.withColumn(
+        "n_absorbing_keepers",
+        F.when(F.col("stage") == 3, F.lit(int(nk)))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
 def q_streaming_warc_ingest(spark, sf_dir):
     # LIVE crawl ingestion: the same WARC corpus as warc_ingest_stats,
     # but arriving as a STREAM — archives are announced on a manifest
@@ -5260,6 +5342,7 @@ QUERIES = {
     "html_extract_stats": q_html_extract_stats,
     "warc_ingest_stats": q_warc_ingest_stats,
     "streaming_warc_ingest": q_streaming_warc_ingest,
+    "crawl_funnel_stats": q_crawl_funnel_stats,
     "c4_line_filter_stats": q_c4_line_filter_stats,
     "quality_train_stats": q_quality_train_stats,
     "language_train_stats": q_language_train_stats,
@@ -6919,6 +7002,74 @@ ORACLES["warc_ingest_stats"] = r"""
            CAST(length(t) AS INTEGER) AS n_chars,
            md5(t) AS fp
     FROM e
+"""
+
+ORACLES["crawl_funnel_stats"] = r"""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 2
+    ),
+    tn AS (
+      SELECT doc_id, lang,
+        regexp_replace(regexp_replace(regexp_replace(text,
+            '\s*\n\s*', chr(10), 'g'),
+            '[^\S\n]+', ' ', 'g'),
+            '^\s+|\s+$', '', 'g') AS t0
+      FROM d
+    ),
+    e AS (
+      SELECT doc_id, lang,
+             'http://crawl.test/' || lang || '/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             (doc_id % 11 = 0) AS noindex,
+             'Title & Stats' || chr(10) || t0 || chr(10)
+               || 'Copyright ' || chr(169) || ' '
+               || CAST(2000 + doc_id % 30 AS VARCHAR) || ' <Corp>'
+               || chr(10) || '5 < 6' || chr(10) || 'end' AS t
+      FROM tn
+    ),
+    g AS (
+      SELECT url, lang, t, noindex,
+             len(list_filter(string_split_regex(trim(t), '\s+'),
+                 x -> x <> '')) AS nt
+      FROM e
+    ),
+    fl AS (
+      SELECT CASE WHEN noindex THEN 1 ELSE 0 END
+           + CASE WHEN nt < 50 THEN 2 ELSE 0 END
+           + CASE WHEN length(t) > 560 THEN 4 ELSE 0 END
+           + CASE WHEN url <> min(url) OVER (PARTITION BY lang, t)
+                  THEN 8 ELSE 0 END AS flags,
+             CASE WHEN url <> min(url) OVER (PARTITION BY lang, t)
+                  THEN min(url) OVER (PARTITION BY lang, t) END
+               AS dup_of
+      FROM g
+    ),
+    agg AS (
+      SELECT
+        sum(CASE WHEN flags % 2 = 1 THEN 1 ELSE 0 END) AS d0,
+        sum(CASE WHEN flags % 2 = 0 THEN 1 ELSE 0 END) AS r0,
+        sum(CASE WHEN flags % 4 = 2 THEN 1 ELSE 0 END) AS d1,
+        sum(CASE WHEN flags % 4 = 0 THEN 1 ELSE 0 END) AS r1,
+        sum(CASE WHEN flags % 8 = 4 THEN 1 ELSE 0 END) AS d2,
+        sum(CASE WHEN flags % 8 = 0 THEN 1 ELSE 0 END) AS r2,
+        sum(CASE WHEN flags % 16 = 8 THEN 1 ELSE 0 END) AS d3,
+        sum(CASE WHEN flags % 16 = 0 THEN 1 ELSE 0 END) AS r3,
+        count(DISTINCT dup_of) AS nk
+      FROM fl
+    )
+    SELECT CAST(0 AS INTEGER) AS stage, 'noindex' AS stage_name,
+           CAST(d0 AS BIGINT) AS n_dropped_here,
+           CAST(r0 AS BIGINT) AS n_remaining,
+           CAST(0 AS BIGINT) AS n_absorbing_keepers FROM agg
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), 'token_gate', CAST(d1 AS BIGINT),
+           CAST(r1 AS BIGINT), CAST(0 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'too_long', CAST(d2 AS BIGINT),
+           CAST(r2 AS BIGINT), CAST(0 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'exact_dup', CAST(d3 AS BIGINT),
+           CAST(r3 AS BIGINT), CAST(nk AS BIGINT) FROM agg
 """
 
 ORACLES["streaming_warc_ingest"] = r"""

@@ -225,6 +225,21 @@ def _make_parser(record_types: Iterable[str], batch_rows: int):
 
     wanted = {t.lower() for t in record_types}
     n_batch = int(batch_rows)
+    charset_re = re.compile(r"charset=\"?([A-Za-z0-9_.\-]+)", re.I)
+
+    def _decode(body: bytes, hct) -> str:
+        # Honor the HTTP Content-Type charset (real crawls are far
+        # from all-UTF-8); unknown/absent charsets fall back to UTF-8.
+        # errors="replace" everywhere: mojibake is data, crashes are not.
+        cs = "utf-8"
+        if hct:
+            m = charset_re.search(hct)
+            if m:
+                cs = m.group(1).lower()
+        try:
+            return body.decode(cs, "replace")
+        except LookupError:
+            return body.decode("utf-8", "replace")
 
     def _parse(batches):
         cols = [
@@ -267,7 +282,7 @@ def _make_parser(record_types: Iterable[str], batch_rows: int):
                                     headers.get("warc-date"),
                                     status,
                                     hct,
-                                    body.decode("utf-8", "replace"),
+                                    _decode(body, hct),
                                     len(payload),
                                 )
                             )
