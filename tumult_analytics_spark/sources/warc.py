@@ -388,6 +388,11 @@ def read_warc_stream(
         reader.load(manifest_path)
         .select(F.trim(F.col("value")).alias("path"))
         .filter(F.col("path") != "")
+        # A manifest file is ONE text-source partition, so without a
+        # spread every archive it names would parse in a single task
+        # (measured: 8.9x/decade at sf100 vs the batch reader's 6.2x).
+        # Round-robin the path lines across cores per micro-batch.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return paths.mapInPandas(
         _make_parser(record_types, batch_rows), _READ_SCHEMA
