@@ -105,6 +105,31 @@ class TestServing:
         trained_acc = trained.filter("lang = lang_pred").count() / n
         assert trained_acc >= 0.95
 
+    def test_und_margin(self, spark, corpus):
+        # With a huge margin everything is 'und'; with margin 0 the
+        # strictly-greater argmax is unchanged; a zero-signal doc (tie
+        # on every score) is 'und' under any positive margin.
+        model = self._train(corpus)
+        allund = X.language_id_trained(
+            corpus, "text", model, dim=16, und_margin=1e9
+        )
+        assert allund.filter("lang_pred <> 'und'").count() == 0
+        same = X.language_id_trained(
+            corpus, "text", model, dim=16, und_margin=0.0
+        )
+        base = X.language_id_trained(corpus, "text", model, dim=16)
+        assert (
+            same.filter("lang_pred = 'und'").count() == 0
+            and same.select("doc_id", "lang_pred").collect()
+            == base.select("doc_id", "lang_pred").collect()
+        )
+        blank = spark.createDataFrame([(0, "xy")], ["i", "t"])  # zero vec
+        tied = {c: (0.0, [0.0] * 4) for c in CLASSES}
+        out = X.language_id_trained(
+            blank, "t", tied, dim=4, und_margin=1e-9
+        ).collect()[0]
+        assert out["lang_pred"] == "und"
+
     def test_tie_break_first_class_wins(self, spark):
         df = spark.createDataFrame([(0, "xy")], ["i", "t"])  # zero vec
         model = {c: (0.0, [0.0] * 4) for c in CLASSES}  # all scores equal

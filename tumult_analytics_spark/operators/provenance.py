@@ -51,11 +51,15 @@ def mark_stage(
     if not 0 <= bit < 62:
         raise ValueError("bit must be in [0, 62)")
     out = _ensure_flags(df, column)
+    # bitwiseOR, not +: marking the same bit twice (two conditions
+    # mapped to one stage) must be idempotent, never carry into the
+    # next stage's bit.
     return out.withColumn(
         column,
-        F.col(column)
-        + F.when(F.coalesce(drop_condition, F.lit(False)),
-                 F.lit(1 << bit)).otherwise(F.lit(0)),
+        F.when(
+            F.coalesce(drop_condition, F.lit(False)),
+            F.col(column).bitwiseOR(F.lit(1 << bit)),
+        ).otherwise(F.col(column)),
     )
 
 
@@ -86,8 +90,9 @@ def mark_duplicates(
         dup_of_column, F.when(is_dup, keeper)
     ).withColumn(
         column,
-        F.col(column)
-        + F.when(is_dup, F.lit(1 << bit)).otherwise(F.lit(0)),
+        F.when(
+            is_dup, F.col(column).bitwiseOR(F.lit(1 << bit))
+        ).otherwise(F.col(column)),
     )
 
 

@@ -617,6 +617,7 @@ def language_id_trained(
     dim: int = 8,
     n: int = 3,
     output_column: str = "lang_pred",
+    und_margin: Optional[float] = None,
 ) -> DataFrame:
     """Serve a :func:`language_train_logreg` model: per-class linear
     scores over the same hashed char-ngram features, argmax with a
@@ -625,6 +626,12 @@ def language_id_trained(
     ``weights``: ``{class: (bias, [w0..w{dim-1}])}``. Round the
     trained floats (e.g. to 6 decimals) before serving when an
     external engine must replay the argmax bit-for-bit.
+
+    ``und_margin``: when set, low-confidence rows — best score minus
+    the runner-up below the margin — predict ``'und'`` instead of the
+    argmax (the fastText/CLD convention: garbage and mixed-script text
+    should say "don't know", not pick a class). Still a pure column
+    expression, replayable as ``greatest(...) - second_greatest``.
 
     Pure projection after the vec kernel — no shuffle; the score
     arithmetic is a fixed left-to-right chain so IEEE doubles agree
@@ -656,10 +663,19 @@ def language_id_trained(
         zcols.append(z.alias(f"__z{i}__"))
     scored = with_vec.select("*", *zcols)
     best_z, best_c = F.col("__z0__"), F.lit(classes[0])
+    second_z = F.lit(float("-inf"))
     for i, c in enumerate(classes[1:], start=1):
-        gt = F.col(f"__z{i}__") > best_z
-        best_z = F.when(gt, F.col(f"__z{i}__")).otherwise(best_z)
+        z = F.col(f"__z{i}__")
+        gt = z > best_z
+        second_z = F.when(gt, best_z).otherwise(
+            F.when(z > second_z, z).otherwise(second_z)
+        )
+        best_z = F.when(gt, z).otherwise(best_z)
         best_c = F.when(gt, F.lit(c)).otherwise(best_c)
+    if und_margin is not None and len(classes) > 1:
+        best_c = F.when(
+            best_z - second_z < F.lit(float(und_margin)), F.lit("und")
+        ).otherwise(best_c)
     return scored.withColumn(output_column, best_c).drop(
         "__cv__", *[f"__z{i}__" for i in range(len(classes))]
     )

@@ -255,15 +255,27 @@ def _make_parser(record_types: Iterable[str], batch_rows: int):
 
         for pdf_in in batches:
             for p in pdf_in["path"]:
+                if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", p) and not (
+                    p.startswith("file://")
+                ):
+                    raise ValueError(
+                        f"WARC archive path {p!r} is a remote URI; "
+                        f"this reader's contract is a locally-readable "
+                        f"filesystem (mount the store first)"
+                    )
                 base = os.path.basename(p)
                 opener = gzip.open if p.endswith(".gz") else open
                 rows = []
+                # A MISSING archive fails the task loudly (the listing
+                # or manifest lied — silence would under-ingest);
+                # corrupt BYTES inside an archive stay tolerated below.
+                f = opener(p.removeprefix("file://"), "rb")
                 # NOTE: no eager read-ahead wrapper here — gzip.open
                 # decompresses incrementally, so a truncated tail
                 # member only raises AFTER every prior record was
                 # parsed and yielded.
                 try:
-                    with opener(p, "rb") as f:
+                    with f:
                         for headers, payload in _iter_warc_records(f):
                             wtype = headers.get("warc-type", "").lower()
                             if wtype not in wanted:
