@@ -1703,23 +1703,35 @@ def q_language_id_confusion(spark, sf_dir):
     # rounded to 6 BEFORE serving on both sides, so both engines score
     # with bit-identical weights and the argmax replays exactly.
     corpus = _lang_corpus(spark, sf_dir)
-    hist = X.language_train_logreg(
-        corpus, "t", "lang_true", LANG_CLASSES,
-        dim=LANG_DIM, n=LANG_NGRAM, steps=LANG_STEPS, lr=1.0,
-    )
-    final = {
-        r["class"]: (
-            round(r["bias"], 6),
-            [round(r[f"w{j}"], 6) for j in range(LANG_DIM)],
+    # Featurize ONCE (persisted) and share the vec column between the
+    # training scans and the serving pass.
+    with_vec = X.hashed_char_ngrams(
+        corpus, "t", dim=LANG_DIM, n=LANG_NGRAM, output_column="__cv__"
+    ).persist()
+    try:
+        hist = X.language_train_logreg(
+            with_vec, "t", "lang_true", LANG_CLASSES,
+            dim=LANG_DIM, n=LANG_NGRAM, steps=LANG_STEPS, lr=1.0,
+            vec_column="__cv__",
         )
-        for r in hist.filter(F.col("step") == LANG_STEPS).collect()
-    }
-    served = X.language_id(
-        corpus, "t", model={c: final[c] for c in LANG_CLASSES}
-    )
-    return served.groupBy("lang_true", "lang_pred").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+        final = {
+            r["class"]: (
+                round(r["bias"], 6),
+                [round(r[f"w{j}"], 6) for j in range(LANG_DIM)],
+            )
+            for r in hist.filter(F.col("step") == LANG_STEPS).collect()
+        }
+        served = X.language_id_trained(
+            with_vec, "t", {c: final[c] for c in LANG_CLASSES},
+            dim=LANG_DIM, n=LANG_NGRAM, vec_column="__cv__",
+        )
+        out = served.groupBy("lang_true", "lang_pred").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        with_vec.unpersist()
+    return out
 
 
 def _lang_feature_sql() -> str:

@@ -481,7 +481,9 @@ def hashed_char_ngrams(
     return spread_rows(df).withColumn(output_column, _udf(F.col(text_column)))
 
 
-def _char_ngram_features(text: Column, dim: int, n: int) -> "list[Column]":
+def _char_ngram_features(
+    text: Column, dim: int, n: int, vec_column: str = "__cv__"
+) -> "list[Column]":
     """Normalized char-ngram features x_j = signed-count_j / n_grams as
     Catalyst expressions OVER an already-computed ``char_vec`` — shared
     by training and trained inference so weights transfer exactly.
@@ -489,7 +491,7 @@ def _char_ngram_features(text: Column, dim: int, n: int) -> "list[Column]":
     helper only does the exact-rational normalization.)"""
     nt = F.greatest(F.length(text) - (n - 1), F.lit(1)).cast("double")
     return [
-        (F.col("__cv__")[j].cast("double") / nt).alias(f"__x{j}__")
+        (F.col(vec_column)[j].cast("double") / nt).alias(f"__x{j}__")
         for j in range(dim)
     ]
 
@@ -503,6 +505,7 @@ def language_train_logreg(
     n: int = 3,
     steps: int = 2,
     lr: float = 1.0,
+    vec_column: "Optional[str]" = None,
 ) -> DataFrame:
     """In-engine TRAINED language identification: K one-vs-rest
     rational-logistic models over hashed char-``n``-gram features —
@@ -527,10 +530,17 @@ def language_train_logreg(
         raise ValueError("steps must be >= 1")
     if not classes:
         raise ValueError("classes must be non-empty")
-    with_vec = hashed_char_ngrams(
-        df, text_column, dim=dim, n=n, output_column="__cv__"
-    )
-    xs = _char_ngram_features(F.col(text_column), dim, n)
+    # vec_column: reuse an ALREADY-computed (e.g. persisted)
+    # hashed_char_ngrams column instead of featurizing again — the
+    # train-then-serve composition featurizes once this way.
+    if vec_column is None:
+        with_vec = hashed_char_ngrams(
+            df, text_column, dim=dim, n=n, output_column="__cv__"
+        )
+        vec_column = "__cv__"
+    else:
+        with_vec = df
+    xs = _char_ngram_features(F.col(text_column), dim, n, vec_column)
     ys = [
         (F.col(label_column) == F.lit(c)).cast("double").alias(f"__y{i}__")
         for i, c in enumerate(classes)
@@ -618,6 +628,7 @@ def language_id_trained(
     n: int = 3,
     output_column: str = "lang_pred",
     und_margin: Optional[float] = None,
+    vec_column: Optional[str] = None,
 ) -> DataFrame:
     """Serve a :func:`language_train_logreg` model: per-class linear
     scores over the same hashed char-ngram features, argmax with a
@@ -638,9 +649,14 @@ def language_id_trained(
     across engines."""
     if not weights:
         raise ValueError("weights must be non-empty")
-    with_vec = hashed_char_ngrams(
-        df, text_column, dim=dim, n=n, output_column="__cv__"
-    )
+    drop_vec = vec_column is None
+    if vec_column is None:
+        with_vec = hashed_char_ngrams(
+            df, text_column, dim=dim, n=n, output_column="__cv__"
+        )
+        vec_column = "__cv__"
+    else:
+        with_vec = df
     nt = F.greatest(F.length(F.col(text_column)) - (n - 1), F.lit(1)).cast(
         "double"
     )
@@ -658,7 +674,7 @@ def language_id_trained(
         z = F.lit(float(bias))
         for j in range(dim):
             z = z + F.lit(float(ws[j])) * (
-                F.col("__cv__")[j].cast("double") / nt
+                F.col(vec_column)[j].cast("double") / nt
             )
         zcols.append(z.alias(f"__z{i}__"))
     scored = with_vec.select("*", *zcols)
@@ -676,9 +692,10 @@ def language_id_trained(
         best_c = F.when(
             best_z - second_z < F.lit(float(und_margin)), F.lit("und")
         ).otherwise(best_c)
-    return scored.withColumn(output_column, best_c).drop(
-        "__cv__", *[f"__z{i}__" for i in range(len(classes))]
-    )
+    drops = [f"__z{i}__" for i in range(len(classes))]
+    if drop_vec:
+        drops.append(vec_column)
+    return scored.withColumn(output_column, best_c).drop(*drops)
 
 
 def quality_score(
