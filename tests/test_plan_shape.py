@@ -676,6 +676,36 @@ def test_provenance_funnel_single_partial_aggregation(spark):
     assert "partial_sum" in plan
 
 
+def test_provenance_dedup_window_exchange_is_slim(spark):
+    # VERDICT r7 #1: the mark_duplicates window exchange must never
+    # carry page payloads. Composed exactly like the funnel keys:
+    # wide frame (text + synthesized html) -> mark_stage -> slim
+    # projection -> mark_duplicates on (lang, md5). The one
+    # hashpartitioning exchange must not reference the html/text
+    # columns, and the projection must be column-pruned so the wide
+    # payload never reaches the shuffle writer.
+    from pyspark.sql import functions as F
+
+    from tumult_analytics_spark.operators import provenance as PR
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn("html", F.concat(F.lit("<p>"), "text", F.lit("</p>")))
+    flagged = PR.mark_stage(docs, 0, F.length("text") < 50)
+    slim = flagged.select(
+        "doc_id", "lang", F.md5("text").alias("fp"), "stage_flags"
+    )
+    marked = PR.mark_duplicates(slim, ["lang", "fp"], "doc_id", 1)
+    plan = _plan(marked)
+    exchanges = [
+        l for l in plan.split("\n") if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "html" not in exchanges[0] and "text" not in exchanges[0]
+    # column pruning: html never leaves the scan at all
+    assert "html" not in plan
+
+
 def test_language_train_step_agg_is_partial_and_broadcast(spark):
     # A GD step = broadcast one-row weights + projection + ONE
     # map-side-combined aggregation: partial_avg must appear, the

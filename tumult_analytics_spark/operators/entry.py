@@ -1215,7 +1215,15 @@ def q_crawl_funnel_stats(spark, sf_dir):
     flagged = PR.mark_stage(with_nt, 0, F.col("html_noindex"))
     flagged = PR.mark_stage(flagged, 1, F.col("nt") < 50)
     flagged = PR.mark_stage(flagged, 2, F.length("t") > 560)
-    flagged = PR.mark_duplicates(flagged, ["lang", "t"], "url", 3)
+    # Slim BEFORE the dedup window: the exchange must move
+    # (url, lang, 16-byte md5, flags), never the full html page and
+    # raw text — the md5(t) equivalence is the same one the
+    # document_fingerprint dedup path already relies on. The funnel
+    # only needs stage_flags/dup_of, so no join-back is required.
+    slim = flagged.select(
+        "url", "lang", F.md5("t").alias("fp"), "stage_flags"
+    )
+    flagged = PR.mark_duplicates(slim, ["lang", "fp"], "url", 3)
     flagged = flagged.persist()
     try:
         funnel = PR.provenance_funnel(
@@ -1539,7 +1547,13 @@ def q_pipeline_provenance_stats(spark, sf_dir):
     with_nt = X.token_count(extracted, "t", "nt")
     flagged = PR.mark_stage(with_nt, 0, F.col("nt") < 50)
     flagged = PR.mark_stage(flagged, 1, F.length("t") > 560)
-    flagged = PR.mark_duplicates(flagged, ["lang", "t"], "doc_id", 2)
+    # Slim BEFORE the dedup window (see q_crawl_funnel_stats): carry
+    # only (doc_id, lang, md5(t), flags) through the exchange — the
+    # synthesized html/text payloads stay behind the projection.
+    slim = flagged.select(
+        "doc_id", "lang", F.md5("t").alias("fp"), "stage_flags"
+    )
+    flagged = PR.mark_duplicates(slim, ["lang", "fp"], "doc_id", 2)
     flagged = flagged.persist()
     try:
         funnel = PR.provenance_funnel(

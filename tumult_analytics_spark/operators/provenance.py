@@ -79,7 +79,16 @@ def mark_duplicates(
     the drop-mode operator keeps, so the surviving set is identical.
 
     One shuffle (window by the dedup keys), same as the drop-mode
-    operator — provenance costs no extra exchange."""
+    operator — provenance costs no extra exchange.
+
+    Scale note: the window exchange carries EVERY column of ``df``
+    and the raw partition keys. For wide rows (full pages, raw
+    text), project the payload columns away first and pass a hashed
+    key (e.g. ``F.md5(t)``) instead of the raw text — the funnel
+    downstream only needs the flags/dup_of columns, and the md5
+    equivalence is the same one exact-fingerprint dedup relies on.
+    Measured at sf100: the slim form is the difference between a
+    ~3×-payload exchange and a 16-bytes-per-row one (SF1.md)."""
     if not 0 <= bit < 62:
         raise ValueError("bit must be in [0, 62)")
     out = _ensure_flags(df, column)
