@@ -1594,6 +1594,63 @@ def q_quality_train_stats(spark, sf_dir):
     )
 
 
+QUALITY_HO_STEPS, QUALITY_HO_LR = 30, 8.0
+
+
+def q_quality_holdout_eval(spark, sf_dir):
+    # GENERALIZATION grade for the quality classifier (VERDICT r7 #2):
+    # deterministic md5-uniform 80/20 split (the split_dataset
+    # primitive, so the split op itself gets oracle coverage), train
+    # the rational-logistic model on the 80%, serve the UNSEEN 20%
+    # through the real inference path (quality_logit with the trained
+    # weights), grade accuracy + the confusion scalars. Label is
+    # token-count >= 60 — a concept the three features CAN express
+    # linearly, so the grade measures the trainer/serving machinery,
+    # not concept mismatch (measured holdout accuracy 0.948 at
+    # sf0.001 AND sf0.01; 3 steps/lr=1 was degenerate — predicts no
+    # positives — hence the key-local 30-step/lr=8 recipe).
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    docs = docs.withColumn("label", (toks >= 60).cast("double"))
+    sp = P.split_dataset(
+        docs, "doc_id", {"train": 0.8}, output_column="__split__"
+    )
+    train = sp.filter(F.col("__split__").eqNullSafe(F.lit("train")))
+    hold = sp.filter(F.col("__split__").isNull())
+    hist = X.quality_train_logreg(
+        train, "text", "label", steps=QUALITY_HO_STEPS, lr=QUALITY_HO_LR
+    )
+    r = [
+        row for row in hist.collect() if row["step"] == QUALITY_HO_STEPS
+    ][0]
+    b = round(r["bias"], 6)
+    w1 = round(r["w_tokens"], 6)
+    w2 = round(r["w_mean_tok"], 6)
+    w3 = round(r["w_punct"], 6)
+    scored = X.quality_logit(
+        hold, "text",
+        weights={
+            "tokens_capped": w1,
+            "mean_tok_capped": w2,
+            "punct_ratio": w3,
+        },
+        bias=b,
+    )
+    correct = F.col("keep") == (F.col("label") == 1.0)
+    out = scored.agg(
+        F.count(F.lit(1)).alias("n_holdout"),
+        F.sum((F.col("label") == 1.0).cast("long")).alias("n_pos"),
+        F.sum(F.col("keep").cast("long")).alias("n_pred_pos"),
+        F.sum(correct.cast("long")).alias("n_correct"),
+    ).withColumn(
+        "accuracy",
+        F.round(
+            F.col("n_correct").cast("double") / F.col("n_holdout"), 6
+        ),
+    )
+    return out
+
+
 def _quality_train_oracle_sql(steps: int = 3) -> str:
     """Unroll the GD trajectory as CTEs: w{k} holds the weights after
     step k, s{k} the gradient/mse aggregates computed at w{k-1}."""
@@ -1649,6 +1706,86 @@ def _quality_train_oracle_sql(steps: int = 3) -> str:
         for k in range(1, steps + 1)
     ]
     return "".join(parts) + "\n    UNION ALL".join(selects)
+
+
+def _quality_holdout_oracle_sql() -> str:
+    """Replay q_quality_holdout_eval end to end: the md5-uniform split
+    threshold (exactly split_dataset's arithmetic), the GD trajectory
+    over the training subset with the key's lr, then round-6 weights
+    scoring the holdout subset through the quality_logit arithmetic."""
+    steps, lr = QUALITY_HO_STEPS, QUALITY_HO_LR
+    parts = [
+        r"""
+    WITH raw AS (
+      SELECT doc_id, length(text) AS nc,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '')) AS nt,
+             len(string_split_regex(trim(text), '\s+')) AS nt_raw,
+             length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+               AS np
+      FROM documents
+    ),
+    f0 AS (
+      SELECT CAST(nt_raw >= 60 AS DOUBLE) AS y,
+             least(nt, 100) / 100.0 AS f1,
+             least(CASE WHEN nt > 0 THEN CAST(nc AS DOUBLE) / nt
+                        ELSE 0.0 END, 10.0) / 10.0 AS f2,
+             CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc
+                  ELSE 0.0 END AS f3,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                              1, 13))::BIGINT / 4503599627370496.0)
+               < 0.8 AS is_train
+      FROM raw
+    ),
+    f AS MATERIALIZED (SELECT y, f1, f2, f3 FROM f0 WHERE is_train),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    ]
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference, and the
+    # w{k} chain references w{k-1} twice (via s{k} and directly), so a
+    # 30-step unroll would expand 2^30 parquet scans without it.
+    for k in range(1, steps + 1):
+        p = k - 1
+        parts.append(f""",
+    s{k} AS MATERIALIZED (
+      SELECT avg(g) AS gb,
+             avg(g * f1) AS g1, avg(g * f2) AS g2, avg(g * f3) AS g3
+      FROM (
+        SELECT 2 * (0.5 * (1 + z / (1 + abs(z))) - y)
+                 * (0.5 / ((1 + abs(z)) * (1 + abs(z)))) AS g,
+               f1, f2, f3
+        FROM (SELECT y, f1, f2, f3,
+                     w{p}.b + w{p}.w1 * f1 + w{p}.w2 * f2 + w{p}.w3 * f3
+                       AS z
+              FROM f CROSS JOIN w{p}) t
+      ) t2
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT w{p}.b - {lr!r} * s{k}.gb AS b,
+             w{p}.w1 - {lr!r} * s{k}.g1 AS w1,
+             w{p}.w2 - {lr!r} * s{k}.g2 AS w2,
+             w{p}.w3 - {lr!r} * s{k}.g3 AS w3
+      FROM w{p} CROSS JOIN s{k}
+    )""")
+    parts.append(f""",
+    wr AS (SELECT round(b, 6) AS b, round(w1, 6) AS w1,
+                  round(w2, 6) AS w2, round(w3, 6) AS w3
+           FROM w{steps}),
+    h AS (
+      SELECT y, wr.b + wr.w1 * f1 + wr.w2 * f2 + wr.w3 * f3 AS z
+      FROM f0 CROSS JOIN wr
+      WHERE NOT is_train
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_holdout,
+           CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pred_pos,
+           CAST(sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM h""")
+    return "".join(parts)
 
 
 #: Marker vocabularies for the trained language-id queries: per-language
@@ -1716,6 +1853,11 @@ def q_language_id_confusion(spark, sf_dir):
     # tests/test_language_id.py for the side-by-side). Weights are
     # rounded to 6 BEFORE serving on both sides, so both engines score
     # with bit-identical weights and the argmax replays exactly.
+    # NOTE: this key grades IN-SAMPLE (train == serve rows) — kept for
+    # round-to-round continuity; the generalization grade is
+    # language_id_holdout_confusion, and the in-sample-vs-holdout
+    # story (the 100% diagonal here depends on training-set class
+    # balance being exact) is documented in COVERAGE.md.
     corpus = _lang_corpus(spark, sf_dir)
     # Featurize ONCE (persisted) and share the vec column between the
     # training scans and the serving pass.
@@ -1738,6 +1880,89 @@ def q_language_id_confusion(spark, sf_dir):
         served = X.language_id_trained(
             with_vec, "t", {c: final[c] for c in LANG_CLASSES},
             dim=LANG_DIM, n=LANG_NGRAM, vec_column="__cv__",
+        )
+        out = served.groupBy("lang_true", "lang_pred").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        with_vec.unpersist()
+    return out
+
+
+#: Gap threshold for 'und' on the holdout corpus: measured holdout
+#: real-doc best-minus-runner-up gaps are >= 7.9e-4 and garbage-doc
+#: gaps <= 7.5e-5 at sf0.01 (10x separation); 3e-4 sits log-centered
+#: between the two populations.
+LANG_UND_MARGIN = 3e-4
+#: Letter-free filler for the injected 'und' rows (digit trigrams only,
+#: so no class's orthography or markers can claim them).
+LANG_GARBAGE = "31 41 59 26 53 58 97 93 23 84 "
+
+
+def _lang_corpus_holdout(spark, sf_dir):
+    """The held-out-evaluation corpus (VERDICT r7 #2): the marker
+    corpus of :func:`_lang_corpus` plus (a) an EXACTLY-STRATIFIED
+    deterministic split — train on ``doc_id % 5 != 4``, grade on the
+    rest; modulo-on-modulo keeps the four classes exactly balanced in
+    training, which matters because the one-vs-rest bias soaks up any
+    class-prior imbalance and a ~1% skew (an md5-uniform split's
+    typical deviation) is larger than the w.x decision margins — and
+    (b) injected letter-free garbage rows (``lang_true='und'``, every
+    third holdout doc) that the served model must route to 'und' via
+    the confidence margin, never to a class."""
+    docs = _read(spark, sf_dir, "documents")
+    langs = F.array(*[F.lit(c) for c in LANG_CLASSES])
+    marks = F.array(*[F.lit(LANG_MARKERS[c] + " ") for c in LANG_CLASSES])
+    idx = (F.col("doc_id") % 4).cast("int") + 1
+    reps = (F.lit(1) + F.expr(f"length(text) div {LANG_DENSITY}")).cast("int")
+    is_und = (F.col("doc_id") % 5 == 4) & (F.col("doc_id") % 3 == 0)
+    base = F.concat(
+        F.repeat(F.element_at(marks, idx), reps), F.lower("text")
+    )
+    return docs.select(
+        F.when(is_und, F.lit("und"))
+        .otherwise(F.element_at(langs, idx))
+        .alias("lang_true"),
+        F.when(is_und, F.repeat(F.lit(LANG_GARBAGE), reps))
+        .otherwise(base)
+        .alias("t"),
+        (F.col("doc_id") % 5 != 4).alias("is_train"),
+    )
+
+
+def q_language_id_holdout_confusion(spark, sf_dir):
+    # GENERALIZATION grade for the trained language-id (VERDICT r7 #2
+    # and #6): train on the stratified 80%, serve the UNSEEN 20% —
+    # including injected letter-free garbage rows — with the
+    # und_margin confidence gate, and grade the full confusion matrix
+    # (diagonal for the four classes, 'und' for garbage). The
+    # in-sample key (language_id_confusion) stays for continuity;
+    # COVERAGE.md documents the in-sample-vs-holdout story, including
+    # the measured class-imbalance sensitivity this key's exact
+    # stratification neutralizes.
+    corpus = _lang_corpus_holdout(spark, sf_dir)
+    with_vec = X.hashed_char_ngrams(
+        corpus, "t", dim=LANG_DIM, n=LANG_NGRAM, output_column="__cv__"
+    ).persist()
+    try:
+        hist = X.language_train_logreg(
+            with_vec.filter("is_train"), "t", "lang_true", LANG_CLASSES,
+            dim=LANG_DIM, n=LANG_NGRAM, steps=LANG_STEPS, lr=1.0,
+            vec_column="__cv__",
+        )
+        final = {
+            r["class"]: (
+                round(r["bias"], 6),
+                [round(r[f"w{j}"], 6) for j in range(LANG_DIM)],
+            )
+            for r in hist.filter(F.col("step") == LANG_STEPS).collect()
+        }
+        served = X.language_id_trained(
+            with_vec.filter("NOT is_train"), "t",
+            {c: final[c] for c in LANG_CLASSES},
+            dim=LANG_DIM, n=LANG_NGRAM, vec_column="__cv__",
+            und_margin=LANG_UND_MARGIN,
         )
         out = served.groupBy("lang_true", "lang_pred").agg(
             F.count(F.lit(1)).alias("n")
@@ -1897,6 +2122,103 @@ def _language_confusion_oracle_sql() -> str:
     SELECT lang_true, {pred} AS lang_pred,
            CAST(count(*) AS BIGINT) AS n
     FROM scored GROUP BY 1, 2"""
+    )
+
+
+def _language_holdout_oracle_sql() -> str:
+    """Replay the FULL holdout pipeline in SQL: the stratified split,
+    the garbage-row injection, GD over the training subset only, then
+    margin-gated argmax scoring of the holdout subset (second-best via
+    a sorted 4-list, exactly the serving fold's runner-up)."""
+    D, K = LANG_DIM, len(LANG_CLASSES)
+    S = LANG_STEPS
+    lang_case = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(LANG_CLASSES)
+    ) + " END"
+    mark_case = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN '{LANG_MARKERS[c]} '"
+        for i, c in enumerate(LANG_CLASSES)
+    ) + " END"
+    xs = ",\n             ".join(
+        f"coalesce(list_sum(list_transform(hs, h -> CASE WHEN h % {D} = {j}"
+        f" THEN 1 - 2 * ((h // {D}) % 2) ELSE 0 END)), 0) / nt AS x{j}"
+        for j in range(D)
+    )
+    ys = ",\n             ".join(
+        f"CAST(lang_true = '{c}' AS DOUBLE) AS y{i}"
+        for i, c in enumerate(LANG_CLASSES)
+    )
+    w0 = ", ".join(
+        f"0.0 AS b{c}, " + ", ".join(f"0.0 AS w{c}_{j}" for j in range(D))
+        for c in range(K)
+    )
+    wr = ", ".join(
+        f"round(b{c}, 6) AS b{c}, " + ", ".join(
+            f"round(w{c}_{j}, 6) AS w{c}_{j}" for j in range(D)
+        )
+        for c in range(K)
+    )
+    zs = ",\n             ".join(
+        f"wr.b{c} + " + " + ".join(
+            f"wr.w{c}_{j} * x{j}" for j in range(D)
+        ) + f" AS z{c}"
+        for c in range(K)
+    )
+    zl = ", ".join(f"z{c}" for c in range(K))
+    m = f"greatest({zl})"
+    argmax = "CASE " + " ".join(
+        f"WHEN z{c} = zb THEN '{LANG_CLASSES[c]}'" for c in range(K)
+    ) + " END"
+    prologue = f"""
+    WITH d AS (
+      SELECT CASE WHEN doc_id % 5 = 4 AND doc_id % 3 = 0 THEN 'und'
+                  ELSE {lang_case} END AS lang_true,
+             CASE WHEN doc_id % 5 = 4 AND doc_id % 3 = 0
+                  THEN repeat('{LANG_GARBAGE}',
+                              1 + length(text) // {LANG_DENSITY})
+                  ELSE repeat({mark_case},
+                              1 + length(text) // {LANG_DENSITY})
+                       || lower(text) END AS t,
+             (doc_id % 5 <> 4) AS is_train
+      FROM documents
+    ),
+    g AS (
+      SELECT lang_true, is_train,
+             list_transform(range(1, greatest(length(t) - 1, 1)),
+                 i -> ('0x' || substr(md5(substr(t, i, 3)), 1, 15))::BIGINT)
+               AS hs,
+             CAST(greatest(length(t) - 2, 1) AS DOUBLE) AS nt
+      FROM d
+    ),
+    fall AS (
+      SELECT lang_true, is_train,
+             {ys},
+             {xs}
+      FROM g
+    ),
+    f AS (SELECT * FROM fall WHERE is_train),
+    w0 AS (SELECT {w0})"""
+    return (
+        prologue
+        + _lang_step_sql(S)
+        + f""",
+    wr AS (SELECT {wr} FROM w{S}),
+    scored AS (
+      SELECT lang_true,
+             {zs}
+      FROM fall CROSS JOIN wr
+      WHERE NOT is_train
+    ),
+    ranked AS (
+      SELECT lang_true, {zl}, {m} AS zb,
+             list_sort([{zl}])[{K - 1}] AS z2nd
+      FROM scored
+    )
+    SELECT lang_true,
+           CASE WHEN zb - z2nd < {LANG_UND_MARGIN!r} THEN 'und'
+                ELSE {argmax} END AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked GROUP BY 1, 2"""
     )
 
 
@@ -5371,8 +5693,10 @@ QUERIES = {
     "crawl_funnel_stats": q_crawl_funnel_stats,
     "c4_line_filter_stats": q_c4_line_filter_stats,
     "quality_train_stats": q_quality_train_stats,
+    "quality_holdout_eval": q_quality_holdout_eval,
     "language_train_stats": q_language_train_stats,
     "language_id_confusion": q_language_id_confusion,
+    "language_id_holdout_confusion": q_language_id_holdout_confusion,
     "sentence_stats": q_sentence_stats,
     "html_metadata_stats": q_html_metadata_stats,
     "script_profile_stats": q_script_profile_stats,
@@ -7209,8 +7533,10 @@ ORACLES["pipeline_provenance_stats"] = r"""
 """
 
 ORACLES["quality_train_stats"] = _quality_train_oracle_sql(steps=3)
+ORACLES["quality_holdout_eval"] = _quality_holdout_oracle_sql()
 ORACLES["language_train_stats"] = _language_train_oracle_sql()
 ORACLES["language_id_confusion"] = _language_confusion_oracle_sql()
+ORACLES["language_id_holdout_confusion"] = _language_holdout_oracle_sql()
 
 ORACLES["html_metadata_stats"] = r"""
     SELECT lang,
