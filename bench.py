@@ -152,6 +152,7 @@ def main() -> None:
     # "sf0.1" -> 0.1, ".sf1" -> 1 (lstrip dots so a hidden dir like
     # .sf1 doesn't parse as ".1" = 0.1).
     sf = os.path.basename(sf_dir.rstrip("/")).lstrip(".").replace("sf", "")
+    calibration = _r01_subset_calibration(timings)
     payload = {
         "metric": "total_query_wall_clock",
         "value": round(total, 3),
@@ -159,9 +160,59 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
     }
+    payload.update(calibration)
+    # Host-speed calibration + headline that SURVIVES the driver's
+    # 2,000-char stdout-tail cap (r7 verdict: BENCH_r07 parsed=null
+    # because the 167-key line outgrew the tail). The compact line is
+    # printed LAST — the tail keeps the END of stdout — and also first
+    # for any head-capped consumer; the full per-query map still goes
+    # out as the contract's one big JSON line and into
+    # bench_full_r<N>.json. Cross-round normalization rule: divide any
+    # two rounds' per-query times by their calibration_r01_subset_s
+    # ratio before comparing (the r01 43-key subset is code-frozen, so
+    # its total moves only with host speed).
+    headline = {
+        "metric": "total_query_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": float(sf) if sf else None,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v < 0),
+        "slowest": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+        ),
+    }
+    headline.update(calibration)
+    print(json.dumps(headline))
     print(json.dumps(payload))
+    print(json.dumps(headline))
     _write_full_artifact(payload, only)
     spark.stop()
+
+
+def _r01_subset_calibration(timings: dict) -> dict:
+    """Sum this session's times over the code-frozen r01 43-key subset
+    (read from the committed BENCH_r01.json) — a per-session host-speed
+    anchor recorded INSIDE the bench JSON, so cross-round ratios can be
+    normalized without re-running anything (r7 verdict: a measured
+    ~1.4x host drift was indistinguishable from a regression)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_r01.json")) as f:
+            r01 = json.load(f)["parsed"]["queries"]
+    except Exception:
+        return {}
+    covered = [
+        k for k in r01 if k in timings and timings[k] > 0
+    ]
+    if not covered:
+        return {}
+    return {
+        "calibration_r01_subset_s": round(
+            sum(timings[k] for k in covered), 3
+        ),
+        "calibration_n_keys": len(covered),
+    }
 
 
 def _write_full_artifact(payload: dict, only: set) -> None:
