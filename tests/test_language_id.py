@@ -105,6 +105,29 @@ class TestServing:
         trained_acc = trained.filter("lang = lang_pred").count() / n
         assert trained_acc >= 0.95
 
+    def test_model_ngram_size_plumbed(self, spark, corpus):
+        # A model trained at n=2 must serve on n=2 features through
+        # the language_id(model=..., n=...) dispatch — the default
+        # n=3 would score mismatched features and tank accuracy.
+        n_docs = corpus.count()
+        hist = X.language_train_logreg(
+            corpus, "text", "lang", CLASSES, dim=16, steps=3, n=2
+        )
+        model = {
+            r["class"]: (round(r["bias"], 6),
+                         [round(r[f"w{j}"], 6) for j in range(16)])
+            for r in hist.filter(F.col("step") == 3).collect()
+        }
+        served = X.language_id(corpus, "text", model=model, n=2)
+        acc = served.filter("lang = lang_pred").count() / n_docs
+        assert acc >= 0.95
+        # and the two serving paths agree exactly
+        direct = X.language_id_trained(corpus, "text", model, dim=16, n=2)
+        assert (
+            served.select("doc_id", "lang_pred").collect()
+            == direct.select("doc_id", "lang_pred").collect()
+        )
+
     def test_und_margin(self, spark, corpus):
         # With a huge margin everything is 'und'; with margin 0 the
         # strictly-greater argmax is unchanged; a zero-signal doc (tie

@@ -1152,6 +1152,80 @@ def q_warc_ingest_stats(spark, sf_dir):
     )
 
 
+def q_warc_http_framing_stats(spark, sf_dir):
+    # Real-crawl HTTP body framing round trip: Common Crawl stores
+    # responses AS FETCHED, so chunked transfer coding and compressed
+    # bodies (Content-Encoding: gzip/deflate) are the common case.
+    # Each document is written with a framing chosen by doc_id % 5 —
+    # identity | chunked | gzip | deflate | chunked+gzip — and read
+    # back through the dechunk/decompress path (`sources/warc.py`
+    # `_parse_http`). Grade: per-record md5 + length of the extracted
+    # text (framing-invariant — proves the body survived EXACTLY),
+    # plus the exact on-wire payload byte count for the two framings
+    # whose size is replayable in SQL (identity, chunked — the
+    # chunk-overhead arithmetic proves chunked framing actually
+    # happened on the wire; compressed sizes are not SQL-expressible
+    # so those rows grade NULL there and rely on the fp).
+    import tempfile
+
+    from ..sources import warc as WRC
+    from ..sources.warc import _FRAMINGS
+
+    docs = _read(spark, sf_dir, "documents").filter("doc_id % 3 = 0")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit("<html><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        esc,
+        F.lit("</p></body></html>"),
+    )
+    framing_of = lambda c: F.element_at(  # noqa: E731
+        F.array(*[F.lit(x) for x in _FRAMINGS]), (c % 5 + 1).cast("int")
+    )
+    staged = docs.select(
+        F.concat(
+            F.lit("http://crawl.test/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        page.alias("html"),
+        framing_of(F.col("doc_id")).alias("fr"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_warcfr_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    WRC.write_warc(
+        staged, path, "url", "html",
+        n_shards=P.derive_n_shards(docs.count()),
+        framing_column="fr",
+    )
+    crawled = WRC.read_warc(spark, path)
+    extracted = X.html_extract(crawled, "html", "t")
+    doc_id = (
+        F.regexp_extract("url", r"/([a-z]+)/(\d+)$", 2).cast("long")
+    )
+    return extracted.select(
+        doc_id.alias("doc_id"),
+        F.regexp_extract("url", r"/([a-z]+)/(\d+)$", 1).alias("lang"),
+        framing_of(doc_id).alias("framing"),
+        "http_status",
+        F.when(
+            framing_of(doc_id).isin("identity", "chunked"),
+            F.col("payload_bytes"),
+        ).cast("long").alias("framed_bytes"),
+        F.length("t").alias("n_chars"),
+        F.md5(F.col("t")).alias("fp"),
+    )
+
+
 def q_crawl_funnel_stats(spark, sf_dir):
     # THE first-byte-to-funnel story, every round-7 piece composed:
     # pages (some stamped <meta name="robots" content="noindex">) are
@@ -5689,6 +5763,7 @@ QUERIES = {
     "normalize_text_stats": q_normalize_text_stats,
     "html_extract_stats": q_html_extract_stats,
     "warc_ingest_stats": q_warc_ingest_stats,
+    "warc_http_framing_stats": q_warc_http_framing_stats,
     "streaming_warc_ingest": q_streaming_warc_ingest,
     "crawl_funnel_stats": q_crawl_funnel_stats,
     "c4_line_filter_stats": q_c4_line_filter_stats,
@@ -7349,6 +7424,73 @@ ORACLES["warc_ingest_stats"] = r"""
                   || 'Content-Length: ' || CAST(body_n AS VARCHAR)
                   || chr(13) || chr(10) || chr(13) || chr(10)
                 )) + body_n AS BIGINT) AS payload_bytes,
+           CAST(length(t) AS INTEGER) AS n_chars,
+           md5(t) AS fp
+    FROM e
+"""
+
+ORACLES["warc_http_framing_stats"] = r"""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    raw AS (
+      SELECT doc_id, lang, text,
+        '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+          || replace(replace(replace(text, '&', '&amp;'),
+                             '<', '&lt;'), '>', '&gt;')
+          || '</p></body></html>' AS page,
+        CASE CAST(doc_id % 5 AS INTEGER)
+          WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked'
+          WHEN 2 THEN 'gzip' WHEN 3 THEN 'deflate'
+          ELSE 'chunked+gzip' END AS framing
+      FROM d
+    ),
+    sized AS (
+      SELECT *, octet_length(encode(page)) AS body_n FROM raw
+    ),
+    pb AS (
+      -- exact on-wire payload bytes where SQL can express them:
+      -- identity = head + body; chunked = head + per-chunk overhead
+      -- (hex size line + CRLF + CRLF per 1024-byte chunk, terminal
+      -- '0' chunk = 5 bytes); compressed framings -> NULL.
+      SELECT *,
+        CASE WHEN framing = 'identity' THEN
+          octet_length(encode('HTTP/1.1 200 OK' || chr(13) || chr(10)
+            || 'Content-Type: text/html; charset=utf-8'
+            || chr(13) || chr(10)
+            || 'Content-Length: ' || CAST(body_n AS VARCHAR)
+            || chr(13) || chr(10) || chr(13) || chr(10))) + body_n
+        WHEN framing = 'chunked' THEN
+          octet_length(encode('HTTP/1.1 200 OK' || chr(13) || chr(10)
+            || 'Content-Type: text/html; charset=utf-8'
+            || chr(13) || chr(10)
+            || 'Transfer-Encoding: chunked'
+            || chr(13) || chr(10) || chr(13) || chr(10)))
+          + (body_n // 1024) * 1031
+          + CASE WHEN body_n % 1024 > 0
+                 THEN length(printf('%x', body_n % 1024)) + 4
+                      + body_n % 1024
+                 ELSE 0 END
+          + 5
+        END AS framed_bytes
+      FROM sized
+    ),
+    tn AS (
+      SELECT doc_id, lang, framing, framed_bytes,
+        regexp_replace(regexp_replace(regexp_replace(text,
+            '\s*\n\s*', chr(10), 'g'),
+            '[^\S\n]+', ' ', 'g'),
+            '^\s+|\s+$', '', 'g') AS t0
+      FROM pb
+    ),
+    e AS (
+      SELECT doc_id, lang, framing, framed_bytes,
+             'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || t0 AS t
+      FROM tn
+    )
+    SELECT doc_id, lang, framing,
+           CAST(200 AS INTEGER) AS http_status,
+           CAST(framed_bytes AS BIGINT) AS framed_bytes,
            CAST(length(t) AS INTEGER) AS n_chars,
            md5(t) AS fp
     FROM e

@@ -365,6 +365,7 @@ def language_id(
     text_column: str,
     output_column: str = "lang_pred",
     model: "Optional[dict]" = None,
+    n: int = 3,
 ) -> DataFrame:
     """Stopword-vote language heuristic: the language whose stopword list
     matches the most (lowercased) tokens wins (zh votes by substring
@@ -374,7 +375,11 @@ def language_id(
     :func:`language_train_logreg` — to serve the TRAINED hashed
     char-ngram classifier through this same API instead of the
     heuristic (delegates to :func:`language_id_trained`; weight-vector
-    length sets the feature dim).
+    length sets the feature dim). ``n`` is the char n-gram size and
+    MUST match the size the model was trained with — a model trained
+    at a different ``n`` would otherwise be served on mismatched
+    features, silently predicting garbage (``n`` is ignored by the
+    heuristic path).
 
     Arrow-batched kernel: Catalyst higher-order filters measured ~1 ms/doc
     (interpreted lambdas); the per-batch Python dict-lookup loop is ~10x
@@ -386,7 +391,8 @@ def language_id(
     if model is not None:
         dim = len(next(iter(model.values()))[1])
         return language_id_trained(
-            df, text_column, model, dim=dim, output_column=output_column
+            df, text_column, model, dim=dim, n=n,
+            output_column=output_column,
         )
 
     word_langs = {

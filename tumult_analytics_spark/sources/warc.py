@@ -32,6 +32,7 @@ import glob
 import gzip
 import os
 import re
+import zlib
 from typing import Iterable, Iterator, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,20 +51,66 @@ _READ_SCHEMA = (
 )
 
 
-def _http_response_bytes(body: bytes) -> bytes:
-    return (
-        b"HTTP/1.1 200 OK\r\n"
-        b"Content-Type: text/html; charset=utf-8\r\n"
-        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
-    )
+#: HTTP body framings the sink can emit (and the reader undoes):
+#: real crawls store responses AS FETCHED, so chunked transfer coding
+#: and compressed bodies are the common case, not the exception.
+_FRAMINGS = ("identity", "chunked", "gzip", "deflate", "chunked+gzip")
 
 
-def _record_bytes(url: str, date: str, body: bytes) -> bytes:
+def _chunked_bytes(body: bytes, size: int = 1024) -> bytes:
+    """Apply HTTP/1.1 chunked transfer coding (fixed chunk size keeps
+    shard bytes deterministic; terminal 0-chunk, no trailers)."""
+    out = []
+    for i in range(0, len(body), size):
+        c = body[i : i + size]
+        out.append(("%x" % len(c)).encode() + b"\r\n" + c + b"\r\n")
+    out.append(b"0\r\n\r\n")
+    return b"".join(out)
+
+
+def _http_response_bytes(body: bytes, framing: str = "identity") -> bytes:
+    head = [
+        b"HTTP/1.1 200 OK",
+        b"Content-Type: text/html; charset=utf-8",
+    ]
+    if "gzip" in framing:
+        body = gzip.compress(body, compresslevel=6, mtime=0)
+        head.append(b"Content-Encoding: gzip")
+    elif "deflate" in framing:
+        body = zlib.compress(body, 6)
+        head.append(b"Content-Encoding: deflate")
+    if "chunked" in framing:
+        head.append(b"Transfer-Encoding: chunked")
+        body = _chunked_bytes(body)
+    else:
+        head.append(b"Content-Length: " + str(len(body)).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + body
+
+
+_CTRL_RE = re.compile(r"[\x00-\x1f\x7f]")
+
+
+def _header_safe(value: str) -> str:
+    """Strip control characters (CR/LF above all) from a value bound
+    for a WARC header line. A URL or date containing ``\\r``/``\\n``
+    would otherwise inject a line break into the record head and
+    corrupt framing for every subsequent record — the reader would
+    silently skip or misparse, breaking the sink's byte-exact
+    round-trip contract."""
+    return _CTRL_RE.sub("", value)
+
+
+def _record_bytes(
+    url: str, date: str, body: bytes, framing: str = "identity"
+) -> bytes:
     """One WARC/1.0 response record, deterministic (record id is the
-    md5 of the URL, no wall clock anywhere)."""
+    md5 of the URL, no wall clock anywhere). Header values are
+    control-character-stripped (:func:`_header_safe`)."""
     import hashlib
 
-    http = _http_response_bytes(body)
+    url = _header_safe(url)
+    date = _header_safe(date)
+    http = _http_response_bytes(body, framing)
     rid = hashlib.md5(url.encode("utf-8")).hexdigest()
     head = (
         b"WARC/1.0\r\n"
@@ -84,6 +131,7 @@ def write_warc(
     html_column: str,
     date_column: Optional[str] = None,
     n_shards: int = 8,
+    framing_column: Optional[str] = None,
 ) -> DataFrame:
     """Write one WARC/1.0 **response** record per row as
     ``shard-*.warc.gz`` files (one gzip member per record — the
@@ -98,6 +146,14 @@ def write_warc(
     ``date_column`` (string, ISO-8601) stamps ``WARC-Date``; absent,
     a fixed epoch placeholder keeps bytes reproducible.
 
+    ``framing_column`` (optional, per-record): how the HTTP body is
+    stored — one of ``identity | chunked | gzip | deflate |
+    chunked+gzip`` (unknown/null -> identity). Real crawls store
+    responses AS FETCHED, so this lets the sink produce archives with
+    the transfer framings :func:`read_warc` must undo; header values
+    with control characters are stripped before framing (a CR/LF in a
+    URL would inject a header line and corrupt the record stream).
+
     Scale shape: one shuffle (groupBy shard), one task streams one
     shard file; size ``n_shards`` so a shard (~1 GB in practice) is a
     reasonable task. ``path`` must be writable by all executors
@@ -110,6 +166,14 @@ def write_warc(
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     os.makedirs(path, exist_ok=True)
+    # Path reuse must mean exactly one write: stale shard-*.warc.gz
+    # from a previous run (larger n_shards, different data, or a shard
+    # group empty this run) would survive and read_warc would glob
+    # them in — silent over-ingestion. Driver-side delete; on a
+    # cluster `path` is a shared mount, so the driver sees the same
+    # files the executors would.
+    for stale in glob.glob(os.path.join(path, "shard-*.warc.gz")):
+        os.remove(stale)
     cols = [
         F.col(url_column).cast("string").alias("__url__"),
         F.col(html_column).cast("string").alias("__html__"),
@@ -118,6 +182,11 @@ def write_warc(
             if date_column
             else F.lit("1970-01-01T00:00:00Z")
         ).alias("__date__"),
+        (
+            F.col(framing_column).cast("string")
+            if framing_column
+            else F.lit("identity")
+        ).alias("__framing__"),
     ]
     staged = df.select(
         shard_id(F.col(url_column), n_shards).alias("shard"), *cols
@@ -130,13 +199,15 @@ def write_warc(
         pdf = pdf.sort_values("__url__", kind="mergesort")
         n, total = 0, 0
         with open(out, "wb") as f:
-            for url, html, date in zip(
-                pdf["__url__"], pdf["__html__"], pdf["__date__"]
+            for url, html, date, framing in zip(
+                pdf["__url__"], pdf["__html__"], pdf["__date__"],
+                pdf["__framing__"],
             ):
                 if url is None or html is None:
                     continue
+                framing = framing if framing in _FRAMINGS else "identity"
                 body = html.encode("utf-8")
-                rec = _record_bytes(url, date, body)
+                rec = _record_bytes(url, date, body, framing)
                 f.write(gzip.compress(rec, compresslevel=6, mtime=0))
                 n += 1
                 total += len(body)
@@ -147,8 +218,12 @@ def write_warc(
     manifest = staged.groupBy("shard").applyInPandas(
         _write_shard, "shard int, n_records long, payload_bytes long"
     )
-    manifest.collect()  # materialize the write (tiny: one row per shard)
-    return manifest
+    # Materialize ONCE and hand back a driver-local frame: returning
+    # the lazy applyInPandas plan would re-execute _write_shard (and
+    # rewrite every shard file) on any caller action, letting on-disk
+    # bytes and the returned manifest diverge mid-read.
+    rows = manifest.collect()
+    return df.sparkSession.createDataFrame(rows, manifest.schema)
 
 
 def _iter_warc_records(
@@ -185,7 +260,20 @@ def _iter_warc_records(
             clen = int(headers.get("content-length", ""))
         except ValueError:
             continue
-        if clen < 0 or clen > MAX_PAYLOAD_BYTES:
+        if clen < 0:
+            continue
+        if clen > MAX_PAYLOAD_BYTES:
+            # Content-Length parsed fine, the record is just too big:
+            # consume EXACTLY clen bytes in bounded chunks instead of
+            # falling into the line-resync scan — a payload that
+            # itself contains ``WARC/`` lines (e.g. a crawled .warc
+            # file) must not be misparsed as records.
+            remaining = clen
+            while remaining > 0:
+                chunk = stream.read(min(remaining, 1 << 20))
+                if not chunk:
+                    return  # truncated mid-payload
+                remaining -= len(chunk)
             continue
         payload = stream.read(clen)
         if len(payload) < clen:
@@ -196,10 +284,66 @@ def _iter_warc_records(
 _HTTP_STATUS_RE = re.compile(rb"^HTTP/\d\.\d\s+(\d{3})")
 
 
+def _dechunk(body: bytes) -> Optional[bytes]:
+    """Undo HTTP/1.1 chunked transfer coding. Returns ``None`` on any
+    framing violation (unparsable size line, negative/huge size,
+    truncated chunk, missing CRLF) — the caller skips the record
+    rather than surfacing chunk-size lines embedded in the text.
+    Trailers after the terminal 0-chunk are ignored."""
+    out = []
+    pos, n = 0, len(body)
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            return None
+        size_field = body[pos:nl].split(b";")[0].strip()
+        if not size_field:
+            return None
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            return None
+        if size < 0 or size > MAX_PAYLOAD_BYTES:
+            return None
+        if size == 0:
+            return b"".join(out)
+        start = nl + 2
+        end = start + size
+        if end + 2 > n or body[end : end + 2] != b"\r\n":
+            return None
+        out.append(body[start:end])
+        pos = end + 2
+
+
+def _inflate_capped(data: bytes, wbits: int) -> Optional[bytes]:
+    """zlib-family decompress with a hard output cap: a body that
+    inflates past MAX_PAYLOAD_BYTES (decompression bomb) or fails to
+    decode returns ``None``."""
+    d = zlib.decompressobj(wbits)
+    try:
+        out = d.decompress(data, MAX_PAYLOAD_BYTES + 1)
+    except zlib.error:
+        return None
+    if len(out) > MAX_PAYLOAD_BYTES:
+        return None
+    return out
+
+
 def _parse_http(payload: bytes):
     """Split an ``application/http`` response payload into
-    (status, content_type, body). Tolerates a missing header block by
-    treating the whole payload as body."""
+    (status, content_type, body), undoing the transfer framing real
+    crawls store verbatim: ``Transfer-Encoding: chunked`` bodies are
+    dechunked, ``Content-Encoding: gzip/x-gzip/deflate`` bodies are
+    decompressed (deflate tries zlib-wrapped then raw — the common
+    server bug), in that order. Tolerates a missing header block by
+    treating the whole payload as body.
+
+    Returns ``None`` — caller SKIPS the record, the malformed-record
+    contract — when the head declares a framing/encoding the body
+    fails to satisfy (broken chunk framing, undecodable or bombing
+    compressed body, or an encoding we cannot decode, e.g. ``br``):
+    surfacing chunk-size lines or compressed mojibake as document text
+    would be silent corruption, not tolerance."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
         return None, None, payload
@@ -208,11 +352,33 @@ def _parse_http(payload: bytes):
     m = _HTTP_STATUS_RE.match(lines[0])
     status = int(m.group(1)) if m else None
     ctype = None
+    tenc = cenc = b""
     for ln in lines[1:]:
         k, _, v = ln.partition(b":")
-        if k.strip().lower() == b"content-type":
+        k = k.strip().lower()
+        if k == b"content-type" and ctype is None:
             ctype = v.strip().decode("utf-8", "replace")
-            break
+        elif k == b"transfer-encoding":
+            tenc = v.strip().lower()
+        elif k == b"content-encoding":
+            cenc = v.strip().lower()
+    if b"chunked" in tenc:
+        body = _dechunk(body)
+        if body is None:
+            return None
+    if cenc in (b"gzip", b"x-gzip"):
+        body = _inflate_capped(body, 16 + zlib.MAX_WBITS)
+        if body is None:
+            return None
+    elif cenc == b"deflate":
+        raw = _inflate_capped(body, zlib.MAX_WBITS)
+        if raw is None:
+            raw = _inflate_capped(body, -zlib.MAX_WBITS)
+        if raw is None:
+            return None
+        body = raw
+    elif cenc not in (b"", b"identity"):
+        return None  # br/zstd/...: undecodable here, never mojibake
     return status, ctype, body
 
 
@@ -282,7 +448,10 @@ def _make_parser(record_types: Iterable[str], batch_rows: int):
                                 continue
                             ctype = headers.get("content-type", "")
                             if ctype.startswith("application/http"):
-                                status, hct, body = _parse_http(payload)
+                                parsed = _parse_http(payload)
+                                if parsed is None:
+                                    continue  # framing lied: skip record
+                                status, hct, body = parsed
                             else:
                                 status, hct, body = None, ctype, payload
                             rows.append(
@@ -321,9 +490,14 @@ def read_warc(
     ``warc_file, record_id, warc_type, url, warc_date, http_status,
     http_content_type, html, payload_bytes``
 
-    ``html`` is the HTTP body decoded UTF-8 (errors replaced) for
-    ``application/http`` response payloads, the raw payload text for
-    anything else — ready to feed :func:`...operators.text.html_extract`.
+    ``html`` is the HTTP body — dechunked (``Transfer-Encoding:
+    chunked``) and decompressed (``Content-Encoding: gzip/deflate``)
+    when the response was stored as fetched, then charset-decoded
+    (errors replaced) — for ``application/http`` response payloads,
+    the raw payload text for anything else — ready to feed
+    :func:`...operators.text.html_extract`. Records whose declared
+    framing their body fails to satisfy are skipped (chunk-size lines
+    and compressed mojibake are corruption, not data).
     Records whose ``WARC-Type`` is not in ``record_types`` are skipped
     (their payloads are seeked past via Content-Length, so filtering
     is O(headers)).
