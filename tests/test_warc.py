@@ -551,6 +551,73 @@ class TestOversizeScan:
         assert urls == ["http://x/ok"]  # no phantoms, neighbor intact
 
 
+class TestWetSink:
+    def test_wet_round_trip(self, spark, tmp_path):
+        # text with CR/LF and even a WARC/ line must survive byte-exact
+        # (length-framed payload), and the conversion record id links
+        # back to the page record id (md5 of url)
+        import hashlib
+
+        rows = [
+            ("http://x/a", "plain text"),
+            ("http://x/b", "line1\r\nline2\nWARC/1.0\nline3"),
+            ("http://x/c", "unicode héllo wörld 中文"),
+        ]
+        df = spark.createDataFrame(rows, "url string, text string")
+        path = str(tmp_path / "wet")
+        manifest = W.write_wet(df, path, "url", "text", n_shards=2)
+        assert sum(r["n_records"] for r in manifest.collect()) == 3
+        files = glob.glob(path + "/shard-*.warc.wet.gz")
+        assert files  # the Common Crawl WET shard naming
+        got = {
+            r["url"]: r
+            for r in W.read_warc(
+                spark, path, record_types=("conversion",)
+            ).collect()
+        }
+        for url, text in rows:
+            r = got[url]
+            assert r["html"] == text
+            assert r["warc_type"] == "conversion"
+            assert r["http_status"] is None
+            assert r["payload_bytes"] == len(text.encode())
+            rid = hashlib.md5(f"conversion:{url}".encode()).hexdigest()
+            assert r["record_id"] == f"<urn:md5:{rid}>"
+
+    def test_wet_default_read_excludes_conversion(self, spark, tmp_path):
+        # read_warc's default record_types=("response",) skips WET
+        # records, so mixed directories don't over-ingest
+        df = spark.createDataFrame(
+            [("http://x/a", "t")], "url string, text string"
+        )
+        path = str(tmp_path / "wetonly")
+        W.write_wet(df, path, "url", "text", n_shards=1)
+        assert W.read_warc(spark, path).count() == 0
+
+    def test_wet_deterministic_and_stale_cleaned(self, spark, tmp_path):
+        import hashlib
+
+        df = spark.createDataFrame(
+            [(f"http://x/{i}", f"doc {i}") for i in range(6)],
+            "url string, text string",
+        )
+
+        def digest(d):
+            h = hashlib.md5()
+            for p in sorted(glob.glob(str(d) + "/shard-*.warc.wet.gz")):
+                h.update(open(p, "rb").read())
+            return h.hexdigest()
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        W.write_wet(df, a, "url", "text", n_shards=3)
+        W.write_wet(df.orderBy(F.rand(7)), b, "url", "text", n_shards=3)
+        assert digest(a) == digest(b)
+        # rewrite with fewer shards: stale WET shards must not survive
+        W.write_wet(df.limit(1), a, "url", "text", n_shards=1)
+        n = W.read_warc(spark, a, record_types=("conversion",)).count()
+        assert n == 1
+
+
 class TestStage0Integration:
     def test_feeds_html_extract(self, spark, pages, tmp_path):
         from tumult_analytics_spark.operators import text as X

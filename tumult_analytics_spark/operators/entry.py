@@ -1226,6 +1226,52 @@ def q_warc_http_framing_stats(spark, sf_dir):
     )
 
 
+def q_wet_roundtrip_stats(spark, sf_dir):
+    # WET sidecar round trip — the OTHER end of the crawl story:
+    # pipelines don't just read archives, they PUBLISH extracted text
+    # as WARC/1.0 conversion records (Common Crawl's *.warc.wet.gz).
+    # Write the document texts as WET shards keyed by crawl URL, read
+    # them back as conversion records, and grade byte-exact survival
+    # (payload bytes + md5), plus the record-id convention that links
+    # a WET record to its page (md5 of 'conversion:'+url — replayable
+    # in SQL). The payload is length-framed, so text containing CR/LF
+    # or even WARC/ lines round-trips exactly. Sources:
+    # `sources/warc.py` write_wet/read_warc.
+    import tempfile
+
+    from ..sources import warc as WRC
+
+    docs = _read(spark, sf_dir, "documents").filter("doc_id % 4 = 1")
+    staged = docs.select(
+        F.concat(
+            F.lit("http://crawl.test/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_wet_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    WRC.write_wet(
+        staged, path, "url", "text",
+        n_shards=P.derive_n_shards(docs.count()),
+    )
+    got = WRC.read_warc(spark, path, record_types=("conversion",))
+    return got.select(
+        F.regexp_extract("url", r"/([a-z]+)/(\d+)$", 2)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("url", r"/([a-z]+)/(\d+)$", 1).alias("lang"),
+        "warc_type",
+        "record_id",
+        F.col("payload_bytes").cast("long").alias("payload_bytes"),
+        F.length("html").alias("n_chars"),
+        F.md5(F.col("html")).alias("fp"),
+    )
+
+
 def q_crawl_funnel_stats(spark, sf_dir):
     # THE first-byte-to-funnel story, every round-7 piece composed:
     # pages (some stamped <meta name="robots" content="noindex">) are
@@ -5764,6 +5810,7 @@ QUERIES = {
     "html_extract_stats": q_html_extract_stats,
     "warc_ingest_stats": q_warc_ingest_stats,
     "warc_http_framing_stats": q_warc_http_framing_stats,
+    "wet_roundtrip_stats": q_wet_roundtrip_stats,
     "streaming_warc_ingest": q_streaming_warc_ingest,
     "crawl_funnel_stats": q_crawl_funnel_stats,
     "c4_line_filter_stats": q_c4_line_filter_stats,
@@ -7494,6 +7541,22 @@ ORACLES["warc_http_framing_stats"] = r"""
            CAST(length(t) AS INTEGER) AS n_chars,
            md5(t) AS fp
     FROM e
+"""
+
+ORACLES["wet_roundtrip_stats"] = r"""
+    WITH d AS (
+      SELECT doc_id, lang, text,
+             'http://crawl.test/' || lang || '/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id % 4 = 1
+    )
+    SELECT doc_id, lang,
+           'conversion' AS warc_type,
+           '<urn:md5:' || md5('conversion:' || url) || '>' AS record_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           md5(text) AS fp
+    FROM d
 """
 
 ORACLES["crawl_funnel_stats"] = r"""

@@ -38,7 +38,7 @@ from typing import Iterable, Iterator, Optional, Tuple
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_warc", "read_warc", "read_warc_stream"]
+__all__ = ["write_warc", "write_wet", "read_warc", "read_warc_stream"]
 
 #: Records whose Content-Length exceeds this are skipped (a sane bound
 #: for a single crawled page; guards a parser OOM on a lying header).
@@ -222,6 +222,103 @@ def write_warc(
     # the lazy applyInPandas plan would re-execute _write_shard (and
     # rewrite every shard file) on any caller action, letting on-disk
     # bytes and the returned manifest diverge mid-read.
+    rows = manifest.collect()
+    return df.sparkSession.createDataFrame(rows, manifest.schema)
+
+
+def _wet_record_bytes(url: str, date: str, text: bytes) -> bytes:
+    """One WARC/1.0 **conversion** record (the WET convention:
+    extracted plain text published as a sidecar of the crawl).
+    ``WARC-Refers-To`` carries the md5(url) id :func:`write_warc`
+    stamps on the response record, so every WET record links back to
+    the page it was extracted from; the conversion record's own id is
+    salted so the two never collide."""
+    import hashlib
+
+    url = _header_safe(url)
+    date = _header_safe(date)
+    page_rid = hashlib.md5(url.encode("utf-8")).hexdigest()
+    rid = hashlib.md5(b"conversion:" + url.encode("utf-8")).hexdigest()
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">\r\n"
+        b"WARC-Refers-To: <urn:md5:" + page_rid.encode() + b">\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        b"WARC-Date: " + date.encode("ascii") + b"\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: " + str(len(text)).encode() + b"\r\n\r\n"
+    )
+    return head + text + b"\r\n\r\n"
+
+
+def write_wet(
+    df: DataFrame,
+    path: str,
+    url_column: str,
+    text_column: str,
+    date_column: Optional[str] = None,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Write extracted text as WET-style shards —
+    ``shard-*.warc.wet.gz`` files of WARC/1.0 **conversion** records
+    (``Content-Type: text/plain``), one gzip member per record: the
+    sidecar format real crawl pipelines publish alongside the raw
+    archives (Common Crawl's ``*.warc.wet.gz``). Read back with
+    :func:`read_warc` using ``record_types=("conversion",)`` — the
+    payload is length-framed, so text containing CR/LF or even
+    ``WARC/`` lines round-trips byte-exactly.
+
+    Same conventions as :func:`write_warc`: shard = md5(url) mod
+    ``n_shards``, URL-sorted within a shard, gzip ``mtime=0`` (shard
+    bytes identical across reruns), control characters stripped from
+    header values, stale WET shards deleted before writing, manifest
+    ``(shard, n_records, payload_bytes)`` driver-materialized. One
+    shuffle, one task streams one shard file."""
+    import pandas as pd
+
+    from ..operators.pipeline import shard_id
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    os.makedirs(path, exist_ok=True)
+    for stale in glob.glob(os.path.join(path, "shard-*.warc.wet.gz")):
+        os.remove(stale)
+    staged = df.select(
+        shard_id(F.col(url_column), n_shards).alias("shard"),
+        F.col(url_column).cast("string").alias("__url__"),
+        F.col(text_column).cast("string").alias("__text__"),
+        (
+            F.col(date_column).cast("string")
+            if date_column
+            else F.lit("1970-01-01T00:00:00Z")
+        ).alias("__date__"),
+    )
+
+    def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        os.makedirs(path, exist_ok=True)
+        shard = int(pdf["shard"].iloc[0])
+        out = os.path.join(path, f"shard-{shard:05d}.warc.wet.gz")
+        pdf = pdf.sort_values("__url__", kind="mergesort")
+        n, total = 0, 0
+        with open(out, "wb") as f:
+            for url, text, date in zip(
+                pdf["__url__"], pdf["__text__"], pdf["__date__"]
+            ):
+                if url is None or text is None:
+                    continue
+                body = text.encode("utf-8")
+                rec = _wet_record_bytes(url, date, body)
+                f.write(gzip.compress(rec, compresslevel=6, mtime=0))
+                n += 1
+                total += len(body)
+        return pd.DataFrame(
+            {"shard": [shard], "n_records": [n], "payload_bytes": [total]}
+        )
+
+    manifest = staged.groupBy("shard").applyInPandas(
+        _write_shard, "shard int, n_records long, payload_bytes long"
+    )
     rows = manifest.collect()
     return df.sparkSession.createDataFrame(rows, manifest.schema)
 
@@ -525,10 +622,11 @@ def read_warc(
         files = sorted(
             glob.glob(os.path.join(root, "*.warc.gz"))
             + glob.glob(os.path.join(root, "*.warc"))
+            + glob.glob(os.path.join(root, "*.wet.gz"))  # WET sidecars
         )
     if not files:
         raise FileNotFoundError(
-            f"no *.warc / *.warc.gz files under {path!r}"
+            f"no *.warc / *.warc.gz / *.wet.gz files under {path!r}"
         )
     _parse = _make_parser(record_types, batch_rows)
     paths_df = spark.createDataFrame(
