@@ -634,6 +634,58 @@ class TestIvfPqIndex:
         st2 = compacted.stats()
         assert st2["ids"] == 97
 
+    def test_exact_rerank_refinement(self, spark):
+        # FAISS IndexRefine shape: ADC shortlist -> exact cosine
+        # re-rank. The refined cosine must be the TRUE cosine (not the
+        # ADC estimate) and refined recall@k must dominate bare ADC.
+        df = _emb_df(spark, n=300, dim=8, seed=11)
+        vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+        queries = df.filter("vec_id < 30")
+        idx = S.build_ivfpq_index(
+            df, "embedding", "vec_id", nlist=6, m=2, nbits=3, seed=11,
+        )
+        refined = S.query_ivfpq_index(
+            idx, queries, k=3, nprobe=6, deterministic=True,
+            rerank=40, corpus=df,
+        ).collect()
+        assert all(r["rank"] <= 3 for r in refined)
+        for r in refined:  # exact cosine, not the ADC estimate
+            q, n = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+            true_cos = float(
+                np.dot(q, n) / (np.linalg.norm(q) * np.linalg.norm(n))
+            )
+            assert abs(r["cosine"] - true_cos) < 1e-9
+
+        def recall(rows):
+            got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+            hits = 0
+            for qid in range(30):
+                qv = vecs[qid]
+                sims = sorted(
+                    ((round(float(np.dot(qv, v) / (np.linalg.norm(qv)
+                        * np.linalg.norm(v))), 6), i)
+                     for i, v in vecs.items() if i != qid),
+                    key=lambda t: (-t[0], t[1]),
+                )
+                for _, nid in sims[:3]:
+                    hits += (qid, nid) in got
+            return hits / (30 * 3)
+
+        bare = S.query_ivfpq_index(
+            idx, queries, k=3, nprobe=6, deterministic=True
+        ).collect()
+        assert recall(refined) >= recall(bare)
+        assert recall(refined) >= 0.5  # useful operating point
+
+    def test_rerank_guards(self, spark):
+        df = _emb_df(spark, n=50, dim=8)
+        idx = S.build_ivfpq_index(df, "embedding", "vec_id", nlist=4,
+                                  m=2, nbits=3)
+        with pytest.raises(ValueError, match="corpus"):
+            S.query_ivfpq_index(idx, df, k=3, rerank=10)
+        with pytest.raises(ValueError, match="rerank"):
+            S.query_ivfpq_index(idx, df, k=5, rerank=3, corpus=df)
+
     def test_kind_mismatch_raises(self, spark):
         df = _emb_df(spark, n=50, dim=8)
         ivf = S.build_ivf_index(df, "embedding", "vec_id", nlist=4)

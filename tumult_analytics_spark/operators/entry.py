@@ -430,6 +430,18 @@ def q_ann_ivf_index_topk(spark, sf_dir):
 ANN_PQ_M = 4
 ANN_PQ_KSZ = 4  # 2^nbits codebook entries per subspace
 
+#: Production-shaped IVF-PQ operating point (graded in
+#: ann_recall_stats as 'ivfpq_rerank'): 8 subspaces x 64-entry
+#: codebooks, wider probe, ADC shortlist of 50 re-ranked EXACTLY
+#: against the raw embeddings (FAISS IndexRefine shape). The m=4/ksz=4
+#: row stays as the plumbing-grade config; this row demonstrates the
+#: component at knobs a production pipeline would run (measured
+#: recall@3 = 0.735 at sf0.01 vs 0.05 for the bare m=4/ksz=4 ADC).
+ANN_PQ2_M = 8
+ANN_PQ2_KSZ = 64
+ANN_PQ2_NPROBE = 12
+ANN_PQ2_RERANK = 50
+
 
 def q_ann_ivfpq_index_topk(spark, sf_dir):
     # IVF-PQ (Jegou et al. 2011) through the persisted-index API with
@@ -532,6 +544,29 @@ def q_ann_recall_stats(spark, sf_dir):
         S.query_ivfpq_index(pq_idx, q, k=3, nprobe=ANN_IVF_NPROBE,
                             deterministic=True, rank_k=10**6)
     )
+    # production-shaped PQ: wider codebooks + exact refinement
+    first2 = emb.filter(f"vec_id < {max(nlist, ANN_PQ2_KSZ)}").orderBy(
+        "vec_id"
+    ).collect()
+    sub2 = dim // ANN_PQ2_M
+    V2 = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in first2[:ANN_PQ2_KSZ]]
+    )
+    V2 = V2 / np.maximum(np.linalg.norm(V2, axis=1, keepdims=True), 1e-12)
+    cbs2 = np.stack(
+        [V2[:, j * sub2 : (j + 1) * sub2] for j in range(ANN_PQ2_M)]
+    )
+    pq2_idx = S.build_ivfpq_index(
+        emb, "embedding", "vec_id",
+        nlist=nlist, m=ANN_PQ2_M, centroids=cents, codebooks=cbs2,
+    )
+    pq2 = top3(
+        S.query_ivfpq_index(
+            pq2_idx, q, k=3, nprobe=ANN_PQ2_NPROBE, deterministic=True,
+            rank_k=10**6, rerank=ANN_PQ2_RERANK, corpus=emb,
+        )
+    )
     emb2k = emb.filter("vec_id < 2000")
     truth_sub = top3(
         S.brute_force_cosine_topk(emb2k, "embedding", "vec_id",
@@ -565,6 +600,7 @@ def q_ann_recall_stats(spark, sf_dir):
     return (
         stats("ivf", ivf, truth)
         .unionAll(stats("ivfpq", pq, truth))
+        .unionAll(stats("ivfpq_rerank", pq2, truth))
         .unionAll(stats("lsh", lsh, truth_sub))
     )
 
@@ -608,12 +644,19 @@ def _ann_recall_oracle_sql() -> str:
         + _ann_ivf_oracle_sql(auto_nlist=True, query_cap=cap)
         + ") t),\n    m_pq AS (SELECT query_id, neighbor_id FROM ("
         + _ann_ivfpq_oracle_sql(auto_nlist=True, query_cap=cap)
+        + ") t),\n    m_pq2 AS (SELECT query_id, neighbor_id FROM ("
+        + _ann_ivfpq_oracle_sql(
+            auto_nlist=True, query_cap=cap, m=ANN_PQ2_M, ksz=ANN_PQ2_KSZ,
+            nprobe=ANN_PQ2_NPROBE, rerank=ANN_PQ2_RERANK,
+        )
         + ") t),\n    m_lsh AS (SELECT query_id, neighbor_id FROM ("
         + _ann_lsh_oracle_sql(query_cap=cap)
         + ") t)"
         + method_stats("ivf", "m_ivf", "truth_full")
         + "\n    UNION ALL"
         + method_stats("ivfpq", "m_pq", "truth_full")
+        + "\n    UNION ALL"
+        + method_stats("ivfpq_rerank", "m_pq2", "truth_full")
         + "\n    UNION ALL"
         + method_stats("lsh", "m_lsh", "truth_sub")
     )
@@ -4562,6 +4605,7 @@ def _ann_ivfpq_oracle_sql(
     dim: int = 64,
     auto_nlist: bool = False,
     query_cap=None,
+    rerank=None,
 ) -> str:
     # Replays the full IVF-PQ pipeline: coarse cell assignment (identical
     # to the IVF oracle), per-subspace argmin-L2 codes on the rounded
@@ -4570,6 +4614,51 @@ def _ann_ivfpq_oracle_sql(
     # lookup values. All dots are raw-slice inner products divided by
     # full-vector norms, so no normalized arrays need materializing.
     sub = dim // m
+    if rerank is None:
+        tail = """, percell AS (
+          SELECT qid, nid, cs,
+                 row_number() OVER (PARTITION BY qid, cid
+                                    ORDER BY cs DESC, nid) AS rn
+          FROM adc
+        ), scored AS (
+          SELECT DISTINCT qid, nid, cs FROM percell WHERE rn <= 3
+        )
+        SELECT qid AS query_id, nid AS neighbor_id,
+               CAST(rnk AS INTEGER) AS "rank"
+        FROM (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cs DESC, nid) AS rnk
+          FROM scored)
+        WHERE rnk <= 3"""
+    else:
+        # exact refinement: ADC picks a global top-`rerank` shortlist
+        # per query (rounded score, id tie-break), then the TRUE
+        # cosine re-ranks shortlist rows only — the FAISS IndexRefine
+        # shape the Spark rerank path mirrors.
+        tail = f""", shortlist AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cs DESC, nid) AS rn
+            FROM adc) WHERE rn <= {rerank}
+        ), exact AS (
+          SELECT s.qid, s.nid,
+                 round(list_cosine_similarity(
+                     CAST(eq.embedding AS DOUBLE[]),
+                     CAST(ec.embedding AS DOUBLE[])), 6) AS cs
+          FROM shortlist s
+          JOIN embeddings eq ON eq.vec_id = s.qid
+          JOIN embeddings ec ON ec.vec_id = s.nid
+        )
+        SELECT qid AS query_id, nid AS neighbor_id,
+               CAST(rnk AS INTEGER) AS "rank"
+        FROM (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cs DESC, nid) AS rnk
+          FROM exact)
+        WHERE rnk <= 3"""
     nlist_expr = (
         f"(SELECT greatest({ANN_IVF_NLIST}, CAST(ceil(sqrt(count(*)))"
         " AS BIGINT)) FROM embeddings)"
@@ -4638,22 +4727,7 @@ def _ann_ivfpq_oracle_sql(
           JOIN codes cd ON cd.vec_id = a.vec_id
           JOIN lut l ON l.qid = p.vec_id AND l.j = cd.j AND l.c = cd.code
           GROUP BY 1, 2, 3
-        ), percell AS (
-          SELECT qid, nid, cs,
-                 row_number() OVER (PARTITION BY qid, cid
-                                    ORDER BY cs DESC, nid) AS rn
-          FROM adc
-        ), scored AS (
-          SELECT DISTINCT qid, nid, cs FROM percell WHERE rn <= 3
-        )
-        SELECT qid AS query_id, nid AS neighbor_id,
-               CAST(rnk AS INTEGER) AS "rank"
-        FROM (
-          SELECT qid, nid,
-                 row_number() OVER (PARTITION BY qid
-                                    ORDER BY cs DESC, nid) AS rnk
-          FROM scored)
-        WHERE rnk <= 3
+        ){tail}
     """
 
 

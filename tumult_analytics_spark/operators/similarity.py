@@ -1397,6 +1397,8 @@ def query_ivfpq_index(
     nprobe: int = 4,
     deterministic: bool = False,
     rank_k=None,
+    rerank: "Optional[int]" = None,
+    corpus: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Top-k ADC search against a prebuilt IVF-PQ index: assign only the
     QUERY rows to their ``nprobe`` nearest cells (broadcast centroids),
@@ -1404,11 +1406,28 @@ def query_ivfpq_index(
     tables, rank. The returned ``cosine`` column is the ADC estimate
     ``q-hat . reconstruction(codes)`` of the true cosine (exact rank
     cross-checks live in tests; the estimate's bias is the quantization
-    error of the codebooks)."""
+    error of the codebooks).
+
+    ``rerank`` (with ``corpus``): EXACT REFINEMENT — the production
+    IVF-PQ shape (FAISS ``IndexRefine``): ADC selects a per-query
+    shortlist of ``rerank`` candidates (rounded-6 score, id tie-break,
+    so the cut is engine-replayable), then the true cosine is computed
+    against the raw ``corpus`` embeddings for shortlist rows only and
+    the top-``k`` is exact within the shortlist. Cost: the ADC scan
+    stays code-table-sized; the refinement touches O(|queries| x
+    rerank) corpus rows via one join (AQE broadcasts the shortlist
+    side when small). ``cosine`` is then the TRUE cosine. This is what
+    makes PQ useful at production scale: codes shrink the scan 32-64x,
+    exactness comes back at the end for a shortlist-sized price."""
     import numpy as np
 
     if index.kind != "ivfpq":
         raise ValueError(f"expected an ivfpq index, got {index.kind!r}")
+    if rerank is not None:
+        if corpus is None:
+            raise ValueError("rerank requires the corpus DataFrame")
+        if rerank < k:
+            raise ValueError("rerank must be >= k")
     p = index.params
     id_column = p["id_column"]
     sc = queries.sparkSession.sparkContext
@@ -1422,7 +1441,8 @@ def query_ivfpq_index(
         nprobe,
     )
     id_field = queries.schema[id_column]
-    fn = _pq_block_topk_fn(id_column, k, bc_CB, deterministic)
+    adc_k = k if rerank is None else rerank
+    fn = _pq_block_topk_fn(id_column, adc_k, bc_CB, deterministic)
     cand = (
         probes.groupBy("__cell__")
         .cogroup(index.df.groupBy("__cell__"))
@@ -1432,4 +1452,59 @@ def query_ivfpq_index(
     # ONE cell and a query's probed cells are distinct, so each pair is
     # produced at most once — unlike the multi-table LSH paths, which
     # must merge per-table candidates with a max-cosine groupBy.
-    return _rank_topk(cand, k, rank_k)
+    if rerank is None:
+        return _rank_topk(cand, k, rank_k)
+    # ---- exact refinement ---------------------------------------------
+    # Shortlist cut on ROUNDED ADC (6 dp) + id tie-break: raw-double
+    # ordering at the rerank boundary would not replay across engines.
+    wcut = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("__r__", F.row_number().over(wcut))
+        .filter(F.col("__r__") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    ecol = p["embedding_column"]
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    nvec = F.col(ecol).cast("array<double>")
+    sides = corpus.select(
+        F.col(id_column).alias("__sid__"),
+        nvec.alias("__v__"),
+        F.sqrt(_dot(nvec, nvec)).alias("__n__"),
+    )
+    qsides = queries.select(
+        F.col(id_column).alias("__sid__"),
+        nvec.alias("__v__"),
+        F.sqrt(_dot(nvec, nvec)).alias("__n__"),
+    )
+    exact = (
+        shortlist.join(
+            qsides.withColumnRenamed("__sid__", "query_id")
+            .withColumnRenamed("__v__", "__qv__")
+            .withColumnRenamed("__n__", "__qn__"),
+            "query_id",
+        )
+        .join(
+            sides.withColumnRenamed("__sid__", "neighbor_id")
+            .withColumnRenamed("__v__", "__cv__")
+            .withColumnRenamed("__n__", "__cn__"),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__"))
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(exact, k, rank_k)
