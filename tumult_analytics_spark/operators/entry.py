@@ -1686,8 +1686,20 @@ def q_pipeline_provenance_stats(spark, sf_dir):
     # double-counts at stage 2) and how many survive after each. The
     # oracle replays the bitmask with integer CASE arithmetic.
     from . import provenance as PR
+    from ..utils import spread_rows
 
-    docs = _read(spark, sf_dir, "documents")
+    # Round-8 found-and-fixed: the extraction chain (~160 us/doc of
+    # regexp codegen) runs at FILE-SPLIT parallelism — a compressed
+    # one-file (sf10) or 10-file (sf100) documents corpus serializes
+    # 5M extractions onto a handful of cores, and THAT, not the dedup
+    # window, was this key's sf100 cost (window slimmed in round 8;
+    # measured decomposition in SF1.md). One cheap row spread before
+    # the heavy projection; no-op when the scan already has >= cores
+    # splits, as any real 100 TB corpus does.
+    docs = spread_rows(
+        _read(spark, sf_dir, "documents"),
+        min_files=spark.sparkContext.defaultParallelism,
+    )
     esc = F.replace(
         F.replace(
             F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
