@@ -992,7 +992,14 @@ def q_dsir_selection(spark, sf_dir):
     # (including the Gumbel draw, derived from the md5-uniform of
     # doc_id) replays in SQL; scores are rounded to 6 before ranking so
     # 1-ulp libm differences between engines cannot flip the order.
-    docs = _read(spark, sf_dir, "documents")
+    from ..utils import spread_rows
+
+    # Guarded row spread (round-8 found-and-fixed #4): the tokenize/
+    # explode stage otherwise inherits file-split parallelism.
+    docs = spread_rows(
+        _read(spark, sf_dir, "documents"),
+        min_files=spark.sparkContext.defaultParallelism,
+    )
     corpus = docs.filter("doc_id % 3 != 0")
     target = docs.filter("doc_id % 3 = 0")
     sel = P.dsir_resample(
@@ -1609,7 +1616,14 @@ def q_script_profile_stats(spark, sf_dir):
     # doc_id residue — the CJK injection (400 chars) outweighs the
     # Latin body, so the argmax column is value-graded too, not just
     # the counts.
-    docs = _read(spark, sf_dir, "documents")
+    from ..utils import spread_rows
+
+    # Guarded row spread (round-8 found-and-fixed #4): regexp counting
+    # over the full corpus otherwise runs at file-split parallelism.
+    docs = spread_rows(
+        _read(spark, sf_dir, "documents"),
+        min_files=spark.sparkContext.defaultParallelism,
+    )
     injected = docs.withColumn(
         "text2",
         F.concat(
@@ -1640,8 +1654,17 @@ def q_crawl_prep_stats(spark, sf_dir):
     # gate -> exact dedup -> per-lang totals. One oracle replays the
     # whole chain, proving the operators compose, not just run alone.
     from . import dedup as D
+    from ..utils import spread_rows
 
-    docs = _read(spark, sf_dir, "documents")
+    # Guarded row spread (round-8 found-and-fixed #4, see
+    # q_pipeline_provenance_stats): the heavy per-row chain below
+    # otherwise runs at file-split parallelism — 1 core at sf10's
+    # one-file corpus, 10 at sf100 — which also masqueraded as a
+    # flattering sub-linear decade slope. No-op at real file counts.
+    docs = spread_rows(
+        _read(spark, sf_dir, "documents"),
+        min_files=spark.sparkContext.defaultParallelism,
+    )
     esc = F.replace(
         F.replace(
             F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
@@ -1663,17 +1686,33 @@ def q_crawl_prep_stats(spark, sf_dir):
         ),
     )
     extracted = X.html_extract(docs.withColumn("html", page), "html", "t")
-    cleaned = X.c4_line_filter(extracted, "t", "t_clean")
-    gated = X.token_count(cleaned, "t_clean", "nt").filter(
-        F.col("nt") >= 50
-    )
-    deduped = D.dedup_exact(gated, ["lang", "t_clean"])
-    return deduped.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length("t_clean")).alias("sum_clean_chars"),
-        F.sum("nt").cast("long").alias("sum_tokens"),
-        F.sum("n_kept_lines").cast("long").alias("sum_kept_lines"),
-    )
+    # Round-8 found-and-fixed #5: downstream token_count + gate +
+    # dedup-key references to the derived t_clean column each get the
+    # FULL extract+line-filter expression chain re-inlined by Catalyst
+    # (predicate pushdown substitutes through projections; HOF lambdas
+    # defeat subexpression elimination), so the chain evaluated ~10x
+    # per row — 87.6 s at sf10 where one evaluation costs 9.1 s. A
+    # persist() barrier materializes t_clean ONCE; a repartition
+    # barrier does NOT work (the gate pushes below the exchange and
+    # re-inlines — measured 92 s). Numbers in SF1.md §round-8.
+    cleaned = X.c4_line_filter(extracted, "t", "t_clean").select(
+        "lang", "t_clean", "n_kept_lines"
+    ).persist()
+    try:
+        gated = X.token_count(cleaned, "t_clean", "nt").filter(
+            F.col("nt") >= 50
+        )
+        deduped = D.dedup_exact(gated, ["lang", "t_clean"])
+        out = deduped.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("t_clean")).alias("sum_clean_chars"),
+            F.sum("nt").cast("long").alias("sum_tokens"),
+            F.sum("n_kept_lines").cast("long").alias("sum_kept_lines"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        cleaned.unpersist()
+    return out
 
 
 def q_pipeline_provenance_stats(spark, sf_dir):
@@ -3434,7 +3473,15 @@ def q_streaming_html_ingest(spark, sf_dir):
     )
     name = f"tas_stream_html_{uuid.uuid4().hex[:8]}"
     schema = _read(spark, sf_dir, "documents").schema
-    stream = spark.readStream.schema(schema).parquet(stage)
+    # Round-8 found-and-fixed #4 (streaming face): the staged corpus is
+    # ONE parquet file, so every micro-batch's extraction chain ran in
+    # one task. Round-robin the raw rows across cores per micro-batch
+    # (same cure as read_warc_stream's manifest spread).
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     esc = F.replace(
         F.replace(
             F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
@@ -3458,11 +3505,20 @@ def q_streaming_html_ingest(spark, sf_dir):
         stream.withColumn("html", page), "html", "t"
     )
     # Quality gate on the EXTRACTED text (the stage-0 contract: junk
-    # markup must not count toward the token threshold).
-    gated = X.token_count(extracted, "t", "nt").filter(F.col("nt") >= 50)
-    agg = gated.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length("t")).alias("sum_extracted_chars"),
+    # markup must not count toward the token threshold). The gate is a
+    # CONDITIONAL AGGREGATE, not a Filter node: a filter on the
+    # derived nt gets predicate-pushed below the row-spread exchange,
+    # where it re-inlines the whole extraction chain into the
+    # single-task pre-shuffle stage (measured: 71 s vs 9 s at sf10 —
+    # the round-8 #5 expression-duplication hazard, streaming face,
+    # where persist() is not available).
+    with_nt = X.token_count(extracted, "t", "nt")
+    keep = F.col("nt") >= 50
+    agg = with_nt.groupBy("lang").agg(
+        F.sum(keep.cast("long")).alias("n_docs"),
+        F.sum(
+            F.when(keep, F.length("t")).otherwise(F.lit(0))
+        ).alias("sum_extracted_chars"),
     )
     q = (
         agg.writeStream.format("memory")
