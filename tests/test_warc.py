@@ -618,6 +618,142 @@ class TestWetSink:
         assert n == 1
 
 
+class TestWatSink:
+    def test_wat_round_trip_and_parse(self, spark, tmp_path):
+        import hashlib
+
+        rows = [
+            ("http://x/a", '{"title":"A","score":1}'),
+            ("http://x/b", '{"title":"B \\"quoted\\"","score":2}'),
+        ]
+        df = spark.createDataFrame(rows, "url string, j string")
+        path = str(tmp_path / "wat")
+        m = W.write_wat(df, path, "url", "j", n_shards=1)
+        assert sum(r["n_records"] for r in m.collect()) == 2
+        assert glob.glob(path + "/shard-*.warc.wat.gz")
+        got = {
+            r["url"]: r
+            for r in W.read_warc(
+                spark, path, record_types=("metadata",)
+            ).collect()
+        }
+        for url, j in rows:
+            r = got[url]
+            assert r["html"] == j and r["warc_type"] == "metadata"
+            rid = hashlib.md5(f"metadata:{url}".encode()).hexdigest()
+            assert r["record_id"] == f"<urn:md5:{rid}>"
+        # parse side: the JSON survives intact through the round trip
+        parsed = (
+            W.read_warc(spark, path, record_types=("metadata",))
+            .select(F.get_json_object("html", "$.title").alias("t"))
+            .collect()
+        )
+        assert sorted(r["t"] for r in parsed) == ["A", 'B "quoted"']
+
+    def test_wat_excluded_by_default(self, spark, tmp_path):
+        df = spark.createDataFrame([("http://x/a", "{}")], "url string, j string")
+        path = str(tmp_path / "watonly")
+        W.write_wat(df, path, "url", "j", n_shards=1)
+        assert W.read_warc(spark, path).count() == 0
+
+
+class TestCommonCrawlShape:
+    """A torture archive shaped like real Common Crawl files:
+    warcinfo + request + response + metadata records interleaved per
+    page, a 301 redirect with an empty body, chunked+gzip stored
+    responses, and a charset-declared body — the default read must
+    yield exactly the responses with correctly decoded bodies, and
+    record_types must slice out every other type."""
+
+    def _build(self):
+        def rec(wtype, url, ctype, payload: bytes) -> bytes:
+            head = (
+                b"WARC/1.0\r\nWARC-Type: " + wtype + b"\r\n"
+                + (b"WARC-Target-URI: " + url + b"\r\n" if url else b"")
+                + b"Content-Type: " + ctype + b"\r\n"
+                b"Content-Length: " + str(len(payload)).encode()
+                + b"\r\n\r\n" + payload + b"\r\n\r\n"
+            )
+            return head
+
+        info = rec(b"warcinfo", b"", b"application/warc-fields",
+                   b"software: test\nformat: WARC/1.0\n")
+        req = rec(
+            b"request", b"http://cc.test/page1",
+            b"application/http; msgtype=request",
+            b"GET /page1 HTTP/1.1\r\nHost: cc.test\r\n\r\n",
+        )
+        body1 = gzip.compress("<p>página uno</p>".encode(), 6, mtime=0)
+        resp1 = rec(
+            b"response", b"http://cc.test/page1",
+            b"application/http; msgtype=response",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Content-Encoding: gzip\r\n"
+            b"Content-Length: " + str(len(body1)).encode() + b"\r\n\r\n"
+            + body1,
+        )
+        meta1 = rec(b"metadata", b"http://cc.test/page1",
+                    b"application/json", b'{"fetch_ms":12}')
+        # 301 redirect, empty body, Location header only
+        resp2 = rec(
+            b"response", b"http://cc.test/old",
+            b"application/http; msgtype=response",
+            b"HTTP/1.1 301 Moved Permanently\r\n"
+            b"Location: http://cc.test/new\r\nContent-Length: 0\r\n\r\n",
+        )
+        # chunked latin-1 response
+        cbody = "café".encode("latin-1")
+        chunked = ("%x" % len(cbody)).encode() + b"\r\n" + cbody + b"\r\n0\r\n\r\n"
+        resp3 = rec(
+            b"response", b"http://cc.test/l1",
+            b"application/http; msgtype=response",
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=ISO-8859-1\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunked,
+        )
+        return b"".join(
+            gzip.compress(r, 6, mtime=0)
+            for r in (info, req, resp1, meta1, resp2, resp3)
+        )
+
+    def test_responses_only_by_default(self, spark, tmp_path):
+        p = str(tmp_path / "cc")
+        os.makedirs(p)
+        with open(os.path.join(p, "cc.warc.gz"), "wb") as fh:
+            fh.write(self._build())
+        got = {r["url"]: r for r in W.read_warc(spark, p).collect()}
+        assert set(got) == {
+            "http://cc.test/page1", "http://cc.test/old",
+            "http://cc.test/l1",
+        }
+        assert got["http://cc.test/page1"]["html"] == "<p>página uno</p>"
+        assert got["http://cc.test/page1"]["http_status"] == 200
+        assert got["http://cc.test/old"]["http_status"] == 301
+        assert got["http://cc.test/old"]["html"] == ""
+        assert got["http://cc.test/l1"]["html"] == "café"
+
+    def test_type_slicing(self, spark, tmp_path):
+        p = str(tmp_path / "cc2")
+        os.makedirs(p)
+        with open(os.path.join(p, "cc.warc.gz"), "wb") as fh:
+            fh.write(self._build())
+        all_types = W.read_warc(
+            spark, p,
+            record_types=("warcinfo", "request", "response", "metadata"),
+        )
+        counts = {
+            r["warc_type"]: r["n"]
+            for r in all_types.groupBy("warc_type")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert counts == {
+            "warcinfo": 1, "request": 1, "response": 3, "metadata": 1
+        }
+        req = all_types.filter("warc_type = 'request'").collect()[0]
+        # request payloads are not http RESPONSES: body passes through
+        assert req["html"].startswith("GET /page1")
+
+
 class TestStage0Integration:
     def test_feeds_html_extract(self, spark, pages, tmp_path):
         from tumult_analytics_spark.operators import text as X

@@ -1322,6 +1322,62 @@ def q_wet_roundtrip_stats(spark, sf_dir):
     )
 
 
+def q_wat_roundtrip_stats(spark, sf_dir):
+    # WAT sidecar round trip — the third member of the crawl triple
+    # (WARC raw / WAT metadata / WET text): per-page metadata JSON
+    # written as WARC/1.0 metadata records (shard-*.warc.wat.gz),
+    # read back, and PARSED — the grade covers the publish side (the
+    # record-id/refers-to conventions, byte counts) AND the consume
+    # side (get_json_object field extraction on the fetched payload).
+    # The JSON is built by explicit concat of escaping-free fields
+    # (url/lang/ints/md5) so DuckDB replays the bytes exactly.
+    # Sources: `sources/warc.py` write_wat/read_warc.
+    import tempfile
+
+    from ..sources import warc as WRC
+
+    docs = _read(spark, sf_dir, "documents").filter("doc_id % 4 = 2")
+    staged = docs.select(
+        F.concat(
+            F.lit("http://crawl.test/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('{"url":"http://crawl.test/'),
+            F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+            F.lit('","lang":"'), F.col("lang"),
+            F.lit('","n_chars":'), F.length("text").cast("string"),
+            F.lit(',"fp":"'), F.md5(F.col("text")),
+            F.lit('"}'),
+        ).alias("meta_json"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_wat_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    WRC.write_wat(
+        staged, path, "url", "meta_json",
+        n_shards=P.derive_n_shards(docs.count()),
+    )
+    got = WRC.read_warc(spark, path, record_types=("metadata",))
+    return got.select(
+        F.regexp_extract("url", r"/([a-z]+)/(\d+)$", 2)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        "record_id",
+        F.col("payload_bytes").cast("long").alias("payload_bytes"),
+        F.get_json_object("html", "$.lang").alias("lang"),
+        F.get_json_object("html", "$.n_chars")
+        .cast("long")
+        .alias("n_chars"),
+        F.get_json_object("html", "$.fp").alias("fp"),
+        (F.get_json_object("html", "$.url") == F.col("url"))
+        .alias("url_consistent"),
+    )
+
+
 def q_crawl_funnel_stats(spark, sf_dir):
     # THE first-byte-to-funnel story, every round-7 piece composed:
     # pages (some stamped <meta name="robots" content="noindex">) are
@@ -5953,6 +6009,7 @@ QUERIES = {
     "warc_ingest_stats": q_warc_ingest_stats,
     "warc_http_framing_stats": q_warc_http_framing_stats,
     "wet_roundtrip_stats": q_wet_roundtrip_stats,
+    "wat_roundtrip_stats": q_wat_roundtrip_stats,
     "streaming_warc_ingest": q_streaming_warc_ingest,
     "crawl_funnel_stats": q_crawl_funnel_stats,
     "c4_line_filter_stats": q_c4_line_filter_stats,
@@ -7699,6 +7756,32 @@ ORACLES["wet_roundtrip_stats"] = r"""
            CAST(length(text) AS INTEGER) AS n_chars,
            md5(text) AS fp
     FROM d
+"""
+
+ORACLES["wat_roundtrip_stats"] = r"""
+    WITH d AS (
+      SELECT doc_id, lang, text,
+             'http://crawl.test/' || lang || '/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id % 4 = 2
+    ),
+    j AS (
+      SELECT doc_id, lang, url, length(text) AS n_chars, md5(text) AS fp,
+             '{"url":"' || url || '","lang":"' || lang
+               || '","n_chars":' || CAST(length(text) AS VARCHAR)
+               || ',"fp":"' || md5(text) || '"}' AS meta_json
+      FROM d
+    )
+    SELECT doc_id,
+           'metadata' AS warc_type,
+           '<urn:md5:' || md5('metadata:' || url) || '>' AS record_id,
+           CAST(octet_length(encode(meta_json)) AS BIGINT)
+             AS payload_bytes,
+           lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           fp,
+           TRUE AS url_consistent
+    FROM j
 """
 
 ORACLES["crawl_funnel_stats"] = r"""

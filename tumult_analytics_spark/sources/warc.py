@@ -38,7 +38,10 @@ from typing import Iterable, Iterator, Optional, Tuple
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_warc", "write_wet", "read_warc", "read_warc_stream"]
+__all__ = [
+    "write_warc", "write_wet", "write_wat", "read_warc",
+    "read_warc_stream",
+]
 
 #: Records whose Content-Length exceeds this are skipped (a sane bound
 #: for a single crawled page; guards a parser OOM on a lying header).
@@ -226,30 +229,99 @@ def write_warc(
     return df.sparkSession.createDataFrame(rows, manifest.schema)
 
 
-def _wet_record_bytes(url: str, date: str, text: bytes) -> bytes:
-    """One WARC/1.0 **conversion** record (the WET convention:
-    extracted plain text published as a sidecar of the crawl).
-    ``WARC-Refers-To`` carries the md5(url) id :func:`write_warc`
-    stamps on the response record, so every WET record links back to
-    the page it was extracted from; the conversion record's own id is
-    salted so the two never collide."""
+def _sidecar_record_bytes(
+    url: str, date: str, body: bytes, warc_type: str, content_type: str
+) -> bytes:
+    """One WARC/1.0 sidecar record (WET ``conversion`` text, WAT
+    ``metadata`` JSON). ``WARC-Refers-To`` carries the md5(url) id
+    :func:`write_warc` stamps on the response record, so every
+    sidecar record links back to the page it derives from; the
+    sidecar's own id is salted with its record type so the ids never
+    collide."""
     import hashlib
 
     url = _header_safe(url)
     date = _header_safe(date)
     page_rid = hashlib.md5(url.encode("utf-8")).hexdigest()
-    rid = hashlib.md5(b"conversion:" + url.encode("utf-8")).hexdigest()
+    rid = hashlib.md5(
+        warc_type.encode("ascii") + b":" + url.encode("utf-8")
+    ).hexdigest()
     head = (
         b"WARC/1.0\r\n"
-        b"WARC-Type: conversion\r\n"
+        b"WARC-Type: " + warc_type.encode("ascii") + b"\r\n"
         b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">\r\n"
         b"WARC-Refers-To: <urn:md5:" + page_rid.encode() + b">\r\n"
         b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
         b"WARC-Date: " + date.encode("ascii") + b"\r\n"
-        b"Content-Type: text/plain\r\n"
-        b"Content-Length: " + str(len(text)).encode() + b"\r\n\r\n"
+        b"Content-Type: " + content_type.encode("ascii") + b"\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
     )
-    return head + text + b"\r\n\r\n"
+    return head + body + b"\r\n\r\n"
+
+
+def _write_sidecar(
+    df: DataFrame,
+    path: str,
+    url_column: str,
+    payload_column: str,
+    date_column: Optional[str],
+    n_shards: int,
+    warc_type: str,
+    content_type: str,
+    ext: str,
+) -> DataFrame:
+    """Shared sharded sidecar writer (WET/WAT): md5(url) sharding,
+    URL-sorted deterministic bytes, one gzip member per record, stale
+    shard cleanup, driver-materialized manifest — the write_warc
+    conventions applied to derived-record sinks."""
+    import pandas as pd
+
+    from ..operators.pipeline import shard_id
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    os.makedirs(path, exist_ok=True)
+    for stale in glob.glob(os.path.join(path, f"shard-*.{ext}")):
+        os.remove(stale)
+    staged = df.select(
+        shard_id(F.col(url_column), n_shards).alias("shard"),
+        F.col(url_column).cast("string").alias("__url__"),
+        F.col(payload_column).cast("string").alias("__body__"),
+        (
+            F.col(date_column).cast("string")
+            if date_column
+            else F.lit("1970-01-01T00:00:00Z")
+        ).alias("__date__"),
+    )
+
+    def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        os.makedirs(path, exist_ok=True)
+        shard = int(pdf["shard"].iloc[0])
+        out = os.path.join(path, f"shard-{shard:05d}.{ext}")
+        pdf = pdf.sort_values("__url__", kind="mergesort")
+        n, total = 0, 0
+        with open(out, "wb") as f:
+            for url, text, date in zip(
+                pdf["__url__"], pdf["__body__"], pdf["__date__"]
+            ):
+                if url is None or text is None:
+                    continue
+                body = text.encode("utf-8")
+                rec = _sidecar_record_bytes(
+                    url, date, body, warc_type, content_type
+                )
+                f.write(gzip.compress(rec, compresslevel=6, mtime=0))
+                n += 1
+                total += len(body)
+        return pd.DataFrame(
+            {"shard": [shard], "n_records": [n], "payload_bytes": [total]}
+        )
+
+    manifest = staged.groupBy("shard").applyInPandas(
+        _write_shard, "shard int, n_records long, payload_bytes long"
+    )
+    rows = manifest.collect()
+    return df.sparkSession.createDataFrame(rows, manifest.schema)
 
 
 def write_wet(
@@ -275,52 +347,34 @@ def write_wet(
     header values, stale WET shards deleted before writing, manifest
     ``(shard, n_records, payload_bytes)`` driver-materialized. One
     shuffle, one task streams one shard file."""
-    import pandas as pd
-
-    from ..operators.pipeline import shard_id
-
-    if n_shards < 1:
-        raise ValueError("n_shards must be >= 1")
-    os.makedirs(path, exist_ok=True)
-    for stale in glob.glob(os.path.join(path, "shard-*.warc.wet.gz")):
-        os.remove(stale)
-    staged = df.select(
-        shard_id(F.col(url_column), n_shards).alias("shard"),
-        F.col(url_column).cast("string").alias("__url__"),
-        F.col(text_column).cast("string").alias("__text__"),
-        (
-            F.col(date_column).cast("string")
-            if date_column
-            else F.lit("1970-01-01T00:00:00Z")
-        ).alias("__date__"),
+    return _write_sidecar(
+        df, path, url_column, text_column, date_column, n_shards,
+        "conversion", "text/plain", "warc.wet.gz",
     )
 
-    def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        os.makedirs(path, exist_ok=True)
-        shard = int(pdf["shard"].iloc[0])
-        out = os.path.join(path, f"shard-{shard:05d}.warc.wet.gz")
-        pdf = pdf.sort_values("__url__", kind="mergesort")
-        n, total = 0, 0
-        with open(out, "wb") as f:
-            for url, text, date in zip(
-                pdf["__url__"], pdf["__text__"], pdf["__date__"]
-            ):
-                if url is None or text is None:
-                    continue
-                body = text.encode("utf-8")
-                rec = _wet_record_bytes(url, date, body)
-                f.write(gzip.compress(rec, compresslevel=6, mtime=0))
-                n += 1
-                total += len(body)
-        return pd.DataFrame(
-            {"shard": [shard], "n_records": [n], "payload_bytes": [total]}
-        )
 
-    manifest = staged.groupBy("shard").applyInPandas(
-        _write_shard, "shard int, n_records long, payload_bytes long"
+def write_wat(
+    df: DataFrame,
+    path: str,
+    url_column: str,
+    json_column: str,
+    date_column: Optional[str] = None,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Write per-page metadata as WAT-style shards —
+    ``shard-*.warc.wat.gz`` files of WARC/1.0 **metadata** records
+    (``Content-Type: application/json``), the third member of the
+    crawl sidecar triple (WARC raw / WAT metadata / WET text) real
+    pipelines publish. ``json_column`` is the caller's serialized
+    JSON (e.g. from ``F.to_json(F.struct(...))`` or an explicit
+    concat when byte-exact cross-engine replay matters). Read back
+    with :func:`read_warc` using ``record_types=("metadata",)`` and
+    parse with ``get_json_object``. Same determinism/hygiene
+    conventions as :func:`write_wet`."""
+    return _write_sidecar(
+        df, path, url_column, json_column, date_column, n_shards,
+        "metadata", "application/json", "warc.wat.gz",
     )
-    rows = manifest.collect()
-    return df.sparkSession.createDataFrame(rows, manifest.schema)
 
 
 def _iter_warc_records(
@@ -544,7 +598,14 @@ def _make_parser(record_types: Iterable[str], batch_rows: int):
                             if wtype not in wanted:
                                 continue
                             ctype = headers.get("content-type", "")
-                            if ctype.startswith("application/http"):
+                            # HTTP-RESPONSE parse only for response
+                            # payloads: request records (msgtype=
+                            # request) carry "GET ... HTTP/1.1" heads
+                            # that a response parse would misread as a
+                            # headerless body — pass them through raw.
+                            if ctype.startswith("application/http") and (
+                                "msgtype=request" not in ctype
+                            ):
                                 parsed = _parse_http(payload)
                                 if parsed is None:
                                     continue  # framing lied: skip record
@@ -623,6 +684,7 @@ def read_warc(
             glob.glob(os.path.join(root, "*.warc.gz"))
             + glob.glob(os.path.join(root, "*.warc"))
             + glob.glob(os.path.join(root, "*.wet.gz"))  # WET sidecars
+            + glob.glob(os.path.join(root, "*.wat.gz"))  # WAT sidecars
         )
     if not files:
         raise FileNotFoundError(
