@@ -1378,6 +1378,69 @@ def q_wat_roundtrip_stats(spark, sf_dir):
     )
 
 
+def q_robots_gate_stats(spark, sf_dir):
+    # robots.txt politeness gate (operators/robots.py): synthesize one
+    # robots.txt per domain — the 'en' domain has a blanket
+    # `Disallow: /` for * PLUS an exact 'trainbot' group (so the gate
+    # must IGNORE the * group for the named agent, RFC 9309 group
+    # selection); every other domain exercises longest-prefix-match
+    # with the allow-beats-disallow tie-break (/private disallowed,
+    # /private/ok re-allowed). URLs fan out over five path buckets per
+    # doc. The oracle does NOT mirror the implementation: it states
+    # the expected allow/deny truth table per (domain-class, bucket)
+    # from the RFC semantics directly, so parser and gate are graded
+    # against an independent reading of the spec. Full parser
+    # semantics (groups, comments, CRLF, empty Disallow, agent
+    # case-insensitivity) are unit-locked in tests/test_robots.py.
+    from . import robots as RB
+
+    docs = _read(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 5).alias("bucket")
+    path = F.concat(
+        F.element_at(
+            F.array(
+                F.lit("/public/"), F.lit("/private/"),
+                F.lit("/private/ok/"), F.lit("/no-train/"), F.lit("/"),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ),
+        F.col("doc_id").cast("string"),
+    )
+    urls = docs.select(
+        "lang",
+        bucket,
+        F.concat(F.col("lang"), F.lit(".example")).alias("domain"),
+        path.alias("path"),
+    )
+    robots_df = urls.select("domain").distinct().withColumn(
+        "robots",
+        F.when(
+            F.col("domain") == "en.example",
+            F.lit(
+                "User-agent: *\nDisallow: /\n\n"
+                "User-agent: trainbot\nDisallow: /no-train\n"
+            ),
+        ).otherwise(
+            F.lit(
+                "User-agent: *\nDisallow: /private\n"
+                "Allow: /private/ok\n"
+            )
+        ),
+    )
+    rules = RB.parse_robots(robots_df, "domain", "robots")
+    gated = RB.robots_gate(
+        urls, rules, "domain", "path", user_agent="trainbot"
+    )
+    return gated.groupBy("lang", "bucket", "crawl_allowed").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "lang",
+        F.col("bucket").cast("long").alias("bucket"),
+        "crawl_allowed",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_crawl_funnel_stats(spark, sf_dir):
     # THE first-byte-to-funnel story, every round-7 piece composed:
     # pages (some stamped <meta name="robots" content="noindex">) are
@@ -6010,6 +6073,7 @@ QUERIES = {
     "warc_http_framing_stats": q_warc_http_framing_stats,
     "wet_roundtrip_stats": q_wet_roundtrip_stats,
     "wat_roundtrip_stats": q_wat_roundtrip_stats,
+    "robots_gate_stats": q_robots_gate_stats,
     "streaming_warc_ingest": q_streaming_warc_ingest,
     "crawl_funnel_stats": q_crawl_funnel_stats,
     "c4_line_filter_stats": q_c4_line_filter_stats,
@@ -7782,6 +7846,28 @@ ORACLES["wat_roundtrip_stats"] = r"""
            fp,
            TRUE AS url_consistent
     FROM j
+"""
+
+ORACLES["robots_gate_stats"] = r"""
+    -- Independent truth table from the RFC 9309 semantics (NOT a
+    -- replay of the parser): for agent 'trainbot', the en domain has
+    -- an exact group (Disallow: /no-train) that SUPERSEDES its
+    -- blanket * Disallow: / -> only bucket 3 denied; every other
+    -- domain is governed by its * group (Disallow: /private,
+    -- Allow: /private/ok) -> bucket 1 denied, bucket 2 re-allowed by
+    -- the longer prefix.
+    WITH d AS (
+      SELECT lang, doc_id % 5 AS bucket FROM documents
+    ),
+    v AS (
+      SELECT lang, bucket,
+             CASE WHEN lang = 'en' THEN bucket <> 3
+                  ELSE bucket <> 1 END AS crawl_allowed
+      FROM d
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket, crawl_allowed,
+           CAST(count(*) AS BIGINT) AS n
+    FROM v GROUP BY 1, 2, 3
 """
 
 ORACLES["crawl_funnel_stats"] = r"""
