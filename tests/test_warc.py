@@ -618,6 +618,51 @@ class TestWetSink:
         assert n == 1
 
 
+class TestStreamingWetPublish:
+    def test_foreachbatch_publish_spans_batches(self, spark, tmp_path):
+        # two staged files + maxFilesPerTrigger=1 -> two micro-batches,
+        # each publishing its own WET batch directory; the recursive
+        # reader must recover the full record set exactly once.
+        df = spark.createDataFrame(
+            [(f"http://x/{i}", f"doc {i} text") for i in range(8)],
+            "url string, text string",
+        )
+        stage = str(tmp_path / "stage")
+        df.repartition(2).write.parquet(stage)
+        pub = str(tmp_path / "pub")
+        stream = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stage)
+
+        def publish(bdf, bid):
+            W.write_wet(
+                bdf, os.path.join(pub, f"batch-{bid:05d}"),
+                "url", "text", n_shards=2,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        batch_dirs = glob.glob(pub + "/batch-*")
+        assert len(batch_dirs) >= 2  # genuinely cross-batch
+        got = {
+            (r["url"], r["html"])
+            for r in W.read_warc(
+                spark, pub, record_types=("conversion",), recursive=True
+            ).collect()
+        }
+        assert got == {(f"http://x/{i}", f"doc {i} text") for i in range(8)}
+        # non-recursive read of the parent sees nothing (no over-ingest)
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            W.read_warc(spark, pub)
+
+
 class TestWatSink:
     def test_wat_round_trip_and_parse(self, spark, tmp_path):
         import hashlib

@@ -641,6 +641,7 @@ def read_warc(
     path: str,
     record_types: Iterable[str] = ("response",),
     batch_rows: int = 1024,
+    recursive: bool = False,
 ) -> DataFrame:
     """Read WARC crawl archives under ``path`` (every ``*.warc.gz`` /
     ``*.warc``) into a DataFrame of one row per record:
@@ -680,11 +681,19 @@ def read_warc(
     if os.path.isfile(root):
         files = [root]
     else:
+        # recursive=True descends into subdirectories — the layout a
+        # streaming foreachBatch publisher produces (one directory per
+        # micro-batch). Off by default so flat-directory reads cannot
+        # silently over-ingest nested unrelated archives.
+        pat = (os.path.join(root, "**"), {"recursive": True}) if (
+            recursive
+        ) else (os.path.join(root), {})
+        base, kw = pat
         files = sorted(
-            glob.glob(os.path.join(root, "*.warc.gz"))
-            + glob.glob(os.path.join(root, "*.warc"))
-            + glob.glob(os.path.join(root, "*.wet.gz"))  # WET sidecars
-            + glob.glob(os.path.join(root, "*.wat.gz"))  # WAT sidecars
+            glob.glob(os.path.join(base, "*.warc.gz"), **kw)
+            + glob.glob(os.path.join(base, "*.warc"), **kw)
+            + glob.glob(os.path.join(base, "*.wet.gz"), **kw)  # WET
+            + glob.glob(os.path.join(base, "*.wat.gz"), **kw)  # WAT
         )
     if not files:
         raise FileNotFoundError(
