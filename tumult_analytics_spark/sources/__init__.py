@@ -20,11 +20,20 @@ from .readers import (
     write_bucketed_table,
     write_table,
 )
-from .warc import read_warc, write_warc
+from .warc import (
+    read_warc,
+    read_warc_stream,
+    write_warc,
+    write_wat,
+    write_wet,
+)
 
 __all__ = [
     "read_warc",
+    "read_warc_stream",
     "write_warc",
+    "write_wat",
+    "write_wet",
     "ab_test_summary",
     "correlation_matrix",
     "numeric_summary",
