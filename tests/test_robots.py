@@ -118,3 +118,150 @@ class TestGate:
         plan = out._jdf.queryExecution().executedPlan().toString()
         before_broadcast = plan.split("BroadcastExchange")[0]
         assert "Exchange hashpartitioning" not in before_broadcast
+
+    def test_broadcast_guard_small_rules_broadcasts(self, spark):
+        # auto mode (broadcast_rules=None) with a tiny rule table:
+        # the probe stays under the limit -> BroadcastHashJoin.
+        urls = spark.createDataFrame(
+            [("a.test", "/x")], "domain string, path string"
+        )
+        out = R.robots_gate(
+            urls, _rules(spark), "domain", "path", broadcast_rules=None
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_broadcast_guard_large_rules_shuffle_join(self, spark):
+        # force the "too many rules to broadcast" path via a zero
+        # limit: the gate must fall back to a plain equi-join (SMJ or
+        # shuffled-hash — anything but a broadcast of the rule side)
+        # and still produce identical answers.
+        urls = spark.createDataFrame(
+            [("a.test", "/private/x"), ("a.test", "/private/ok/x")],
+            "domain string, path string",
+        )
+        out = R.robots_gate(
+            urls, _rules(spark), "domain", "path",
+            broadcast_rule_limit=0,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        got = {(r["path"]): r["crawl_allowed"] for r in out.collect()}
+        assert got == {"/private/x": False, "/private/ok/x": True}
+
+
+class TestEmptyExactGroup:
+    def test_empty_exact_group_supersedes_star(self, spark):
+        # RFC 9309 group selection: an exact-agent group with NO
+        # rules still exists, allows everything, and supersedes the
+        # blanket * Disallow. (Note: blank-line-separated CONSECUTIVE
+        # UA lines merge into one group per the RFC ABNF, so the
+        # empty-group case is a trailing UA group with no rules.)
+        df = spark.createDataFrame(
+            [(
+                "e.test",
+                "User-agent: *\nDisallow: /\n\n"
+                "User-agent: trainbot\n",
+            )],
+            "domain string, robots string",
+        )
+        rules = R.parse_robots(df, "domain", "robots")
+        sentinel = [
+            r for r in rules.collect() if r["agent"] == "trainbot"
+        ]
+        assert [(r["directive"], r["prefix"]) for r in sentinel] == [
+            ("allow", "")
+        ]
+        urls = spark.createDataFrame(
+            [("e.test", "/anything")], "domain string, path string"
+        )
+        out = R.robots_gate(
+            urls, rules, "domain", "path", user_agent="trainbot"
+        ).collect()
+        assert out[0]["crawl_allowed"] is True
+        # ...while an unrelated agent is still governed by *.
+        out2 = R.robots_gate(
+            urls, rules, "domain", "path", user_agent="otherbot"
+        ).collect()
+        assert out2[0]["crawl_allowed"] is False
+
+
+WILDCARDS = (
+    # Google's published wildcard examples + RFC 9309 $ anchor.
+    "User-agent: *\n"
+    "Disallow: /*.pdf$\n"
+    "Disallow: /private*/\n"
+    "Allow: /private*/ok\n"
+    "Disallow: /fish*.php\n"
+)
+
+
+class TestWildcards:
+    def _gate(self, spark, paths):
+        df = spark.createDataFrame(
+            [("w.test", WILDCARDS)], "domain string, robots string"
+        )
+        rules = R.parse_robots(df, "domain", "robots")
+        urls = spark.createDataFrame(
+            [("w.test", p) for p in paths], "domain string, path string"
+        )
+        out = R.robots_gate(urls, rules, "domain", "path")
+        return {r["path"]: r["crawl_allowed"] for r in out.collect()}
+
+    def test_rx_translation(self, spark):
+        df = spark.createDataFrame(
+            [("w.test", WILDCARDS)], "domain string, robots string"
+        )
+        rx = {
+            r["prefix"]: r["rx"]
+            for r in R.parse_robots(df, "domain", "robots").collect()
+        }
+        assert rx["/*.pdf$"] == r"^/.*\.pdf$"
+        assert rx["/private*/"] == "^/private.*/"
+        assert rx["/fish*.php"] == r"^/fish.*\.php"
+
+    def test_dollar_anchor(self, spark):
+        got = self._gate(spark, ["/docs/a.pdf", "/docs/a.pdf?x=1"])
+        assert got["/docs/a.pdf"] is False          # anchored match
+        assert got["/docs/a.pdf?x=1"] is True       # $ anchor misses
+
+    def test_star_spans_segments(self, spark):
+        got = self._gate(
+            spark,
+            ["/private-x/a", "/privateX/deep/b", "/private-x/ok/c"],
+        )
+        assert got["/private-x/a"] is False
+        assert got["/privateX/deep/b"] is False     # * spans chars
+        assert got["/private-x/ok/c"] is True       # longer allow wins
+
+    def test_star_mid_rule(self, spark):
+        got = self._gate(
+            spark, ["/fishheads/catfish.php", "/fish.html"]
+        )
+        assert got["/fishheads/catfish.php"] is False
+        assert got["/fish.html"] is True
+
+    def test_prefix_rules_keep_null_rx(self, spark):
+        df = spark.createDataFrame(
+            [("p.test", "User-agent: *\nDisallow: /plain\n")],
+            "domain string, robots string",
+        )
+        rows = R.parse_robots(df, "domain", "robots").collect()
+        assert rows[0]["rx"] is None
+
+    def test_mid_string_dollar_is_literal(self, spark):
+        # Google's parser only anchors a TRAILING $; elsewhere it is
+        # a literal character.
+        df = spark.createDataFrame(
+            [("d.test", "User-agent: *\nDisallow: /a$b*\n")],
+            "domain string, robots string",
+        )
+        rules = R.parse_robots(df, "domain", "robots")
+        urls = spark.createDataFrame(
+            [("d.test", "/a$b-tail"), ("d.test", "/ab")],
+            "domain string, path string",
+        )
+        out = R.robots_gate(urls, rules, "domain", "path")
+        got = {r["path"]: r["crawl_allowed"] for r in out.collect()}
+        assert got == {"/a$b-tail": False, "/ab": True}

@@ -1511,6 +1511,74 @@ def q_robots_gate_stats(spark, sf_dir):
     )
 
 
+def q_robots_wildcard_stats(spark, sf_dir):
+    # RFC 9309 / Google-REP WILDCARD gating (operators/robots.py
+    # round 9): every domain publishes the same wildcard robots —
+    # `Disallow: /*.pdf$` ($-anchored), `Disallow: /private*/` +
+    # `Allow: /private*/ok` (mid-rule * with the longest-as-written
+    # tie-break), `Disallow: /cgi/fish*.php` (Google's fish example)
+    # — plus a trailing EMPTY exact group for 'emptybot' (RFC group
+    # selection: an empty named group exists, allows everything, and
+    # supersedes *). URLs fan out over five path shapes per doc; the
+    # corpus is gated TWICE: as 'trainbot' (governed by *, all
+    # wildcard paths live) through the BROADCAST path, and as
+    # 'emptybot' (empty exact group) through the FORCED SHUFFLE-JOIN
+    # fallback (broadcast_rule_limit=0) — so both join strategies and
+    # the empty-group selection are oracle-graded, not just
+    # unit-locked. The oracle states the allow/deny truth table per
+    # (agent, bucket) from an independent reading of the spec, NOT a
+    # regex replay of the parser.
+    from . import robots as RB
+
+    docs = _read(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 5).alias("bucket")
+    sid = F.col("doc_id").cast("string")
+    path = F.element_at(
+        F.array(
+            F.concat(F.lit("/docs/"), sid, F.lit(".pdf")),
+            F.concat(F.lit("/docs/"), sid, F.lit(".html")),
+            F.concat(F.lit("/private-"), F.col("lang"), F.lit("/x/"), sid),
+            F.concat(F.lit("/private-"), F.col("lang"), F.lit("/ok/"), sid),
+            F.concat(F.lit("/cgi/fish"), sid, F.lit(".php")),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    urls = docs.select(
+        bucket,
+        F.concat(F.col("lang"), F.lit(".example")).alias("domain"),
+        path.alias("path"),
+    )
+    robots_df = urls.select("domain").distinct().withColumn(
+        "robots",
+        F.lit(
+            "User-agent: *\n"
+            "Disallow: /*.pdf$\n"
+            "Disallow: /private*/\n"
+            "Allow: /private*/ok\n"
+            "Disallow: /cgi/fish*.php\n"
+            "\n"
+            "User-agent: emptybot\n"
+        ),
+    )
+    rules = RB.parse_robots(robots_df, "domain", "robots")
+    train = RB.robots_gate(
+        urls, rules, "domain", "path", user_agent="trainbot",
+        broadcast_rules=True,
+    ).withColumn("agent", F.lit("trainbot"))
+    empty = RB.robots_gate(
+        urls, rules, "domain", "path", user_agent="emptybot",
+        broadcast_rule_limit=0,
+    ).withColumn("agent", F.lit("emptybot"))
+    return train.unionByName(empty).groupBy(
+        "agent", "bucket", "crawl_allowed"
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        "agent",
+        F.col("bucket").cast("long").alias("bucket"),
+        "crawl_allowed",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_crawl_funnel_stats(spark, sf_dir):
     # THE first-byte-to-funnel story, every round-7 piece composed:
     # pages (some stamped <meta name="robots" content="noindex">) are
@@ -6145,6 +6213,7 @@ QUERIES = {
     "wat_roundtrip_stats": q_wat_roundtrip_stats,
     "streaming_wet_publish": q_streaming_wet_publish,
     "robots_gate_stats": q_robots_gate_stats,
+    "robots_wildcard_stats": q_robots_wildcard_stats,
     "streaming_warc_ingest": q_streaming_warc_ingest,
     "crawl_funnel_stats": q_crawl_funnel_stats,
     "c4_line_filter_stats": q_c4_line_filter_stats,
@@ -7949,6 +8018,38 @@ ORACLES["robots_gate_stats"] = r"""
       FROM d
     )
     SELECT lang, CAST(bucket AS BIGINT) AS bucket, crawl_allowed,
+           CAST(count(*) AS BIGINT) AS n
+    FROM v GROUP BY 1, 2, 3
+"""
+
+ORACLES["robots_wildcard_stats"] = r"""
+    -- Independent truth table from the RFC 9309 wildcard semantics
+    -- (NOT a regex replay of the parser). Agent 'trainbot' has no
+    -- exact group, so the * group governs every domain:
+    --   bucket 0  /docs/{id}.pdf      -> denied  (Disallow /*.pdf$,
+    --                                   $-anchored, path ends .pdf)
+    --   bucket 1  /docs/{id}.html     -> allowed (no rule matches;
+    --                                   the $ anchor misses .html)
+    --   bucket 2  /private-L/x/{id}   -> denied  (Disallow /private*/
+    --                                   with * spanning '-L')
+    --   bucket 3  /private-L/ok/{id}  -> allowed (Allow /private*/ok
+    --                                   is longer as written: 12>10)
+    --   bucket 4  /cgi/fish{id}.php   -> denied  (Disallow
+    --                                   /cgi/fish*.php, mid-rule *)
+    -- Agent 'emptybot' has a TRAILING EMPTY exact group: per RFC
+    -- group selection it exists, supersedes *, and allows all.
+    WITH d AS (
+      SELECT doc_id % 5 AS bucket FROM documents
+    ),
+    v AS (
+      SELECT 'trainbot' AS agent, bucket,
+             bucket IN (1, 3) AS crawl_allowed
+      FROM d
+      UNION ALL
+      SELECT 'emptybot' AS agent, bucket, TRUE AS crawl_allowed
+      FROM d
+    )
+    SELECT agent, CAST(bucket AS BIGINT) AS bucket, crawl_allowed,
            CAST(count(*) AS BIGINT) AS n
     FROM v GROUP BY 1, 2, 3
 """

@@ -6,30 +6,42 @@ the same gate. The reference engine has no connector/crawl layer at
 all (its ``session.py`` is "hand me a DataFrame"), so this module is
 beyond-reference; it follows the repo's established conventions:
 pure-Catalyst column arithmetic (window + prefix compare — no UDF, no
-Python in the hot path), broadcast-sized rule tables, and exact
+Python in the hot path), size-guarded broadcasts, and exact
 SQL-replayability of every step so the DuckDB oracle can grade values.
 
-Semantics implemented (the well-defined core of REP / RFC 9309):
+Semantics implemented (RFC 9309 / Google REP):
 
 - ``User-agent`` lines start a GROUP; several consecutive UA lines
   share the group's rules (``User-agent: a\\nUser-agent: b\\n
   Disallow: /x`` applies to both).
 - A fetcher obeys the group(s) naming it EXACTLY when any exist for
   its agent, else the ``*`` group(s); when neither exists, everything
-  is allowed.
+  is allowed. A named group with NO rules still counts as "exists":
+  it allows everything and supersedes the ``*`` group (RFC group
+  selection — the empty group is the site saying "this agent is
+  unrestricted").
 - ``Disallow:`` with an empty value allows everything.
-- Longest-prefix match wins across the governing rules; ``Allow``
-  beats ``Disallow`` on equal length (the Google/RFC tie-break).
-- Prefix-only matching: the ``*``/``$`` wildcard extension is NOT
-  implemented (documented subset — wildcard support would force
-  per-row regex compilation, and the '*'-free prefix form covers the
-  overwhelming majority of real rules).
+- ``*`` in a rule path matches any run of characters; a trailing
+  ``$`` anchors the rule to the end of the URL path (the Google/RFC
+  wildcard extension). A ``$`` anywhere else is a literal character,
+  matching Google's reference parser. Wildcard rules are translated
+  ONCE at parse time to anchored regexes; ``*``-free rules keep the
+  prefix fast path (no per-row regex for the common case).
+- Most-specific match wins across the governing rules — specificity
+  is the length of the rule path as written (wildcards count one
+  octet, the RFC's "longest match" reading that Google's matcher
+  uses); ``Allow`` beats ``Disallow`` at equal length.
 
 Scale shape: parsing is one projection + one explode + two window
 passes over the ROBOTS corpus (one small doc per domain — tiny next
-to the URL corpus); gating broadcasts the rule table and resolves the
-longest match with one aggregation keyed by the URL row — no shuffle
-of the URL corpus beyond its own aggregation needs.
+to the URL corpus); gating packs the governing rules to ONE array row
+per domain and joins them onto the URL side. The packed table is
+broadcast only when provably small (row-count guard); past the
+threshold the gate falls back to a plain equi-join on ``domain`` —
+one honest, linear shuffle of the URL corpus instead of a broadcast
+whose size grows with DOMAIN COUNT (tens of millions of domains in a
+real crawl would blow past Spark's 8 GB broadcast cap). The fold is
+identical on both paths.
 """
 
 from __future__ import annotations
@@ -39,6 +51,32 @@ from pyspark.sql import functions as F
 
 __all__ = ["parse_robots", "robots_gate"]
 
+# Rules at or under this many (domain, agent, directive) rows are
+# broadcast; above it the gate shuffles the URL corpus on domain
+# instead. ~1M packed rule structs is tens of MB — far under Spark's
+# broadcast cap, far over any politeness corpus a single job needs
+# driver-side.
+_DEFAULT_BROADCAST_RULE_LIMIT = 1_000_000
+
+
+def _wildcard_regex(value):
+    """Translate a robots rule path containing ``*``/trailing ``$``
+    into an anchored Java regex (as a Column), per the Google REP
+    parser: ``*`` -> ``.*``, ONE trailing ``$`` -> end anchor, every
+    other character literal. Returns the regex string column; callers
+    only apply it when the rule actually contains a wildcard.
+    """
+    anchored = value.endswith("$")
+    body = F.when(
+        anchored, F.substr(value, F.lit(1), F.length(value) - 1)
+    ).otherwise(value)
+    # Escape regex metacharacters EXCEPT '*' (translated below).
+    esc = F.regexp_replace(body, "([\\\\.+?(){}\\[\\]^$|])", "\\\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), wild, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
 
 def parse_robots(
     df: DataFrame,
@@ -46,15 +84,20 @@ def parse_robots(
     robots_column: str,
 ) -> DataFrame:
     """Parse one robots.txt document per row into a rule table:
-    ``(domain, agent, directive, prefix, rule_len)`` — one row per
-    (user-agent, Allow/Disallow directive) pair, group semantics as in
-    the module docstring. Lines that are comments (``#``), blank, or
+    ``(domain, agent, directive, prefix, rule_len, rx)`` — one row
+    per (user-agent, Allow/Disallow directive) pair, group semantics
+    as in the module docstring. ``rx`` is an anchored regex for rules
+    containing ``*`` or a trailing ``$`` and NULL for plain-prefix
+    rules (the fast path). Lines that are comments (``#``), blank, or
     unknown directives (Crawl-delay, Sitemap, ...) are ignored for
     gating. Matching is case-insensitive on directive names and agent
     names (RFC 9309), case-sensitive on path prefixes.
 
     Empty ``Disallow:`` becomes an Allow of ``""`` (allow-everything),
-    so downstream longest-match logic needs no special case.
+    and a group with NO rules at all emits the same sentinel — so an
+    empty exact-agent group still registers as existing and
+    supersedes the ``*`` group downstream, with no special case in
+    the longest-match logic.
     """
     lines = df.select(
         F.col(domain_column).alias("domain"),
@@ -115,15 +158,23 @@ def parse_robots(
         .alias("directive"),
         F.col("value").alias("prefix"),
     )
-    return (
-        agents.join(rules, ["domain", "group_id"])
-        .select(
-            "domain",
-            "agent",
-            "directive",
-            "prefix",
-            F.length("prefix").alias("rule_len"),
-        )
+    # LEFT join so a group that names agents but carries no rules
+    # still materializes (as the allow-"" sentinel): an empty
+    # exact-agent group must register for RFC group selection.
+    joined = agents.join(rules, ["domain", "group_id"], "left").select(
+        "domain",
+        "agent",
+        F.coalesce("directive", F.lit("allow")).alias("directive"),
+        F.coalesce("prefix", F.lit("")).alias("prefix"),
+    )
+    is_wild = F.col("prefix").contains("*") | F.col("prefix").endswith("$")
+    return joined.select(
+        "domain",
+        "agent",
+        "directive",
+        "prefix",
+        F.length("prefix").alias("rule_len"),
+        F.when(is_wild, _wildcard_regex(F.col("prefix"))).alias("rx"),
     )
 
 
@@ -134,24 +185,34 @@ def robots_gate(
     path_column: str,
     user_agent: str = "*",
     output_column: str = "crawl_allowed",
+    broadcast_rules: bool | None = None,
+    broadcast_rule_limit: int = _DEFAULT_BROADCAST_RULE_LIMIT,
 ) -> DataFrame:
     """Gate a URL corpus against a :func:`parse_robots` rule table:
     adds boolean ``output_column`` — True when ``user_agent`` may
     fetch the path. Exact-agent groups override ``*`` groups when any
-    exist for the domain (RFC 9309 group selection); within the
-    governing rules, the longest matching prefix wins and ``Allow``
-    beats ``Disallow`` at equal length; no matching rule (or no rules
-    for the domain at all) means allowed.
+    exist for the domain (RFC 9309 group selection, including empty
+    exact groups); within the governing rules, the most specific
+    (longest-as-written, wildcard-aware) matching rule wins and
+    ``Allow`` beats ``Disallow`` at equal length; no matching rule
+    (or no rules for the domain at all) means allowed.
 
     Plan shape: the governing rules collapse to ONE array row per
-    domain (robots rules are tiny — dozens per domain next to a URL
-    corpus of millions per domain), broadcast onto the URL side, and
-    the longest match resolves with a per-row array fold — the URL
-    corpus is NEVER shuffled and gains no row keys (a groupBy-rowid +
-    join-back design would both shuffle the corpus and stand on
-    monotonically_increasing_id's non-determinism). Pure Catalyst;
-    every step, including the tie-breaks, replays in ANSI SQL (the
-    oracle re-derives the same winner with a plain join + argmax).
+    domain and the longest match resolves with a per-row array fold —
+    the URL corpus gains no row keys (a groupBy-rowid + join-back
+    design would stand on monotonically_increasing_id's
+    non-determinism). The packed table is broadcast ONLY when the
+    rule table is provably small: ``broadcast_rules=None`` counts the
+    governing rules up to ``broadcast_rule_limit`` (a bounded
+    ``limit(n+1).count()`` probe over the tiny rules side, never the
+    URL corpus) and falls back to a plain equi-join on ``domain`` —
+    one linear shuffle of the URL corpus — when the count exceeds the
+    limit, because broadcast size here grows with DOMAIN COUNT and a
+    real crawl's tens of millions of domains would exceed Spark's
+    8 GB broadcast cap. Pass ``broadcast_rules=True/False`` to pin
+    either path. Pure Catalyst; every step, including the tie-breaks,
+    replays in ANSI SQL (the oracle re-derives the same winner with a
+    plain join + argmax).
     """
     ua = user_agent.lower()
     scoped = rules.filter(
@@ -170,27 +231,44 @@ def robots_gate(
                 F.col("rule_len").alias("l"),
                 (F.col("directive") == "allow").cast("int").alias("a"),
                 F.col("prefix").alias("p"),
+                F.col("rx").alias("rx"),
             )
         ).alias("__rules__")
     ).withColumnRenamed("domain", "__rdomain__")
+    if broadcast_rules is None:
+        # Bounded probe on the RULES side only: scans at most
+        # limit+1 rows, never touches the URL corpus.
+        broadcast_rules = (
+            scoped.limit(broadcast_rule_limit + 1).count()
+            <= broadcast_rule_limit
+        )
+    right = F.broadcast(packed) if broadcast_rules else packed
     joined = urls.join(
-        F.broadcast(packed),
+        right,
         urls[domain_column] == packed["__rdomain__"],
         "left",
     )
     path = F.col(path_column)
+
+    def _matches(r):
+        # Prefix fast path for *-free rules; per-rule anchored regex
+        # (built once at parse time) for wildcard rules.
+        return F.when(
+            r["rx"].isNull(), path.startswith(r["p"])
+        ).otherwise(F.regexp_like(path, r["rx"]))
+
     # Fold: keep the lexicographic max of (match length, is_allow)
-    # over the rules whose prefix the path starts with; the (-1, 1)
-    # seed makes "no matching rule" (and "no rules at all") allowed.
+    # over the matching rules; the (-1, 1) seed makes "no matching
+    # rule" (and "no rules at all") allowed.
     best = F.aggregate(
         F.filter(
             F.coalesce(
                 F.col("__rules__"),
                 F.array().cast(
-                    "array<struct<l:int,a:int,p:string>>"
+                    "array<struct<l:int,a:int,p:string,rx:string>>"
                 ),
             ),
-            lambda r: path.startswith(r["p"]),
+            _matches,
         ),
         F.struct(
             F.lit(-1).alias("l"), F.lit(1).alias("a")
