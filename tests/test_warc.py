@@ -434,6 +434,64 @@ class TestHttpFraming:
         rows = self._read_dir(spark, tmp_path, "rd", rec)
         assert rows[0]["html"] == "página rá"
 
+    def test_truncated_gzip_body_skips_record(self, spark, tmp_path):
+        # a truncated gzip stream decodes without error to a partial
+        # prefix — surfacing that prefix as document text would be
+        # silent corruption, so the completeness check must skip it
+        full = gzip.compress(b"<p>the whole article body</p>", mtime=0)
+        bad = self._record_with_http(
+            "http://x/trunc",
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            + full[: len(full) - 9],
+        )
+        ok = W._record_bytes(
+            "http://x/ok", "1970-01-01T00:00:00Z", b"<p>fine</p>"
+        )
+        rows = self._read_dir(spark, tmp_path, "tg", bad + ok)
+        assert [r["url"] for r in rows] == ["http://x/ok"]
+
+    def test_truncated_deflate_body_skips_record(self, spark, tmp_path):
+        import zlib as _z
+
+        full = _z.compress(b"<p>zlib-wrapped article body</p>")
+        bad = self._record_with_http(
+            "http://x/truncz",
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+            + full[: len(full) - 6],
+        )
+        ok = W._record_bytes(
+            "http://x/ok", "1970-01-01T00:00:00Z", b"<p>fine</p>"
+        )
+        rows = self._read_dir(spark, tmp_path, "tz", bad + ok)
+        assert [r["url"] for r in rows] == ["http://x/ok"]
+
+    def test_multimember_gzip_body_decodes(self, spark, tmp_path):
+        # real servers emit concatenated gzip members; both halves
+        # must decode, and NUL padding after the last member is fine
+        two = (
+            gzip.compress(b"<p>first half ", mtime=0)
+            + gzip.compress(b"second half</p>", mtime=0)
+            + b"\x00" * 4
+        )
+        rec = self._record_with_http(
+            "http://x/mm",
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + two,
+        )
+        rows = self._read_dir(spark, tmp_path, "mm", rec)
+        assert rows[0]["html"] == "<p>first half second half</p>"
+
+    def test_gzip_trailing_garbage_skips_record(self, spark, tmp_path):
+        noisy = gzip.compress(b"<p>body</p>", mtime=0) + b"GARBAGE"
+        bad = self._record_with_http(
+            "http://x/garb",
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + noisy,
+        )
+        ok = W._record_bytes(
+            "http://x/ok", "1970-01-01T00:00:00Z", b"<p>fine</p>"
+        )
+        rows = self._read_dir(spark, tmp_path, "gg", bad + ok)
+        assert [r["url"] for r in rows] == ["http://x/ok"]
+
     def test_fuzz_malformed_chunk_framing_never_crashes(self):
         # Property: corrupt the chunked body ANY way — the pure-Python
         # parse either skips the record or yields dechunked text, and

@@ -3787,7 +3787,12 @@ def q_streaming_html_ingest(spark, sf_dir):
     )
     q.awaitTermination(300)
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.table(name).select(
+    # HAVING semantics: the conditional aggregate emits a (lang, 0, 0)
+    # row for a language whose docs ALL fail the nt>=50 gate, but the
+    # batch/oracle form (WHERE nt >= 50 ... GROUP BY lang) emits no
+    # row for that language — drop zero-survivor groups so both sides
+    # agree on any corpus, not just ones where every lang survives.
+    return spark.table(name).filter(F.col("n_docs") > 0).select(
         "lang", "n_docs", "sum_extracted_chars"
     )
 

@@ -467,17 +467,32 @@ def _dechunk(body: bytes) -> Optional[bytes]:
 
 
 def _inflate_capped(data: bytes, wbits: int) -> Optional[bytes]:
-    """zlib-family decompress with a hard output cap: a body that
-    inflates past MAX_PAYLOAD_BYTES (decompression bomb) or fails to
-    decode returns ``None``."""
-    d = zlib.decompressobj(wbits)
-    try:
-        out = d.decompress(data, MAX_PAYLOAD_BYTES + 1)
-    except zlib.error:
-        return None
-    if len(out) > MAX_PAYLOAD_BYTES:
-        return None
-    return out
+    """zlib-family decompress with a hard output cap and a stream
+    COMPLETENESS check: a body that inflates past MAX_PAYLOAD_BYTES
+    (decompression bomb), fails to decode, or ends before the
+    stream's own end marker (``d.eof`` false — a truncated body that
+    would otherwise silently decode to a partial prefix) returns
+    ``None``, upholding the "framing lied -> skip record" contract
+    that :func:`_dechunk` enforces for chunked bodies. Multi-member
+    gzip (concatenated streams, which real servers emit) decodes
+    member-by-member; trailing NUL padding after the final member is
+    tolerated, any other trailing bytes are a framing violation."""
+    out = []
+    total = 0
+    while data:
+        d = zlib.decompressobj(wbits)
+        try:
+            chunk = d.decompress(data, MAX_PAYLOAD_BYTES + 1 - total)
+        except zlib.error:
+            return None
+        total += len(chunk)
+        if total > MAX_PAYLOAD_BYTES:
+            return None
+        if not d.eof:
+            return None  # truncated (or cap-straddling) stream
+        out.append(chunk)
+        data = d.unused_data.lstrip(b"\x00")
+    return b"".join(out)
 
 
 def _parse_http(payload: bytes):
