@@ -1564,9 +1564,12 @@ class TestWebdatasetExport:
             read_webdataset_manifest,
         )
 
-        # Remote URI: the glob+open contract is local/shared-FS only.
-        with pytest.raises(ValueError, match="locally-readable"):
-            read_webdataset_manifest(spark, "s3a://bucket/wds", ["txt"])
+        # Unknown scheme: the fs seam resolve fails loudly, never a
+        # silent empty manifest. (s3a://-family now genuinely resolves
+        # through pyarrow.fs — graded in tests/test_fs.py via the
+        # aliased mock scheme.)
+        with pytest.raises(Exception, match="[Uu]nrecognized|scheme"):
+            read_webdataset_manifest(spark, "nosuch://bucket/wds", ["txt"])
         # Local dir with no shards: error, never a silent empty manifest.
         empty = str(tmp_path / "nothing")
         import os as _os

@@ -102,8 +102,11 @@ class TestRoundTrip:
         assert info["html"] == "software\n" and info["http_status"] is None
 
     def test_errors_loudly(self, spark, tmp_path):
-        with pytest.raises(ValueError, match="locally-readable"):
-            W.read_warc(spark, "s3a://bucket/crawl")
+        # Unknown scheme: loud resolve failure (s3a://-family now
+        # resolves for real through pyarrow.fs; the URI plumbing is
+        # graded in tests/test_fs.py over the aliased mock scheme).
+        with pytest.raises(Exception, match="[Uu]nrecognized|scheme"):
+            W.read_warc(spark, "nosuch://bucket/crawl")
         empty = str(tmp_path / "none")
         os.makedirs(empty)
         with pytest.raises(FileNotFoundError, match="warc"):

@@ -1511,6 +1511,56 @@ def q_robots_gate_stats(spark, sf_dir):
     )
 
 
+def q_archive_fs_roundtrip_stats(spark, sf_dir):
+    # Object-storage plumbing for the archive stack (sources/fs.py,
+    # round 9): the WET sink and the WARC reader run against a
+    # NON-file:// scheme end to end — a TAS_FS_ALIASES scheme
+    # ('tasmock://') that the fs seam rewrites driver-side and
+    # resolves through pyarrow.fs, the exact code path an s3:// or
+    # gs:// URI takes (scheme parse -> alias/synonym rewrite ->
+    # FileSystem.from_uri -> list/open/delete on a FileSystem object;
+    # only the final FileSystem instance differs). Write the corpus
+    # as WET conversion shards to tasmock://, read it back through
+    # the same scheme, and grade per-record text survival (md5 +
+    # length — the strictest value check). The loud remote-URI
+    # rejections this replaces were warc.py:673-680 (r8).
+    import tempfile
+
+    from ..sources import fs as XF
+    from ..sources import warc as WRC
+
+    docs = _read(spark, sf_dir, "documents").filter("doc_id % 4 = 1")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_fsmock_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(root, exist_ok=True)
+    os.environ[XF.ALIAS_ENV] = f"tasmock=file://{root}"
+    staged = docs.select(
+        F.concat(
+            F.lit("http://fs.test/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("text"),
+    )
+    WRC.write_wet(
+        staged, "tasmock://corpus/wet", "url", "text",
+        n_shards=P.derive_n_shards(docs.count()),
+    )
+    back = WRC.read_warc(
+        spark, "tasmock://corpus/wet", record_types=("conversion",)
+    )
+    return back.select(
+        F.regexp_extract("url", r"/([a-z]+)/(\d+)$", 2)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("url", r"/([a-z]+)/(\d+)$", 1).alias("lang"),
+        F.length("html").alias("n_chars"),
+        F.md5(F.col("html")).alias("fp"),
+    )
+
+
 def q_robots_wildcard_stats(spark, sf_dir):
     # RFC 9309 / Google-REP WILDCARD gating (operators/robots.py
     # round 9): every domain publishes the same wildcard robots —
@@ -6219,6 +6269,7 @@ QUERIES = {
     "streaming_wet_publish": q_streaming_wet_publish,
     "robots_gate_stats": q_robots_gate_stats,
     "robots_wildcard_stats": q_robots_wildcard_stats,
+    "archive_fs_roundtrip_stats": q_archive_fs_roundtrip_stats,
     "streaming_warc_ingest": q_streaming_warc_ingest,
     "crawl_funnel_stats": q_crawl_funnel_stats,
     "c4_line_filter_stats": q_c4_line_filter_stats,
@@ -8025,6 +8076,16 @@ ORACLES["robots_gate_stats"] = r"""
     SELECT lang, CAST(bucket AS BIGINT) AS bucket, crawl_allowed,
            CAST(count(*) AS BIGINT) AS n
     FROM v GROUP BY 1, 2, 3
+"""
+
+ORACLES["archive_fs_roundtrip_stats"] = r"""
+    -- Per-record text survival through the WET write/read round trip
+    -- over the aliased (non-file://) scheme: md5 + length of the
+    -- original text, straight from the table.
+    SELECT doc_id, lang,
+           length(text) AS n_chars,
+           md5(text) AS fp
+    FROM documents WHERE doc_id % 4 = 1
 """
 
 ORACLES["robots_wildcard_stats"] = r"""

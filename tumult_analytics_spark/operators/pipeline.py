@@ -664,18 +664,23 @@ def export_webdataset(
     one shuffle (groupBy shard), one task writes one tar — the
     standard WebDataset writer contract. Size ``n_shards`` so a shard
     (~100 MB-1 GB in practice) fits in a task: the grouped Arrow batch
-    holds one shard's rows. ``path`` must be a filesystem all
-    executors can write (local dir in local mode, shared mount / fuse
-    on a cluster).
+    holds one shard's rows. ``path`` resolves through the
+    ``sources.fs`` seam: a local dir, a shared mount, or an
+    object-store / cluster URI (``s3://``/``s3a://``, ``gs://``,
+    ``hdfs://``) every executor can reach — tar bytes stream out
+    (multipart upload on object stores), never buffering a shard.
     """
     import pandas as pd
+
+    from ..sources import fs as xfs
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     if not members:
         raise ValueError("members must map at least one extension")
     exts = sorted(members)
-    os.makedirs(path, exist_ok=True)
+    path = xfs.normalize_uri(path)
+    xfs.makedirs(path)
     cols = [F.col(key_column).cast("string").alias("__key__")] + [
         F.col(c).alias(f"__m_{e}__") for e, c in members.items()
     ]
@@ -687,14 +692,17 @@ def export_webdataset(
         import io
         import tarfile
 
-        os.makedirs(path, exist_ok=True)  # executor-local on a cluster
+        from ..sources import fs as xfs
+
         shard = int(pdf["shard"].iloc[0])
-        out = os.path.join(path, f"shard-{shard:05d}.tar")
+        out = xfs.join(path, f"shard-{shard:05d}.tar")
         pdf = pdf.sort_values("__key__", kind="mergesort")
         keys = pdf["__key__"].tolist()
         mem = {e: pdf[f"__m_{e}__"].tolist() for e in exts}
         n_files = 0
-        with tarfile.open(out, "w", format=tarfile.USTAR_FORMAT) as tar:
+        with xfs.open_output_stream(out) as fobj, tarfile.open(
+            fileobj=fobj, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tar:
             for i, key in enumerate(keys):
                 for e in exts:
                     v = mem[e][i]
@@ -736,32 +744,21 @@ def read_webdataset_manifest(
     executor memory thrash that never finished. Whole-file-as-a-cell
     is an anti-pattern for anything shard-sized; paths-only + streamed
     parse is the 100 TB shape. Path visibility contract matches the
-    writer's: a filesystem all executors can read (local dir in local
-    mode, shared mount / fuse on a cluster)."""
-    import glob
-
+    writer's: any filesystem the ``sources.fs`` seam resolves (local
+    dir, shared mount, or s3://-family / gs:// / hdfs:// URI readable
+    by every executor); tar headers are skipped via the seam's
+    seekable input file, so object-store read-back does ranged GETs,
+    not whole-shard downloads."""
     import pandas as pd
+
+    from ..sources import fs as xfs
 
     exts = sorted(exts)
     schema = "shard int, n_samples long, n_files long, " + ", ".join(
         f"{e}_bytes long" for e in exts
     )
-    # The listing is driver-side glob + executor-side open(), which is a
-    # LOCAL/SHARED-FILESYSTEM contract (local dir in local mode, NFS/fuse
-    # mount on a cluster). A remote-FS URI (hdfs://, s3a://, ...) would
-    # glob to nothing and silently yield an empty manifest — fail loudly
-    # instead so the contract is visible.
-    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
-        "file://"
-    ):
-        raise ValueError(
-            f"read_webdataset_manifest requires a locally-readable path "
-            f"(local dir or shared mount); got remote URI {path!r}. "
-            f"Mount the store (fuse/NFS) or copy the shards local first."
-        )
-    shard_paths = sorted(
-        glob.glob(os.path.join(path.removeprefix("file://"), "shard-*.tar"))
-    )
+    path = xfs.normalize_uri(path)
+    shard_paths = xfs.list_files(path, (".tar",), prefix="shard-")
     if not shard_paths:
         raise FileNotFoundError(
             f"no shard-*.tar files under {path!r} — nothing to manifest "
@@ -779,7 +776,11 @@ def read_webdataset_manifest(
                 keys = set()
                 by_ext = {e: 0 for e in exts}
                 n_files = 0
-                with tarfile.open(p, mode="r:") as tar:
+                from ..sources import fs as xfs
+
+                with xfs.open_input_file(p) as fobj, tarfile.open(
+                    fileobj=fobj, mode="r:"
+                ) as tar:
                     for info in tar:
                         n_files += 1
                         stem, _, ext = info.name.rpartition(".")

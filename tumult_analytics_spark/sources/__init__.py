@@ -8,6 +8,7 @@ with Int->Long / Float->Double widening), preserving Spark's predicate
 pushdown and partition pruning on the way in.
 """
 
+from . import fs
 from .readers import (
     compact_table,
     ab_test_summary,
@@ -29,6 +30,7 @@ from .warc import (
 )
 
 __all__ = [
+    "fs",
     "read_warc",
     "read_warc_stream",
     "write_warc",

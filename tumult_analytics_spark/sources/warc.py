@@ -13,9 +13,13 @@ shard-file pattern (``operators/pipeline.py`` webdataset read-back):
   Arrow transfer of the entire shard per row, and a 2 GB hard cap
   (measured failure mode in SF1.md found-and-fixed #1).
 - Instead: list shard PATHS driver-side (O(n_files) names), ship one
-  path per task, and stream records executor-side — ``gzip.open``
-  reads concatenated members transparently, the parser holds at most
-  ONE record in memory, and rows flow out in bounded Arrow batches.
+  path per task, and stream records executor-side — an incremental
+  gzip decoder reads concatenated members transparently, the parser
+  holds at most ONE record in memory, and rows flow out in bounded
+  Arrow batches. All file IO goes through the :mod:`.fs` seam
+  (pyarrow.fs), so ``path`` may be a local dir, a shared mount, or an
+  object-store / cluster URI (``s3://``/``s3a://``, ``gs://``,
+  ``hdfs://``) — resolved per-task without a JVM gateway.
   At 100 TB (~100k x 1 GB WARCs) this is one task per file with
   O(record) memory; parallelism comes from file count, exactly how
   Common Crawl is processed in practice.
@@ -28,15 +32,15 @@ every record parsed so far. Corrupt bytes never crash a task.
 
 from __future__ import annotations
 
-import glob
 import gzip
-import os
 import re
 import zlib
 from typing import Iterable, Iterator, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import fs as xfs
 
 __all__ = [
     "write_warc", "write_wet", "write_wat", "read_warc",
@@ -159,8 +163,11 @@ def write_warc(
 
     Scale shape: one shuffle (groupBy shard), one task streams one
     shard file; size ``n_shards`` so a shard (~1 GB in practice) is a
-    reasonable task. ``path`` must be writable by all executors
-    (local dir in local mode, shared mount on a cluster).
+    reasonable task. ``path`` is any filesystem the :mod:`.fs` seam
+    resolves — a local dir, a shared mount, or an object-store /
+    cluster URI (``s3://``/``s3a://``, ``gs://``, ``hdfs://``) that
+    every executor can reach; object-store shards stream out as
+    multipart uploads, never buffering a shard in memory.
     """
     import pandas as pd
 
@@ -168,15 +175,19 @@ def write_warc(
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    os.makedirs(path, exist_ok=True)
+    # Aliases (TAS_FS_ALIASES) resolve ONCE, driver-side: the closure
+    # ships a real URI, so executors need no alias environment.
+    path = xfs.normalize_uri(path)
+    xfs.makedirs(path)
     # Path reuse must mean exactly one write: stale shard-*.warc.gz
     # from a previous run (larger n_shards, different data, or a shard
-    # group empty this run) would survive and read_warc would glob
-    # them in — silent over-ingestion. Driver-side delete; on a
-    # cluster `path` is a shared mount, so the driver sees the same
-    # files the executors would.
-    for stale in glob.glob(os.path.join(path, "shard-*.warc.gz")):
-        os.remove(stale)
+    # group empty this run) would survive and read_warc would list
+    # them in — silent over-ingestion. Driver-side delete; executors
+    # resolve the same store, so the driver sees the same files the
+    # executors would.
+    xfs.delete_files(
+        xfs.list_files(path, (".warc.gz",), prefix="shard-")
+    )
     cols = [
         F.col(url_column).cast("string").alias("__url__"),
         F.col(html_column).cast("string").alias("__html__"),
@@ -196,12 +207,11 @@ def write_warc(
     )
 
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        os.makedirs(path, exist_ok=True)  # executor-local on a cluster
         shard = int(pdf["shard"].iloc[0])
-        out = os.path.join(path, f"shard-{shard:05d}.warc.gz")
+        out = xfs.join(path, f"shard-{shard:05d}.warc.gz")
         pdf = pdf.sort_values("__url__", kind="mergesort")
         n, total = 0, 0
-        with open(out, "wb") as f:
+        with xfs.open_output_stream(out) as f:
             for url, html, date, framing in zip(
                 pdf["__url__"], pdf["__html__"], pdf["__date__"],
                 pdf["__framing__"],
@@ -280,9 +290,13 @@ def _write_sidecar(
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    os.makedirs(path, exist_ok=True)
-    for stale in glob.glob(os.path.join(path, f"shard-*.{ext}")):
-        os.remove(stale)
+    # Aliases (TAS_FS_ALIASES) resolve ONCE, driver-side: the closure
+    # ships a real URI, so executors need no alias environment.
+    path = xfs.normalize_uri(path)
+    xfs.makedirs(path)
+    xfs.delete_files(
+        xfs.list_files(path, (f".{ext}",), prefix="shard-")
+    )
     staged = df.select(
         shard_id(F.col(url_column), n_shards).alias("shard"),
         F.col(url_column).cast("string").alias("__url__"),
@@ -295,12 +309,11 @@ def _write_sidecar(
     )
 
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        os.makedirs(path, exist_ok=True)
         shard = int(pdf["shard"].iloc[0])
-        out = os.path.join(path, f"shard-{shard:05d}.{ext}")
+        out = xfs.join(path, f"shard-{shard:05d}.{ext}")
         pdf = pdf.sort_values("__url__", kind="mergesort")
         n, total = 0, 0
-        with open(out, "wb") as f:
+        with xfs.open_output_stream(out) as f:
             for url, text, date in zip(
                 pdf["__url__"], pdf["__body__"], pdf["__date__"]
             ):
@@ -587,27 +600,26 @@ def _make_parser(record_types: Iterable[str], batch_rows: int):
 
         for pdf_in in batches:
             for p in pdf_in["path"]:
-                if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", p) and not (
-                    p.startswith("file://")
-                ):
-                    raise ValueError(
-                        f"WARC archive path {p!r} is a remote URI; "
-                        f"this reader's contract is a locally-readable "
-                        f"filesystem (mount the store first)"
-                    )
-                base = os.path.basename(p)
-                opener = gzip.open if p.endswith(".gz") else open
+                base = xfs.basename(p)
                 rows = []
                 # A MISSING archive fails the task loudly (the listing
                 # or manifest lied — silence would under-ingest);
                 # corrupt BYTES inside an archive stay tolerated below.
-                f = opener(p.removeprefix("file://"), "rb")
-                # NOTE: no eager read-ahead wrapper here — gzip.open
+                # The fs seam resolves local paths AND object-store /
+                # cluster URIs (s3://, gs://, hdfs://, aliases)
+                # executor-side without a JVM gateway.
+                raw = xfs.open_input_stream(p)
+                f = (
+                    gzip.GzipFile(fileobj=raw)
+                    if p.endswith(".gz")
+                    else raw
+                )
+                # NOTE: no eager read-ahead wrapper here — GzipFile
                 # decompresses incrementally, so a truncated tail
                 # member only raises AFTER every prior record was
                 # parsed and yielded.
                 try:
-                    with f:
+                    with raw, f:
                         for headers, payload in _iter_warc_records(f):
                             wtype = headers.get("warc-type", "").lower()
                             if wtype not in wanted:
@@ -678,37 +690,28 @@ def read_warc(
 
     Execution shape (the 100 TB contract, same as the webdataset
     read-back): paths are listed driver-side, ONE path per task,
-    records streamed through ``gzip.open`` (concatenated members read
-    transparently) with at most one record in memory; rows leave in
-    Arrow batches of ``batch_rows``. Malformed records are skipped,
-    truncated files end cleanly — corrupt bytes never fail the job.
-    Local/shared-filesystem contract as `pipeline.py`
-    read_webdataset_manifest: remote URIs fail loudly.
+    records streamed through an incremental gzip decoder
+    (concatenated members read transparently) with at most one record
+    in memory; rows leave in Arrow batches of ``batch_rows``.
+    Malformed records are skipped, truncated files end cleanly —
+    corrupt bytes never fail the job. ``path`` resolves through the
+    :mod:`.fs` seam: local dirs, shared mounts, and object-store /
+    cluster URIs (``s3://``/``s3a://``, ``gs://``, ``hdfs://``) all
+    work, with the listing running one O(n_files) prefix scan and
+    each task re-resolving only its own archive.
     """
-    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
-        "file://"
-    ):
-        raise ValueError(
-            f"read_warc requires a locally-readable path (local dir or "
-            f"shared mount); got remote URI {path!r}"
-        )
-    root = path.removeprefix("file://")
-    if os.path.isfile(root):
-        files = [root]
+    path = xfs.normalize_uri(path)
+    if xfs.is_file(path):
+        files = [path]
     else:
         # recursive=True descends into subdirectories — the layout a
         # streaming foreachBatch publisher produces (one directory per
         # micro-batch). Off by default so flat-directory reads cannot
         # silently over-ingest nested unrelated archives.
-        pat = (os.path.join(root, "**"), {"recursive": True}) if (
-            recursive
-        ) else (os.path.join(root), {})
-        base, kw = pat
-        files = sorted(
-            glob.glob(os.path.join(base, "*.warc.gz"), **kw)
-            + glob.glob(os.path.join(base, "*.warc"), **kw)
-            + glob.glob(os.path.join(base, "*.wet.gz"), **kw)  # WET
-            + glob.glob(os.path.join(base, "*.wat.gz"), **kw)  # WAT
+        files = xfs.list_files(
+            path,
+            (".warc.gz", ".warc", ".wet.gz", ".wat.gz"),
+            recursive=recursive,
         )
     if not files:
         raise FileNotFoundError(
