@@ -185,6 +185,26 @@ def main() -> None:
     headline.update(calibration)
     print(json.dumps(headline))
     print(json.dumps(payload))
+    # r8 verdict What's-wrong #2: the driver keeps a 2,000-char TAIL
+    # of stdout, so one big per-query line loses its head. Re-emit the
+    # map as bounded chunk lines (each independently parseable, keys
+    # sorted) so the tail carries complete chunks, then the compact
+    # headline LAST — the line the driver's parsed field needs intact
+    # (map-last would put a front-truncated, unparseable line there:
+    # the exact r7 parsed=null failure). bench_full_r<N>.json still
+    # records the whole map losslessly.
+    chunk, chunk_chars, part = {}, 0, 0
+    items = sorted(timings.items())
+    for i, (k, v) in enumerate(items):
+        chunk[k] = v
+        chunk_chars += len(k) + 12
+        if chunk_chars >= 1200 or i == len(items) - 1:
+            part += 1
+            print(json.dumps(
+                {"metric": "queries_chunk", "part": part,
+                 "queries": chunk}
+            ))
+            chunk, chunk_chars = {}, 0
     print(json.dumps(headline))
     _write_full_artifact(payload, only)
     spark.stop()
