@@ -107,12 +107,27 @@ def _header_safe(value: str) -> str:
     return _CTRL_RE.sub("", value)
 
 
+def _sha1_b32(data: bytes) -> bytes:
+    """``sha1:<uppercase-base32>`` — the digest labelling Common
+    Crawl stamps in ``WARC-Payload-Digest`` / ``WARC-Block-Digest``."""
+    import base64
+    import hashlib
+
+    return b"sha1:" + base64.b32encode(hashlib.sha1(data).digest())
+
+
 def _record_bytes(
     url: str, date: str, body: bytes, framing: str = "identity"
 ) -> bytes:
     """One WARC/1.0 response record, deterministic (record id is the
     md5 of the URL, no wall clock anywhere). Header values are
-    control-character-stripped (:func:`_header_safe`)."""
+    control-character-stripped (:func:`_header_safe`). Field order
+    and digest labelling follow the Common Crawl response-record
+    layout (golden-byte-locked in tests/test_cc_conformance.py):
+    ``WARC-Payload-Digest`` is the sha1 of the UNFRAMED entity body
+    (so any reader can verify text integrity after undoing transfer
+    framing), ``WARC-Block-Digest`` the sha1 of the stored HTTP
+    message block."""
     import hashlib
 
     url = _header_safe(url)
@@ -122,11 +137,14 @@ def _record_bytes(
     head = (
         b"WARC/1.0\r\n"
         b"WARC-Type: response\r\n"
-        b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">\r\n"
-        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
         b"WARC-Date: " + date.encode("ascii") + b"\r\n"
+        b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n"
         b"Content-Type: application/http; msgtype=response\r\n"
-        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        b"WARC-Payload-Digest: " + _sha1_b32(body) + b"\r\n"
+        b"WARC-Block-Digest: " + _sha1_b32(http) + b"\r\n"
+        b"WARC-Identified-Payload-Type: text/html\r\n\r\n"
     )
     return head + http + b"\r\n\r\n"
 
@@ -247,7 +265,9 @@ def _sidecar_record_bytes(
     :func:`write_warc` stamps on the response record, so every
     sidecar record links back to the page it derives from; the
     sidecar's own id is salted with its record type so the ids never
-    collide."""
+    collide. Field order and the ``WARC-Block-Digest`` follow the
+    Common Crawl WET/WAT sidecar layout (golden-byte-locked in
+    tests/test_cc_conformance.py)."""
     import hashlib
 
     url = _header_safe(url)
@@ -259,10 +279,11 @@ def _sidecar_record_bytes(
     head = (
         b"WARC/1.0\r\n"
         b"WARC-Type: " + warc_type.encode("ascii") + b"\r\n"
-        b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">\r\n"
-        b"WARC-Refers-To: <urn:md5:" + page_rid.encode() + b">\r\n"
         b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
         b"WARC-Date: " + date.encode("ascii") + b"\r\n"
+        b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">\r\n"
+        b"WARC-Refers-To: <urn:md5:" + page_rid.encode() + b">\r\n"
+        b"WARC-Block-Digest: " + _sha1_b32(body) + b"\r\n"
         b"Content-Type: " + content_type.encode("ascii") + b"\r\n"
         b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
     )
