@@ -332,6 +332,122 @@ class TestStreamIngest:
         # >1 micro-batch actually ran (cross-batch ingest, not one gulp)
         assert q.lastProgress is not None
 
+    def test_restart_from_checkpoint_exactly_once(
+        self, spark, pages, tmp_path
+    ):
+        # Kill-and-restart recovery (r8 verdict #6): stop the
+        # manifest-stream ingest after the first manifest, add more
+        # work, restart from the SAME checkpoint — the already-
+        # processed manifest must NOT replay (file-source checkpointed
+        # listing) and the final record set must be complete with no
+        # duplicates. Durable parquet sink so output survives restart.
+        path = str(tmp_path / "archives")
+        W.write_warc(pages, path, "url", "html", n_shards=3)
+        shards = sorted(glob.glob(path + "/*.warc.gz"))
+        assert len(shards) == 3
+        mdir = tmp_path / "manifest"
+        mdir.mkdir()
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run_once():
+            q = (
+                W.read_warc_stream(
+                    spark, str(mdir), max_files_per_trigger=1
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # Run 1: only the first archive is announced.
+        (mdir / "m0.txt").write_text(shards[0] + "\n")
+        run_once()
+        n_first = spark.read.parquet(out).count()
+        assert n_first > 0
+        # Query is stopped; the rest of the crawl lands.
+        (mdir / "m1.txt").write_text("\n".join(shards[1:]) + "\n")
+        # Run 2: restart against the same checkpoint.
+        run_once()
+        got = spark.read.parquet(out)
+        want = W.read_warc(spark, path)
+        assert got.count() == 6  # complete, and nothing re-ingested
+        g = {(r["url"], r["html"]) for r in got.collect()}
+        w = {(r["url"], r["html"]) for r in want.collect()}
+        assert g == w
+        # Run 3: nothing new announced -> restart is a no-op.
+        run_once()
+        assert spark.read.parquet(out).count() == 6
+
+    def test_wet_publish_retry_is_idempotent(self, spark, tmp_path):
+        # The WET publisher's claim (entry.py streaming_wet_publish):
+        # batch-id-keyed directories + deterministic shard bytes make
+        # a foreachBatch retry idempotent. Simulate a mid-publish
+        # crash: batch 1 WRITES its shards, then dies before commit;
+        # the restart re-runs batch 1 into the same batch dir and the
+        # final record set is exact — no loss, no duplicates.
+        import pyspark.sql.functions as F
+
+        docs = spark.createDataFrame(
+            [(i, f"text body {i}\n") for i in range(12)],
+            "doc_id long, text string",
+        )
+        stage = str(tmp_path / "stage")
+        docs.repartition(3).write.parquet(stage)
+        pub = tmp_path / "pub"
+        crash_flag = tmp_path / "crash_once"
+        crash_flag.write_text("1")
+        schema = spark.read.parquet(stage).schema
+
+        def publish(bdf, bid):
+            staged = bdf.select(
+                F.concat(
+                    F.lit("http://x/"), F.col("doc_id").cast("string")
+                ).alias("url"),
+                "text",
+            )
+            W.write_wet(
+                staged, str(pub / f"batch-{bid:05d}"), "url", "text",
+                n_shards=2,
+            )
+            if bid >= 1 and crash_flag.exists():
+                crash_flag.unlink()
+                raise RuntimeError("injected mid-publish crash")
+
+        def run_once():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+                .writeStream.foreachBatch(publish)
+                .option(
+                    "checkpointLocation", str(tmp_path / "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(120)
+            except Exception:
+                pass  # the injected crash surfaces here on run 1
+
+        run_once()   # dies after writing batch >= 1's shards
+        assert not crash_flag.exists()  # the crash really fired
+        run_once()   # recovery: replays the failed batch, continues
+        got = W.read_warc(
+            spark, str(pub), record_types=("conversion",),
+            recursive=True,
+        ).collect()
+        assert sorted(r["url"] for r in got) == [
+            f"http://x/{i}" for i in sorted(range(12), key=str)
+        ]
+        texts = {r["url"]: r["html"] for r in got}
+        assert texts["http://x/7"] == "text body 7\n"
+
 
 class TestHttpFraming:
     """Real-crawl HTTP body framing: chunked transfer coding and
