@@ -165,3 +165,85 @@ class TestServing:
         with pytest.raises(ValueError, match="entries"):
             X.language_id_trained(corpus, "text", {"en": (0.0, [0.0])},
                                   dim=4)
+
+
+class TestVectorizedTrainer:
+    """language_train_logreg_vec / language_id_trained_vec: the
+    production-dim kernels must compute the SAME math as the
+    oracle-graded Catalyst twins."""
+
+    def test_weight_parity_with_catalyst_trainer(self, spark, corpus):
+        dim, steps = 16, 3
+        cat = X.language_train_logreg(
+            corpus, "text", "lang", CLASSES, dim=dim, steps=steps
+        ).collect()
+        vec = X.language_train_logreg_vec(
+            corpus, "text", "lang", CLASSES, dim=dim, steps=steps
+        ).collect()
+        cat_by = {(r["step"], r["class"]): r for r in cat}
+        for r in vec:
+            c = cat_by[(r["step"], r["class"])]
+            assert abs(r["bias"] - c["bias"]) < 1e-9
+            assert abs(r["mse"] - c["mse"]) < 1e-9
+            for j in range(dim):
+                assert abs(r["w"][j] - c[f"w{j}"]) < 1e-9
+
+    def test_serving_parity_with_catalyst_server(self, spark, corpus):
+        dim, steps = 16, 2
+        hist = X.language_train_logreg_vec(
+            corpus, "text", "lang", CLASSES, dim=dim, steps=steps
+        )
+        model = {
+            r["class"]: (r["bias"], r["w"])
+            for r in hist.filter(F.col("step") == steps).collect()
+        }
+        a = X.language_id_trained(
+            corpus, "text", {c: model[c] for c in CLASSES}, dim=dim
+        ).select("doc_id", "lang_pred").collect()
+        b = X.language_id_trained_vec(
+            corpus, "text", {c: model[c] for c in CLASSES}, dim=dim
+        ).select("doc_id", "lang_pred").collect()
+        assert {r["doc_id"]: r["lang_pred"] for r in a} == {
+            r["doc_id"]: r["lang_pred"] for r in b
+        }
+
+    def test_vec_margin_and_ties(self, spark):
+        blank = spark.createDataFrame([(0, "xy")], ["i", "t"])
+        tied = {c: (0.0, [0.0] * 4) for c in CLASSES}
+        out = X.language_id_trained_vec(
+            blank, "t", tied, dim=4, und_margin=1e-9
+        ).collect()[0]
+        assert out["lang_pred"] == "und"
+        # argmax takes the FIRST max: tie-break parity with the fold
+        out2 = X.language_id_trained_vec(
+            blank, "t", tied, dim=4
+        ).collect()[0]
+        assert out2["lang_pred"] == CLASSES[0]
+
+    def test_vec_null_text_stays_null(self, spark):
+        df = spark.createDataFrame(
+            [(0, None), (1, "the data value")], "i long, t string"
+        )
+        model = {c: (0.1, [0.01] * 8) for c in CLASSES}
+        rows = {
+            r["i"]: r["lang_pred"]
+            for r in X.language_id_trained_vec(
+                df, "t", model, dim=8
+            ).collect()
+        }
+        assert rows[0] is None and rows[1] is not None
+
+    def test_vec_guards(self, spark, corpus):
+        with pytest.raises(ValueError, match="steps"):
+            X.language_train_logreg_vec(
+                corpus, "text", "lang", CLASSES, dim=8, steps=0
+            )
+        with pytest.raises(ValueError, match="empty"):
+            X.language_train_logreg_vec(
+                corpus.filter("1=0"), "text", "lang", CLASSES, dim=8
+            )
+        with pytest.raises(ValueError, match="4 x 8"):
+            X.language_id_trained_vec(
+                corpus, "text", {c: (0.0, [0.0] * 3) for c in CLASSES},
+                dim=8,
+            )

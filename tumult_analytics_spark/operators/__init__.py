@@ -102,7 +102,9 @@ from .text import (
     html_metadata,
     language_id,
     language_id_trained,
+    language_id_trained_vec,
     language_train_logreg,
+    language_train_logreg_vec,
     quality_logit,
     quality_score,
     quality_train_logreg,
