@@ -2513,16 +2513,43 @@ def q_language_id_production_holdout(spark, sf_dir):
     # mid-gap, a decade from either side. The dim=32 Catalyst twin
     # stays fully GD-replay-graded; this key proves the SAME math at
     # production dims.
+    import math
+
     corpus = _lang_corpus_holdout(spark, sf_dir)
     dim, steps, margin = 1024, 8, 1e-3
+    # ONE cache for train scans + serving, PRUNED to the columns the
+    # kernels need (label/split/gram-count/vector — the multi-KB text
+    # would double cache memory for nothing), vectors cached as int32
+    # (char-ngram counts; half the bytes of the kernel's long), and
+    # partitioned by the VECTOR payload (~64 MB per partition), not
+    # the source file count: at sf100 the 32-partition default put
+    # ~1.2 GB of cached vectors in every task and execution memory
+    # starved (measured UNABLE_TO_ACQUIRE_MEMORY). The partition
+    # spread happens on the RAW TEXT (spread_to), so the one shuffle
+    # moves ~5 GB of text, never the 20+ GB of derived vectors. The
+    # trainer is told persist=False so it reuses this cache instead
+    # of caching the same vectors twice.
+    n_docs = _read(spark, sf_dir, "documents").count()
+    parts = max(
+        spark.sparkContext.defaultParallelism,
+        math.ceil(n_docs * dim * 4 * 2 / (64 << 20)),
+    )
     with_vec = X.hashed_char_ngrams(
-        corpus, "t", dim=dim, n=LANG_NGRAM, output_column="__cv__"
+        corpus, "t", dim=dim, n=LANG_NGRAM, output_column="__cv__",
+        spread_to=parts,
+    ).select(
+        "lang_true",
+        "is_train",
+        F.greatest(F.length("t") - (LANG_NGRAM - 1), F.lit(1))
+        .cast("double")
+        .alias("__nt__"),
+        F.col("__cv__").cast("array<int>").alias("__cv__"),
     ).persist()
     try:
         hist = X.language_train_logreg_vec(
-            with_vec.filter("is_train"), "t", "lang_true", LANG_CLASSES,
+            with_vec.filter("is_train"), None, "lang_true", LANG_CLASSES,
             dim=dim, n=LANG_NGRAM, steps=steps, lr=1.0,
-            vec_column="__cv__",
+            vec_column="__cv__", nt_column="__nt__", persist=False,
         )
         model = {
             r["class"]: (
@@ -2532,10 +2559,10 @@ def q_language_id_production_holdout(spark, sf_dir):
             for r in hist.filter(F.col("step") == steps).collect()
         }
         served = X.language_id_trained_vec(
-            with_vec.filter("NOT is_train"), "t",
+            with_vec.filter("NOT is_train"), None,
             {c: model[c] for c in LANG_CLASSES},
             dim=dim, n=LANG_NGRAM, vec_column="__cv__",
-            und_margin=margin,
+            nt_column="__nt__", und_margin=margin,
         )
         out = served.groupBy("lang_true", "lang_pred").agg(
             F.count(F.lit(1)).alias("n")

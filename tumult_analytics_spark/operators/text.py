@@ -431,6 +431,7 @@ def hashed_char_ngrams(
     n: int = 3,
     output_column: str = "char_vec",
     signed: bool = True,
+    spread_to: "Optional[int]" = None,
 ) -> DataFrame:
     """Feature-hashed character n-gram vectors — the fastText-style
     featurization for language identification: every char ``n``-gram
@@ -446,6 +447,14 @@ def hashed_char_ngrams(
     the minhash_signatures_md5 precedent: a one-file parquet scan
     otherwise runs the kernel on a single core). Docs shorter than
     ``n`` get the zero vector; null docs stay null.
+
+    ``spread_to``: spread the RAW TEXT to this many partitions before
+    the kernel instead of the core count. At production dims the
+    output vectors dwarf the text (dim x 8 bytes per row), so callers
+    who will cache the vectors size partitions by VECTOR payload and
+    shuffle the cheap text ONCE here — repartitioning after
+    featurization would shuffle the heavy vectors instead (the sf100
+    lesson: a 40 GB vector exchange vs a 5 GB text one).
     """
     import hashlib
 
@@ -484,7 +493,11 @@ def hashed_char_ngrams(
         return pd.Series(out)
 
     _udf = pandas_udf(_vec_fn, "array<long>")
-    return spread_rows(df).withColumn(output_column, _udf(F.col(text_column)))
+    if spread_to is not None:
+        spread = df.repartition(int(spread_to))
+    else:
+        spread = spread_rows(df)
+    return spread.withColumn(output_column, _udf(F.col(text_column)))
 
 
 def _char_ngram_features(
@@ -706,7 +719,7 @@ def language_id_trained(
 
 def language_train_logreg_vec(
     df: DataFrame,
-    text_column: str,
+    text_column: "Optional[str]",
     label_column: str,
     classes: "list[str]",
     dim: int = 1024,
@@ -714,6 +727,8 @@ def language_train_logreg_vec(
     steps: int = 10,
     lr: float = 1.0,
     vec_column: "Optional[str]" = None,
+    nt_column: "Optional[str]" = None,
+    persist: bool = True,
 ) -> DataFrame:
     """PRODUCTION-SHAPE trained language id: the exact
     :func:`language_train_logreg` math (hashed char-``n``-gram
@@ -753,9 +768,18 @@ def language_train_logreg_vec(
     else:
         with_vec = df
     K = len(classes)
-    nt = F.greatest(
-        F.length(F.col(text_column)) - (n - 1), F.lit(1)
-    ).cast("double")
+    # nt_column: reuse a precomputed gram count so callers can PRUNE
+    # the text column before caching — at production dims the cached
+    # vectors dominate memory and a dangling multi-KB text column per
+    # row is pure waste (the sf100 OOM lesson). persist=False for the
+    # same reason: when the caller already cached the pruned input,
+    # a second cache of the same vectors here would double memory.
+    if nt_column is not None:
+        nt = F.col(nt_column).cast("double")
+    else:
+        nt = F.greatest(
+            F.length(F.col(text_column)) - (n - 1), F.lit(1)
+        ).cast("double")
     yi = F.lit(-1)
     for i, c in enumerate(classes):
         yi = F.when(F.col(label_column) == F.lit(c), F.lit(i)).otherwise(yi)
@@ -763,7 +787,9 @@ def language_train_logreg_vec(
         yi.cast("int").alias("__yi__"),
         F.col(vec_column).alias("__cv__"),
         nt.alias("__nt__"),
-    ).persist()
+    )
+    if persist:
+        data = data.persist()
     try:
         if data.limit(1).count() == 0:
             raise ValueError("language_train_logreg_vec: empty input")
@@ -823,7 +849,8 @@ def language_train_logreg_vec(
                      float(mse[ci]))
                 )
     finally:
-        data.unpersist()
+        if persist:
+            data.unpersist()
     return df.sparkSession.createDataFrame(
         rows,
         "step int, class string, bias double, w array<double>, "
@@ -833,13 +860,14 @@ def language_train_logreg_vec(
 
 def language_id_trained_vec(
     df: DataFrame,
-    text_column: str,
+    text_column: "Optional[str]",
     weights: "dict[str, tuple]",
     dim: int = 1024,
     n: int = 3,
     output_column: str = "lang_pred",
     und_margin: Optional[float] = None,
     vec_column: Optional[str] = None,
+    nt_column: Optional[str] = None,
 ) -> DataFrame:
     """Serve a :func:`language_train_logreg_vec` model: one Arrow
     batch -> one ``X @ W.T`` matmul -> argmax (numpy argmax takes the
@@ -868,9 +896,12 @@ def language_id_trained_vec(
         vec_column = "__cv__"
     else:
         with_vec = df
-    nt = F.greatest(
-        F.length(F.col(text_column)) - (n - 1), F.lit(1)
-    ).cast("double")
+    if nt_column is not None:
+        nt = F.col(nt_column).cast("double")
+    else:
+        nt = F.greatest(
+            F.length(F.col(text_column)) - (n - 1), F.lit(1)
+        ).cast("double")
     margin = float(und_margin) if und_margin is not None else None
     names = np.array(classes, dtype=object)
 

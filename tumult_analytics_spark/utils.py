@@ -170,7 +170,9 @@ def salted_join(
     return out.drop("__salt__")
 
 
-def spread_rows(df: DataFrame, min_files: int = 8) -> DataFrame:
+def spread_rows(
+    df: DataFrame, min_files: int = 8, target: int = None
+) -> DataFrame:
     """Round-robin repartition when the input is a few-file scan.
 
     Python-kernel stages (row-dict UDFs, per-row hashing kernels) cost
@@ -182,7 +184,8 @@ def spread_rows(df: DataFrame, min_files: int = 8) -> DataFrame:
     compile and pin the pre-AQE plan. Non-file-rooted plans (anything
     downstream of a shuffle) are already parallel and are left alone.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    if target is None:
+        target = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
