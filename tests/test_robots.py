@@ -265,3 +265,71 @@ class TestWildcards:
         out = R.robots_gate(urls, rules, "domain", "path")
         got = {r["path"]: r["crawl_allowed"] for r in out.collect()}
         assert got == {"/a$b-tail": False, "/ab": True}
+
+
+class TestCrawlDirectives:
+    ROBOTS = (
+        "Sitemap: https://a.test/sitemap.xml\n"
+        "User-agent: *\n"
+        "Crawl-delay: 10\n"
+        "Disallow: /private\n"
+        "\n"
+        "User-agent: trainbot\n"
+        "Crawl-delay: 2.5\n"
+        "Disallow: /x\n"
+        "Sitemap: https://a.test/news.xml\n"
+    )
+
+    def _dirs(self, spark, agent):
+        df = spark.createDataFrame(
+            [
+                ("a.test", self.ROBOTS),
+                ("b.test", "User-agent: *\nDisallow: /\n"),
+                ("c.test", None),
+            ],
+            "domain string, robots string",
+        )
+        from tumult_analytics_spark.operators.robots import (
+            crawl_directives,
+        )
+
+        return {
+            r["domain"]: (r["crawl_delay"], list(r["sitemaps"]))
+            for r in crawl_directives(
+                df, "domain", "robots", user_agent=agent
+            ).collect()
+        }
+
+    def test_exact_group_delay_supersedes_star(self, spark):
+        got = self._dirs(spark, "TrainBot")
+        assert got["a.test"][0] == 2.5
+        assert got["b.test"] == (None, [])
+        assert got["c.test"] == (None, [])
+
+    def test_star_delay_for_unlisted_agent(self, spark):
+        got = self._dirs(spark, "otherbot")
+        assert got["a.test"][0] == 10.0
+
+    def test_sitemaps_are_file_global_and_sorted(self, spark):
+        got = self._dirs(spark, "trainbot")
+        assert got["a.test"][1] == [
+            "https://a.test/news.xml", "https://a.test/sitemap.xml",
+        ]
+
+    def test_max_delay_and_bad_values(self, spark):
+        df = spark.createDataFrame(
+            [(
+                "m.test",
+                "User-agent: a\nUser-agent: *\nCrawl-delay: 3\n\n"
+                "User-agent: *\nCrawl-delay: 7\n"
+                "Crawl-delay: nonsense\nCrawl-delay: -4\n",
+            )],
+            "domain string, robots string",
+        )
+        from tumult_analytics_spark.operators.robots import (
+            crawl_directives,
+        )
+
+        row = crawl_directives(df, "domain", "robots").collect()[0]
+        # two governing * groups (3 and 7): max wins; junk ignored
+        assert row["crawl_delay"] == 7.0

@@ -87,7 +87,7 @@ from .similarity import (
     train_pq_codebooks,
 )
 from .provenance import mark_duplicates, mark_stage, provenance_funnel
-from .robots import parse_robots, robots_gate
+from .robots import crawl_directives, parse_robots, robots_gate
 from .text import (
     bigram_logprob_score,
     bm25_topk,

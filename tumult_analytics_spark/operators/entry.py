@@ -1629,6 +1629,50 @@ def q_robots_wildcard_stats(spark, sf_dir):
     )
 
 
+def q_crawl_politeness_stats(spark, sf_dir):
+    # Crawl-scheduler metadata (operators/robots.py crawl_directives,
+    # round 9): per-domain Crawl-delay with RFC group selection and
+    # file-global Sitemap collection. Domains whose lang starts with
+    # a vowel publish only a * group (delay 10, one sitemap); the
+    # rest add an exact trainbot group (delay = len(domain) % 5 + 1,
+    # a second sitemap) that must SUPERSEDE the * delay for the
+    # trainbot agent. The oracle states the per-domain truth table
+    # independently from the same arithmetic.
+    from . import robots as RB
+
+    docs = _read(spark, sf_dir, "documents")
+    domains = docs.select(
+        F.concat(F.col("lang"), F.lit(".example")).alias("domain"),
+        F.col("lang"),
+    ).distinct()
+    vowel = F.substring("lang", 1, 1).isin("a", "e", "i", "o", "u")
+    exact_delay = (F.length("domain") % 5 + 1).cast("string")
+    robots_df = domains.withColumn(
+        "robots",
+        F.concat(
+            F.lit("Sitemap: https://"), F.col("domain"),
+            F.lit("/sitemap.xml\nUser-agent: *\nCrawl-delay: 10\n"
+                  "Disallow: /private\n"),
+            F.when(vowel, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("\nUser-agent: trainbot\nCrawl-delay: "),
+                    exact_delay,
+                    F.lit("\nSitemap: https://"), F.col("domain"),
+                    F.lit("/news.xml\n"),
+                )
+            ),
+        ),
+    )
+    dirs = RB.crawl_directives(
+        robots_df, "domain", "robots", user_agent="trainbot"
+    )
+    return dirs.select(
+        "domain",
+        "crawl_delay",
+        F.size("sitemaps").cast("long").alias("n_sitemaps"),
+    )
+
+
 def q_crawl_funnel_stats(spark, sf_dir):
     # THE first-byte-to-funnel story, every round-7 piece composed:
     # pages (some stamped <meta name="robots" content="noindex">) are
@@ -6348,6 +6392,7 @@ QUERIES = {
     "streaming_wet_publish": q_streaming_wet_publish,
     "robots_gate_stats": q_robots_gate_stats,
     "robots_wildcard_stats": q_robots_wildcard_stats,
+    "crawl_politeness_stats": q_crawl_politeness_stats,
     "archive_fs_roundtrip_stats": q_archive_fs_roundtrip_stats,
     "streaming_warc_ingest": q_streaming_warc_ingest,
     "crawl_funnel_stats": q_crawl_funnel_stats,
@@ -8185,6 +8230,24 @@ ORACLES["archive_fs_roundtrip_stats"] = r"""
            length(text) AS n_chars,
            md5(text) AS fp
     FROM documents WHERE doc_id % 4 = 1
+"""
+
+ORACLES["crawl_politeness_stats"] = r"""
+    -- Independent truth table: agent 'trainbot'. Vowel-first langs
+    -- publish only a * group -> delay 10, one sitemap; others add an
+    -- exact trainbot group -> its delay (len(domain)%5+1) supersedes
+    -- the * delay and a second sitemap exists.
+    WITH d AS (
+      SELECT DISTINCT lang, lang || '.example' AS domain FROM documents
+    )
+    SELECT domain,
+           CASE WHEN substr(lang, 1, 1) IN ('a','e','i','o','u')
+                THEN 10.0
+                ELSE CAST(length(domain) % 5 + 1 AS DOUBLE) END
+             AS crawl_delay,
+           CAST(CASE WHEN substr(lang, 1, 1) IN ('a','e','i','o','u')
+                THEN 1 ELSE 2 END AS BIGINT) AS n_sitemaps
+    FROM d
 """
 
 ORACLES["robots_wildcard_stats"] = r"""

@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["parse_robots", "robots_gate"]
+__all__ = ["parse_robots", "robots_gate", "crawl_directives"]
 
 # Rules at or under this many (domain, agent, directive) rows are
 # broadcast; above it the gate shuffles the URL corpus on domain
@@ -282,3 +282,119 @@ def robots_gate(
     return joined.withColumn(
         output_column, best["a"] == 1
     ).drop("__rdomain__", "__rules__")
+
+
+def crawl_directives(
+    df: DataFrame,
+    domain_column: str,
+    robots_column: str,
+    user_agent: str = "*",
+) -> DataFrame:
+    """Per-domain politeness METADATA from robots.txt — the two
+    directives a crawl scheduler consumes alongside the allow/deny
+    gate: ``(domain, crawl_delay, sitemaps)``.
+
+    - ``Crawl-delay`` is a GROUP directive (non-standard but
+      near-universal): RFC 9309 group selection applies — the
+      exact-agent group's delay supersedes the ``*`` group's when any
+      exact group exists for the domain. When several governing
+      groups carry delays, the MAXIMUM wins (the conservative
+      politeness reading). Unparsable or negative values are ignored;
+      a domain with no governing delay gets NULL (fetch at the
+      crawler's default rate).
+    - ``Sitemap`` lines are file-global per the sitemaps protocol
+      (valid anywhere, not tied to a group): collected as a sorted
+      distinct array, empty when none.
+
+    Pure Catalyst (the :func:`parse_robots` projection + two
+    aggregations over the tiny robots corpus); exactly replayable in
+    SQL, so the DuckDB oracle can grade values.
+    """
+    ua = user_agent.lower()
+    lines = df.select(
+        F.col(domain_column).alias("domain"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(robots_column), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    ).select(
+        "domain",
+        "pos",
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+    )
+    parsed = lines.select(
+        "domain",
+        "pos",
+        F.lower(
+            F.trim(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+        ).alias("key"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "value"
+        ),
+    ).filter(
+        F.col("key").isin("user-agent", "crawl-delay", "sitemap")
+    )
+    # Sitemaps: file-global, independent of grouping.
+    sitemaps = parsed.filter(
+        (F.col("key") == "sitemap") & (F.col("value") != "")
+    ).groupBy("domain").agg(
+        F.array_sort(F.collect_set("value")).alias("sitemaps")
+    )
+    # Crawl-delay: same group attachment + selection as parse_robots.
+    grouped = parsed.filter(F.col("key") != "sitemap")
+    w = Window.partitionBy("domain").orderBy("pos")
+    marked = grouped.withColumn(
+        "starts_group",
+        (
+            (F.col("key") == "user-agent")
+            & (
+                F.coalesce(F.lag("key").over(w), F.lit(""))
+                != F.lit("user-agent")
+            )
+        ).cast("int"),
+    ).withColumn("group_id", F.sum("starts_group").over(w))
+    agents = (
+        marked.filter("key = 'user-agent'")
+        .select(
+            "domain", "group_id", F.lower(F.col("value")).alias("agent")
+        )
+        .distinct()
+        .filter((F.lower(F.col("agent")) == ua) | (F.col("agent") == "*"))
+        .withColumn(
+            "is_exact", (F.lower(F.col("agent")) == ua).cast("int")
+        )
+    )
+    delays = marked.filter(
+        (F.col("key") == "crawl-delay") & (F.col("group_id") > 0)
+    ).select(
+        "domain",
+        "group_id",
+        # try_cast: unparsable delays are junk to skip, not job
+        # failures (ANSI cast would throw on 'nonsense').
+        F.col("value").try_cast("double").alias("delay"),
+    ).filter(F.col("delay") >= 0)
+    scoped = agents.join(delays, ["domain", "group_id"]).select(
+        "domain", "is_exact", "delay"
+    )
+    has_exact = scoped.groupBy("domain").agg(
+        F.max("is_exact").alias("has_exact")
+    )
+    governing = scoped.join(has_exact, "domain").filter(
+        (F.col("is_exact") == 1) | (F.col("has_exact") == 0)
+    )
+    delay_per_domain = governing.groupBy("domain").agg(
+        F.max("delay").alias("crawl_delay")
+    )
+    domains = df.select(
+        F.col(domain_column).alias("domain")
+    ).distinct()
+    return (
+        domains.join(delay_per_domain, "domain", "left")
+        .join(sitemaps, "domain", "left")
+        .select(
+            "domain",
+            "crawl_delay",
+            F.coalesce(
+                "sitemaps", F.array().cast("array<string>")
+            ).alias("sitemaps"),
+        )
+    )
