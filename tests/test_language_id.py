@@ -247,3 +247,25 @@ class TestVectorizedTrainer:
                 corpus, "text", {c: (0.0, [0.0] * 3) for c in CLASSES},
                 dim=8,
             )
+
+    def test_nt_column_and_persist_false_match_defaults(self, spark, corpus):
+        dim, steps = 8, 2
+        with_vec = X.hashed_char_ngrams(
+            corpus, "text", dim=dim, output_column="cv"
+        ).withColumn(
+            "nt",
+            F.greatest(F.length("text") - 2, F.lit(1)).cast("double"),
+        )
+        a = X.language_train_logreg_vec(
+            with_vec, "text", "lang", CLASSES, dim=dim, steps=steps,
+            vec_column="cv",
+        ).collect()
+        b = X.language_train_logreg_vec(
+            with_vec, None, "lang", CLASSES, dim=dim, steps=steps,
+            vec_column="cv", nt_column="nt", persist=False,
+        ).collect()
+        am = {(r["step"], r["class"]): (r["bias"], r["w"]) for r in a}
+        for r in b:
+            bias, w = am[(r["step"], r["class"])]
+            assert abs(r["bias"] - bias) < 1e-12
+            assert max(abs(x - y) for x, y in zip(r["w"], w)) < 1e-12
