@@ -3629,10 +3629,15 @@ def q_hll_user_rollup(spark, sf_dir):
     # Mergeable-sketch distinct counting (Spark 4 Datasketches HLL
     # built-ins): build per-(event_type, hour) user sketches ONCE, then
     # answer the per-(event_type, day) rollup by sketch UNION — no
-    # second scan of the data. At bench-scale cardinalities the
-    # sketches are in sparse mode, where estimates are EXACT, so the
-    # oracle is a plain count distinct; at production cardinalities the
-    # same plan returns ~1-2% HLL estimates.
+    # second scan of the data. GRADE (made scale-invariant after the
+    # round-9 sf1 sweep caught the old contract): the rollup estimate
+    # must sit within the HLL error bound (5% ~= 3 sigma at the
+    # default lgK=12) of the EXACT per-day distinct count, which the
+    # oracle recomputes in SQL. At sf<=0.1 the sketches are sparse and
+    # the estimate is exact (within_bound trivially true); at sf1+ the
+    # cells cross into dense mode and this key is the proof the
+    # estimates stay inside the sketch's published error — the exact
+    # count travels in the output so the oracle hash still pins it.
     from ..sources.readers import build_distinct_sketches, rollup_distinct
 
     ev = _events_ts(spark, sf_dir)
@@ -3642,8 +3647,20 @@ def q_hll_user_rollup(spark, sf_dir):
     sketches = build_distinct_sketches(
         cells, ["event_type", "day_id", "hour_id"], "user_id"
     )
-    return rollup_distinct(
-        sketches, ["event_type", "day_id"], output_column="n_users"
+    est = rollup_distinct(
+        sketches, ["event_type", "day_id"], output_column="n_est"
+    )
+    exact = cells.groupBy("event_type", "day_id").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return est.join(exact, ["event_type", "day_id"]).select(
+        "event_type",
+        "day_id",
+        F.col("n_users").cast("long").alias("n_users"),
+        (
+            F.abs(F.col("n_est") - F.col("n_users"))
+            <= F.lit(0.05) * F.col("n_users")
+        ).alias("within_bound"),
     )
 
 
@@ -7937,9 +7954,13 @@ ORACLES["asof_join_gap"] = """
 """
 
 ORACLES["hll_user_rollup"] = """
+    -- Exact distinct count + the accuracy bar the HLL rollup must
+    -- meet at ANY scale (sparse cells are exact; dense cells must
+    -- stay inside the sketch's published error).
     SELECT event_type,
            epoch_us(ts) // 86400000000 AS day_id,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS within_bound
     FROM events
     GROUP BY 1, 2
 """
