@@ -1511,6 +1511,72 @@ def q_robots_gate_stats(spark, sf_dir):
     )
 
 
+def q_crawl_schedule_stats(spark, sf_dir):
+    # Crawl SCHEDULING composition (round 9): robots_gate x
+    # crawl_directives on the same robots corpus — the number a crawl
+    # planner actually needs: per-domain allowed-URL count x
+    # politeness delay = serial fetch time. The synthesis also
+    # exercises a subtle RFC interaction end to end: the non-vowel
+    # domains' trainbot group carries ONLY a Crawl-delay (no
+    # Allow/Disallow), so for the GATE it is an empty exact group
+    # (allow-'' sentinel -> supersedes the * rules -> everything
+    # allowed) while for the DIRECTIVES it supplies the governing
+    # delay — two different selections from one group, both graded.
+    # Vowel domains have no trainbot group: the * rules (/private
+    # denied, /private/ok re-allowed) and the * delay (10) govern.
+    from . import robots as RB
+
+    docs = _read(spark, sf_dir, "documents")
+    path = F.element_at(
+        F.array(
+            F.lit("/public/"), F.lit("/private/"),
+            F.lit("/private/ok/"), F.lit("/no-train/"), F.lit("/"),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    urls = docs.select(
+        F.concat(F.col("lang"), F.lit(".example")).alias("domain"),
+        F.concat(path, F.col("doc_id").cast("string")).alias("path"),
+    )
+    domains = docs.select(
+        F.concat(F.col("lang"), F.lit(".example")).alias("domain"),
+        "lang",
+    ).distinct()
+    vowel = F.substring("lang", 1, 1).isin("a", "e", "i", "o", "u")
+    exact_delay = (F.length("domain") % 5 + 1).cast("string")
+    robots_df = domains.withColumn(
+        "robots",
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: 10\n"
+                  "Disallow: /private\nAllow: /private/ok\n"),
+            F.when(vowel, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("\nUser-agent: trainbot\nCrawl-delay: "),
+                    exact_delay, F.lit("\n"),
+                )
+            ),
+        ),
+    ).drop("lang")
+    rules = RB.parse_robots(robots_df, "domain", "robots")
+    gated = RB.robots_gate(
+        urls, rules, "domain", "path", user_agent="trainbot"
+    )
+    allowed = gated.filter("crawl_allowed").groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_allowed")
+    )
+    dirs = RB.crawl_directives(
+        robots_df, "domain", "robots", user_agent="trainbot"
+    )
+    return allowed.join(dirs, "domain").select(
+        "domain",
+        F.col("n_allowed").cast("long").alias("n_allowed"),
+        "crawl_delay",
+        (F.col("n_allowed") * F.col("crawl_delay")).alias(
+            "fetch_seconds"
+        ),
+    )
+
+
 def q_archive_fs_roundtrip_stats(spark, sf_dir):
     # Object-storage plumbing for the archive stack (sources/fs.py,
     # round 9): the WET sink and the WARC reader run against a
@@ -6410,6 +6476,7 @@ QUERIES = {
     "robots_gate_stats": q_robots_gate_stats,
     "robots_wildcard_stats": q_robots_wildcard_stats,
     "crawl_politeness_stats": q_crawl_politeness_stats,
+    "crawl_schedule_stats": q_crawl_schedule_stats,
     "archive_fs_roundtrip_stats": q_archive_fs_roundtrip_stats,
     "streaming_warc_ingest": q_streaming_warc_ingest,
     "crawl_funnel_stats": q_crawl_funnel_stats,
@@ -8251,6 +8318,38 @@ ORACLES["archive_fs_roundtrip_stats"] = r"""
            length(text) AS n_chars,
            md5(text) AS fp
     FROM documents WHERE doc_id % 4 = 1
+"""
+
+ORACLES["crawl_schedule_stats"] = r"""
+    -- Independent truth table for agent 'trainbot'. Non-vowel langs:
+    -- the trainbot group exists (delay-only -> empty for gating) so
+    -- ALL buckets are allowed and its delay (len(domain)%5+1)
+    -- governs. Vowel langs: the * group governs -> bucket 1
+    -- (/private/) denied, /private/ok re-allowed, delay 10.
+    WITH d AS (
+      SELECT lang, lang || '.example' AS domain, doc_id % 5 AS bucket
+      FROM documents
+    ),
+    v AS (
+      SELECT lang, domain,
+             substr(lang, 1, 1) IN ('a','e','i','o','u') AS vowel,
+             bucket
+      FROM d
+    ),
+    a AS (
+      SELECT domain, vowel,
+             CAST(count(*) FILTER (WHERE NOT vowel OR bucket <> 1)
+                  AS BIGINT) AS n_allowed
+      FROM v GROUP BY 1, 2
+    )
+    SELECT domain, n_allowed,
+           CASE WHEN vowel THEN 10.0
+                ELSE CAST(length(domain) % 5 + 1 AS DOUBLE) END
+             AS crawl_delay,
+           n_allowed * (CASE WHEN vowel THEN 10.0
+                ELSE CAST(length(domain) % 5 + 1 AS DOUBLE) END)
+             AS fetch_seconds
+    FROM a
 """
 
 ORACLES["crawl_politeness_stats"] = r"""
