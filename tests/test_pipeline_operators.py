@@ -1670,3 +1670,164 @@ class TestGreedyPack:
             ).collect()
         }
         assert a == b
+
+
+class TestCurriculumOrder:
+    def test_tier_major_then_shuffled(self, spark):
+        rows = [(i, i % 3) for i in range(120)]
+        df = spark.createDataFrame(rows, "doc_id long, tier int")
+        out = P.curriculum_order(
+            df, "doc_id", "tier", seed=2, n_shards=4
+        ).collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, rs in by_shard.items():
+            rs.sort(key=lambda r: r["pos"])
+            # positions contiguous from 1
+            assert [r["pos"] for r in rs] == list(range(1, len(rs) + 1))
+            # tiers non-decreasing along position
+            tiers = [r["tier"] for r in rs]
+            assert tiers == sorted(tiers)
+
+    def test_same_seed_reproducible_new_seed_reshuffles_within_tier(
+        self, spark
+    ):
+        rows = [(i, i % 2) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, tier int")
+
+        def order(seed):
+            return {
+                r["doc_id"]: (r["shard"], r["pos"])
+                for r in P.curriculum_order(
+                    df, "doc_id", "tier", seed=seed, n_shards=2
+                ).collect()
+            }
+
+        assert order(1) == order(1)
+        a, b = order(1), order(2)
+        assert a != b
+        # tier precedence survives any seed: within a shard, every
+        # tier-0 row sits before every tier-1 row
+        for seed_map in (a, b):
+            by_shard = {}
+            for doc_id, (shard, pos) in seed_map.items():
+                by_shard.setdefault(shard, []).append((pos, doc_id % 2))
+            for rs in by_shard.values():
+                rs.sort()
+                tiers = [t for _, t in rs]
+                assert tiers == sorted(tiers)
+
+    def test_single_window_shuffle(self, spark):
+        df = spark.createDataFrame(
+            [(i, i % 3) for i in range(50)], "doc_id long, tier int"
+        )
+        plan = (
+            P.curriculum_order(df, "doc_id", "tier", seed=0, n_shards=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange rangepartitioning" not in plan  # no global sort
+
+    def test_rejects_bad_shards(self, spark):
+        df = spark.createDataFrame([(1, 0)], "doc_id long, tier int")
+        try:
+            P.curriculum_order(df, "doc_id", "tier", n_shards=0)
+        except ValueError:
+            return
+        raise AssertionError("n_shards=0 must raise")
+
+
+class TestCorpusDiff:
+    def _frames(self, spark):
+        old = spark.createDataFrame(
+            [
+                (1, "a", "en"),
+                (2, "b", "en"),
+                (3, "c", "fr"),
+                (4, None, "fr"),   # null payload
+                (5, "<null>", "de"),  # literal sentinel text
+            ],
+            "doc_id long, text string, lang string",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "a", "en"),        # unchanged
+                (2, "B", "en"),        # changed
+                (4, "", "fr"),         # null -> empty string = changed
+                (5, None, "de"),       # text -> null = changed
+                (6, "new", "de"),      # added
+            ],
+            "doc_id long, text string, lang string",
+        )
+        return old, new
+
+    def test_statuses(self, spark):
+        old, new = self._frames(spark)
+        out = {
+            r["doc_id"]: r["status"]
+            for r in P.corpus_diff(
+                old, new, "doc_id", ["text"], carry_columns=["lang"]
+            ).collect()
+        }
+        assert out == {
+            1: "unchanged",
+            2: "changed",
+            3: "removed",
+            4: "changed",
+            5: "changed",
+            6: "added",
+        }
+
+    def test_carry_columns_coalesce(self, spark):
+        old, new = self._frames(spark)
+        langs = {
+            r["doc_id"]: r["lang"]
+            for r in P.corpus_diff(
+                old, new, "doc_id", ["text"], carry_columns=["lang"]
+            ).collect()
+        }
+        assert langs[3] == "fr"  # removed row carries the old side
+        assert langs[6] == "de"  # added row carries the new side
+
+    def test_multi_column_compare(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", "s1")], "doc_id long, text string, source string"
+        )
+        new = spark.createDataFrame(
+            [(1, "a", "s2")], "doc_id long, text string, source string"
+        )
+        out = P.corpus_diff(old, new, "doc_id", ["text", "source"]).collect()
+        assert out[0]["status"] == "changed"
+
+    def test_exchange_is_slim_no_payload(self, spark):
+        # the shuffled row is (id, fingerprint, carry) — the document
+        # text must be reduced map-side and never enter the exchange
+        old = spark.createDataFrame(
+            [(i, "x" * 100, "en") for i in range(50)],
+            "doc_id long, text string, lang string",
+        )
+        new = spark.createDataFrame(
+            [(i, "y" * 100, "en") for i in range(40)],
+            "doc_id long, text string, lang string",
+        )
+        qe = P.corpus_diff(
+            old, new, "doc_id", ["text"], carry_columns=["lang"]
+        )._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        import re
+
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "text" not in m.group(1)
+        # and the exchange inputs project only id/fp/carry
+        assert "__fp__" in plan
+
+    def test_rejects_empty_compare(self, spark):
+        old, new = self._frames(spark)
+        try:
+            P.corpus_diff(old, new, "doc_id", [])
+        except ValueError:
+            return
+        raise AssertionError("empty compare_columns must raise")

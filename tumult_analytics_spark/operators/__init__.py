@@ -41,6 +41,10 @@ from .multimodal import (
 )
 from .pipeline import (
     bloom_contamination,
+    corpus_diff,
+    curriculum_order,
+    epoch_shuffle,
+    split_dataset,
     bloom_filter_build,
     cap_per_group,
     cms_build,
@@ -90,6 +94,7 @@ from .provenance import mark_duplicates, mark_stage, provenance_funnel
 from .robots import crawl_directives, parse_robots, robots_gate
 from .text import (
     bigram_logprob_score,
+    fix_mojibake,
     bm25_topk,
     bpe_ish_token_count,
     c4_line_filter,

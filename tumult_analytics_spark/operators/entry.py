@@ -9828,3 +9828,178 @@ ORACLES["webdataset_export_stats"] = ORACLE_WEBDATASET
 ORACLES["epoch_shuffle_stats"] = ORACLE_EPOCH_SHUFFLE
 ORACLES["quantile_sketch_rollup"] = ORACLE_QUANTILE_SKETCH
 ORACLES["greedy_pack_stats"] = ORACLE_GREEDY_PACK
+
+
+# --- round 9 additions: encoding repair, curriculum order, corpus diff ------
+
+
+#: Mojibake-injection prefix: cp1252 printables (curly quotes, em dash,
+#: euro) plus 2-byte Latin-1-supplement letters, so both UTF-8 widths
+#: and both corruption flavors (WHATWG windows-1252 and plain latin-1)
+#: are exercised.
+_MOJI_PREFIX = "“Café” — naïve façade: €9 "
+
+
+def q_fix_mojibake_stats(spark, sf_dir):
+    # Encoding-repair grade over three deterministically prepared row
+    # classes: doc_id%3==0 gets WHATWG windows-1252 mojibake (UTF-8
+    # bytes re-read as cp1252, undefined bytes passing through as C1
+    # controls — exactly what a charset-mislabeling crawler produces),
+    # %3==1 gets plain latin-1 mojibake, and %3==2 keeps clean text
+    # with a lone " Ã" appended (mojibake-SHAPED but invalid as UTF-8 —
+    # the guard must leave it alone). Both corruptions are built in
+    # pure Catalyst (encode/decode/translate), fix_mojibake repairs,
+    # and n_exact counts rows whose repaired text equals the known
+    # expected value — so the grade proves byte-exact inversion AND
+    # false-positive safety, per lang. The oracle recomputes every
+    # column from first principles (char/byte length arithmetic).
+    from .text import CP1252_CONTROL, CP1252_PRINTABLE
+
+    docs = _read(spark, sf_dir, "documents")
+    clean = F.concat(F.lit(_MOJI_PREFIX), F.col("text"))
+    as_latin1 = F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
+    mode = F.col("doc_id") % 3
+    dirty = (
+        F.when(mode == 0, F.translate(as_latin1, CP1252_CONTROL, CP1252_PRINTABLE))
+        .when(mode == 1, as_latin1)
+        .otherwise(F.concat(clean, F.lit(" Ã")))
+    )
+    expected = F.when(mode < 2, clean).otherwise(F.concat(clean, F.lit(" Ã")))
+    prepared = docs.select(
+        "doc_id", "lang", dirty.alias("t"), expected.alias("expected")
+    )
+    fixed = X.fix_mojibake(prepared, "t", flag_column="repaired")
+    return fixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("repaired").cast("long")).alias("n_repaired"),
+        F.sum((F.col("text_fixed") == F.col("expected")).cast("long")).alias(
+            "n_exact"
+        ),
+        F.sum(F.length("t")).alias("chars_dirty"),
+        F.sum(F.length("text_fixed")).alias("chars_fixed"),
+    )
+
+
+def q_curriculum_order_stats(spark, sf_dir):
+    # Tier-major deterministic training order: tiers from document
+    # length (cheap stand-in for a quality score), then
+    # curriculum_order's per-shard (tier, seeded-hash) positions. The
+    # per-(shard, tier) order_checksum sum(pos*doc_id) is order-
+    # sensitive, so a hash match proves the exact curriculum
+    # permutation — tier precedence AND intra-tier shuffle — replays
+    # in SQL. min_pos/max_pos prove tiers occupy contiguous position
+    # ranges within each shard.
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "tier",
+        F.least(F.lit(3), F.floor(F.length("text") / F.lit(150))).cast("int"),
+    )
+    cur = P.curriculum_order(docs, "doc_id", "tier", seed=7, n_shards=8)
+    return cur.groupBy("shard", "tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("order_checksum"),
+    )
+
+
+def q_corpus_diff_stats(spark, sf_dir):
+    # Snapshot churn accounting: v_old drops doc_id%7==3, v_new drops
+    # doc_id%5==2 and rewrites text for doc_id%13==0 — so every status
+    # (added / removed / changed / unchanged) is populated, including
+    # ids absent from both. corpus_diff full-outer-joins md5
+    # fingerprints; the grade is per-(lang, status) counts plus an
+    # id-sum checksum proving exact row classification, which the
+    # oracle replays by comparing column values directly.
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 3)
+    new = docs.filter(F.col("doc_id") % 5 != 2).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")),
+    )
+    diff = P.corpus_diff(
+        old, new, "doc_id", compare_columns=["text", "source"],
+        carry_columns=["lang"],
+    )
+    return diff.groupBy("lang", "status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+QUERIES["fix_mojibake_stats"] = q_fix_mojibake_stats
+QUERIES["curriculum_order_stats"] = q_curriculum_order_stats
+QUERIES["corpus_diff_stats"] = q_corpus_diff_stats
+
+# P = the injection prefix rebuilt with chr() so the SQL file stays
+# ASCII; plen/pbytes are derived, not hardcoded.
+ORACLES["fix_mojibake_stats"] = """
+    WITH consts AS (
+      SELECT chr(8220) || 'Caf' || chr(233) || chr(8221) || ' '
+               || chr(8212) || ' na' || chr(239) || 've fa' || chr(231)
+               || 'ade: ' || chr(8364) || '9 ' AS p
+    ), sized AS (
+      SELECT length(p) AS plen, strlen(p) AS pbytes FROM consts
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repaired,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN d.doc_id % 3 IN (0, 1)
+                         THEN s.pbytes + strlen(d.text)
+                         ELSE s.plen + length(d.text) + 2 END)
+                AS BIGINT) AS chars_dirty,
+           CAST(sum(s.plen + length(d.text)
+                    + CASE WHEN d.doc_id % 3 = 2 THEN 2 ELSE 0 END)
+                AS BIGINT) AS chars_fixed
+    FROM documents d, sized s
+    GROUP BY d.lang
+"""
+
+ORACLES["curriculum_order_stats"] = """
+    WITH keyed AS (
+      SELECT doc_id,
+             least(3, CAST(floor(length(text) / 150) AS INT)) AS tier,
+             ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                             1, 13))::BIGINT AS ek
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, tier, CAST(ek % 8 AS INT) AS shard,
+             row_number() OVER (PARTITION BY ek % 8
+                                ORDER BY tier, ek, doc_id) AS pos
+      FROM keyed
+    )
+    SELECT shard, tier,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(pos) AS INT) AS min_pos,
+           CAST(max(pos) AS INT) AS max_pos,
+           CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM ranked GROUP BY shard, tier
+"""
+
+ORACLES["corpus_diff_stats"] = """
+    WITH old AS (
+      SELECT doc_id, lang, text, source FROM documents WHERE doc_id % 7 <> 3
+    ), new AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]' ELSE text END
+               AS text,
+             source
+      FROM documents WHERE doc_id % 5 <> 2
+    ), diff AS (
+      SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+             coalesce(n.lang, o.lang) AS lang,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.text <> n.text OR o.source <> n.source
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT lang, status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM diff GROUP BY lang, status
+"""

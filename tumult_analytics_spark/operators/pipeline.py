@@ -534,6 +534,118 @@ def epoch_shuffle(
     return out.withColumn(pos_column, F.row_number().over(w)).drop("__ek__")
 
 
+def curriculum_order(
+    df: DataFrame,
+    id_column: str,
+    tier_column: str,
+    seed: int = 0,
+    n_shards: int = 256,
+    shard_column: str = "shard",
+    pos_column: str = "pos",
+) -> DataFrame:
+    """Curriculum training order: ``epoch_shuffle``'s deterministic
+    seed-keyed permutation, but tier-major — within every shard, rows
+    are positioned by ``tier_column`` ascending (easy examples first),
+    then by the seeded hash (random within a tier), then id. Data-
+    parallel trainers consume one shard per worker, so "per-shard
+    curriculum" IS the global curriculum each worker observes; there is
+    deliberately no global ordering stage (a total order would funnel
+    the whole dataset through one task — the anti-pattern this module
+    avoids everywhere).
+
+    Same plan shape and scale posture as ``epoch_shuffle``: one hash
+    projection, one per-shard window (each shard ~n/n_shards rows), no
+    payload movement until the eventual write. Same (seed, ids, tiers)
+    -> identical order on any engine with md5. New epoch = new seed:
+    tiers keep their precedence, intra-tier order reshuffles.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(int(seed))),
+                    F.lit(":"),
+                    F.col(id_column).cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("__ek__", h).withColumn(
+        shard_column, (F.col("__ek__") % F.lit(int(n_shards))).cast("int")
+    )
+    w = Window.partitionBy(shard_column).orderBy(
+        F.col(tier_column).asc_nulls_last(), F.col("__ek__"), F.col(id_column)
+    )
+    return out.withColumn(pos_column, F.row_number().over(w)).drop("__ek__")
+
+
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_column: str,
+    compare_columns: Sequence[str],
+    carry_columns: Sequence[str] = (),
+    status_column: str = "status",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: classify every document id
+    across two dataset versions (e.g. consecutive crawls) as ``added``
+    (only in new), ``removed`` (only in old), ``changed`` (in both,
+    any ``compare_columns`` value differs) or ``unchanged`` — the churn
+    accounting a training-data pipeline needs before deciding what to
+    re-process, re-embed, or re-deduplicate incrementally.
+
+    Comparison is by md5 fingerprint over ``compare_columns`` (null-safe:
+    NULL and the empty string hash differently via a control-char
+    sentinel), so wide payloads are compared after reduction to 32
+    bytes per side and the join carries no duplicate payload columns.
+    ``carry_columns`` are surfaced as ``coalesce(new, old)`` — e.g. a
+    language or domain column for per-segment churn stats.
+
+    Scale: ONE shuffle per side (sort-merge full outer join on the id;
+    both sides are corpus-sized so neither is broadcast), fingerprints
+    computed map-side before the exchange — the shuffled row is
+    (id, 32-byte fp, carry columns), never the document text. AQE
+    handles id skew; ids are unique per side by contract (enforce
+    upstream with exact dedup if needed).
+    """
+    if not compare_columns:
+        raise ValueError("compare_columns must not be empty")
+
+    def fp(side: DataFrame) -> DataFrame:
+        parts = []
+        for c in compare_columns:
+            parts.append(
+                F.coalesce(F.col(c).cast("string"), F.lit("\u0001<null>"))
+            )
+            parts.append(F.lit("\u0002"))
+        cols = [F.col(id_column), F.md5(F.concat(*parts)).alias("__fp__")]
+        cols += [F.col(c) for c in carry_columns]
+        return side.select(*cols)
+
+    o = fp(old_df).alias("o")
+    n = fp(new_df).alias("n")
+    joined = o.join(n, F.col(f"o.{id_column}") == F.col(f"n.{id_column}"), "full_outer")
+    status = (
+        F.when(F.col(f"o.{id_column}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{id_column}").isNull(), F.lit("removed"))
+        .when(F.col("o.__fp__") != F.col("n.__fp__"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"n.{id_column}"), F.col(f"o.{id_column}")).alias(id_column),
+        status.alias(status_column),
+    ]
+    for c in carry_columns:
+        out_cols.append(F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c))
+    return joined.select(*out_cols)
+
+
 def pack_documents_greedy(
     df: DataFrame,
     id_column: str,

@@ -1402,6 +1402,96 @@ def normalize_text(
     return df.withColumn(output_column, col)
 
 
+def _cp1252_printable_pairs() -> tuple:
+    """The 27 windows-1252 printables in 0x80-0x9F paired with their C1
+    control twins (the Unicode char whose code point equals the cp1252
+    byte). Derived from Python's codec tables at import so the mapping
+    can't drift from the standard."""
+    src = []
+    dst = []
+    for b in range(0x80, 0xA0):
+        try:
+            src.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            continue  # 0x81/0x8D/0x8F/0x90/0x9D are undefined in cp1252
+        dst.append(chr(b))
+    return "".join(src), "".join(dst)
+
+
+#: windows-1252 printables (e.g. curly quotes, em dash, euro) and the
+#: C1 control chars occupying the same byte values in latin-1.
+CP1252_PRINTABLE, CP1252_CONTROL = _cp1252_printable_pairs()
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_column: str,
+    output_column: str = "text_fixed",
+    flag_column: Optional[str] = None,
+    passes: int = 1,
+) -> DataFrame:
+    """Repair UTF-8-misdecoded-as-windows-1252/latin-1 text (mojibake —
+    ``CafÃ©`` -> ``Café``), the single most common encoding defect in
+    crawl corpora (ftfy's core fix, re-expressed as Catalyst codegen).
+
+    The corruption model is the WHATWG windows-1252 decode browsers and
+    crawlers apply to mislabeled bytes: every UTF-8 byte becomes one
+    char — printables from the cp1252 table for 0x80-0x9F, the C1
+    control char for the five undefined bytes, latin-1 for the rest.
+    The repair inverts it byte-exactly, JVM-side, zero shuffles:
+
+    1. fold the 27 cp1252 printables back to their C1 control twins
+       (one fixed ``translate`` — after this, every char's code point
+       IS its original byte value);
+    2. re-encode as ISO-8859-1 (char -> byte, total on [0,255]);
+    3. ``is_valid_utf8`` gate + decode as UTF-8.
+
+    A row is only touched when (a) it contains a char in U+00C2-U+00F4
+    — the exact lead-byte range of well-formed multi-byte UTF-8, the
+    shapes mojibake always exhibits (``Ã``, ``â`` ...); (b) every char
+    AFTER the fold is <= U+00FF (so step 2 is total — rows with real
+    CJK/emoji are never candidates, while the high-code-point cp1252
+    printables themselves fold down first and stay repairable); and
+    (c) the refolded bytes are VALID UTF-8.
+    Clean latin-1 text fails (c) (``é`` followed by a space is an
+    illegal continuation), so accented European text survives
+    untouched; text that passes all three gates is mojibake by
+    construction up to the inherent ftfy ambiguity (a latin-1 document
+    that deliberately spells ``Ã©`` is indistinguishable from corrupted
+    ``é`` — documented, vanishingly rare in practice).
+
+    ``passes`` > 1 unrolls the chain to also repair double-encoded
+    mojibake (``CafÃƒÂ©``), each pass gated independently so a
+    once-corrupted row converges after one pass and stays fixed.
+
+    Returns ``df`` with ``output_column`` (and, if ``flag_column`` is
+    given, a boolean marking rows any pass changed). Pure Catalyst:
+    the whole chain runs inside whole-stage codegen at scan speed —
+    the 100 TB posture is "free with the first read".
+    """
+    if passes < 1:
+        raise ValueError("passes must be >= 1")
+    col = F.col(text_column)
+    touched = F.lit(False)
+    for _ in range(int(passes)):
+        folded = F.translate(col, CP1252_PRINTABLE, CP1252_CONTROL)
+        refolded = F.encode(folded, "ISO-8859-1")
+        candidate = (
+            col.rlike("[Â-ô]")
+            & ~folded.rlike("[^\\x00-\\u00ff]")
+            & F.is_valid_utf8(refolded)
+        )
+        touched = touched | candidate
+        col = F.when(candidate, F.decode(refolded, "UTF-8")).otherwise(col)
+    out = df.withColumn(output_column, col)
+    if flag_column is not None:
+        out = out.withColumn(
+            flag_column,
+            touched & (F.col(output_column) != F.col(text_column)),
+        )
+    return out
+
+
 # --- HTML -> text extraction (crawl-pipeline stage 0) -----------------------
 
 #: Elements whose CONTENT is dropped along with the tags (non-prose
