@@ -115,6 +115,7 @@ def main() -> None:
         except Exception:  # pragma: no cover
             pass
 
+    materialize = os.environ.get("SPARK_GRAFT_MATERIALIZE", "noop")
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in sorted(qs.items()):
@@ -129,7 +130,21 @@ def main() -> None:
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
-                df.count()
+                # Materialize through the noop sink — the same sink the
+                # reference's own benchmark scripts use (BASELINE.md:
+                # keyset_cross_product_per_size.py:22). count() is NOT a
+                # valid materializer here: Catalyst's ColumnPruning drops
+                # aggregate expressions (and windows) the count doesn't
+                # reference, so a groupBy(k).agg(<heavy>) key would time
+                # only the group-key scan (measured: 0.34 s pruned vs
+                # 56 s real on ingest_repair_pipeline at sf10 — found
+                # round 9). SPARK_GRAFT_MATERIALIZE=count keeps the
+                # legacy method for cross-round host-speed ratios
+                # against r01..r08 artifacts.
+                if materialize == "count":
+                    df.count()
+                else:
+                    df.write.format("noop").mode("overwrite").save()
             except Exception as e:  # pragma: no cover
                 print(f"# {name} FAILED: {e}", file=sys.stderr)
                 failed = True
@@ -159,6 +174,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        "materialize": materialize,
     }
     payload.update(calibration)
     # Host-speed calibration + headline that SURVIVES the driver's
@@ -178,6 +194,7 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
+        "materialize": materialize,
         "slowest": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:8]
         ),

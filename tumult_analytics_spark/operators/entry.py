@@ -9853,9 +9853,13 @@ def q_fix_mojibake_stats(spark, sf_dir):
     # expected value — so the grade proves byte-exact inversion AND
     # false-positive safety, per lang. The oracle recomputes every
     # column from first principles (char/byte length arithmetic).
+    from ..utils import spread_rows
     from .text import CP1252_CONTROL, CP1252_PRINTABLE
 
-    docs = _read(spark, sf_dir, "documents")
+    # the corrupt+repair chain is a heavy pure-Catalyst projection
+    # (~80 us/doc): spread a few-file scan across cores first
+    # (SCALE.md hazard 1; measured 3.9 -> 0.6 s at sf1)
+    docs = spread_rows(_read(spark, sf_dir, "documents"))
     clean = F.concat(F.lit(_MOJI_PREFIX), F.col("text"))
     as_latin1 = F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
     mode = F.col("doc_id") % 3
@@ -10096,4 +10100,152 @@ ORACLES["incremental_vectorize_stats"] = """
            CAST(sum(coalesce(n.v0, 0)) AS BIGINT) AS sum_slot0
     FROM pathed p LEFT JOIN norms n USING (doc_id)
     GROUP BY p.lang, p.path
+"""
+
+
+def q_corpus_drift_stats(spark, sf_dir):
+    # Snapshot drift report: per-language doc counts, corpus shares,
+    # absolute share drift, and mean document length across the same
+    # v1/v2 fork as corpus_diff_stats — the acceptance readout a crawl
+    # pipeline checks before promoting a new snapshot (a lang whose
+    # share moves is a crawler/extraction regression signal). Two
+    # per-lang aggregates + one tiny full-outer join + two single-row
+    # total broadcasts; shares/means are double divisions of exact
+    # longs, so both engines produce bit-identical IEEE results.
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 3)
+    new = docs.filter(F.col("doc_id") % 5 != 2)
+
+    def per_lang(side, tag):
+        return side.groupBy("lang").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum("n_chars").alias(f"chars_{tag}"),
+        )
+    o, n = per_lang(old, "old"), per_lang(new, "new")
+    j = o.join(n, "lang", "full_outer").select(
+        "lang",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.coalesce("chars_old", F.lit(0)).alias("chars_old"),
+        F.coalesce("chars_new", F.lit(0)).alias("chars_new"),
+    )
+    # totals from the (langs-sized) aggregate, NOT a corpus re-scan:
+    # one single-row cross join, broadcast by AQE
+    tot = j.groupBy().agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    j = j.crossJoin(F.broadcast(tot))
+    share_o = F.col("n_old") / F.col("t_old").cast("double")
+    share_n = F.col("n_new") / F.col("t_new").cast("double")
+    return j.select(
+        "lang", "n_old", "n_new",
+        share_o.alias("share_old"),
+        share_n.alias("share_new"),
+        F.abs(share_n - share_o).alias("share_drift"),
+        (F.col("chars_old") / F.col("n_old")).alias("mean_chars_old"),
+        (F.col("chars_new") / F.col("n_new")).alias("mean_chars_new"),
+    )
+
+
+QUERIES["corpus_drift_stats"] = q_corpus_drift_stats
+
+ORACLES["corpus_drift_stats"] = """
+    WITH old AS (
+      SELECT lang, count(*) AS n_old, sum(n_chars) AS chars_old
+      FROM documents WHERE doc_id % 7 <> 3 GROUP BY lang
+    ), new AS (
+      SELECT lang, count(*) AS n_new, sum(n_chars) AS chars_new
+      FROM documents WHERE doc_id % 5 <> 2 GROUP BY lang
+    ), tot AS (
+      SELECT (SELECT sum(n_old) FROM old) AS t_old,
+             (SELECT sum(n_new) FROM new) AS t_new
+    )
+    SELECT coalesce(o.lang, n.lang) AS lang,
+           CAST(coalesce(o.n_old, 0) AS BIGINT) AS n_old,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(coalesce(o.n_old, 0) AS DOUBLE) / t.t_old AS share_old,
+           CAST(coalesce(n.n_new, 0) AS DOUBLE) / t.t_new AS share_new,
+           abs(CAST(coalesce(n.n_new, 0) AS DOUBLE) / t.t_new
+               - CAST(coalesce(o.n_old, 0) AS DOUBLE) / t.t_old)
+             AS share_drift,
+           CAST(coalesce(o.chars_old, 0) AS DOUBLE)
+             / coalesce(o.n_old, 0) AS mean_chars_old,
+           CAST(coalesce(n.chars_new, 0) AS DOUBLE)
+             / coalesce(n.n_new, 0) AS mean_chars_new
+    FROM old o FULL OUTER JOIN new n ON o.lang = n.lang, tot t
+"""
+
+
+def q_ingest_repair_pipeline(spark, sf_dir):
+    # Stage-0 ingest composition: encoding repair -> normalization ->
+    # token accounting, the order a crawl pipeline actually runs (a
+    # mojibake curly quote must be repaired BEFORE normalize_text can
+    # fold it to ASCII, and tokens are counted on the normalized
+    # form). Half the corpus arrives WHATWG-mojibaked in-query; the
+    # grade proves the composed chain lands every row on the same
+    # normalized text as the never-corrupted path — the oracle replays
+    # normalize+tokenize over clean text only, so any repair residue
+    # breaks the hash. Entirely pure Catalyst: one projection chain,
+    # one aggregation shuffle, zero Python.
+    from ..utils import spread_rows
+    from .text import CP1252_CONTROL, CP1252_PRINTABLE
+
+    # heavy repair+normalize+tokenize projection: spread a few-file
+    # scan across cores first (SCALE.md hazard 1)
+    docs = spread_rows(_read(spark, sf_dir, "documents"))
+    clean = F.concat(F.lit(_MOJI_PREFIX), F.col("text"))
+    as_latin1 = F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
+    dirty = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.translate(as_latin1, CP1252_CONTROL, CP1252_PRINTABLE),
+    ).otherwise(clean)
+    prepared = docs.select("doc_id", "lang", dirty.alias("text"))
+    repaired = X.fix_mojibake(prepared, "text", flag_column="was_repaired")
+    norm = X.normalize_text(repaired, "text_fixed")
+    counted = X.token_count(norm, "text_norm")
+    return counted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("was_repaired").cast("long")).alias("n_repaired"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.length("text_norm")).alias("chars_norm"),
+    )
+
+
+QUERIES["ingest_repair_pipeline"] = q_ingest_repair_pipeline
+
+ORACLES["ingest_repair_pipeline"] = r"""
+    WITH consts AS (
+      SELECT chr(8220) || 'Caf' || chr(233) || chr(8221) || ' '
+               || chr(8212) || ' na' || chr(239) || 've fa' || chr(231)
+               || 'ade: ' || chr(8364) || '9 ' AS p
+    ), clean AS (
+      SELECT d.lang, d.doc_id, c.p || d.text AS text
+      FROM documents d, consts c
+    ), norm AS (
+      SELECT lang, doc_id,
+        trim(regexp_replace(
+          lower(
+            replace(
+              translate(
+                regexp_replace(text,
+                  '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                chr(8216) || chr(8217) || chr(8218) || chr(8242)
+                  || chr(8220) || chr(8221) || chr(8222) || chr(8243)
+                  || chr(8211) || chr(8212) || chr(160) || chr(8239)
+                  || chr(8201),
+                repeat(chr(39), 4) || repeat(chr(34), 4) || '--   '),
+              chr(8230), '...')
+          ),
+          '\s+', ' ', 'g')) AS text_norm
+      FROM clean
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repaired,
+           CAST(sum(len(list_filter(
+               string_split_regex(trim(text_norm), '\s+'),
+               x -> x <> ''))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text_norm)) AS BIGINT) AS chars_norm
+    FROM norm GROUP BY lang
 """
