@@ -109,6 +109,24 @@ def main() -> None:
         (observed as phantom >2x regressions in round-3's recorded bench).
         """
         spark.catalog.clearCache()
+        # Drop accumulated temp views: every streaming key registers a
+        # uuid-named memory-sink table per run and cannot drop it itself
+        # (the table IS the returned result). 185 keys x 2-3 runs of
+        # leaked sink tables + their in-memory blocks measurably tax
+        # late-session queries (round-9: streaming_interval_join read
+        # 45.9 s inside the full session vs 9.9 s isolated).
+        try:
+            for v in spark.catalog.listTables():
+                if v.isTemporary:
+                    spark.catalog.dropTempView(v.name)
+        except Exception:  # pragma: no cover
+            pass
+        # Unload streaming state-store providers (loaded stores + their
+        # maintenance tasks persist for the session lifetime otherwise).
+        try:
+            spark.sparkContext._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        except Exception:  # pragma: no cover
+            pass
         gc.collect()
         try:
             spark.sparkContext._jvm.System.gc()

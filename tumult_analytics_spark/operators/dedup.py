@@ -995,26 +995,36 @@ def _gram_position_hashes(
     """Explode every length-``L`` character gram of every document into
     (``__id__``, ``__pos__``, ``__h__``) rows — 1-based start position
     and the md5-60bit hash of the gram. One row per character; all
-    Catalyst (sequence + explode + substr + md5)."""
-    n_grams = F.greatest(
-        F.length(F.col(text_column)) - F.lit(L - 1), F.lit(0)
+    Catalyst.
+
+    The hashes are computed ARRAY-SIDE (``transform`` over the position
+    sequence) and then ``posexplode``d, so the Generate emits 16-byte
+    (pos, hash) pairs. The naive alternative — explode positions and
+    substr the text in a follow-up projection — drags the full document
+    text through every per-character row (~#chars x doclen bytes of row
+    traffic through the generator); measured 14.1 -> 12.0 s on the
+    substring-dedup key at sf0.1 (round 9, after the noop-sink bench
+    fix made the real cost visible). NOTE: this array-side transform is
+    interpreted (HOFs skip codegen), so it only wins when grams are
+    long/unique — the winnowing kernel (k=5, high shingle repetition)
+    measured 3x WORSE under the same rewrite and keeps its cached
+    Python-loop Arrow kernel (SCALE.md round-9 #2)."""
+    hashes = F.expr(
+        f"CASE WHEN length({text_column}) >= {L} THEN"
+        f" transform(sequence(1, length({text_column}) - {L - 1}),"
+        f" p -> conv(substring(md5(substr({text_column}, p, {L})),"
+        f" 1, 15), 16, 10))"
+        f" ELSE array() END"
     )
     return (
         df.select(
             F.col(id_column).alias("__id__"),
-            F.explode(
-                F.when(
-                    n_grams > 0, F.sequence(F.lit(1), n_grams)
-                ).otherwise(F.array().cast("array<int>"))
-            ).alias("__pos__"),
-            F.col(text_column).alias("__t__"),
+            F.posexplode(hashes).alias("__p0__", "__hs__"),
         )
         .select(
             "__id__",
-            "__pos__",
-            _md5_hash60(
-                F.expr(f"substr(__t__, __pos__, {L})")
-            ).alias("__h__"),
+            (F.col("__p0__") + F.lit(1)).alias("__pos__"),
+            F.col("__hs__").cast("long").alias("__h__"),
         )
     )
 
