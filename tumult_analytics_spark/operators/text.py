@@ -1069,7 +1069,11 @@ def winnow_fingerprints(
     exactly (tie-breaks don't matter for the VALUE set). Arrow-batched
     kernel with a per-batch unique-shingle md5 cache (same rationale as
     MinHash signing); the sliding-window min is one numpy
-    stride-view reduction per doc.
+    stride-view reduction per doc. The input is spread across cores
+    first (the kernel costs ~1 us/char in one Python worker — a
+    few-file scan would serialize it; spread_rows is a no-op on
+    well-partitioned input, per the Arrow-kernel convention in
+    SCALE.md).
     """
     import hashlib
 
@@ -1077,8 +1081,11 @@ def winnow_fingerprints(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from ..utils import spread_rows
+
     if k < 1 or window < 1:
         raise ValueError("k and window must be >= 1")
+    df = spread_rows(df)
 
     def _fp_fn(texts):
         md5 = hashlib.md5
