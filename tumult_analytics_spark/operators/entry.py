@@ -254,7 +254,8 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_quality_stats(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    from ..utils import spread_rows  # heavy Catalyst chain: SCALE.md hazard 1
+    docs = spread_rows(_read(spark, sf_dir, "documents"))
     q = X.quality_score(docs, "text")
     return q.groupBy("lang").agg(
         F.sum((F.col("quality") >= 0.99).cast("long")).alias("n_good"),
@@ -2952,7 +2953,8 @@ def q_pipeline_compose(spark, sf_dir):
 def q_repetition_stats(spark, sf_dir):
     # Gopher-style duplicate-n-gram ratios per doc; pure Catalyst array
     # math, exact integer-ratio doubles, so SQL-reproducible.
-    docs = _read(spark, sf_dir, "documents")
+    from ..utils import spread_rows  # heavy Catalyst chain: SCALE.md hazard 1
+    docs = spread_rows(_read(spark, sf_dir, "documents"))
     r = P.ngram_repetition(docs, "text", ns=(2, 3))
     return r.groupBy("lang").agg(
         F.round(F.sum("dup2_ratio"), 4).alias("sum_dup2"),
@@ -2964,7 +2966,8 @@ def q_repetition_stats(spark, sf_dir):
 
 def q_pii_stats(spark, sf_dir):
     # regexp_count of emails / URLs / long digit runs, per source.
-    docs = _read(spark, sf_dir, "documents")
+    from ..utils import spread_rows  # heavy Catalyst chain: SCALE.md hazard 1
+    docs = spread_rows(_read(spark, sf_dir, "documents"))
     p = P.pii_stats(docs, "text")
     return p.groupBy("source").agg(
         F.sum("n_email").cast("long").alias("total_email"),
@@ -3228,7 +3231,8 @@ def q_gopher_flags(spark, sf_dir):
     # ratio, bullets/ellipses, alpha-word ratio, required stopwords):
     # per-lang pass counts per rule. Pure Catalyst; the oracle replays
     # every rule in SQL.
-    docs = _read(spark, sf_dir, "documents")
+    from ..utils import spread_rows  # heavy Catalyst chain: SCALE.md hazard 1
+    docs = spread_rows(_read(spark, sf_dir, "documents"))
     g = P.gopher_quality_flags(docs, "text")
     return g.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -4298,7 +4302,8 @@ def q_char_entropy_stats(spark, sf_dir):
     # Character-entropy quality signal: per-lang doc counts and average
     # bits/char (rounded per doc so the float accumulation order the
     # kernel and the SQL oracle share survives the comparison).
-    docs = _read(spark, sf_dir, "documents")
+    from ..utils import spread_rows  # heavy Catalyst chain: SCALE.md hazard 1
+    docs = spread_rows(_read(spark, sf_dir, "documents"))
     e = X.char_entropy(docs, "text")
     return e.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
