@@ -1831,3 +1831,28 @@ class TestCorpusDiff:
         except ValueError:
             return
         raise AssertionError("empty compare_columns must raise")
+
+    def test_fingerprint_injective_across_columns(self, spark):
+        # Sentinel-bearing values must not collide across column
+        # boundaries, and a literal value equal to any null sentinel
+        # must differ from NULL (round-10 ADVICE fix: per-column md5
+        # digests, then md5 of the joined fixed-width digests).
+        schema = "doc_id long, a string, b string"
+        cases = [
+            # control-char boundary shift across columns
+            (1, "x\u0002", "y", "x", "\u0002y"),
+            # literal null-sentinel text vs actual NULL
+            (2, "\u0001<null>", "z", None, "z"),
+            (3, "<null>", "z", None, "z"),  # plain-literal vs NULL
+        ]
+        old = spark.createDataFrame(
+            [(i, a, b) for i, a, b, _, _ in cases], schema
+        )
+        new = spark.createDataFrame(
+            [(i, a2, b2) for i, _, _, a2, b2 in cases], schema
+        )
+        out = {
+            r["doc_id"]: r["status"]
+            for r in P.corpus_diff(old, new, "doc_id", ["a", "b"]).collect()
+        }
+        assert out == {1: "changed", 2: "changed", 3: "changed"}

@@ -106,6 +106,25 @@ def test_plan_is_pure_catalyst(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_null_text_flag_is_false_not_null(spark):
+    # rlike(NULL) is NULL, so an unguarded flag propagates NULL for
+    # NULL text rows; consumers that group by or count the flag need a
+    # real False (round-10 ADVICE fix).
+    df = spark.createDataFrame(
+        [(1, None), (2, "CafÃ©"), (3, "clean")],
+        "id long, t string",
+    )
+    rows = {
+        r["id"]: r["repaired"]
+        for r in fix_mojibake(
+            df, "t", output_column="o", flag_column="repaired"
+        ).collect()
+    }
+    assert rows[1] is False
+    assert rows[2] is True
+    assert rows[3] is False
+
+
 def test_invalid_passes_rejected(spark):
     df = spark.createDataFrame([("x",)], ["t"])
     try:

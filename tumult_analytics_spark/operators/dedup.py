@@ -990,7 +990,11 @@ def substring_duplicate_spans(
 
 
 def _gram_position_hashes(
-    df: DataFrame, text_column: str, id_column: str, L: int
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    L: int,
+    chunk_chars: int = 8192,
 ) -> DataFrame:
     """Explode every length-``L`` character gram of every document into
     (``__id__``, ``__pos__``, ``__h__``) rows — 1-based start position
@@ -1008,22 +1012,53 @@ def _gram_position_hashes(
     interpreted (HOFs skip codegen), so it only wins when grams are
     long/unique — the winnowing kernel (k=5, high shingle repetition)
     measured 3x WORSE under the same rewrite and keeps its cached
-    Python-loop Arrow kernel (SCALE.md round-9 #2)."""
-    hashes = F.expr(
+    Python-loop Arrow kernel (SCALE.md round-9 #2).
+
+    Memory bound: a single transform over the whole position sequence
+    would hold one ~16-byte decimal-string hash PER CHARACTER of a
+    document in memory at once (a 100 MB outlier doc -> multi-GB array
+    in one executor row). The position sequence is therefore sliced
+    into ``chunk_chars`` windows first — an outer explode emits
+    (chunk-start, chunk-text[chunk_chars + L - 1]) structs, and the
+    hash transform runs per chunk — so the largest in-flight array is
+    ``chunk_chars`` hashes (~128 KiB at the default) no matter the
+    document length, and chunk rows carry only their own slice of
+    text (total generator traffic ~2x text, not doclen^2). Typical
+    web documents are one chunk, so the common case is the same plan
+    as the unchunked form plus one cheap single-element explode.
+    """
+    if chunk_chars < L:
+        raise ValueError("chunk_chars must be >= min_length")
+    C = int(chunk_chars)
+    # Global gram positions are 1..n, n = len - L + 1. Chunk starts
+    # are 1, 1+C, 1+2C, ...; each chunk's text slice keeps L-1 chars
+    # of overlap so boundary-straddling grams are hashed exactly once
+    # (by the chunk owning their start position).
+    chunks = F.expr(
         f"CASE WHEN length({text_column}) >= {L} THEN"
-        f" transform(sequence(1, length({text_column}) - {L - 1}),"
-        f" p -> conv(substring(md5(substr({text_column}, p, {L})),"
-        f" 1, 15), 16, 10))"
+        f" transform(sequence(1, length({text_column}) - {L - 1}, {C}),"
+        f" cs -> struct(cs AS cs,"
+        f" substr({text_column}, cs, {C + L - 1}) AS ct))"
         f" ELSE array() END"
+    )
+    hashes = F.expr(
+        f"transform(sequence(1, length(__ck__.ct) - {L - 1}),"
+        f" p -> conv(substring(md5(substr(__ck__.ct, p, {L})),"
+        f" 1, 15), 16, 10))"
     )
     return (
         df.select(
             F.col(id_column).alias("__id__"),
+            F.explode(chunks).alias("__ck__"),
+        )
+        .select(
+            "__id__",
+            F.col("__ck__.cs").alias("__cs__"),
             F.posexplode(hashes).alias("__p0__", "__hs__"),
         )
         .select(
             "__id__",
-            (F.col("__p0__") + F.lit(1)).alias("__pos__"),
+            (F.col("__cs__") + F.col("__p0__")).alias("__pos__"),
             F.col("__hs__").cast("long").alias("__h__"),
         )
     )

@@ -600,10 +600,14 @@ def corpus_diff(
     accounting a training-data pipeline needs before deciding what to
     re-process, re-embed, or re-deduplicate incrementally.
 
-    Comparison is by md5 fingerprint over ``compare_columns`` (null-safe:
-    NULL and the empty string hash differently via a control-char
-    sentinel), so wide payloads are compared after reduction to 32
-    bytes per side and the join carries no duplicate payload columns.
+    Comparison is by md5 fingerprint over ``compare_columns``: each
+    column is hashed independently and the fingerprint is md5 over the
+    joined fixed-width digests, so the encoding is injective — no
+    separator/sentinel character a column VALUE could collide with
+    (NULL is a non-hex token, distinguishable from every real digest
+    including the empty string's). Wide payloads are compared after
+    reduction to 32 bytes per side and the join carries no duplicate
+    payload columns.
     ``carry_columns`` are surfaced as ``coalesce(new, old)`` — e.g. a
     language or domain column for per-segment churn stats.
 
@@ -618,13 +622,21 @@ def corpus_diff(
         raise ValueError("compare_columns must not be empty")
 
     def fp(side: DataFrame) -> DataFrame:
-        parts = []
-        for c in compare_columns:
-            parts.append(
-                F.coalesce(F.col(c).cast("string"), F.lit("\u0001<null>"))
-            )
-            parts.append(F.lit("\u0002"))
-        cols = [F.col(id_column), F.md5(F.concat(*parts)).alias("__fp__")]
+        # Per-column digest first, THEN hash the joined digests: every
+        # token is either 32 hex chars or the non-hex "<null>", so the
+        # composite is injective regardless of what bytes the values
+        # contain (a raw concat with separator sentinels is not —
+        # values holding the sentinel collide across column
+        # boundaries, and a literal equal to the null sentinel
+        # collides with NULL).
+        parts = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("<null>"))
+            for c in compare_columns
+        ]
+        cols = [
+            F.col(id_column),
+            F.md5(F.concat_ws("|", *parts)).alias("__fp__"),
+        ]
         cols += [F.col(c) for c in carry_columns]
         return side.select(*cols)
 
@@ -927,12 +939,20 @@ def ngram_contamination(
     appear anywhere in the benchmark set (the standard train/test
     contamination check).
 
+    ``id_column`` values must be unique per corpus row (same contract
+    as :func:`corpus_diff`): the stats are grouped by id and joined
+    back, so a duplicated id would receive merged counts on every
+    copy. NULL ids fall through the left join with contamination 0.0.
+
     Plan shape: the benchmark's distinct grams are exploded (small —
     benchmarks are MBs, not TBs) and broadcast; corpus grams are
-    exploded and inner-joined against the broadcast, so the only rows
-    that reach the post-join shuffle are actual matches. The final
-    per-document count is a groupBy on the id — one narrow shuffle of
-    (id, 1) pairs.
+    exploded once and LEFT-joined against the broadcast so a single
+    groupBy computes both the total and the matched gram count —
+    map-side partial aggregation collapses the per-gram rows to one
+    row per id per partition before the (only) shuffle. One tokenize
+    pass, one shuffle, no persisted state (earlier revisions cached a
+    gram-array frame shared by two branches and leaked it for the
+    session lifetime — the single-branch shape needs no cache).
     """
     # Bind tokens to a column before the gram-slicing lambda on BOTH
     # sides (see SCALE.md: slicing an unbound split expression inside
@@ -943,35 +963,25 @@ def ngram_contamination(
         benchmark.select(_tokens(F.col(text_column)).alias("__tk__"))
         .select(F.explode(grams_of(F.col("__tk__"))).alias("gram"))
         .distinct()
+        .withColumn("__hit__", F.lit(1))
     )
-    # Tokenize + gram-slice ONCE: the (id, gram-array) projection is
-    # persisted and BOTH branches (the explode->join side and the
-    # per-doc totals side) read the cache — without it, Catalyst
-    # evaluates the whole tokenize/slice/distinct chain twice, once
-    # per DAG branch (SCALE.md hazard 2; measured 12.2 -> 4.8 s on the
-    # graded key at sf0.1 under noop materialization). The cached frame is slim: id + gram array, no
-    # document text, no corpus payload.
-    slim = corpus.select(
+    doc_grams = corpus.select(
         F.col(id_column),
-        grams_of(_tokens(F.col(text_column))).alias("__g__"),
-    ).persist()
-    doc_grams = slim.select(
-        F.col(id_column), F.explode("__g__").alias("gram")
+        F.explode(grams_of(_tokens(F.col(text_column)))).alias("gram"),
     )
-    matched = (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
+    stats = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left")
         .groupBy(id_column)
-        .agg(F.count(F.lit(1)).alias("_matched_grams"))
+        .agg(
+            F.count(F.lit(1)).alias("_total_grams"),
+            F.count("__hit__").alias("_matched_grams"),
+        )
     )
-    sizes = slim.select(
-        F.col(id_column), F.size("__g__").alias("_total_grams")
-    )
-    total = corpus.join(sizes, id_column, "left")
-    out = total.join(matched, id_column, "left").withColumn(
+    out = corpus.join(stats, id_column, "left").withColumn(
         output_column,
         F.when(
             F.col("_total_grams") > 0,
-            F.coalesce(F.col("_matched_grams"), F.lit(0)).cast("double")
+            F.col("_matched_grams").cast("double")
             / F.col("_total_grams").cast("double"),
         ).otherwise(F.lit(0.0)),
     )

@@ -1492,9 +1492,15 @@ def fix_mojibake(
         col = F.when(candidate, F.decode(refolded, "UTF-8")).otherwise(col)
     out = df.withColumn(output_column, col)
     if flag_column is not None:
+        # coalesce: NULL text makes every gate NULL (rlike(NULL) is
+        # NULL), and NULL is neither true nor false — consumers that
+        # count or group by the flag need a real False for NULL rows.
         out = out.withColumn(
             flag_column,
-            touched & (F.col(output_column) != F.col(text_column)),
+            F.coalesce(
+                touched & (F.col(output_column) != F.col(text_column)),
+                F.lit(False),
+            ),
         )
     return out
 
