@@ -232,6 +232,7 @@ def minhash_lsh_candidates(
     min_signature_similarity: float = 0.5,
     num_hashes: Optional[int] = None,
     dedup_pairs: bool = True,
+    hot_bucket_cap: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) from banded LSH.
 
@@ -245,21 +246,75 @@ def minhash_lsh_candidates(
     ``xxhash64(element_at(...), ...)`` and a sum of equality flags — which
     stay inside whole-stage codegen. Without it, array HOFs are used,
     which Spark interprets per-row (measurably slower).
+
+    ``hot_bucket_cap``: the quadratic guard. A bucket of m co-hashing
+    rows emits ~m^2/2 pairs from the self-join — a real crawl's
+    boilerplate clusters (identical 404/consent pages, 10^5-10^7
+    copies) make that 10^10+ intermediate rows per band, and no
+    AQE/skew handling can shrink an inherently quadratic join OUTPUT.
+    With a cap, buckets larger than it switch to a star comparison
+    against the bucket's min-id member (m-1 pairs instead of m^2/2);
+    buckets at or under the cap keep the exact all-pairs join. The
+    star is an under-approximation for MIXED oversized buckets (a
+    member whose true near-duplicate is some non-min member is
+    missed), but oversized buckets are near-duplicate cliques in
+    practice — every member agrees with the min — and the dedup
+    wrapper additionally collapses identical signatures first so the
+    dominant exact-duplicate pathology never reaches the join at all.
+    ``None`` (default here) keeps the exact pair semantics; the dedup
+    wrapper defaults the cap ON.
     """
     banded = _banded_signatures(signatures, id_column, bands, num_hashes)
-    left = banded.select(
-        F.col("__band__"), F.col("__bh__"), F.col("__id__").alias("id_a"),
-        F.col("signature").alias("sig_a"),
-    )
-    right = banded.select(
-        F.col("__band__"), F.col("__bh__"), F.col("__id__").alias("id_b"),
-        F.col("signature").alias("sig_b"),
-    )
-    pairs = (
-        left.join(right, on=["__band__", "__bh__"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-    )
+
+    def _pairs_from(b: DataFrame) -> DataFrame:
+        left = b.select(
+            F.col("__band__"), F.col("__bh__"),
+            F.col("__id__").alias("id_a"),
+            F.col("signature").alias("sig_a"),
+        )
+        right = b.select(
+            F.col("__band__"), F.col("__bh__"),
+            F.col("__id__").alias("id_b"),
+            F.col("signature").alias("sig_b"),
+        )
+        return (
+            left.join(right, on=["__band__", "__bh__"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+        )
+
+    if hot_bucket_cap is None:
+        pairs = _pairs_from(banded)
+    else:
+        if hot_bucket_cap < 2:
+            raise ValueError("hot_bucket_cap must be >= 2")
+        # One shuffle (the window on the join key) computes bucket size
+        # and min-id member; both join branches inherit the window's
+        # hashpartitioning on (__band__, __bh__), so the small-bucket
+        # self-join adds no further exchange.
+        wb = Window.partitionBy("__band__", "__bh__")
+        stats = banded.withColumn(
+            "__bn__", F.count(F.lit(1)).over(wb)
+        ).withColumn(
+            "__bm__",
+            F.min(
+                F.struct(
+                    F.col("__id__").alias("i"),
+                    F.col("signature").alias("s"),
+                )
+            ).over(wb),
+        )
+        small = stats.filter(F.col("__bn__") <= hot_bucket_cap)
+        big = stats.filter(F.col("__bn__") > hot_bucket_cap)
+        star_pairs = big.filter(F.col("__id__") != F.col("__bm__.i")).select(
+            F.col("__bm__.i").alias("id_a"),
+            F.col("__id__").alias("id_b"),
+            F.col("__bm__.s").alias("sig_a"),
+            F.col("signature").alias("sig_b"),
+        )
+        pairs = _pairs_from(
+            small.select("__band__", "__bh__", "__id__", "signature")
+        ).unionByName(star_pairs)
     if dedup_pairs:
         # A pair colliding in k bands appears k times; callers that only
         # need the distinct dropped-id set skip this shuffle entirely.
@@ -340,6 +395,8 @@ def minhash_lsh_dedup(
     min_signature_similarity: float = 0.5,
     cache_signatures: bool = True,
     signature_fn: str = "rolling",
+    collapse_identical: bool = True,
+    hot_bucket_cap: Optional[int] = 4096,
 ) -> DataFrame:
     """Drop near-duplicate documents, keeping the smallest id per duplicate
     group (single-pass star representative: a row is dropped iff some
@@ -350,6 +407,32 @@ def minhash_lsh_dedup(
     (fastest); "md5" = pure-Catalyst md5 shingle hashing whose arithmetic
     is exactly reproducible in ANSI SQL (the value-oracle path). Same
     LSH structure either way.
+
+    Hot-cluster guards (the 100 TB pathology: a crawl's boilerplate
+    cluster of m identical pages shares every band hash, so each band's
+    self-join would emit ~m^2/2 candidate rows — 10^10+ for real
+    404/consent-page clusters, and AQE cannot shrink a join's inherent
+    OUTPUT volume):
+
+    * ``collapse_identical`` (default on) groups rows by their full
+      signature BEFORE banding and bands only the min-id representative
+      of each group. This is a pure optimization — provably
+      result-identical: a non-representative row r has an identical-
+      signature representative g with g <= r, so r is near-duplicate of
+      a smaller id (similarity 1.0) and is dropped either way; and for
+      any surviving representative, every band collision some dropped
+      member would have produced is produced by its representative
+      (band hashes are a function of the signature alone). The dominant
+      exact-duplicate pathology therefore contributes ONE row per
+      cluster to the join instead of m.
+    * ``hot_bucket_cap`` bounds the residual near-duplicate (not
+      byte-identical) clusters: buckets larger than the cap use a
+      star comparison against the bucket's min-id member — see
+      :func:`minhash_lsh_candidates`. Within a near-duplicate clique
+      this is also drop-equivalent (every member agrees with the
+      bucket min, which is the clique min whenever the clique ids
+      precede the bucket's other members); for mixed oversized buckets
+      it may under-drop. Set ``None`` for the exact all-pairs join.
 
     The banded self-join reads the signature pipeline twice, so the
     signatures are materialized once by default — via eager
@@ -367,6 +450,19 @@ def minhash_lsh_dedup(
     sigs = make_sigs(df, text_column, id_column, num_hashes, shingle_size)
     if cache_signatures:
         sigs = sigs.localCheckpoint(eager=True)
+    exact_drops = None
+    if collapse_identical:
+        # One slim shuffle keyed on the signature array itself (exact —
+        # no hash-collision risk). Rows whose id is not their group's
+        # min are dropped outright; only representatives are banded.
+        wsig = Window.partitionBy("signature")
+        tagged = sigs.withColumn("__rep__", F.min(id_column).over(wsig))
+        exact_drops = tagged.filter(
+            F.col(id_column) != F.col("__rep__")
+        ).select(F.col(id_column))
+        sigs = tagged.filter(F.col(id_column) == F.col("__rep__")).drop(
+            "__rep__"
+        )
     cand = minhash_lsh_candidates(
         sigs,
         id_column,
@@ -374,8 +470,11 @@ def minhash_lsh_dedup(
         min_signature_similarity,
         num_hashes=num_hashes,
         dedup_pairs=False,  # left_anti dedups the drop-set implicitly
+        hot_bucket_cap=hot_bucket_cap,
     )
     to_drop = cand.select(F.col("id_b").alias(id_column))
+    if exact_drops is not None:
+        to_drop = to_drop.unionByName(exact_drops)
     out = df.join(to_drop, on=id_column, how="left_anti")
     return out
 

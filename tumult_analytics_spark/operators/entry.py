@@ -5372,6 +5372,120 @@ def _minhash_oracle_sql(
     """
 
 
+def q_adversarial_dedup_stats(spark, sf_dir):
+    # The hot-bucket pathology, graded: 10^4 byte-identical docs (must
+    # collapse to ONE banded row), a 2000-doc near-dup clique (hot
+    # buckets > cap -> star comparison), and the id-shifted base
+    # corpus. The oracle replays signature collapse, bucket-tuple
+    # grouping, the cap-128 star/all-pairs split, and the agreement
+    # check in SQL — value parity locks the guard's exact semantics.
+    from . import adversarial as A
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = A.adversarial_corpus(spark, docs)
+    kept = D.minhash_lsh_dedup(
+        corpus, "text", "doc_id", num_hashes=32, bands=8,
+        min_signature_similarity=0.7, signature_fn="md5",
+        hot_bucket_cap=128,
+    )
+    return kept.groupBy(A.segment_column().alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def _adversarial_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    tau: float = 0.7,
+    seed: int = 42,
+    cap: int = 128,
+) -> str:
+    # Replays minhash_lsh_dedup's guarded semantics end to end:
+    # md5-shingle signatures -> collapse identical signatures to the
+    # min-id representative -> band buckets keyed by the signature
+    # tuple (Spark keys by xxhash64 of the same tuple — identical
+    # grouping modulo 64-bit hash collisions) -> all-pairs for buckets
+    # <= cap, min-id star above -> agreement >= tau -> drop set.
+    from . import adversarial as A
+
+    coeffs = D.minhash_coefficients(num_hashes, seed)
+    M = (1 << 31) - 1
+    mins = ",\n                 ".join(
+        f"min(({a} * hm + {b}) % {M}) AS s{p}"
+        for p, (a, b) in enumerate(coeffs)
+    )
+    sig_cols = ", ".join(f"s{p}" for p in range(num_hashes))
+    rpb = num_hashes // bands
+    banded = "\n          UNION ALL\n          ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"s{b * rpb + j}" for j in range(rpb))
+        + ") AS bk FROM rsig"
+        for b in range(bands)
+    )
+    agree = "\n               + ".join(
+        f"(CASE WHEN a.s{p} = b.s{p} THEN 1 ELSE 0 END)"
+        for p in range(num_hashes)
+    )
+    return f"""
+        WITH corpus AS ({A.adversarial_corpus_sql()}),
+        ex AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, greatest(length(text) - {shingle - 1}, 1) + 1),
+                     i -> ('0x' || substr(md5(substr(text, i, {shingle})),
+                                          1, 15))::BIGINT % {M}
+                 )) AS hm
+          FROM corpus
+        ), sig AS (
+          SELECT doc_id,
+                 {mins}
+          FROM ex GROUP BY doc_id
+        ), rep AS (
+          SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY {sig_cols}) AS rp
+          FROM sig
+        ), rsig AS (
+          SELECT s.* FROM sig s
+          JOIN rep r ON s.doc_id = r.doc_id AND r.doc_id = r.rp
+        ), banded AS (
+          {banded}
+        ), bstats AS (
+          SELECT band, bk, count(*) AS n, min(doc_id) AS mn
+          FROM banded GROUP BY band, bk
+        ), cand AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb
+          FROM banded a
+          JOIN banded b ON a.band = b.band AND a.bk = b.bk
+                        AND a.doc_id < b.doc_id
+          JOIN bstats s ON s.band = a.band AND s.bk = a.bk
+          WHERE s.n <= {cap}
+          UNION
+          SELECT s.mn AS ida, m.doc_id AS idb
+          FROM banded m
+          JOIN bstats s ON s.band = m.band AND s.bk = m.bk
+          WHERE s.n > {cap} AND m.doc_id <> s.mn
+        ), dropped AS (
+          SELECT doc_id FROM rep WHERE doc_id <> rp
+          UNION
+          SELECT c.idb AS doc_id
+          FROM cand c
+          JOIN rsig a ON a.doc_id = c.ida
+          JOIN rsig b ON b.doc_id = c.idb
+          WHERE CAST({agree} AS DOUBLE) / {num_hashes} >= {tau}
+        )
+        SELECT CASE WHEN doc_id < {A.IDENTICAL_BASE} THEN 'clique'
+                    WHEN doc_id < {A.BASE_SHIFT} THEN 'identical'
+                    ELSE 'base' END AS segment,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        GROUP BY 1
+    """
+
+
 def _crosscorpus_oracle_sql(
     num_hashes: int = 32,
     bands: int = 8,
@@ -6442,6 +6556,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
     "minhash_dedup": q_minhash_dedup,
+    "adversarial_dedup_stats": q_adversarial_dedup_stats,
     "substring_dedup_stats": q_substring_dedup_stats,
     "span_decontamination_stats": q_span_decontamination_stats,
     "incremental_dedup": q_incremental_dedup,
@@ -6618,6 +6733,7 @@ ORACLES = {
     "dsir_selection": _DSIR_ORACLE,
     "simhash_buckets": _simhash_oracle_sql(),
     "minhash_dedup": _minhash_oracle_sql(),
+    "adversarial_dedup_stats": _adversarial_oracle_sql(),
     "substring_dedup_stats": _SUBSTRING_DEDUP_ORACLE,
     "span_decontamination_stats": _SPAN_DECONTAMINATION_ORACLE,
     "incremental_dedup": _incremental_dedup_oracle_sql(),

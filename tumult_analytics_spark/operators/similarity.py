@@ -258,7 +258,12 @@ def _topk_indices(S, ids, kk: int, deterministic: bool):
     return np.argpartition(-Sr, kth=kk - 1, axis=1)[:, :kk]
 
 
-def _bucket_topk_fn(id_column: str, k: int, deterministic: bool = False):
+def _bucket_topk_fn(
+    id_column: str,
+    k: int,
+    deterministic: bool = False,
+    bucket_cap: "Optional[int]" = None,
+):
     import numpy as np
     import pandas as pd
 
@@ -269,6 +274,30 @@ def _bucket_topk_fn(id_column: str, k: int, deterministic: bool = False):
         if len(ids) < 2:
             return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
         M = np.stack(pdf["__nv__"].to_numpy())
+        if bucket_cap is not None and len(ids) > bucket_cap:
+            # Hot-bucket compute guard: an m-row bucket costs O(m^2)
+            # multiply-adds (row slicing bounds MEMORY, not compute —
+            # a 10^6-copy boilerplate cluster is 10^12 dot products).
+            # Split the bucket into id-ordered segments of <= cap rows
+            # and search within segments only: O(m * cap) compute,
+            # linear in m. Oversized buckets are near-duplicate
+            # clusters in practice, so segment-local neighbors are
+            # representative; other LSH tables independently re-bucket
+            # the same rows, recovering cross-segment pairs.
+            order = np.argsort(ids, kind="stable")
+            outs = []
+            for s in range(0, len(ids), int(bucket_cap)):
+                seg = order[s : s + int(bucket_cap)]
+                if len(seg) < 2:
+                    continue
+                outs.append(
+                    bucket_topk(key, pdf.iloc[seg].reset_index(drop=True))
+                )
+            if not outs:
+                return pd.DataFrame(
+                    columns=["query_id", "neighbor_id", "cosine"]
+                )
+            return pd.concat(outs, ignore_index=True)
         kk = min(k, len(ids) - 1)
         Sbuf = np.empty((min(_BRUTE_SLICE, len(ids)), len(ids)))
         outs = []
@@ -306,10 +335,19 @@ def lsh_cosine_topk(
     plane_kind: str = "gauss",
     deterministic: bool = False,
     rank_k=None,
+    bucket_cap: Optional[int] = 8192,
 ) -> DataFrame:
     """Approximate top-k: per-bucket pairwise matmuls across ``tables``
     independent sign-LSH tables; union, keep best score per pair, global
-    top-k per query. Cost: sum of per-bucket squares instead of |C|^2.
+    top-k per query. Cost: sum of per-bucket squares instead of |C|^2 —
+    and ``bucket_cap`` bounds even that: a bucket larger than the cap
+    (a boilerplate near-duplicate cluster that sign-LSH cannot split,
+    since identical vectors share every plane sign) is searched in
+    id-ordered segments of <= cap rows, turning the per-bucket cost
+    from m^2 to m*cap. Segment-local recall loss is negligible for the
+    clusters that trigger it (members are near-identical) and other
+    tables re-bucket independently; set None for exact per-bucket
+    all-pairs.
 
     All tables are processed in ONE shuffle: the per-table bucket ids are
     melted to a long (table, bucket) key with ``stack`` and grouped once —
@@ -338,7 +376,7 @@ def lsh_cosine_topk(
             T.StructField("cosine", T.DoubleType(), True),
         ]
     )
-    fn = _bucket_topk_fn(id_column, k, deterministic)
+    fn = _bucket_topk_fn(id_column, k, deterministic, bucket_cap=bucket_cap)
     cand = melted.groupBy("__t__", "__bkt__").applyInPandas(fn, out_schema)
     best = cand.groupBy("query_id", "neighbor_id").agg(
         F.max("cosine").alias("cosine")
