@@ -186,6 +186,9 @@ def main() -> None:
     # .sf1 doesn't parse as ".1" = 0.1).
     sf = os.path.basename(sf_dir.rstrip("/")).lstrip(".").replace("sf", "")
     calibration = _r01_subset_calibration(timings)
+    budget_flags = _budget_deviations(timings, calibration, sf, materialize)
+    for msg in budget_flags:
+        print(f"# BUDGET {msg}", file=sys.stderr, flush=True)
     payload = {
         "metric": "total_query_wall_clock",
         "value": round(total, 3),
@@ -216,6 +219,7 @@ def main() -> None:
         "slowest": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:8]
         ),
+        "budget_flags": budget_flags[:8],
     }
     headline.update(calibration)
     print(json.dumps(headline))
@@ -243,6 +247,52 @@ def main() -> None:
     print(json.dumps(headline))
     _write_full_artifact(payload, only)
     spark.stop()
+
+
+def _budget_deviations(
+    timings: dict, calibration: dict, sf: str, materialize: str
+) -> list:
+    """Per-key regression tripwire (r9 verdict #7): the driver compares
+    round TOTALS only, so a 2x regression on one key hides inside a
+    185-key sum. ``bench_budget.json`` commits each key's expected
+    seconds (noop materializer, sf0.1, full-session) plus the host-speed
+    anchor it was measured under; this flags any key that runs >2x its
+    host-normalized budget (0.5 s floor — sub-second keys are scheduler
+    noise) and any key the budget file doesn't know (new keys must get a
+    budget with their first full session: tools/make_bench_budget.py).
+    Flags are advisory lines in the headline + stderr, never a failure —
+    the bench contract stays one JSON line."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_budget.json")) as f:
+            budget = json.load(f)
+    except Exception:
+        return []
+    if sf != str(budget.get("sf", "0.1")) or materialize != budget.get(
+        "materialize", "noop"
+    ):
+        return []  # budgets are only meaningful at their measured shape
+    # Budgets were measured in a FULL session; a SPARK_GRAFT_ONLY run
+    # front-loads JVM/Arrow warmup into its few keys and its
+    # calibration anchor is a fragment — comparisons would be noise.
+    if calibration.get("calibration_n_keys", 0) < 40:
+        return []
+    # Host-speed normalization: the code-frozen r01 subset total moves
+    # only with host speed, so scale budgets by this session's ratio.
+    anchor = budget.get("calibration_r01_subset_s") or 0
+    now = calibration.get("calibration_r01_subset_s") or 0
+    scale = (now / anchor) if anchor and now else 1.0
+    flags = []
+    per_key = budget.get("budgets", {})
+    for k, t in sorted(timings.items()):
+        b = per_key.get(k)
+        if b is None:
+            flags.append(f"{k}: no budget (new key? run make_bench_budget)")
+        elif t > 0.5 and b > 0 and t > 2.0 * b * scale:
+            flags.append(
+                f"{k}: {t:.2f}s > 2x budget {b:.2f}s (host-scale {scale:.2f})"
+            )
+    return flags
 
 
 def _r01_subset_calibration(timings: dict) -> dict:

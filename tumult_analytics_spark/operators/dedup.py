@@ -542,7 +542,16 @@ def query_minhash_index(
     when the index is corpus-scale and the batch is a crawl increment
     (the common case; Spark can't infer it because the Arrow signing
     kernel hides size stats). Leave False when the batch rivals the
-    index — a broadcast that big belongs in a shuffle join."""
+    index — a broadcast that big belongs in a shuffle join.
+
+    Hot-bucket note (same pathology class as the self-join guard in
+    :func:`minhash_lsh_candidates`, but batch x index instead of m^2):
+    a batch doc whose band hash hits a boilerplate cluster of m index
+    rows emits m match rows per band. Output stays LINEAR in the
+    index bucket size (never quadratic), and
+    :func:`dedup_against_index` only needs existence, so the standard
+    mitigation is building the index from a pre-collapsed corpus
+    (exact dedup first — the pipeline's documented order)."""
     if index.kind != "minhash":
         raise ValueError(f"expected a minhash index, got {index.kind!r}")
     p = index.params

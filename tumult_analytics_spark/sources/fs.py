@@ -15,8 +15,16 @@ and (c) natively speaks the stores 100 TB crawl corpora live on:
 
 - ``file://`` / bare paths — LocalFileSystem;
 - ``s3://`` / ``s3a://`` / ``s3n://`` — S3FileSystem (the Hadoop
-  scheme aliases normalize to ``s3``; credentials resolve through
-  the standard AWS chain: env, config files, IMDS);
+  scheme aliases normalize to ``s3``). Credentials resolve through
+  the standard AWS chain (env, config files, IMDS) by default; any
+  ``TAS_S3_*`` environment variable switches to EXPLICIT
+  construction — endpoint_override / region / access_key /
+  secret_key / session_token / scheme / allow_bucket_creation /
+  allow_bucket_deletion / anonymous — the knobs S3-COMPATIBLE stores
+  (MinIO, Ceph RGW) and config-driven containers need. This path is
+  exercised end to end against a live local S3 server (moto) in
+  ``tests/test_s3_live.py``: real AWS C++ SDK HTTP, signatures,
+  multipart upload, ranged reads;
 - ``gs://`` — GcsFileSystem;
 - ``hdfs://`` — HadoopFileSystem via libhdfs (present on real
   clusters; absent in slim containers, where the resolve fails
@@ -89,6 +97,49 @@ def normalize_uri(path: str) -> str:
     return path
 
 
+#: Environment knobs for explicit S3FileSystem construction (set any
+#: to route ``s3://`` URIs through them instead of ``from_uri``'s
+#: default-chain resolution). They exist for two deployments the
+#: default chain can't reach: S3-COMPATIBLE stores (MinIO, Ceph RGW,
+#: moto — need ``endpoint_override`` + ``scheme=http``) and containers
+#: whose credentials/region come from the job config rather than the
+#: IMDS/env chain. Env vars (not Spark conf) so EXECUTOR Python
+#: workers resolve identically: local mode inherits the driver env,
+#: clusters ship them via ``spark.executorEnv.*``.
+S3_ENV = {
+    "TAS_S3_ENDPOINT": "endpoint_override",
+    "TAS_S3_REGION": "region",
+    "TAS_S3_ACCESS_KEY": "access_key",
+    "TAS_S3_SECRET_KEY": "secret_key",
+    "TAS_S3_SESSION_TOKEN": "session_token",
+    "TAS_S3_SCHEME": "scheme",  # http for emulators/in-VPC gateways
+}
+S3_FLAG_ENV = {
+    "TAS_S3_ALLOW_BUCKET_CREATION": "allow_bucket_creation",
+    "TAS_S3_ALLOW_BUCKET_DELETION": "allow_bucket_deletion",
+    "TAS_S3_ANONYMOUS": "anonymous",
+}
+
+
+def s3_options() -> Optional[dict]:
+    """S3FileSystem kwargs from the TAS_S3_* environment, or ``None``
+    when none are set (then ``from_uri`` + the standard AWS chain
+    applies). Exposed for tests to grade the exact constructed
+    options. pyarrow 16 fixes the multipart part size internally
+    (5 MiB minimum, background multipart upload) — there is no
+    threshold knob to plumb."""
+    opts = {
+        kw: os.environ[env]
+        for env, kw in S3_ENV.items()
+        if os.environ.get(env)
+    }
+    for env, kw in S3_FLAG_ENV.items():
+        v = os.environ.get(env, "").strip().lower()
+        if v:
+            opts[kw] = v in ("1", "true", "yes", "on")
+    return opts or None
+
+
 def resolve(path: str) -> Tuple[pafs.FileSystem, str, str]:
     """Resolve a path/URI to ``(filesystem, fs_path, uri_prefix)``.
     ``uri_prefix + fs_path`` rebuilds a URI that resolves back to the
@@ -99,6 +150,10 @@ def resolve(path: str) -> Tuple[pafs.FileSystem, str, str]:
     m = _SCHEME_RE.match(p)
     if not m:
         return pafs.LocalFileSystem(), p, ""
+    if m.group(1) == "s3":
+        opts = s3_options()
+        if opts is not None:
+            return pafs.S3FileSystem(**opts), p[m.end():], "s3://"
     fs, fs_path = pafs.FileSystem.from_uri(p)
     prefix = "" if m.group(1) == "file" else m.group(1) + "://"
     return fs, fs_path, prefix
