@@ -69,7 +69,7 @@ ARTIFACT = os.environ.get(
     "ORACLE_ARTIFACT",
     os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "correctness_full_r09.json",
+        "correctness_full_r10.json",
     ),
 )
 

@@ -2916,7 +2916,16 @@ def q_stratified_sample(spark, sf_dir):
 def q_ngram_contamination(spark, sf_dir):
     # Train/test contamination: fraction of each corpus doc's distinct
     # 5-grams present in the (broadcast) benchmark gram set.
-    docs = _read(spark, sf_dir, "documents")
+    from ..utils import spread_rows
+
+    # Guarded row spread (round-10, same class as the r9 five): the
+    # tokenize + gram-slice chain otherwise runs at file-split
+    # parallelism — one task on the one-row-group .sf1/.sf10 files
+    # (measured 33.6 s serialized at sf1).
+    docs = spread_rows(
+        _read(spark, sf_dir, "documents"),
+        min_files=spark.sparkContext.defaultParallelism,
+    )
     bench = docs.filter("doc_id % 97 = 0")
     corpus = docs.filter("doc_id % 97 != 0")
     c = P.ngram_contamination(corpus, bench, "text", "doc_id", n=5)
