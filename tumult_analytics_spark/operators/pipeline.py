@@ -811,6 +811,7 @@ def export_webdataset(
     staged = df.select(
         shard_id(F.col(key_column), n_shards).alias("shard"), *cols
     )
+    fs_env = xfs.env_snapshot()
 
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         import io
@@ -818,6 +819,7 @@ def export_webdataset(
 
         from ..sources import fs as xfs
 
+        xfs.apply_env(fs_env)
         shard = int(pdf["shard"].iloc[0])
         out = xfs.join(path, f"shard-{shard:05d}.tar")
         pdf = pdf.sort_values("__key__", kind="mergesort")
@@ -889,10 +891,15 @@ def read_webdataset_manifest(
             f"(wrong directory, or shards not visible on this filesystem)"
         )
 
+    fs_env = xfs.env_snapshot()
+
     def _parse(batches):
         import re
         import tarfile
 
+        from ..sources import fs as xfs
+
+        xfs.apply_env(fs_env)
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
@@ -900,8 +907,6 @@ def read_webdataset_manifest(
                 keys = set()
                 by_ext = {e: 0 for e in exts}
                 n_files = 0
-                from ..sources import fs as xfs
-
                 with xfs.open_input_file(p) as fobj, tarfile.open(
                     fileobj=fobj, mode="r:"
                 ) as tar:

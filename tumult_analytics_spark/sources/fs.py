@@ -61,6 +61,7 @@ __all__ = [
     "ALIAS_ENV", "normalize_uri", "resolve", "open_input_stream",
     "open_input_file", "open_output_stream", "makedirs", "list_files",
     "delete_files", "is_file", "basename", "join",
+    "env_snapshot", "apply_env",
 ]
 
 ALIAS_ENV = "TAS_FS_ALIASES"
@@ -103,9 +104,12 @@ def normalize_uri(path: str) -> str:
 #: default chain can't reach: S3-COMPATIBLE stores (MinIO, Ceph RGW,
 #: moto — need ``endpoint_override`` + ``scheme=http``) and containers
 #: whose credentials/region come from the job config rather than the
-#: IMDS/env chain. Env vars (not Spark conf) so EXECUTOR Python
-#: workers resolve identically: local mode inherits the driver env,
-#: clusters ship them via ``spark.executorEnv.*``.
+#: IMDS/env chain. Env vars (not Spark conf) so plain-Python callers
+#: need no SparkSession; EXECUTOR workers do NOT reliably inherit
+#: them (workers fork from a daemon whose env froze at JVM launch),
+#: so executor-bound closures ship an :func:`env_snapshot` and call
+#: :func:`apply_env` before resolving — no ``spark.executorEnv.*``
+#: plumbing needed on real clusters either.
 S3_ENV = {
     "TAS_S3_ENDPOINT": "endpoint_override",
     "TAS_S3_REGION": "region",
@@ -138,6 +142,40 @@ def s3_options() -> Optional[dict]:
         if v:
             opts[kw] = v in ("1", "true", "yes", "on")
     return opts or None
+
+
+#: Every environment key the seam reads; the unit a snapshot manages.
+ENV_KEYS = (ALIAS_ENV, *S3_ENV, *S3_FLAG_ENV)
+
+
+def env_snapshot() -> dict:
+    """Driver-side capture of the seam's environment (aliases +
+    TAS_S3_* knobs) for shipping inside task closures.
+
+    Why closures and not inheritance: executor Python workers fork
+    from a ``pyspark.daemon`` whose environment froze when the JVM
+    launched, so TAS_* values exported on the driver AFTER session
+    start — the normal order in notebooks and test harnesses — never
+    reach them, and on real clusters executors are different machines
+    entirely. A snapshot captured at plan-construction time is pickled
+    by value with the kernel and re-applied by :func:`apply_env`,
+    making the worker's resolution identical to the driver's with no
+    ``spark.executorEnv.*`` deployment plumbing."""
+    return {k: os.environ[k] for k in ENV_KEYS if k in os.environ}
+
+
+def apply_env(snap: Optional[dict]) -> None:
+    """Executor-side: make this worker's fs environment match the
+    driver snapshot. Managed keys absent from the snapshot are
+    REMOVED so reused workers don't leak one job's endpoint or
+    credentials into the next job's resolution."""
+    if snap is None:
+        return
+    for k in ENV_KEYS:
+        if k in snap:
+            os.environ[k] = snap[k]
+        else:
+            os.environ.pop(k, None)
 
 
 def resolve(path: str) -> Tuple[pafs.FileSystem, str, str]:

@@ -224,7 +224,10 @@ def write_warc(
         shard_id(F.col(url_column), n_shards).alias("shard"), *cols
     )
 
+    fs_env = xfs.env_snapshot()
+
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        xfs.apply_env(fs_env)
         shard = int(pdf["shard"].iloc[0])
         out = xfs.join(path, f"shard-{shard:05d}.warc.gz")
         pdf = pdf.sort_values("__url__", kind="mergesort")
@@ -329,7 +332,10 @@ def _write_sidecar(
         ).alias("__date__"),
     )
 
+    fs_env = xfs.env_snapshot()
+
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        xfs.apply_env(fs_env)
         shard = int(pdf["shard"].iloc[0])
         out = xfs.join(path, f"shard-{shard:05d}.{ext}")
         pdf = pdf.sort_values("__url__", kind="mergesort")
@@ -592,6 +598,7 @@ def _make_parser(record_types: Iterable[str], batch_rows: int):
     wanted = {t.lower() for t in record_types}
     n_batch = int(batch_rows)
     charset_re = re.compile(r"charset=\"?([A-Za-z0-9_.\-]+)", re.I)
+    fs_env = xfs.env_snapshot()
 
     def _decode(body: bytes, hct) -> str:
         # Honor the HTTP Content-Type charset (real crawls are far
@@ -608,6 +615,7 @@ def _make_parser(record_types: Iterable[str], batch_rows: int):
             return body.decode("utf-8", "replace")
 
     def _parse(batches):
+        xfs.apply_env(fs_env)
         cols = [
             "warc_file", "record_id", "warc_type", "url", "warc_date",
             "http_status", "http_content_type", "html", "payload_bytes",
