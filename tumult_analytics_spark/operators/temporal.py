@@ -426,22 +426,28 @@ def funnel_conversion(
     types) in order — each step must occur strictly AFTER the previous
     completed step and within ``within_seconds`` of the FIRST step.
     Returns one row per user with ``steps_completed`` (0..len(steps))
-    and ``t0`` (the anchoring first-step time; null when step 1 never
-    happened). The anchor is the user's EARLIEST step-1 event.
+    and ``t0_us`` (the anchoring first-step time in epoch microseconds;
+    null when step 1 never happened). The anchor is the user's EARLIEST
+    step-1 event.
 
-    Plan shape: one groupBy(user).applyInPandas — the per-user event
-    list sorts in the kernel (users' event counts are small; the heavy
-    lifting is the single shuffle). A pure-Catalyst min/filter chain
-    would need one pass per step; this is one pass total and expresses
-    the strictly-sequential semantics exactly.
+    Plan shape: ONE groupBy(user) aggregation collecting a per-step
+    timestamp array (events of other types never enter the arrays),
+    then the strictly-sequential walk as nested JVM array expressions:
+    ``cur_k = array_min(filter(arr_k, t -> t > cur_{k-1} AND t <=
+    t0 + within))``. A broken chain propagates NULL through every
+    later comparison, so ``steps_completed`` is simply 1 + the count
+    of non-null cursors. One shuffle total, no Python in the plan.
+    This replaced a groupBy().applyInPandas kernel: the kernel's cost
+    was dominated by per-GROUP overhead (one Arrow slice + one pandas
+    frame per user — at 10M users that overhead, not the event scan,
+    was the bill; measured 326 s at sf100 = 1.5x over linear, r10
+    decade campaign), while per-user arrays aggregate partially
+    map-side and the walk is scalar JVM work.
 
-    ``ts_column`` must be a TIMESTAMP column (it arrives in the Arrow
-    kernel as datetime64 and is compared at microsecond precision). The
-    user column may be any type — its output type mirrors the input
-    schema.
+    ``ts_column`` must be a TIMESTAMP column (compared at microsecond
+    precision). The user column may be any type — it is preserved by
+    the aggregation.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     steps = list(steps)
@@ -454,44 +460,44 @@ def funnel_conversion(
         )
     within_us = int(within_seconds * 1_000_000)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("user", events.schema[user_column].dataType, True),
-            T.StructField("steps_completed", T.IntegerType(), True),
-            T.StructField("t0_us", T.LongType(), True),
-        ]
-    )
-
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        (user,) = key
-        ts = (pdf[ts_column].astype("int64") // 1000).to_numpy()
-        et = pdf[type_column].to_numpy()
-        order = np.argsort(ts, kind="stable")
-        ts, et = ts[order], et[order]
-        first = ts[et == steps[0]]
-        if len(first) == 0:
-            return pd.DataFrame(
-                {"user": [user], "steps_completed": [0], "t0_us": [None]}
-            )
-        t0 = int(first.min())
-        done, cur = 1, t0
-        for step in steps[1:]:
-            nxt = ts[(et == step) & (ts > cur) & (ts <= t0 + within_us)]
-            if len(nxt) == 0:
-                break
-            cur = int(nxt.min())
-            done += 1
-        return pd.DataFrame(
-            {"user": [user], "steps_completed": [done], "t0_us": [t0]}
-        )
-
-    return (
+    arrs = (
         events.select(
-            F.col(user_column), F.col(ts_column), F.col(type_column)
+            F.col(user_column),
+            F.unix_micros(F.col(ts_column)).alias("__us__"),
+            F.col(type_column).alias("__et__"),
         )
         .groupBy(user_column)
-        .applyInPandas(fn, out_schema)
-        .withColumnRenamed("user", user_column)
+        .agg(
+            *[
+                F.collect_list(
+                    F.when(F.col("__et__") == F.lit(s), F.col("__us__"))
+                ).alias(f"__s{k}__")
+                for k, s in enumerate(steps)
+            ]
+        )
+    )
+
+    t0 = F.array_min(F.col("__s0__"))
+    limit = t0 + F.lit(within_us)
+
+    def _advance(arr: str, prev):
+        # Closure factory: F.filter inspects the lambda's arity, so the
+        # captured prev/limit must not appear as parameters.
+        return F.array_min(
+            F.filter(F.col(arr), lambda t: (t > prev) & (t <= limit))
+        )
+
+    cursors = [t0]
+    for k in range(1, len(steps)):
+        cursors.append(_advance(f"__s{k}__", cursors[-1]))
+    completed = F.when(t0.isNull(), F.lit(0)).otherwise(
+        F.lit(1)
+        + sum(c.isNotNull().cast("int") for c in cursors[1:])
+    )
+    return arrs.select(
+        F.col(user_column),
+        completed.cast("int").alias("steps_completed"),
+        t0.cast("long").alias("t0_us"),
     )
 
 
