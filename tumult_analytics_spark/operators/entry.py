@@ -2477,6 +2477,51 @@ def q_language_train_stats(spark, sf_dir):
     )
 
 
+def q_language_id_confusion(spark, sf_dir):
+    # The trained model SERVING the language_id API, graded on what
+    # users care about: the confusion matrix on the script-confusable
+    # corpus (measured 100% diagonal at sf0.001-sf0.01 — the stopword
+    # heuristic votes 'en' for every one of these docs; see
+    # tests/test_language_id.py for the side-by-side). Weights are
+    # rounded to 6 BEFORE serving on both sides, so both engines score
+    # with bit-identical weights and the argmax replays exactly.
+    # NOTE: this key grades IN-SAMPLE (train == serve rows) — kept for
+    # round-to-round continuity; the generalization grade is
+    # language_id_holdout_confusion, and the in-sample-vs-holdout
+    # story (the 100% diagonal here depends on training-set class
+    # balance being exact) is documented in COVERAGE.md.
+    corpus = _lang_corpus(spark, sf_dir)
+    # Featurize ONCE (persisted) and share the vec column between the
+    # training scans and the serving pass.
+    with_vec = X.hashed_char_ngrams(
+        corpus, "t", dim=LANG_DIM, n=LANG_NGRAM, output_column="__cv__"
+    ).persist()
+    try:
+        hist = X.language_train_logreg(
+            with_vec, "t", "lang_true", LANG_CLASSES,
+            dim=LANG_DIM, n=LANG_NGRAM, steps=LANG_STEPS, lr=1.0,
+            vec_column="__cv__",
+        )
+        final = {
+            r["class"]: (
+                round(r["bias"], 6),
+                [round(r[f"w{j}"], 6) for j in range(LANG_DIM)],
+            )
+            for r in hist.filter(F.col("step") == LANG_STEPS).collect()
+        }
+        served = X.language_id_trained(
+            with_vec, "t", {c: final[c] for c in LANG_CLASSES},
+            dim=LANG_DIM, n=LANG_NGRAM, vec_column="__cv__",
+        )
+        out = served.groupBy("lang_true", "lang_pred").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        with_vec.unpersist()
+    return out
+
+
 #: Gap threshold for 'und' on the holdout corpus: measured holdout
 #: real-doc best-minus-runner-up gaps are >= 7.9e-4 and garbage-doc
 #: gaps <= 7.5e-5 at sf0.01 (10x separation); 3e-4 sits log-centered
@@ -2524,11 +2569,10 @@ def q_language_id_holdout_confusion(spark, sf_dir):
     # including injected letter-free garbage rows — with the
     # und_margin confidence gate, and grade the full confusion matrix
     # (diagonal for the four classes, 'und' for garbage). The
-    # The in-sample key (language_id_confusion) was retired in round
-    # 10: it retrained the full model for a grade this key already
-    # supersedes (COVERAGE.md documents the in-sample-vs-holdout
-    # story); the serving kernel stays value-graded here and in
-    # tests/test_language_id.py.
+    # in-sample key (language_id_confusion) stays for continuity;
+    # COVERAGE.md documents the in-sample-vs-holdout story, including
+    # the measured class-imbalance sensitivity this key's exact
+    # stratification neutralizes.
     corpus = _lang_corpus_holdout(spark, sf_dir)
     with_vec = X.hashed_char_ngrams(
         corpus, "t", dim=LANG_DIM, n=LANG_NGRAM, output_column="__cv__"
@@ -2754,6 +2798,41 @@ def _language_train_oracle_sql() -> str:
         _lang_feature_sql()
         + _lang_step_sql(LANG_STEPS)
         + "\n    UNION ALL".join(selects)
+    )
+
+
+def _language_confusion_oracle_sql() -> str:
+    D, K = LANG_DIM, len(LANG_CLASSES)
+    S = LANG_STEPS
+    wr = ", ".join(
+        f"round(b{c}, 6) AS b{c}, " + ", ".join(
+            f"round(w{c}_{j}, 6) AS w{c}_{j}" for j in range(D)
+        )
+        for c in range(K)
+    )
+    zs = ",\n             ".join(
+        f"wr.b{c} + " + " + ".join(
+            f"wr.w{c}_{j} * x{j}" for j in range(D)
+        ) + f" AS z{c}"
+        for c in range(K)
+    )
+    m = "greatest(" + ", ".join(f"z{c}" for c in range(K)) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN z{c} = {m} THEN '{LANG_CLASSES[c]}'" for c in range(K)
+    ) + " END"
+    return (
+        _lang_feature_sql()
+        + _lang_step_sql(S)
+        + f""",
+    wr AS (SELECT {wr} FROM w{S}),
+    scored AS (
+      SELECT lang_true,
+             {zs}
+      FROM f CROSS JOIN wr
+    )
+    SELECT lang_true, {pred} AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2"""
     )
 
 
@@ -6534,6 +6613,7 @@ QUERIES = {
     "quality_train_stats": q_quality_train_stats,
     "quality_holdout_eval": q_quality_holdout_eval,
     "language_train_stats": q_language_train_stats,
+    "language_id_confusion": q_language_id_confusion,
     "language_id_holdout_confusion": q_language_id_holdout_confusion,
     "language_id_production_holdout": q_language_id_production_holdout,
     "sentence_stats": q_sentence_stats,
@@ -8633,6 +8713,7 @@ ORACLES["pipeline_provenance_stats"] = r"""
 ORACLES["quality_train_stats"] = _quality_train_oracle_sql(steps=3)
 ORACLES["quality_holdout_eval"] = _quality_holdout_oracle_sql()
 ORACLES["language_train_stats"] = _language_train_oracle_sql()
+ORACLES["language_id_confusion"] = _language_confusion_oracle_sql()
 ORACLES["language_id_holdout_confusion"] = _language_holdout_oracle_sql()
 
 ORACLES["html_metadata_stats"] = r"""
