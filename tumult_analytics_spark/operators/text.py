@@ -515,6 +515,37 @@ def _char_ngram_features(
     ]
 
 
+#: Rows per partition for iterative-GD training frames: ~300 B/row at
+#: dim=32 puts this near 40 MB partitions — small enough to keep cores
+#: busy at scale, large enough that a step's per-task overhead never
+#: dominates.
+_STEP_PARTITION_ROWS = 131072
+
+
+def _shrink_training_frame(data: DataFrame, cnt: int) -> DataFrame:
+    """Repartition an already-persisted GD training frame to a
+    SIZE-DERIVED partition count (ceil(rows / _STEP_PARTITION_ROWS),
+    never more than it already has) and swap the persist to the
+    shrunk copy. Iterative trainers scan this frame once per step, so
+    a corpus of a few thousand rows spread over one partition per
+    core pays `steps * cores` empty-task launches for nothing —
+    measured 0.62 -> 0.46 s/step at dim=32/K=4 on 5000 rows. At scale
+    ceil(rows/131072) >= the scan's partition count and this is a
+    no-op, so the knob stays scale-adaptive rather than tuned to the
+    local core count. The one-time reshuffle reads the cache, not the
+    source. avg() then sums in a different partition order — last-ulp
+    drift the trainers' round-6 contract already absorbs (partition
+    counts already vary with core count and AQE)."""
+    nparts = data.rdd.getNumPartitions()
+    want = max(1, min(nparts, -(-cnt // _STEP_PARTITION_ROWS)))
+    if want >= nparts:
+        return data
+    small = data.repartition(want).persist()
+    small.count()
+    data.unpersist()
+    return small
+
+
 def language_train_logreg(
     df: DataFrame,
     text_column: str,
@@ -566,62 +597,71 @@ def language_train_logreg(
     ]
     data = with_vec.select(*ys, *xs).persist()
     try:
-        if data.limit(1).count() == 0:
+        cnt = data.count()
+        if cnt == 0:
             raise ValueError(
                 "language_train_logreg: empty training input"
             )
+        data = _shrink_training_frame(data, cnt)
         K = len(classes)
         b = [0.0] * K
         w = [[0.0] * dim for _ in range(K)]
         rows = []
-        spark = df.sparkSession
-        wschema = ", ".join(
-            [f"__b{ci}__ double" for ci in range(K)]
-            + [
-                f"__w{ci}_{j}__ double"
-                for ci in range(K)
-                for j in range(dim)
-            ]
-        )
-        for step in range(1, int(steps) + 1):
-            # Two codegen disciplines keep each step cheap (measured:
-            # 86 s -> ~7 s for 3 steps at dim=32/K=4, compile-bound
-            # before, data-bound after; oracle values unchanged since
-            # the per-row arithmetic and aggregation are identical):
-            # 1. weights enter as a BROADCAST one-row frame, not
-            #    literals, so the generated code is byte-identical
-            #    across steps and Janino's cache compiles it once;
-            # 2. e/g are projected ONCE per row per class, then the
-            #    K*(dim+2) aggregates are simple attribute products —
-            #    inlining the (dim+1)-term z into every aggregate
-            #    multiplies the compiled expression text ~70x.
-            wrow = spark.createDataFrame(
-                [tuple(b) + tuple(v for ws in w for v in ws)], wschema
+        # Per-step cost disciplines (measured at dim=32/K=4, sf0.1:
+        # 86 s -> ~7 s -> ~3 s -> ~0.5 s per 3 steps as each landed;
+        # oracle values unchanged since per-row arithmetic and the
+        # aggregation tree are identical):
+        # 1. e/g are projected ONCE per row per class and the
+        #    K*(dim+2) aggregates are simple attribute products —
+        #    inlining the (dim+1)-term z into every aggregate
+        #    multiplies the compiled expression text ~70x;
+        # 2. z is ITSELF staged as a projected column per class
+        #    before e/g reference it (e/g mention z six times, so
+        #    inlining z makes the analyzed tree ~6x bigger);
+        # 3. the whole step is built as SQL STRINGS (selectExpr /
+        #    expr), not Column-object arithmetic: building K*(dim+1)
+        #    Columns costs thousands of py4j round-trips (~2 s/step
+        #    at dim=32) where string building is pure Python and
+        #    parses in one call. Weights embed as `<repr>D` double
+        #    literals — repr round-trips doubles exactly and the D
+        #    suffix parses via Double.parseDouble, so the arithmetic
+        #    sees bit-identical constants; re-codegen per step is
+        #    ~0.1 s against the >0.4 s a broadcast-weights join
+        #    costs in exchange setup per step.
+        eg_sel = [f"__x{j}__" for j in range(dim)]
+        for ci in range(K):
+            zc = f"__z{ci}__"
+            e = (
+                f"(0.5D * (1.0D + {zc} / (1.0D + abs({zc})))"
+                f" - __y{ci}__)"
             )
-            joined = data.crossJoin(F.broadcast(wrow))
-            proj = [F.col(f"__x{j}__") for j in range(dim)]
+            sp = f"(0.5D / ((1.0D + abs({zc})) * (1.0D + abs({zc}))))"
+            eg_sel.append(f"{e} AS __e{ci}__")
+            eg_sel.append(f"(2.0D * {e} * {sp}) AS __g{ci}__")
+        agg_strs = []
+        for ci in range(K):
+            agg_strs.append(f"avg(__e{ci}__ * __e{ci}__) AS mse{ci}")
+            agg_strs.append(f"avg(__g{ci}__) AS gb{ci}")
+            agg_strs.extend(
+                f"avg(__g{ci}__ * __x{j}__) AS g{ci}_{j}"
+                for j in range(dim)
+            )
+        struct_agg = "struct(" + ", ".join(agg_strs) + ")"
+        for step in range(1, int(steps) + 1):
+            z_sel = [f"__x{j}__" for j in range(dim)] + [
+                f"__y{ci}__" for ci in range(K)
+            ]
             for ci in range(K):
-                z = F.col(f"__b{ci}__")
-                for j in range(dim):
-                    z = z + F.col(f"__w{ci}_{j}__") * F.col(f"__x{j}__")
-                s = F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
-                e = s - F.col(f"__y{ci}__")
-                sp = F.lit(0.5) / (
-                    (F.lit(1.0) + F.abs(z)) * (F.lit(1.0) + F.abs(z))
+                terms = " ".join(
+                    f"+ {w[ci][j]!r}D * __x{j}__" for j in range(dim)
                 )
-                proj.append(e.alias(f"__e{ci}__"))
-                proj.append((F.lit(2.0) * e * sp).alias(f"__g{ci}__"))
-            stepdata = joined.select(*proj)
-            aggs = []
-            for ci in range(K):
-                e_c, g_c = F.col(f"__e{ci}__"), F.col(f"__g{ci}__")
-                aggs.append(F.avg(e_c * e_c).alias(f"mse{ci}"))
-                aggs.append(F.avg(g_c).alias(f"gb{ci}"))
-                aggs.extend(
-                    F.avg(g_c * F.col(f"__x{j}__")).alias(f"g{ci}_{j}")
-                    for j in range(dim)
-                )
-            agg = stepdata.agg(*aggs).collect()[0]
+                z_sel.append(f"({b[ci]!r}D {terms}) AS __z{ci}__")
+            agg = (
+                data.selectExpr(*z_sel)
+                .selectExpr(*eg_sel)
+                .agg(F.expr(struct_agg).alias("__r__"))
+                .collect()[0]["__r__"]
+            )
             for ci, c in enumerate(classes):
                 b[ci] -= float(lr) * agg[f"gb{ci}"]
                 for j in range(dim):
@@ -1744,31 +1784,48 @@ def quality_train_logreg(
     data = df.select(y.alias("__y__"), *cols)
     data = data.persist()
     try:
-        if data.limit(1).count() == 0:
+        cnt = data.count()
+        if cnt == 0:
             raise ValueError(
                 "quality_train_logreg: empty training input — the "
                 "gradient averages would be null"
             )
+        data = _shrink_training_frame(data, cnt)
         b, w = float(init[0]), [float(v) for v in init[1:4]]
         rows = []
-        for step in range(1, int(steps) + 1):
-            z = F.lit(b)
-            for i in range(3):
-                z = z + F.lit(w[i]) * F.col(f"__f{i}__")
-            s = F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
-            e = s - F.col("__y__")
-            sp = F.lit(0.5) / (
-                (F.lit(1.0) + F.abs(z)) * (F.lit(1.0) + F.abs(z))
+        # The step is built as SQL strings with `<repr>D` double
+        # literals and staged z/e/g projections — the
+        # language_train_logreg per-step cost disciplines (see its
+        # comment); per-row arithmetic, aggregation and the driver
+        # update are unchanged, so the trajectory (and the SQL
+        # oracle's round-6 replay) is identical.
+        e_s = "(0.5D * (1.0D + __z__ / (1.0D + abs(__z__))) - __y__)"
+        sp_s = "(0.5D / ((1.0D + abs(__z__)) * (1.0D + abs(__z__))))"
+        eg_sel = [f"__f{i}__" for i in range(3)] + [
+            f"{e_s} AS __e__",
+            f"(2.0D * {e_s} * {sp_s}) AS __g__",
+        ]
+        struct_agg = (
+            "struct(avg(__e__ * __e__) AS mse, avg(__g__) AS gb, "
+            + ", ".join(
+                f"avg(__g__ * __f{i}__) AS g{i}" for i in range(3)
             )
-            g = F.lit(2.0) * e * sp
-            agg = data.agg(
-                F.avg(e * e).alias("mse"),
-                F.avg(g).alias("gb"),
-                *[
-                    F.avg(g * F.col(f"__f{i}__")).alias(f"g{i}")
-                    for i in range(3)
-                ],
-            ).collect()[0]
+            + ")"
+        )
+        for step in range(1, int(steps) + 1):
+            terms = " ".join(
+                f"+ {w[i]!r}D * __f{i}__" for i in range(3)
+            )
+            z_sel = [f"__f{i}__" for i in range(3)] + [
+                "__y__",
+                f"({b!r}D {terms}) AS __z__",
+            ]
+            agg = (
+                data.selectExpr(*z_sel)
+                .selectExpr(*eg_sel)
+                .agg(F.expr(struct_agg).alias("__r__"))
+                .collect()[0]["__r__"]
+            )
             b -= float(lr) * agg["gb"]
             for i in range(3):
                 w[i] -= float(lr) * agg[f"g{i}"]
