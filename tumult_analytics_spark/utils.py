@@ -9,6 +9,7 @@ AQE all still apply — no performance cliff vs plain ``=``.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -363,3 +364,53 @@ def configure_shuffle_partitions(spark, paths: Sequence[str], **kwargs) -> int:
     n = derive_shuffle_partitions(spark, paths, **kwargs)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     return n
+
+
+@_contextlib.contextmanager
+def stream_state_partitions(
+    spark,
+    rows: Optional[int] = None,
+    input_bytes: Optional[int] = None,
+    rows_per_partition: int = 250_000,
+    partition_bytes: int = 64 << 20,
+    expansion: float = 4.0,
+    floor: int = 4,
+):
+    """Pin ``spark.sql.shuffle.partitions`` to a SIZE-DERIVED streaming
+    state-partition count for the duration of one streaming query, then
+    restore the session value.
+
+    Structured Streaming creates one state-store instance per shuffle
+    partition per stateful operator, and every micro-batch pays store
+    init plus a checkpoint delta file per instance — overhead that is
+    pure waste when partitions far exceed the per-trigger volume
+    (measured on the stream-stream interval join at sf0.1: 9.8 s with
+    the session's 32 partitions vs 3.1 s with 4, identical output). AQE
+    cannot help: stateful exchanges are exempt from runtime coalescing
+    because the partition count is baked into the checkpoint at first
+    start. So the count must be chosen BEFORE ``.start()``, derived
+    from the staged input (``rows`` or ``input_bytes``, whichever the
+    caller knows for free), floored at ``floor`` for parallelism, and
+    capped at the session's own batch-derived setting so a genuinely
+    large stream keeps its scale — the knob stays input-proportional
+    rather than tuned to any one machine.
+    """
+    import math
+
+    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    need = 1
+    if rows is not None:
+        need = max(need, math.ceil(int(rows) / int(rows_per_partition)))
+    if input_bytes is not None:
+        need = max(
+            need,
+            math.ceil(
+                int(input_bytes) * float(expansion) / int(partition_bytes)
+            ),
+        )
+    n = min(current, max(int(floor), need))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(current))
