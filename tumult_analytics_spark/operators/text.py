@@ -356,7 +356,7 @@ def bpe_apply(
             out.append(toks)
         return pd.Series(out)
 
-    _udf = pandas_udf(_tok, "array<string>")
+    _udf = pandas_udf(_tok, "array<string>").asNondeterministic()
     return df.withColumn(output_column, _udf(F.col(text_column)))
 
 
@@ -492,7 +492,7 @@ def hashed_char_ngrams(
             out.append(vec)
         return pd.Series(out)
 
-    _udf = pandas_udf(_vec_fn, "array<long>")
+    _udf = pandas_udf(_vec_fn, "array<long>").asNondeterministic()
     if spread_to is not None:
         spread = df.repartition(int(spread_to))
     else:
@@ -1153,7 +1153,10 @@ def winnow_fingerprints(
             out.append(np.unique(mins))
         return pd.Series(out)
 
-    _udf = pandas_udf(_fp_fn, "array<long>")
+    # Nondeterministic marking stops the optimizer duplicating the
+    # kernel below filters inferred from a downstream explode (the
+    # guide's BatchEvalPython-duplication hazard); values unchanged.
+    _udf = pandas_udf(_fp_fn, "array<long>").asNondeterministic()
     return df.withColumn(output_column, _udf(F.col(text_column)))
 
 
@@ -1189,7 +1192,7 @@ def char_entropy(
             out.append(float(-(p * np.log2(p)).sum()))
         return pd.Series(out, dtype="float64")
 
-    _udf = pandas_udf(_ent_fn, "double")
+    _udf = pandas_udf(_ent_fn, "double").asNondeterministic()
     return df.withColumn(output_column, _udf(F.col(text_column)))
 
 
@@ -1294,7 +1297,7 @@ def hashed_doc_vectors(
             out.append(vec)
         return pd.Series(out)
 
-    _udf = pandas_udf(_vec_fn, "array<long>")
+    _udf = pandas_udf(_vec_fn, "array<long>").asNondeterministic()
     # Per-token python hashing is the expensive part — make sure a
     # single-file scan doesn't serialize it on one core (no-op on wide
     # scans; see utils.spread_rows).
