@@ -203,33 +203,59 @@ def bpe_learn_merges(
     Symbols are characters (no end-of-word marker — document-level
     token streams, not word-piece suffix modeling); deterministic
     given the corpus, so an unrolled SQL oracle replays every step.
-    """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
+    Per-step execution mirrors the ORACLE's representation directly:
+    each word is a U+001F-joined, sentinel-wrapped symbol STRING
+    (``\\x1f s1 \\x1f s2 ... \\x1f``) and a merge is one literal
+    ``replace(w, sep+l+sep+r+sep, sep+l+r+sep)`` — leftmost
+    non-overlapping continue-after-replacement, exactly the greedy
+    BPE application, and exactly the oracle's ``w{i}`` CTE. That
+    removes the old per-step Arrow merge kernel (a Python boundary
+    round trip per step) and the per-step eager localCheckpoint (the
+    replace chain is a tiny expression stack on the one checkpointed
+    histogram, so the plan stays O(steps) without re-materializing).
+    The histogram is also shrunk to a size-derived partition count —
+    unique words are thousands-to-millions of rows at any corpus
+    scale, so per-step jobs shouldn't pay one task per core of the
+    scan parallelism (measured 2 tasks vs 32 at sf0.1).
+    """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
+    sep = "\x1f"
     text = F.col(text_column)
     if lowercase:
         text = F.lower(text)
-    words = (
+    hist = (
         df.select(F.explode(_tokens(text)).alias("__w__"))
         .groupBy("__w__")
         .agg(F.count(F.lit(1)).alias("__n__"))
-        .select(
-            F.split("__w__", "").alias("__syms__"), F.col("__n__")
-        )
-        .localCheckpoint(eager=True)
     )
+    words = hist.select(
+        F.concat(
+            F.lit(sep), F.array_join(F.split("__w__", ""), sep), F.lit(sep)
+        ).alias("__w__"),
+        F.col("__n__"),
+    ).persist()
+    cnt = words.count()
+    nparts = words.rdd.getNumPartitions()
+    want = max(1, min(nparts, -(-cnt // _STEP_PARTITION_ROWS)))
+    shrunk = words.repartition(want) if want < nparts else words
+    ckpt = shrunk.localCheckpoint(eager=True)
+    words.unpersist()
+    words = ckpt
 
     spark = df.sparkSession
+    syms = F.filter(
+        F.split("__w__", sep), lambda s: s != F.lit("")
+    ).alias("__syms__")
     merges = []
     for step in range(1, num_merges + 1):
         pairs = (
-            # size >= 2: a single-symbol word has no pairs, and Spark's
-            # sequence(0, -1) would DESCEND ([0, -1]) instead of being
-            # empty.
-            words.filter(F.size("__syms__") >= 2)
+            words.select("__n__", syms)
+            # size >= 2: a single-symbol word has no pairs, and
+            # Spark's sequence(0, -1) would DESCEND ([0, -1])
+            # instead of being empty.
+            .filter(F.size("__syms__") >= 2)
             .select(
                 F.col("__n__"),
                 F.explode(
@@ -248,7 +274,9 @@ def bpe_learn_merges(
                     )
                 ).alias("__p__"),
             )
-            .groupBy(F.col("__p__.l").alias("l"), F.col("__p__.r").alias("r"))
+            .groupBy(
+                F.col("__p__.l").alias("l"), F.col("__p__.r").alias("r")
+            )
             .agg(F.sum("__n__").alias("cnt"))
         )
         top = pairs.orderBy(
@@ -256,30 +284,16 @@ def bpe_learn_merges(
         ).limit(1).collect()
         if not top:
             break
-        a, b, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-        merges.append((step, a, b, a + b, cnt))
-
-        def _merge_udf(a, b):
-            def _merge(col):
-                out = []
-                for syms in col:
-                    res = []
-                    i, L = 0, list(syms)
-                    while i < len(L):
-                        if i + 1 < len(L) and L[i] == a and L[i + 1] == b:
-                            res.append(a + b)
-                            i += 2
-                        else:
-                            res.append(L[i])
-                            i += 1
-                    out.append(res)
-                return pd.Series(out)
-
-            return pandas_udf(_merge, "array<string>")
-
-        words = words.select(
-            _merge_udf(a, b)("__syms__").alias("__syms__"), "__n__"
-        ).localCheckpoint(eager=True)
+        a, b, n_pair = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((step, a, b, a + b, n_pair))
+        words = words.withColumn(
+            "__w__",
+            F.replace(
+                F.col("__w__"),
+                F.lit(sep + a + sep + b + sep),
+                F.lit(sep + a + b + sep),
+            ),
+        )
 
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
