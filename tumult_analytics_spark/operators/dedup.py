@@ -531,6 +531,7 @@ def query_minhash_index(
     new_docs: DataFrame,
     min_signature_similarity: float = 0.5,
     broadcast_batch: bool = False,
+    banded_new: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-duplicate matches of ``new_docs`` against a prebuilt index:
     (new doc id, matching index id, signature_similarity), distinct per
@@ -555,22 +556,8 @@ def query_minhash_index(
     if index.kind != "minhash":
         raise ValueError(f"expected a minhash index, got {index.kind!r}")
     p = index.params
-    make_sigs = (
-        minhash_signatures_md5
-        if p["signature_fn"] == "md5"
-        else minhash_signatures
-    )
-    sigs = make_sigs(
-        new_docs,
-        p["text_column"],
-        p["id_column"],
-        p["num_hashes"],
-        p["shingle_size"],
-        seed=p["seed"],
-    )
-    banded_new = _banded_signatures(
-        sigs, p["id_column"], p["bands"], p["num_hashes"]
-    )
+    if banded_new is None:
+        banded_new = banded_batch(index, new_docs)
     left = banded_new.select(
         "__band__", "__bh__",
         F.col("__id__").alias("id_a"),
@@ -602,27 +589,32 @@ def dedup_against_index(
     new_docs: DataFrame,
     min_signature_similarity: float = 0.5,
     broadcast_batch: bool = False,
+    banded_new: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Drop rows of ``new_docs`` that are near-duplicates of anything in
     the index. The incremental-crawl contract: dedup each batch against
     the corpus index, then :func:`extend_minhash_index` with the KEPT
     rows so later batches see them. ``broadcast_batch`` as in
     :func:`query_minhash_index` — True keeps the corpus-scale index
-    un-shuffled when batches are small."""
+    un-shuffled when batches are small. ``banded_new``: pre-computed
+    :func:`banded_batch` rows for ``new_docs`` (sign the batch once
+    when it will also extend the index)."""
     id_column = index.params["id_column"]
     matched = query_minhash_index(
-        index, new_docs, min_signature_similarity, broadcast_batch
+        index, new_docs, min_signature_similarity, broadcast_batch,
+        banded_new=banded_new,
     ).select(F.col("new_id").alias(id_column)).distinct()
     return new_docs.join(matched, on=id_column, how="left_anti")
 
 
-def extend_minhash_index(
-    index: "AnnIndex", new_docs: DataFrame, materialize: bool = True
-) -> "AnnIndex":
-    """A new index covering the old corpus plus ``new_docs``: only the
-    new rows are signed/banded; the stored table is reused as-is."""
-    from .similarity import AnnIndex
-
+def banded_batch(index: "AnnIndex", new_docs: DataFrame) -> DataFrame:
+    """The banded signature rows (``__id__, signature, __band__,
+    __bh__``) of ``new_docs`` under ``index``'s parameters — the frame
+    both :func:`query_minhash_index` and :func:`extend_minhash_index`
+    derive internally. Compute it ONCE (and localCheckpoint it) when a
+    batch is both queried and then extended into the index: the
+    query/extend composition otherwise runs the signing kernel over the
+    same batch twice."""
     if index.kind != "minhash":
         raise ValueError(f"expected a minhash index, got {index.kind!r}")
     p = index.params
@@ -639,9 +631,29 @@ def extend_minhash_index(
         p["shingle_size"],
         seed=p["seed"],
     )
-    banded_new = _banded_signatures(
+    return _banded_signatures(
         sigs, p["id_column"], p["bands"], p["num_hashes"]
     )
+
+
+def extend_minhash_index(
+    index: "AnnIndex",
+    new_docs: DataFrame,
+    materialize: bool = True,
+    banded_new: Optional[DataFrame] = None,
+) -> "AnnIndex":
+    """A new index covering the old corpus plus ``new_docs``: only the
+    new rows are signed/banded; the stored table is reused as-is.
+    ``banded_new``: pre-computed :func:`banded_batch` rows for
+    ``new_docs`` (skips re-signing when the caller already banded the
+    batch for a query)."""
+    from .similarity import AnnIndex
+
+    if index.kind != "minhash":
+        raise ValueError(f"expected a minhash index, got {index.kind!r}")
+    p = index.params
+    if banded_new is None:
+        banded_new = banded_batch(index, new_docs)
     if materialize:
         banded_new = banded_new.localCheckpoint(eager=True)
     return AnnIndex("minhash", index.df.unionByName(banded_new), dict(p))

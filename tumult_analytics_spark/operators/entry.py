@@ -5690,10 +5690,20 @@ def q_incremental_dedup(spark, sf_dir):
     idx = D.build_minhash_index(
         corpus, "text", "doc_id", num_hashes=32, bands=8, signature_fn="md5"
     )
+    # Sign batch1 once (checkpointed) — the query and the extend both
+    # reuse the banded rows, identical values to signing twice.
+    banded1 = D.banded_batch(idx, batch1).localCheckpoint(eager=True)
     kept1 = D.dedup_against_index(
-        idx, batch1, min_signature_similarity=0.7, broadcast_batch=True
+        idx, batch1, min_signature_similarity=0.7, broadcast_batch=True,
+        banded_new=banded1,
     ).localCheckpoint(eager=True)  # read by extend AND the union below
-    idx2 = D.extend_minhash_index(idx, kept1)
+    idx2 = D.extend_minhash_index(
+        idx, kept1,
+        banded_new=banded1.join(
+            kept1.select(F.col("doc_id").alias("__id__")),
+            on="__id__", how="leftsemi",
+        ),
+    )
     kept2 = D.dedup_against_index(
         idx2, batch2, min_signature_similarity=0.7, broadcast_batch=True
     )

@@ -105,20 +105,41 @@ def make_index_dedup_batch_fn(
     The current (possibly extended) index is readable as ``fn.state
     ["index"]``.
     """
-    from ..operators.dedup import dedup_against_index, extend_minhash_index
+    from ..operators.dedup import (
+        banded_batch,
+        dedup_against_index,
+        extend_minhash_index,
+    )
 
     state = {"index": index}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # Sign/band the batch ONCE: the query and the extend otherwise
+        # each run the signing kernel over the same batch (and the
+        # extend re-scans the batch text a third time for its eager
+        # materialization). The kept rows' banded rows are a semi-join
+        # of this checkpointed frame — identical values, one kernel.
+        idc = state["index"].params["id_column"]
+        banded = banded_batch(state["index"], batch_df).localCheckpoint(
+            eager=True
+        )
         kept = dedup_against_index(
             state["index"], batch_df, min_signature_similarity,
             # micro-batches are small by construction; keep the
             # corpus-scale index un-shuffled
             broadcast_batch=True,
+            banded_new=banded,
         ).localCheckpoint(eager=True)  # read by the sink AND the extend
         write_kept(kept, batch_id)
         if extend_index:
-            state["index"] = extend_minhash_index(state["index"], kept)
+            kept_banded = banded.join(
+                kept.select(F.col(idc).alias("__id__")),
+                on="__id__",
+                how="leftsemi",
+            )
+            state["index"] = extend_minhash_index(
+                state["index"], kept, banded_new=kept_banded
+            )
 
     process.state = state
     return process
