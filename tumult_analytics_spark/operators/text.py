@@ -844,9 +844,31 @@ def language_train_logreg_vec(
     )
     if persist:
         data = data.persist()
+    shrunk = None
     try:
-        if data.limit(1).count() == 0:
+        cnt = data.count()
+        if cnt == 0:
             raise ValueError("language_train_logreg_vec: empty input")
+        # Shrink the step-loop frame to a SIZE-DERIVED partition count
+        # (float64 working set: dim * 8 bytes per row, ~64 MB per
+        # partition) — the `_shrink_training_frame` discipline at the
+        # vectorized shape. Each of the ``steps`` passes otherwise pays
+        # one near-empty task per input partition plus a partial-
+        # gradient row (1 + 2K + K*dim doubles) per Arrow batch into
+        # the posexplode reduce. At scale the byte-derived count meets
+        # or exceeds the input partitioning and this is a no-op, so the
+        # knob stays input-proportional, not tuned to the local core
+        # count. The one-time reshuffle reads the (caller's or local)
+        # cache once; sums then reduce in a different partition order —
+        # last-ulp drift the trainers' round-6 contract absorbs.
+        nparts = data.rdd.getNumPartitions()
+        want = max(1, min(nparts, -(-(cnt * dim * 8) // (64 << 20))))
+        if want < nparts:
+            shrunk = data.repartition(want).persist()
+            shrunk.count()
+            if persist:
+                data.unpersist()
+            data = shrunk
         b = np.zeros(K)
         W = np.zeros((K, dim))
         L = 1 + 2 * K + K * dim
@@ -903,7 +925,9 @@ def language_train_logreg_vec(
                      float(mse[ci]))
                 )
     finally:
-        if persist:
+        if shrunk is not None:
+            shrunk.unpersist()
+        elif persist:
             data.unpersist()
     return df.sparkSession.createDataFrame(
         rows,
