@@ -132,6 +132,26 @@ def kmeans_fit_predict(
     # Unpersisted below once the returned plan is materialized.
     if n_iter > 0:
         work = work.persist()
+        # Shrink the iteration frame to a SIZE-DERIVED partition count
+        # (float64 working set: dim * 8 bytes per row, ~64 MB per
+        # partition): the assignment kernel is vectorized numpy, so at
+        # small inputs one near-empty task per core per pass (plus a
+        # dim-aggregate partial per task) costs more than the work.
+        # At scale the byte-derived count meets or exceeds the scan's
+        # partitioning and this is a no-op — input-proportional, not
+        # tuned to the local core count. The count materializes the
+        # cache, which iteration 1 would have paid anyway; avg() then
+        # sums in a different partition order — last-ulp centroid
+        # drift the oracle contract already absorbs (partition counts
+        # vary with core count and AQE as it is).
+        cnt = work.count()
+        nparts = work.rdd.getNumPartitions()
+        want = max(1, min(nparts, -(-(cnt * dim * 8) // (64 << 20))))
+        if want < nparts:
+            small = work.repartition(want).persist()
+            small.count()
+            work.unpersist()
+            work = small
     for _ in range(n_iter):
         assign = _assign_udf(centroids)
         assigned = work.withColumn("__a__", assign(F.col("__v__")))
