@@ -1230,7 +1230,11 @@ def char_entropy(
             out.append(float(-(p * np.log2(p)).sum()))
         return pd.Series(out, dtype="float64")
 
-    _udf = pandas_udf(_ent_fn, "double").asNondeterministic()
+    # Deterministic on purpose: a scalar output can never infer the
+    # explode size()>0 filter that duplicates array kernels, and the
+    # nondeterministic flag would block filter pushdown below the
+    # kernel (measured as a real regression on the doc-vector twin).
+    _udf = pandas_udf(_ent_fn, "double")
     return df.withColumn(output_column, _udf(F.col(text_column)))
 
 
@@ -1335,7 +1339,13 @@ def hashed_doc_vectors(
             out.append(vec)
         return pd.Series(out)
 
-    _udf = pandas_udf(_vec_fn, "array<long>").asNondeterministic()
+    # Deterministic on purpose: no caller explodes the vector (it is
+    # indexed or consumed whole), so the explode-inferred size()>0
+    # duplication hazard does not apply, and the nondeterministic flag
+    # blocks id-filter pushdown below the kernel — compositions that
+    # vectorize a corpus once and then slice query/centroid subsets
+    # (chunk_vector_topk) measured 3.9 -> 5.1 s with the flag on.
+    _udf = pandas_udf(_vec_fn, "array<long>")
     # Per-token python hashing is the expensive part — make sure a
     # single-file scan doesn't serialize it on one core (no-op on wide
     # scans; see utils.spread_rows).
