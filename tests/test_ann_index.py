@@ -696,3 +696,92 @@ class TestIvfPqIndex:
         df = _emb_df(spark, n=50, dim=8)
         with pytest.raises(ValueError, match="divisible"):
             S.build_ivfpq_index(df, "embedding", "vec_id", nlist=4, m=3)
+
+
+class TestIvfFamilyBuilder:
+    """build_ivf_family: one corpus pass must reproduce the separate
+    builders' index frames row-for-row and query identically."""
+
+    def _family_fixtures(self, spark):
+        df = _emb_df(spark, n=200, dim=8, seed=11)
+        first = df.filter("vec_id < 6").orderBy("vec_id").collect()
+        cents = [r["embedding"] for r in first]
+        V = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in first[:4]]
+        )
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        cbs = np.stack([V[:, j * 4 : (j + 1) * 4] for j in range(2)])
+        cbs2 = np.stack([V[:, j * 2 : (j + 1) * 2] for j in range(4)])
+        return df, cents, cbs, cbs2
+
+    @staticmethod
+    def _rows(df):
+        return sorted(
+            tuple(
+                tuple(v) if isinstance(v, list) else v for v in r
+            )
+            for r in df.collect()
+        )
+
+    def test_frames_match_separate_builders(self, spark):
+        df, cents, cbs, cbs2 = self._family_fixtures(spark)
+        ivf_f, (pq_f, pq2_f) = S.build_ivf_family(
+            df, "embedding", "vec_id",
+            nlist=6, centroids=cents, codebooks_list=(cbs, cbs2),
+        )
+        ivf_s = S.build_ivf_index(
+            df, "embedding", "vec_id", nlist=6, centroids=cents
+        )
+        pq_s = S.build_ivfpq_index(
+            df, "embedding", "vec_id", nlist=6, m=2,
+            centroids=cents, codebooks=cbs,
+        )
+        pq2_s = S.build_ivfpq_index(
+            df, "embedding", "vec_id", nlist=6, m=4,
+            centroids=cents, codebooks=cbs2,
+        )
+        assert ivf_f.df.columns == ivf_s.df.columns
+        assert pq_f.df.columns == pq_s.df.columns
+        assert self._rows(ivf_f.df) == self._rows(ivf_s.df)
+        assert self._rows(pq_f.df) == self._rows(pq_s.df)
+        assert self._rows(pq2_f.df) == self._rows(pq2_s.df)
+        assert ivf_f.params == ivf_s.params
+        assert pq_f.params == pq_s.params
+        assert pq2_f.params == pq2_s.params
+
+    def test_queries_match_separate_builders(self, spark):
+        df, cents, cbs, cbs2 = self._family_fixtures(spark)
+        q = df.filter("vec_id < 25")
+        ivf_f, (pq_f, pq2_f) = S.build_ivf_family(
+            df, "embedding", "vec_id",
+            nlist=6, centroids=cents, codebooks_list=(cbs, cbs2),
+        )
+        ivf_s = S.build_ivf_index(
+            df, "embedding", "vec_id", nlist=6, centroids=cents
+        )
+        pq2_s = S.build_ivfpq_index(
+            df, "embedding", "vec_id", nlist=6, m=4,
+            centroids=cents, codebooks=cbs2,
+        )
+        a = S.query_ivf_index(ivf_f, q, k=3, nprobe=2, deterministic=True)
+        b = S.query_ivf_index(ivf_s, q, k=3, nprobe=2, deterministic=True)
+        assert _rounded(a) == _rounded(b)
+        c = S.query_ivfpq_index(
+            pq2_f, q, k=3, nprobe=2, deterministic=True,
+            rerank=10, corpus=df,
+        )
+        d = S.query_ivfpq_index(
+            pq2_s, q, k=3, nprobe=2, deterministic=True,
+            rerank=10, corpus=df,
+        )
+        assert _rounded(c) == _rounded(d)
+
+    def test_one_checkpoint_shared(self, spark):
+        df, cents, cbs, cbs2 = self._family_fixtures(spark)
+        ivf_f, (pq_f, pq2_f) = S.build_ivf_family(
+            df, "embedding", "vec_id",
+            nlist=6, centroids=cents, codebooks_list=(cbs, cbs2),
+        )
+        for idx in (ivf_f, pq_f, pq2_f):
+            plan = idx.df._jdf.queryExecution().optimizedPlan().toString()
+            assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan

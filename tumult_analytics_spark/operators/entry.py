@@ -522,13 +522,6 @@ def q_ann_recall_stats(spark, sf_dir):
     nlist = _auto_oracle_nlist(emb.count())
     first = emb.filter(f"vec_id < {nlist}").orderBy("vec_id").collect()
     cents = [r["embedding"] for r in first]
-    ivf_idx = S.build_ivf_index(
-        emb, "embedding", "vec_id", nlist=nlist, centroids=cents
-    )
-    ivf = top3(
-        S.query_ivf_index(ivf_idx, q, k=3, nprobe=ANN_IVF_NPROBE,
-                          deterministic=True, rank_k=10**6)
-    )
     dim = len(cents[0])
     sub = dim // ANN_PQ_M
     V = np.stack(
@@ -537,14 +530,6 @@ def q_ann_recall_stats(spark, sf_dir):
     )
     V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
     cbs = np.stack([V[:, j * sub : (j + 1) * sub] for j in range(ANN_PQ_M)])
-    pq_idx = S.build_ivfpq_index(
-        emb, "embedding", "vec_id",
-        nlist=nlist, m=ANN_PQ_M, centroids=cents, codebooks=cbs,
-    )
-    pq = top3(
-        S.query_ivfpq_index(pq_idx, q, k=3, nprobe=ANN_IVF_NPROBE,
-                            deterministic=True, rank_k=10**6)
-    )
     # production-shaped PQ: wider codebooks + exact refinement
     first2 = emb.filter(f"vec_id < {max(nlist, ANN_PQ2_KSZ)}").orderBy(
         "vec_id"
@@ -558,9 +543,19 @@ def q_ann_recall_stats(spark, sf_dir):
     cbs2 = np.stack(
         [V2[:, j * sub2 : (j + 1) * sub2] for j in range(ANN_PQ2_M)]
     )
-    pq2_idx = S.build_ivfpq_index(
+    # One corpus pass for all three coarse-quantizer indexes (identical
+    # frames to the three separate builders — see build_ivf_family).
+    ivf_idx, (pq_idx, pq2_idx) = S.build_ivf_family(
         emb, "embedding", "vec_id",
-        nlist=nlist, m=ANN_PQ2_M, centroids=cents, codebooks=cbs2,
+        nlist=nlist, centroids=cents, codebooks_list=(cbs, cbs2),
+    )
+    ivf = top3(
+        S.query_ivf_index(ivf_idx, q, k=3, nprobe=ANN_IVF_NPROBE,
+                          deterministic=True, rank_k=10**6)
+    )
+    pq = top3(
+        S.query_ivfpq_index(pq_idx, q, k=3, nprobe=ANN_IVF_NPROBE,
+                            deterministic=True, rank_k=10**6)
     )
     pq2 = top3(
         S.query_ivfpq_index(

@@ -1378,6 +1378,128 @@ def build_ivfpq_index(
     return AnnIndex("ivfpq", coded, params)
 
 
+def build_ivf_family(
+    corpus: DataFrame,
+    embedding_column: str,
+    id_column: str,
+    nlist: Optional[int] = 32,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    centroids=None,
+    codebooks_list=(),
+    materialize: bool = True,
+):
+    """One corpus pass for an IVF index plus any number of IVF-PQ
+    siblings that share its coarse quantizer: returns
+    ``(ivf_index, [ivfpq_index, ...])``, one per entry of
+    ``codebooks_list`` (pinned codebook arrays, as accepted by
+    :func:`build_ivfpq_index`'s ``codebooks=``).
+
+    ``build_ivf_index`` + N x ``build_ivfpq_index`` with the same
+    centroids each re-scan the corpus and re-derive the identical
+    nearest-cell assignment (argmax of the round-6 cosine, lowest index
+    on rounded ties). This builder computes the assignment once and
+    every codebook's argmin-L2 codes in the same Arrow kernel,
+    checkpoints the combined frame once, and hands each index a
+    column-pruned projection — row-for-row the frames the separate
+    builders emit (locked by tests/test_similarity.py). At corpus
+    scale this is 1 scan instead of 1+N.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if nlist is None:
+        nlist = _auto_nlist(corpus.count())
+    cents = _ivf_centroids(
+        corpus, embedding_column, nlist, sample_size, seed, centroids
+    )
+    CBs = [np.asarray(cb, dtype=np.float64) for cb in codebooks_list]
+    sc = corpus.sparkSession.sparkContext
+    bc_C = sc.broadcast(cents)
+    bc_CBs = sc.broadcast(CBs)
+    id_field = corpus.schema[id_column]
+    code_cols = [f"__code{i}__" for i in range(len(CBs))]
+    schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType, True),
+            T.StructField("__nv__", T.ArrayType(T.DoubleType()), True),
+            T.StructField("__cell__", T.IntegerType(), True),
+        ]
+        + [
+            T.StructField(c, T.ArrayType(T.IntegerType()), True)
+            for c in code_cols
+        ]
+    )
+    col_names = [f.name for f in schema.fields]
+
+    def kernel(batches):
+        cents_m = bc_C.value
+        books = bc_CBs.value
+        cbns = [(CB**2).sum(axis=2) for CB in books]  # (m, ksz) each
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=col_names)
+                continue
+            M = np.stack(pdf[embedding_column].to_numpy()).astype(np.float64)
+            M = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+            )
+            S = np.round(M @ cents_m.T, 6)
+            # first maximal entry == _ivf_assign's stable argsort top-1
+            cell = np.argmax(S, axis=1).astype(np.int32)
+            out = {
+                id_field.name: pdf[id_column].to_numpy(),
+                "__nv__": list(M),
+                "__cell__": cell,
+            }
+            for c, CB, cbn in zip(code_cols, books, cbns):
+                m, _, sub = CB.shape
+                codes = np.empty((len(M), m), dtype=np.int32)
+                for j in range(m):
+                    D = cbn[j][None, :] - 2.0 * (
+                        M[:, j * sub : (j + 1) * sub] @ CB[j].T
+                    )
+                    codes[:, j] = np.argmin(np.round(D, 6), axis=1)
+                out[c] = list(codes)
+            yield pd.DataFrame(out)
+
+    combined = spread_rows(
+        corpus.select(id_column, embedding_column)
+    ).mapInPandas(kernel, schema)
+    if materialize:
+        combined = combined.localCheckpoint(eager=True)
+    cent_lists = [[float(v) for v in row] for row in cents]
+    ivf = AnnIndex(
+        "ivf",
+        combined.select(id_field.name, "__nv__", "__cell__"),
+        {
+            "embedding_column": embedding_column,
+            "id_column": id_column,
+            "centroids": cent_lists,
+        },
+    )
+    pqs = [
+        AnnIndex(
+            "ivfpq",
+            combined.select(
+                id_field.name,
+                "__cell__",
+                F.col(c).alias("__code__"),
+            ),
+            {
+                "embedding_column": embedding_column,
+                "id_column": id_column,
+                "centroids": cent_lists,
+                "codebooks": [
+                    [[float(v) for v in e] for e in book] for book in CB
+                ],
+            },
+        )
+        for c, CB in zip(code_cols, CBs)
+    ]
+    return ivf, pqs
+
+
 def _pq_block_topk_fn(id_column: str, k: int, bc_CB, deterministic: bool):
     """Cogrouped (queries x corpus-cell) ADC top-k: per query slice of
     ``_BRUTE_SLICE`` rows, one (slice x 2^nbits) lookup table per
