@@ -553,6 +553,29 @@ def query_minhash_index(
     :func:`dedup_against_index` only needs existence, so the standard
     mitigation is building the index from a pre-collapsed corpus
     (exact dedup first — the pipeline's documented order)."""
+    return _minhash_index_matches(
+        index, new_docs, min_signature_similarity, broadcast_batch,
+        banded_new,
+    ).dropDuplicates(["new_id", "index_id"])
+
+
+def _minhash_index_matches(
+    index: "AnnIndex",
+    new_docs: DataFrame,
+    min_signature_similarity: float,
+    broadcast_batch: bool,
+    banded_new: Optional[DataFrame],
+) -> DataFrame:
+    """Per-band-occurrence (new_id, index_id, signature_similarity)
+    rows above the threshold — a pair appears once per agreeing band.
+
+    The similarity is computed BEFORE any pair dedup: it is a pure
+    function of the two signatures, so every occurrence of a pair
+    carries the identical value and a later ``dropDuplicates`` on the
+    ids keeps the same rows — while the exchange behind that dedup now
+    moves (id, id, double) instead of both ``num_hashes``-element
+    signature arrays, and callers that only need EXISTENCE
+    (:func:`dedup_against_index`) can skip the pair dedup entirely."""
     if index.kind != "minhash":
         raise ValueError(f"expected a minhash index, got {index.kind!r}")
     p = index.params
@@ -570,18 +593,19 @@ def query_minhash_index(
     )
     if broadcast_batch:
         left = F.broadcast(left)
-    pairs = (
+    sim = _signature_similarity(p["num_hashes"])
+    return (
         left.join(right, on=["__band__", "__bh__"])
         .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("index_id"),
+            sim.alias("signature_similarity"),
+        )
+        .filter(
+            F.col("signature_similarity") >= min_signature_similarity
+        )
     )
-    sim = _signature_similarity(p["num_hashes"])
-    return pairs.select(
-        F.col("id_a").alias("new_id"),
-        F.col("id_b").alias("index_id"),
-        sim.alias("signature_similarity"),
-    ).filter(F.col("signature_similarity") >= min_signature_similarity)
 
 
 def dedup_against_index(
@@ -600,9 +624,11 @@ def dedup_against_index(
     :func:`banded_batch` rows for ``new_docs`` (sign the batch once
     when it will also extend the index)."""
     id_column = index.params["id_column"]
-    matched = query_minhash_index(
+    # Existence only: skip query_minhash_index's per-pair dedup — the
+    # distinct on the single id column is the one (narrow) exchange.
+    matched = _minhash_index_matches(
         index, new_docs, min_signature_similarity, broadcast_batch,
-        banded_new=banded_new,
+        banded_new,
     ).select(F.col("new_id").alias(id_column)).distinct()
     return new_docs.join(matched, on=id_column, how="left_anti")
 
