@@ -199,3 +199,31 @@ def test_decontaminate_benchmark_text_column_name(spark):
         benchmark_text_column="question",
     ).collect()
     assert out[0]["text_decontaminated"] == "quoting  here"
+
+
+def test_span_candidates_collected_set_matches_join_path(spark, monkeypatch):
+    # The collected-benchmark-set prefilter must produce exactly the
+    # candidate ids of the explode + broadcast-semi-join shape it
+    # replaces (same values probed against the same set).
+    corpus = _docs(
+        spark,
+        [
+            (1, "intro " + BENCH_Q + " outro"),
+            (2, "clean document with original prose only"),
+            (3, "also clean and also fully original text"),
+            (4, BENCH_Q + " trailing commentary of its own"),
+            (5, None),
+            (6, "tiny"),
+        ],
+    )
+    bench = _docs(spark, [(100, "x " + BENCH_Q + " y")])
+    fast = D.decontaminate_span_candidates(
+        corpus, bench, "text", "doc_id", 30, "text"
+    )
+    monkeypatch.setattr(D, "_BENCH_FP_COLLECT_CAP", 0)  # force join path
+    slow = D.decontaminate_span_candidates(
+        corpus, bench, "text", "doc_id", 30, "text"
+    )
+    assert sorted(r["doc_id"] for r in fast.collect()) == sorted(
+        r["doc_id"] for r in slow.collect()
+    )

@@ -1093,6 +1093,70 @@ def _prefilter_winnow_fps(
     )
 
 
+#: Collected-benchmark-set ceiling for the span-candidate prefilter:
+#: 4M int64 fingerprints = 32 MB on the driver and per executor — far
+#: above any real benchmark suite (MBs of text -> ~100k fingerprints),
+#: far below broadcast limits. Above it the join path is used instead.
+_BENCH_FP_COLLECT_CAP = 4_000_000
+
+
+def _prefilter_winnow_matches(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    k: int,
+    window: int,
+    bc_sorted_fps,
+) -> DataFrame:
+    """One-column (id) DataFrame of rows whose winnowed prefilter
+    fingerprints (same rolling polynomial hash as
+    :func:`_prefilter_winnow_fps`) intersect the broadcast SORTED
+    fingerprint array — the collected-set twin of the explode +
+    broadcast-semi-join shape, row set provably identical (membership
+    of the same values in the same set). Any-match needs no np.unique
+    pass and emits one boolean per row instead of ~doclen/window
+    fingerprint rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..utils import spread_rows
+
+    B = 1099511628211  # must match _prefilter_winnow_fps
+    pow_vec = np.array(
+        [pow(B, k - 1 - i, 1 << 64) for i in range(k)], dtype=np.uint64
+    )
+
+    def _match_fn(texts):
+        bset = bc_sorted_fps.value
+        out = np.zeros(len(texts), dtype=bool)
+        sw = np.lib.stride_tricks.sliding_window_view
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            n = len(codes) - k + 1
+            if n < window:
+                continue
+            with np.errstate(over="ignore"):
+                hs = (sw(codes, k) * pow_vec).sum(axis=1, dtype=np.uint64)
+            mins = sw(hs, window).min(axis=1).view(np.int64)
+            if len(bset):
+                pos = np.searchsorted(bset, mins)
+                pos[pos == len(bset)] = len(bset) - 1
+                out[i] = bool((bset[pos] == mins).any())
+        return pd.Series(out)
+
+    _udf = pandas_udf(_match_fn, "boolean").asNondeterministic()
+    return (
+        spread_rows(df.select(id_column, text_column))
+        .filter(_udf(F.col(text_column)))
+        .select(id_column)
+    )
+
+
 def substring_candidate_ids(
     df: DataFrame,
     text_column: str,
@@ -1406,6 +1470,8 @@ def decontaminate_span_candidates(
     broadcasts; only candidate docs pay the exact per-character gram
     explode.
     """
+    import numpy as np
+
     L = int(min_length)
     k = (L + 1) // 2
     window = L - k + 1
@@ -1413,9 +1479,6 @@ def decontaminate_span_candidates(
     # (_prefilter_winnow_fps) — candidate sets never surface, so only
     # hash determinism matters, and both sides MUST share one hash for
     # the shared-fingerprint guarantee.
-    corpus_fp = _prefilter_winnow_fps(
-        df, text_column, id_column, k, window
-    )
     bench_fp = (
         _prefilter_winnow_fps(
             benchmark.select(F.col(benchmark_text_column).alias("__bt__")),
@@ -1426,6 +1489,23 @@ def decontaminate_span_candidates(
         )
         .select(F.explode("fingerprints").alias("__fp__"))
         .distinct()
+    )
+    # The benchmark fingerprint set is small by contract (benchmarks
+    # are MBs where the corpus is TBs), so collect it once and test
+    # membership INSIDE the corpus kernel: the corpus-side fingerprint
+    # explode (~doclen/window rows per doc), the broadcast-hash probe
+    # and the candidate-id distinct exchange all disappear — the
+    # corpus pays one boolean column. Guarded: an oversized benchmark
+    # falls back to the broadcast-join shape, same result set.
+    head = bench_fp.limit(_BENCH_FP_COLLECT_CAP + 1).collect()
+    if len(head) <= _BENCH_FP_COLLECT_CAP:
+        bset = np.sort(np.array([r[0] for r in head], dtype=np.int64))
+        bc = df.sparkSession.sparkContext.broadcast(bset)
+        return _prefilter_winnow_matches(
+            df, text_column, id_column, k, window, bc
+        )
+    corpus_fp = _prefilter_winnow_fps(
+        df, text_column, id_column, k, window
     )
     return (
         corpus_fp.select(
