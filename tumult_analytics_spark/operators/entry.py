@@ -4527,12 +4527,18 @@ def q_chunk_vector_topk(spark, sf_dir):
             " ",
         ).alias("chunk_text"),
     )
-    cv = X.hashed_doc_vectors(
-        chunks, "chunk_text", dim=16, signed=False
-    ).select(
-        "chunk_id",
-        "doc_id",
-        F.col("doc_vec").cast("array<float>").alias("vec"),
+    cv = (
+        X.hashed_doc_vectors(chunks, "chunk_text", dim=16, signed=False)
+        .select(
+            "chunk_id",
+            "doc_id",
+            F.col("doc_vec").cast("array<float>").alias("vec"),
+        )
+        # Vectorize the chunk corpus ONCE: the centroid collect, the
+        # index build and the query slice all read this frame — without
+        # the checkpoint each one re-runs the tokenize/chunk/vectorize
+        # kernel chain over its own slice.
+        .localCheckpoint(eager=True)
     )
     import math
 
