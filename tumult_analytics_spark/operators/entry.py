@@ -287,7 +287,10 @@ def q_ann_brute_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 50")
     allk = S.brute_force_cosine_topk(
-        emb, "embedding", "vec_id", k=10**6, queries=queries
+        emb, "embedding", "vec_id", k=10**6, queries=queries,
+        # k >= corpus rows: the library's rank window would full-sort
+        # every pair only to attach a column this re-rank ignores.
+        include_rank=False,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
@@ -515,12 +518,24 @@ def q_ann_recall_stats(spark, sf_dir):
             .select("query_id", "neighbor_id")
         )
 
+    # The truth top-3 is joined by THREE of the four union branches
+    # below; without the checkpoint each branch re-runs the full
+    # brute-force matmul kernel. 200 queries x 3 rows, so the
+    # checkpoint is trivially small. include_rank=False also drops the
+    # library's internal rank window — a full sort of the entire
+    # (query x corpus) pair set whose output column top3 ignores.
     truth = top3(
         S.brute_force_cosine_topk(emb, "embedding", "vec_id",
-                                  k=10**6, queries=q)
-    )
+                                  k=10**6, queries=q, include_rank=False)
+    ).localCheckpoint(eager=True)
     nlist = _auto_oracle_nlist(emb.count())
-    first = emb.filter(f"vec_id < {nlist}").orderBy("vec_id").collect()
+    # One driver collect serves both centroid sets: the nlist prefix
+    # IS the first slice of the (vec_id < max(nlist, ANN_PQ2_KSZ))
+    # ordered collect, row for row.
+    first2 = emb.filter(f"vec_id < {max(nlist, ANN_PQ2_KSZ)}").orderBy(
+        "vec_id"
+    ).collect()
+    first = [r for r in first2 if r["vec_id"] < nlist]
     cents = [r["embedding"] for r in first]
     dim = len(cents[0])
     sub = dim // ANN_PQ_M
@@ -531,9 +546,6 @@ def q_ann_recall_stats(spark, sf_dir):
     V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
     cbs = np.stack([V[:, j * sub : (j + 1) * sub] for j in range(ANN_PQ_M)])
     # production-shaped PQ: wider codebooks + exact refinement
-    first2 = emb.filter(f"vec_id < {max(nlist, ANN_PQ2_KSZ)}").orderBy(
-        "vec_id"
-    ).collect()
     sub2 = dim // ANN_PQ2_M
     V2 = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64)
@@ -566,7 +578,7 @@ def q_ann_recall_stats(spark, sf_dir):
     emb2k = emb.filter("vec_id < 2000")
     truth_sub = top3(
         S.brute_force_cosine_topk(emb2k, "embedding", "vec_id",
-                                  k=10**6, queries=q)
+                                  k=10**6, queries=q, include_rank=False)
     )
     lsh_idx = S.build_lsh_index(
         emb2k, "embedding", "vec_id",

@@ -159,6 +159,7 @@ def brute_force_cosine_topk(
     k: int = 10,
     queries: Optional[DataFrame] = None,
     max_collect_rows: int = BRUTE_FORCE_MAX_ROWS,
+    include_rank: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query row (default: corpus
     itself). Output: (query_id, neighbor_id, cosine, rank).
@@ -167,6 +168,14 @@ def brute_force_cosine_topk(
     oracle, guarded by ``max_collect_rows``; use lsh_cosine_topk or
     ivf_cosine_topk when the corpus is large. Each query partition does
     one numpy matmul against the broadcast matrix.
+
+    ``include_rank=False`` drops the rank column AND the global
+    rank-window pass that computes it — for callers that re-rank the
+    pairs themselves (e.g. on round(cosine, 6) with an id tie-break)
+    and pass ``k >= corpus rows``, where every pair survives the
+    ``rank <= k`` filter anyway: the kernel already emits only the
+    per-query top-``min(k, n-1)`` pairs, so the window is a full sort
+    of the entire pair set that changes nothing but the column.
     """
     import numpy as np
     import pandas as pd
@@ -219,6 +228,12 @@ def brute_force_cosine_topk(
     scored = spread_rows(qdf.select(id_column, embedding_column)).mapInPandas(
         kernel, out_schema
     )
+    # The kernel emits exactly min(k, n-1) pairs per query, so the
+    # rank <= k filter below never drops a row — the window exists only
+    # to ATTACH the rank column. Callers that re-rank themselves skip
+    # the full pair-set sort via include_rank=False (same row set).
+    if not include_rank:
+        return scored
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
