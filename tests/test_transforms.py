@@ -300,6 +300,43 @@ def test_flat_map_by_id(spark):
     assert out.collect()[0]["s"] == 13
 
 
+def test_flat_map_by_id_batch_spanning_groups(spark):
+    """The mapInPandas ID-run kernel must stitch a group that spans two
+    Arrow batches (forced via a 3-row batch cap) and keep SQL null-group
+    semantics (all null IDs are ONE group)."""
+    from tumult_analytics_spark.plans.compiler import compile_flat_map_by_id
+    from tumult_analytics_spark.schema import Schema
+
+    data = (
+        [("a", i) for i in range(7)]
+        + [("b", i) for i in range(5)]
+        + [(None, i) for i in range(4)]
+        + [("c", 99)]
+    )
+    df = spark.createDataFrame(pd.DataFrame(data, columns=["id", "v"]))
+
+    def f(rows):
+        return [{"n": len(rows)}, {"n": sum(r["v"] for r in rows)}]
+
+    out_schema = Schema({"id": "VARCHAR", "n": "INTEGER"}, id_column="id")
+    old = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = compile_flat_map_by_id(df, f, "id", out_schema)
+        rows = [(r["id"], r["n"]) for r in got.collect()]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    key = lambda t: (t[0] is not None, str(t[0]), t[1])  # noqa: E731
+    expected = [
+        ("a", 7), ("a", 21), ("b", 5), ("b", 10),
+        (None, 4), (None, 6), ("c", 1), ("c", 99),
+    ]
+    assert sorted(rows, key=key) == sorted(expected, key=key)
+
+
 def test_views(sess):
     sess.create_view(QueryBuilder("t").filter("B > 0"), "v", cache=True)
     out = sess.evaluate(QueryBuilder("v").count(), INF)
