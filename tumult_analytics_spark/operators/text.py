@@ -2065,14 +2065,17 @@ def bm25_topk(
         score(q,d)= sum over t in q of
                     idf(t) * tf / (tf + k1 * (1 - b + b * dl / avgdl))
 
-    Plan shape (term-keyed, corpus-scale-safe): one explode ->
-    groupBy(doc, term) tf shuffle; document frequencies aggregate from
-    the SAME tf frame (map-side combined); the query-term table is a
-    broadcast join, so only rows whose term appears in some query
-    survive to the per-(query, doc) score aggregation; ranking runs
-    per-query over the candidate set (window partitioned by query_id —
-    never a global sort). Whitespace tokens, lowercased; duplicate
-    terms within a query contribute once per occurrence (standard bag
+    Plan shape (term-keyed, corpus-scale-safe): per-doc token counts
+    come from ``size()`` on the token array — no explode, no shuffle —
+    and only tokens that appear in some query survive into the explode
+    that feeds the tf aggregation, so the tf shuffle carries a handful
+    of query-term rows instead of the whole vocabulary (document
+    frequencies aggregate from that same filtered tf frame: for the
+    scored terms they equal the full-vocabulary counts row for row).
+    The query-term table is a broadcast join; ranking runs per-query
+    over the candidate set (window partitioned by query_id — never a
+    global sort). Whitespace tokens, lowercased; duplicate terms
+    within a query contribute once per occurrence (standard bag
     semantics). Output: (query_id, doc_id renamed from ``id_column``,
     score, rank), ties broken by ascending doc id. Scores are rounded
     to 6 decimals BEFORE ranking so rank order is reproducible across
@@ -2082,35 +2085,46 @@ def bm25_topk(
     if not queries:
         raise ValueError("queries must be a non-empty list of (id, text)")
     spark = df.sparkSession
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_column))), r"\s+"),
-        lambda t: t != "",
-    )
-    exploded = df.select(
-        F.col(id_column).alias("__doc__"), F.explode(toks).alias("__term__")
-    )
-    # tf feeds THREE derivations (dl, dfreq, the scored join) — persist
-    # it so the explode+groupBy shuffle runs once, not three times.
-    tf = exploded.groupBy("__doc__", "__term__").agg(
-        F.count(F.lit(1)).alias("tf")
-    ).persist()
-    dl = tf.groupBy("__doc__").agg(F.sum("tf").alias("dl"))
-    n_docs, avgdl = (
-        dl.agg(F.count(F.lit(1)), F.avg("dl")).collect()[0]
-    )
-    if not n_docs:
-        tf.unpersist()
-        raise ValueError(
-            "bm25_topk: corpus has no documents with at least one token "
-            "(empty or all-blank text column) — nothing to score"
-        )
-    dfreq = tf.groupBy("__term__").agg(
-        F.count(F.lit(1)).alias("df")
-    )
     qrows = []
     for qid, qtext in queries:
         for term in str(qtext).lower().split():
             qrows.append((qid, term))
+    qset = sorted({t for _, t in qrows})
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_column))), r"\s+"),
+        lambda t: t != "",
+    )
+    keep = (lambda t: t.isin(qset)) if qset else (lambda t: F.lit(False))
+    # One tokenize pass feeds both the corpus stats collect and the tf
+    # aggregation — persist the narrow per-doc frame (id, token count,
+    # surviving query-term tokens), not a full-vocabulary tf table.
+    base = (
+        df.select(F.col(id_column).alias("__doc__"), toks.alias("__toks__"))
+        .select(
+            "__doc__",
+            F.size("__toks__").alias("dl"),
+            F.filter("__toks__", keep).alias("__qtoks__"),
+        )
+        .filter(F.col("dl") > 0)
+        .persist()
+    )
+    n_docs, avgdl = base.agg(F.count(F.lit(1)), F.avg("dl")).collect()[0]
+    if not n_docs:
+        base.unpersist()
+        raise ValueError(
+            "bm25_topk: corpus has no documents with at least one token "
+            "(empty or all-blank text column) — nothing to score"
+        )
+    # dl rides the tf groupBy key (functionally dependent on __doc__),
+    # so no per-doc length join is needed downstream.
+    tf = (
+        base.select("__doc__", "dl", F.explode("__qtoks__").alias("__term__"))
+        .groupBy("__doc__", "dl", "__term__")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("__term__").agg(
+        F.count(F.lit(1)).alias("df")
+    )
     qterms = F.broadcast(
         spark.createDataFrame(qrows, "query_id string, __term__ string")
     )
@@ -2129,9 +2143,7 @@ def bm25_topk(
     )
     scored = (
         tf.join(qterms, "__term__")
-        .join(F.broadcast(dfreq.join(qterms.select("__term__").distinct(),
-                                     "__term__")), "__term__")
-        .join(dl, "__doc__")
+        .join(F.broadcast(dfreq), "__term__")
         .groupBy("query_id", "__doc__")
         .agg(F.round(F.sum(idf * norm), 6).alias("score"))
     )
