@@ -55,6 +55,37 @@ class TestHashedCharNgrams:
         with pytest.raises(ValueError, match="n must"):
             X.hashed_char_ngrams(df, "t", n=0)
 
+    @pytest.mark.parametrize("n", [1, 2, 3])
+    def test_vectorized_kernel_matches_reference_loop(self, spark, n):
+        # r10: the kernel packs codepoints into rolling int64 keys and
+        # bincounts per doc — must stay bit-identical to the per-char
+        # md5 loop across doc boundaries, nulls, sub-n docs and
+        # non-BMP codepoints (4-byte UTF-8 grams).
+        import hashlib
+
+        import numpy as np
+
+        texts = [None, "", "a", "ab", "abc", "hello hello world",
+                 "хорошо привет", "你好世界" * 9, "😀😃😄 emoji 😀😃",
+                 "aaa" * 50, " \t\n mixed WS "]
+        dim = 16
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, t string"
+        )
+        got = {r["i"]: r["char_vec"]
+               for r in X.hashed_char_ngrams(df, "t", dim=dim, n=n)
+               .collect()}
+        for i, t in enumerate(texts):
+            if t is None:
+                assert got[i] is None
+                continue
+            want = np.zeros(dim, dtype=np.int64)
+            for j in range(len(t) - n + 1):
+                h = int(hashlib.md5(t[j:j + n].encode()).hexdigest()[:15],
+                        16)
+                want[h % dim] += 1 - 2 * ((h // dim) % 2)
+            assert list(got[i]) == list(want), (n, i, t)
+
 
 class TestLanguageTrain:
     def test_trajectory_shape_and_learning(self, spark, corpus):

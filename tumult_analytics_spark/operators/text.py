@@ -483,7 +483,10 @@ def hashed_char_ngrams(
     if n < 1:
         raise ValueError("n must be >= 1")
 
-    def _vec_fn(texts):
+    def _vec_fn_loop(texts):
+        # Per-char Python loop — kept for n > 3 (rolling codepoint keys
+        # below pack n codepoints x 21 bits into an int64, so they cap
+        # at n=3).
         md5 = hashlib.md5
         cache = {}
         out = []
@@ -504,6 +507,93 @@ def hashed_char_ngrams(
                     cache[g] = sv
                 vec[sv[0]] += sv[1]
             out.append(vec)
+        return pd.Series(out)
+
+    _SHIFT = 21  # max Unicode codepoint 0x10FFFF < 2^21
+    _MASK = (1 << _SHIFT) - 1
+    _CHUNK_CHARS = 1 << 22  # ~4M codepoints -> ~150 MB numpy peak
+    _gram_cache: dict = {}  # int key -> (slot, sign); lives per worker
+
+    def _vec_fn(texts):
+        # Vectorized kernel (guide §4): decode the batch to one
+        # codepoint array (utf-32-le), build every sliding window's
+        # n-gram as a rolling 21-bit-packed int64 key, drop windows
+        # that straddle document boundaries with one vectorized doc-id
+        # compare, np.unique the keys, md5 ONLY the unique new grams
+        # (cache persists across batches), and accumulate per-doc
+        # signed counts with one bincount. Exact-integer sums, so the
+        # different accumulation order is bit-identical to the per-char
+        # loop it replaces.
+        if n > 3:
+            return _vec_fn_loop(texts)
+        md5 = hashlib.md5
+        cache = _gram_cache
+        vals = texts.tolist()
+        out = [None] * len(vals)
+        i0 = 0
+        while i0 < len(vals):
+            i1, chars = i0, 0
+            while i1 < len(vals) and (i1 == i0 or chars < _CHUNK_CHARS):
+                t = vals[i1]
+                if t is not None:
+                    chars += len(t)
+                i1 += 1
+            nn = [t for t in vals[i0:i1] if t is not None]
+            m = len(nn)
+            vecs = np.zeros((m, dim), dtype=np.int64)
+            if m:
+                lens = np.fromiter(
+                    (len(t) for t in nn), dtype=np.int64, count=m
+                )
+                codes = np.frombuffer(
+                    "".join(nn).encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                total = codes.size
+                if total >= n:
+                    doc_pos = np.repeat(np.arange(m, dtype=np.int64), lens)
+                    nwin = total - n + 1
+                    keys = codes[:nwin].copy()
+                    for j in range(1, n):
+                        keys <<= _SHIFT
+                        keys |= codes[j : nwin + j]
+                    valid = doc_pos[:nwin] == doc_pos[n - 1 :]
+                    vkeys = keys[valid]
+                    vdocs = doc_pos[:nwin][valid]
+                    if vkeys.size:
+                        uniq, inv = np.unique(vkeys, return_inverse=True)
+                        slots = np.empty(uniq.size, dtype=np.int64)
+                        signs = np.empty(uniq.size, dtype=np.int64)
+                        for u_i, kk in enumerate(uniq.tolist()):
+                            sv = cache.get(kk)
+                            if sv is None:
+                                g = "".join(
+                                    chr((kk >> (_SHIFT * (n - 1 - jj)))
+                                        & _MASK)
+                                    for jj in range(n)
+                                )
+                                h = int(
+                                    md5(g.encode("utf-8")).hexdigest()[:15],
+                                    16,
+                                )
+                                sv = (
+                                    h % dim,
+                                    (1 - 2 * ((h // dim) % 2))
+                                    if signed else 1,
+                                )
+                                cache[kk] = sv
+                            slots[u_i], signs[u_i] = sv
+                        acc = np.bincount(
+                            vdocs * dim + slots[inv],
+                            weights=signs[inv].astype(np.float64),
+                            minlength=m * dim,
+                        )
+                        vecs += acc.reshape(m, dim).astype(np.int64)
+            k = 0
+            for off, t in enumerate(vals[i0:i1]):
+                if t is not None:
+                    out[i0 + off] = vecs[k]
+                    k += 1
+            i0 = i1
         return pd.Series(out)
 
     _udf = pandas_udf(_vec_fn, "array<long>").asNondeterministic()
