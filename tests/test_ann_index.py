@@ -785,3 +785,118 @@ class TestIvfFamilyBuilder:
         for idx in (ivf_f, pq_f, pq2_f):
             plan = idx.df._jdf.queryExecution().optimizedPlan().toString()
             assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+
+
+class TestIncludeRankSkipsWindow:
+    """include_rank=False must return exactly the candidate pairs the
+    ranked path ranks (rank_k >= candidate count -> the filter never
+    drops a row), with no rank column and no Window node in the plan."""
+
+    def _pairs(self, df, with_rank):
+        cols = ("query_id", "neighbor_id", "cosine")
+        return sorted(
+            tuple(
+                r[c] if c != "cosine" else round(r[c], 9) for c in cols
+            )
+            for r in df.collect()
+        )
+
+    def _assert_equiv(self, ranked, unranked):
+        assert "rank" not in unranked.columns
+        plan = unranked._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan, plan
+        assert self._pairs(ranked.drop("rank"), True) == self._pairs(
+            unranked, False
+        )
+
+    def test_lsh_one_shot(self, spark):
+        df = _emb_df(spark, n=150)
+        kw = dict(k=3, bits=6, tables=2, dim=8, plane_kind="rademacher",
+                  deterministic=True)
+        self._assert_equiv(
+            S.lsh_cosine_topk(df, "embedding", "vec_id", rank_k=10**6, **kw),
+            S.lsh_cosine_topk(
+                df, "embedding", "vec_id", include_rank=False, **kw
+            ),
+        )
+
+    def test_lsh_index(self, spark):
+        df = _emb_df(spark, n=150)
+        idx = S.build_lsh_index(
+            df, "embedding", "vec_id", bits=6, tables=2, dim=8,
+            plane_kind="rademacher",
+        )
+        self._assert_equiv(
+            S.query_lsh_index(idx, df, k=3, deterministic=True,
+                              rank_k=10**6),
+            S.query_lsh_index(idx, df, k=3, deterministic=True,
+                              include_rank=False),
+        )
+
+    def test_ivf_one_shot(self, spark):
+        df = _emb_df(spark, n=150)
+        cents = [r["embedding"] for r in
+                 df.filter("vec_id < 8").orderBy("vec_id").collect()]
+        kw = dict(k=3, nlist=8, nprobe=3, centroids=cents,
+                  deterministic=True)
+        self._assert_equiv(
+            S.ivf_cosine_topk(df, "embedding", "vec_id", rank_k=10**6, **kw),
+            S.ivf_cosine_topk(
+                df, "embedding", "vec_id", include_rank=False, **kw
+            ),
+        )
+
+    def test_ivf_index(self, spark):
+        df = _emb_df(spark, n=150)
+        cents = [r["embedding"] for r in
+                 df.filter("vec_id < 8").orderBy("vec_id").collect()]
+        idx = S.build_ivf_index(
+            df, "embedding", "vec_id", nlist=8, centroids=cents
+        )
+        self._assert_equiv(
+            S.query_ivf_index(idx, df, k=3, nprobe=3, deterministic=True,
+                              rank_k=10**6),
+            S.query_ivf_index(idx, df, k=3, nprobe=3, deterministic=True,
+                              include_rank=False),
+        )
+
+    def test_ivfpq_index_with_and_without_rerank(self, spark):
+        df = _emb_df(spark, n=150)
+        first = df.filter("vec_id < 8").orderBy("vec_id").collect()
+        cents = [r["embedding"] for r in first]
+        dim, m = 8, 4
+        sub = dim // m
+        V = np.stack([np.asarray(r["embedding"]) for r in first[:4]])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        cbs = np.stack([V[:, j * sub:(j + 1) * sub] for j in range(m)])
+        idx = S.build_ivfpq_index(
+            df, "embedding", "vec_id", nlist=8, m=m,
+            centroids=cents, codebooks=cbs,
+        )
+        self._assert_equiv(
+            S.query_ivfpq_index(idx, df, k=3, nprobe=3, deterministic=True,
+                                rank_k=10**6),
+            S.query_ivfpq_index(idx, df, k=3, nprobe=3, deterministic=True,
+                                include_rank=False),
+        )
+        # rerank path: the shortlist window stays (it genuinely cuts);
+        # only the final no-op rank window is skipped.
+        ranked = S.query_ivfpq_index(
+            idx, df, k=3, nprobe=3, deterministic=True, rank_k=10**6,
+            rerank=10, corpus=df,
+        )
+        unranked = S.query_ivfpq_index(
+            idx, df, k=3, nprobe=3, deterministic=True, include_rank=False,
+            rerank=10, corpus=df,
+        )
+        assert "rank" not in unranked.columns
+        plan = unranked._jdf.queryExecution().optimizedPlan().toString()
+        # exactly one rank window survives: the shortlist cut (which
+        # genuinely drops rows); the final no-op rank window is gone
+        # (the ranked plan has two).
+        assert plan.count("Window [") == 1, plan
+        rplan = ranked._jdf.queryExecution().optimizedPlan().toString()
+        assert rplan.count("Window [") == 2, rplan
+        assert self._pairs(ranked.drop("rank"), True) == self._pairs(
+            unranked, False
+        )

@@ -327,7 +327,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     allk = S.ivf_cosine_topk(
         emb, "embedding", "vec_id", k=3,
         nlist=ANN_IVF_NLIST, nprobe=ANN_IVF_NPROBE, centroids=cents,
-        deterministic=True, rank_k=10**6,
+        deterministic=True, include_rank=False,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
@@ -349,7 +349,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     allk = S.lsh_cosine_topk(
         emb, "embedding", "vec_id", k=3,
         bits=ANN_LSH_BITS, tables=ANN_LSH_TABLES, plane_kind="rademacher",
-        deterministic=True, rank_k=10**6,
+        deterministic=True, include_rank=False,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
@@ -374,7 +374,8 @@ def q_ann_lsh_index_topk(spark, sf_dir):
         emb, "embedding", "vec_id",
         bits=ANN_LSH_BITS, tables=ANN_LSH_TABLES, plane_kind="rademacher",
     )
-    allk = S.query_lsh_index(idx, emb, k=3, deterministic=True, rank_k=10**6)
+    allk = S.query_lsh_index(idx, emb, k=3, deterministic=True,
+                             include_rank=False)
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
     )
@@ -419,7 +420,7 @@ def q_ann_ivf_index_topk(spark, sf_dir):
     queries = emb.filter(f"vec_id < {ANN_INDEX_QUERY_CAP}")
     allk = S.query_ivf_index(
         idx, queries, k=3, nprobe=ANN_IVF_NPROBE, deterministic=True,
-        rank_k=10**6,
+        include_rank=False,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
@@ -478,7 +479,7 @@ def q_ann_ivfpq_index_topk(spark, sf_dir):
     queries = emb.filter(f"vec_id < {ANN_INDEX_QUERY_CAP}")
     allk = S.query_ivfpq_index(
         idx, queries, k=3, nprobe=ANN_IVF_NPROBE, deterministic=True,
-        rank_k=10**6,
+        include_rank=False,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
@@ -563,16 +564,16 @@ def q_ann_recall_stats(spark, sf_dir):
     )
     ivf = top3(
         S.query_ivf_index(ivf_idx, q, k=3, nprobe=ANN_IVF_NPROBE,
-                          deterministic=True, rank_k=10**6)
+                          deterministic=True, include_rank=False)
     )
     pq = top3(
         S.query_ivfpq_index(pq_idx, q, k=3, nprobe=ANN_IVF_NPROBE,
-                            deterministic=True, rank_k=10**6)
+                            deterministic=True, include_rank=False)
     )
     pq2 = top3(
         S.query_ivfpq_index(
             pq2_idx, q, k=3, nprobe=ANN_PQ2_NPROBE, deterministic=True,
-            rank_k=10**6, rerank=ANN_PQ2_RERANK, corpus=emb,
+            include_rank=False, rerank=ANN_PQ2_RERANK, corpus=emb,
         )
     )
     emb2k = emb.filter("vec_id < 2000")
@@ -586,7 +587,7 @@ def q_ann_recall_stats(spark, sf_dir):
     )
     lsh = top3(
         S.query_lsh_index(lsh_idx, q, k=3, deterministic=True,
-                          rank_k=10**6)
+                          include_rank=False)
     )
 
     def stats(method, approx, t):
@@ -4570,7 +4571,8 @@ def q_chunk_vector_topk(spark, sf_dir):
     queries = cv.filter("doc_id % 97 = 0")
     allk = S.query_ivf_index(
         idx, queries.select("chunk_id", "vec"),
-        k=3, nprobe=CHUNK_IVF_NPROBE, deterministic=True, rank_k=10**6,
+        k=3, nprobe=CHUNK_IVF_NPROBE, deterministic=True,
+        include_rank=False,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")

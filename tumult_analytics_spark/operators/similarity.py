@@ -351,6 +351,7 @@ def lsh_cosine_topk(
     deterministic: bool = False,
     rank_k=None,
     bucket_cap: Optional[int] = 8192,
+    include_rank: bool = True,
 ) -> DataFrame:
     """Approximate top-k: per-bucket pairwise matmuls across ``tables``
     independent sign-LSH tables; union, keep best score per pair, global
@@ -372,6 +373,15 @@ def lsh_cosine_topk(
 
     ``plane_kind``: "gauss" (default) or "rademacher" — +-1 planes from a
     deterministic integer formula, reproducible in SQL for value checks.
+
+    ``include_rank=False`` (same contract as
+    :func:`brute_force_cosine_topk`) drops the rank column AND the
+    rank-window pass that computes it — for callers that re-rank the
+    candidate pairs themselves (e.g. on round(cosine, 6) with an id
+    tie-break) and pass ``rank_k`` >= the candidate count, where every
+    pair survives the filter anyway: the kernel already truncates to
+    the per-(table, bucket) top-``k``, so the window is a per-query
+    sort that changes nothing but the column.
     """
     if bits is None:
         bits = _auto_lsh_bits(corpus.count())
@@ -396,6 +406,8 @@ def lsh_cosine_topk(
     best = cand.groupBy("query_id", "neighbor_id").agg(
         F.max("cosine").alias("cosine")
     )
+    if not include_rank:
+        return best
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -647,12 +659,15 @@ def query_lsh_index(
     k: int = 10,
     deterministic: bool = False,
     rank_k=None,
+    include_rank: bool = True,
 ) -> DataFrame:
     """Top-k cosine search against a prebuilt LSH index. Buckets only
     the QUERY rows (one Arrow pass), cogroups with the index on
     (table, bucket), scores each block with one matmul, then merges the
     per-table candidates (max cosine per pair) and ranks. The index
-    side is read as-is — no signature recomputation."""
+    side is read as-is — no signature recomputation.
+    ``include_rank=False``: skip the rank window for callers that
+    re-rank the candidates themselves (see :func:`lsh_cosine_topk`)."""
     if index.kind != "lsh":
         raise ValueError(f"expected an lsh index, got {index.kind!r}")
     p = index.params
@@ -677,7 +692,7 @@ def query_lsh_index(
     best = cand.groupBy("query_id", "neighbor_id").agg(
         F.max("cosine").alias("cosine")
     )
-    return _rank_topk(best, k, rank_k)
+    return best if not include_rank else _rank_topk(best, k, rank_k)
 
 
 def extend_lsh_index(
@@ -1013,6 +1028,7 @@ def ivf_cosine_topk(
     centroids=None,
     deterministic: bool = False,
     rank_k=None,
+    include_rank: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine search.
 
@@ -1055,7 +1071,7 @@ def ivf_cosine_topk(
     # ONE cell and a query's probed cells are distinct, so each pair is
     # produced at most once — unlike the multi-table LSH paths, which
     # must merge per-table candidates with a max-cosine groupBy.
-    return _rank_topk(cand, k, rank_k)
+    return cand if not include_rank else _rank_topk(cand, k, rank_k)
 
 
 def _ivf_centroids(
@@ -1184,11 +1200,14 @@ def query_ivf_index(
     nprobe: int = 4,
     deterministic: bool = False,
     rank_k=None,
+    include_rank: bool = True,
 ) -> DataFrame:
     """Top-k cosine search against a prebuilt IVF index: assign only the
     QUERY rows to their ``nprobe`` nearest cells (broadcast centroids
     from the index params), cogroup with the stored cells, score each
-    block with one matmul, rank. The corpus side is read as-is."""
+    block with one matmul, rank. The corpus side is read as-is.
+    ``include_rank=False``: skip the rank window for callers that
+    re-rank the candidates themselves (see :func:`lsh_cosine_topk`)."""
     import numpy as np
 
     if index.kind != "ivf":
@@ -1215,7 +1234,7 @@ def query_ivf_index(
     # ONE cell and a query's probed cells are distinct, so each pair is
     # produced at most once — unlike the multi-table LSH paths, which
     # must merge per-table candidates with a max-cosine groupBy.
-    return _rank_topk(cand, k, rank_k)
+    return cand if not include_rank else _rank_topk(cand, k, rank_k)
 
 
 # --- IVF-PQ: product-quantized inverted file ------------------------------
@@ -1574,6 +1593,7 @@ def query_ivfpq_index(
     rank_k=None,
     rerank: "Optional[int]" = None,
     corpus: "Optional[DataFrame]" = None,
+    include_rank: bool = True,
 ) -> DataFrame:
     """Top-k ADC search against a prebuilt IVF-PQ index: assign only the
     QUERY rows to their ``nprobe`` nearest cells (broadcast centroids),
@@ -1628,7 +1648,7 @@ def query_ivfpq_index(
     # produced at most once — unlike the multi-table LSH paths, which
     # must merge per-table candidates with a max-cosine groupBy.
     if rerank is None:
-        return _rank_topk(cand, k, rank_k)
+        return cand if not include_rank else _rank_topk(cand, k, rank_k)
     # ---- exact refinement ---------------------------------------------
     # Shortlist cut on ROUNDED ADC (6 dp) + id tie-break: raw-double
     # ordering at the rerank boundary would not replay across engines.
@@ -1682,4 +1702,4 @@ def query_ivfpq_index(
             ).alias("cosine"),
         )
     )
-    return _rank_topk(exact, k, rank_k)
+    return exact if not include_rank else _rank_topk(exact, k, rank_k)
