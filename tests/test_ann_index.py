@@ -900,3 +900,68 @@ class TestIncludeRankSkipsWindow:
         assert self._pairs(ranked.drop("rank"), True) == self._pairs(
             unranked, False
         )
+
+
+class TestBruteDeterministicKernelTopk:
+    """deterministic=True selects the per-query top-k inside the brute
+    kernel by (round(cosine, 6) desc, id asc) — must keep exactly the
+    rows a window over the FULL pair set keeps under that ordering."""
+
+    def test_matches_full_pairset_window(self, spark):
+        from pyspark.sql import Window, functions as F
+
+        df = _emb_df(spark, n=200)
+        q = df.filter("vec_id < 40")
+
+        def top3(allk):
+            w = Window.partitionBy("query_id").orderBy(
+                F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+            )
+            return (
+                allk.withColumn("rnk", F.row_number().over(w))
+                .filter("rnk <= 3")
+                .select("query_id", "neighbor_id", "rnk")
+            )
+
+        full = top3(
+            S.brute_force_cosine_topk(
+                df, "embedding", "vec_id", k=10**6, queries=q,
+                include_rank=False,
+            )
+        )
+        kern = top3(
+            S.brute_force_cosine_topk(
+                df, "embedding", "vec_id", k=3, queries=q,
+                include_rank=False, deterministic=True,
+            )
+        )
+        rows = lambda d: sorted(tuple(r) for r in d.collect())
+        assert rows(kern) == rows(full)
+        # the deterministic kernel emits exactly k rows per query
+        n = S.brute_force_cosine_topk(
+            df, "embedding", "vec_id", k=3, queries=q,
+            include_rank=False, deterministic=True,
+        ).count()
+        assert n == 40 * 3
+
+    def test_rounded_tie_broken_by_id(self, spark):
+        # construct embeddings where two corpus rows are EXACTLY equal
+        # (cosine ties even after rounding): the smaller id must win.
+        rows = [
+            (0, [1.0, 0.0]),
+            (7, [0.9, 0.1]),
+            (5, [0.9, 0.1]),
+            (9, [-1.0, 0.5]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        q = df.filter("vec_id = 0")
+        got = sorted(
+            (r["query_id"], r["neighbor_id"])
+            for r in S.brute_force_cosine_topk(
+                df, "embedding", "vec_id", k=2, queries=q,
+                include_rank=False, deterministic=True,
+            ).collect()
+        )
+        assert got == [(0, 5), (0, 7)]

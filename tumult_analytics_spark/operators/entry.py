@@ -287,10 +287,13 @@ def q_ann_brute_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 50")
     allk = S.brute_force_cosine_topk(
-        emb, "embedding", "vec_id", k=10**6, queries=queries,
-        # k >= corpus rows: the library's rank window would full-sort
-        # every pair only to attach a column this re-rank ignores.
-        include_rank=False,
+        emb, "embedding", "vec_id", k=3, queries=queries,
+        # deterministic=True: the kernel itself selects the top-3 by
+        # (round(cosine, 6) desc, id asc) — the exact ordering of the
+        # re-rank window below, over the full broadcast corpus — so it
+        # emits 3 rows per query instead of the whole pair set, and
+        # the window ranks 150 rows instead of |Q| x |corpus|.
+        include_rank=False, deterministic=True,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
@@ -526,8 +529,13 @@ def q_ann_recall_stats(spark, sf_dir):
     # library's internal rank window — a full sort of the entire
     # (query x corpus) pair set whose output column top3 ignores.
     truth = top3(
-        S.brute_force_cosine_topk(emb, "embedding", "vec_id",
-                                  k=10**6, queries=q, include_rank=False)
+        # deterministic=True: rounded-key top-3 selected inside the
+        # kernel (it scores each query against the WHOLE corpus), so
+        # only 3 rows per query cross the Arrow boundary — identical
+        # rows to ranking the full pair set (see ann_brute_topk).
+        S.brute_force_cosine_topk(emb, "embedding", "vec_id", k=3,
+                                  queries=q, include_rank=False,
+                                  deterministic=True)
     ).localCheckpoint(eager=True)
     nlist = _auto_oracle_nlist(emb.count())
     # One driver collect serves both centroid sets: the nlist prefix
@@ -578,8 +586,9 @@ def q_ann_recall_stats(spark, sf_dir):
     )
     emb2k = emb.filter("vec_id < 2000")
     truth_sub = top3(
-        S.brute_force_cosine_topk(emb2k, "embedding", "vec_id",
-                                  k=10**6, queries=q, include_rank=False)
+        S.brute_force_cosine_topk(emb2k, "embedding", "vec_id", k=3,
+                                  queries=q, include_rank=False,
+                                  deterministic=True)
     )
     lsh_idx = S.build_lsh_index(
         emb2k, "embedding", "vec_id",

@@ -160,6 +160,7 @@ def brute_force_cosine_topk(
     queries: Optional[DataFrame] = None,
     max_collect_rows: int = BRUTE_FORCE_MAX_ROWS,
     include_rank: bool = True,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query row (default: corpus
     itself). Output: (query_id, neighbor_id, cosine, rank).
@@ -176,6 +177,16 @@ def brute_force_cosine_topk(
     ``rank <= k`` filter anyway: the kernel already emits only the
     per-query top-``min(k, n-1)`` pairs, so the window is a full sort
     of the entire pair set that changes nothing but the column.
+
+    ``deterministic=True`` selects the per-query top-k INSIDE the
+    kernel by (round(cosine, 6) desc, id asc) — the same composite
+    ordering :func:`_topk_indices` gives every other search path —
+    instead of raw-cosine argpartition. Because each kernel row scores
+    the query against the ENTIRE broadcast corpus, the kernel's
+    rounded top-k equals what a window over all pairs would keep, so
+    callers that re-rank on the rounded key can pass their true ``k``
+    (3, not 10**6) and the kernel emits k rows per query instead of
+    the whole pair set.
     """
     import numpy as np
     import pandas as pd
@@ -215,7 +226,10 @@ def brute_force_cosine_topk(
                 self_mask = qids[:, None] == ids_c[None, :]
                 S[self_mask] = -np.inf
                 kk = min(k, S.shape[1] - 1)
-                idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+                if deterministic:
+                    idx = _topk_indices(S, ids_c, kk, True)
+                else:
+                    idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
                 rows = {
                     "query_id": np.repeat(qids, kk),
                     "neighbor_id": ids_c[idx.ravel()],
