@@ -1152,7 +1152,26 @@ def _ivf_assign(
             M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
             S = M @ cents_m.T  # (rows, nlist)
             p = min(nprobe, S.shape[1])
-            cells = np.argsort(-np.round(S, 6), axis=1, kind="stable")[:, :p]
+            # Top-p cells by (rounded score desc, centroid index asc)
+            # WITHOUT a full row argsort (measured 30-500x slower than
+            # the selections below at nlist ~300). p=1 is argmax (first
+            # maximal index == lowest index on rounded ties); p>1 uses
+            # the same composite key as _topk_indices — rounded scores
+            # are multiples of 1e-6 and the index perturbation tops out
+            # at nlist * 2e-13, strictly inside the half-gap for nlist
+            # up to ~2e6 (exact stable-argsort fallback above that).
+            Sr = np.round(S, 6)
+            if p == 1:
+                cells = np.argmax(Sr, axis=1)[:, None]
+            elif S.shape[1] > 2_000_000:
+                cells = np.argsort(-Sr, axis=1, kind="stable")[:, :p]
+            else:
+                comp = Sr - np.arange(S.shape[1]) * 2e-13
+                part = np.argpartition(-comp, kth=p - 1, axis=1)[:, :p]
+                vals = -np.take_along_axis(comp, part, axis=1)
+                cells = np.take_along_axis(
+                    part, np.argsort(vals, axis=1, kind="stable"), axis=1
+                )
             yield pd.DataFrame(
                 {
                     id_field.name: np.repeat(pdf[id_column].to_numpy(), p),
