@@ -55,6 +55,32 @@ class TestHashedCharNgrams:
         with pytest.raises(ValueError, match="n must"):
             X.hashed_char_ngrams(df, "t", n=0)
 
+    def test_gram_cache_bounded(self, monkeypatch):
+        # r10 verdict #4: the per-worker gram cache must not grow without
+        # bound over diverse text — past the cap it is cleared and the
+        # kernel stays correct (md5 recompute, same values).
+        import random
+
+        import pandas as pd
+
+        monkeypatch.setattr(X, "_GRAM_CACHE_MAX", 50)
+        fn = X._char_ngram_kernel(8, 3, True)
+        rng = random.Random(7)
+        ref = None
+        probe = pd.Series(["probe document text"])
+        for _ in range(4):
+            docs = pd.Series(
+                ["".join(chr(0x4E00 + rng.randrange(4000))
+                         for _ in range(120)) for _ in range(10)]
+            )
+            fn(docs)
+            # cache never exceeds cap + one batch's unique grams
+            assert len(fn._gram_cache) <= 50 + 120 * 10
+            got = list(fn(probe)[0])
+            if ref is None:
+                ref = got
+            assert got == ref  # correct across clears
+
     @pytest.mark.parametrize("n", [1, 2, 3])
     def test_vectorized_kernel_matches_reference_loop(self, spark, n):
         # r10: the kernel packs codepoints into rolling int64 keys and

@@ -183,7 +183,8 @@ def bpe_learn_merges(
     text_column: str,
     num_merges: int = 8,
     lowercase: bool = True,
-) -> DataFrame:
+    return_words: bool = False,
+):
     """Distributed BPE vocabulary induction (Sennrich et al.): learn the
     top ``num_merges`` byte-pair merges over the corpus. Returns one row
     per merge step: (step, left, right, merged, pair_count).
@@ -218,6 +219,15 @@ def bpe_learn_merges(
     unique words are thousands-to-millions of rows at any corpus
     scale, so per-step jobs shouldn't pay one task per core of the
     scan parallelism (measured 2 tasks vs 32 at sf0.1).
+
+    ``return_words``: additionally return the FULLY MERGED word
+    histogram as ``(merges_df, words_df)`` where ``words_df`` has
+    ``__w__`` (sep-joined merged symbol string), ``__n__`` (corpus
+    frequency) and ``__orig__`` (the original word). Per-word subword
+    counts read off this histogram equal what :func:`bpe_apply` would
+    produce per word — the merge chain IS the tokenizer — so callers
+    that only need counts can skip a whole corpus encode pass
+    (guide §1.2 / §8: decide on the small table, not the corpus).
     """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
@@ -230,11 +240,13 @@ def bpe_learn_merges(
         .groupBy("__w__")
         .agg(F.count(F.lit(1)).alias("__n__"))
     )
+    orig_cols = [F.col("__w__").alias("__orig__")] if return_words else []
     words = hist.select(
         F.concat(
             F.lit(sep), F.array_join(F.split("__w__", ""), sep), F.lit(sep)
         ).alias("__w__"),
         F.col("__n__"),
+        *orig_cols,
     ).persist()
     cnt = words.count()
     nparts = words.rdd.getNumPartitions()
@@ -295,9 +307,12 @@ def bpe_learn_merges(
             ),
         )
 
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
     )
+    if return_words:
+        return merges_df, words
+    return merges_df
 
 
 def bpe_apply(
@@ -470,10 +485,6 @@ def hashed_char_ngrams(
     featurization would shuffle the heavy vectors instead (the sf100
     lesson: a 40 GB vector exchange vs a 5 GB text one).
     """
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from ..utils import spread_rows
@@ -482,6 +493,33 @@ def hashed_char_ngrams(
         raise ValueError("dim must be >= 1")
     if n < 1:
         raise ValueError("n must be >= 1")
+
+    _vec_fn = _char_ngram_kernel(dim, n, signed)
+
+    _udf = pandas_udf(_vec_fn, "array<long>").asNondeterministic()
+    if spread_to is not None:
+        spread = df.repartition(int(spread_to))
+    else:
+        spread = spread_rows(df)
+    return spread.withColumn(output_column, _udf(F.col(text_column)))
+
+
+#: Cap on the per-worker gram -> (slot, sign) cache (r10 verdict #4): the
+#: dict grows with every unique gram a long-lived worker ever sees for one
+#: plan, which over diverse 100 TB multilingual text is unbounded. At the
+#: cap (~2M entries = ~350 MB of dict overhead) it is cleared outright —
+#: recomputing an md5 per unique gram per batch is cheap, the cache is a
+#: throughput aid, never a correctness dependency.
+_GRAM_CACHE_MAX = 2_000_000
+
+
+def _char_ngram_kernel(dim: int, n: int, signed: bool):
+    """Build the hashed-char-ngram pandas kernel (module-level factory so
+    tests can drive the kernel and its cache bound directly)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
 
     def _vec_fn_loop(texts):
         # Per-char Python loop — kept for n > 3 (rolling codepoint keys
@@ -528,6 +566,8 @@ def hashed_char_ngrams(
             return _vec_fn_loop(texts)
         md5 = hashlib.md5
         cache = _gram_cache
+        if len(cache) > _GRAM_CACHE_MAX:
+            cache.clear()
         vals = texts.tolist()
         out = [None] * len(vals)
         i0 = 0
@@ -596,12 +636,8 @@ def hashed_char_ngrams(
             i0 = i1
         return pd.Series(out)
 
-    _udf = pandas_udf(_vec_fn, "array<long>").asNondeterministic()
-    if spread_to is not None:
-        spread = df.repartition(int(spread_to))
-    else:
-        spread = spread_rows(df)
-    return spread.withColumn(output_column, _udf(F.col(text_column)))
+    _vec_fn._gram_cache = _gram_cache  # test hook: bounded-memory check
+    return _vec_fn
 
 
 def _char_ngram_features(
