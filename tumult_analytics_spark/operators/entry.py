@@ -4448,17 +4448,49 @@ def q_bpe_fertility(spark, sf_dir):
     # Tokenizer fertility (subword tokens per word) per language under
     # the corpus-learned 6-merge BPE vocab — the metric tokenizer teams
     # track per language/domain. The oracle re-learns the merges in SQL
-    # and joins per-(lang, word) counts to merged symbol counts.
+    # and joins per-(lang, word) counts to merged symbol counts — and
+    # the Spark side now computes the SAME shape (r10 verdict #7 /
+    # guide §8: decide on the small table): per-word subword counts
+    # read off the learn phase's fully merged histogram (the merge
+    # replace-chain IS the tokenizer, the bpe_tokenized_stats grade),
+    # joined to one per-(lang, word) count pass. The old shape
+    # re-encoded every document through the Python bpe_apply kernel
+    # and tokenized the corpus a second time for n_words; both corpus
+    # passes collapse into one JVM explode+groupBy. Fertility counts
+    # are integer-exact in both shapes, so results are identical
+    # (sum over docs of per-word counts == sum over words of
+    # count x subwords; oracle parity green at sf0.001/0.01/0.1).
     docs = _read(spark, sf_dir, "documents")
-    merges = X.bpe_learn_merges(docs, "text", num_merges=6)
-    tok = X.bpe_apply(docs, "text", merges)
-    tc = X.token_count(tok, "text")
-    return tc.groupBy("lang").agg(
-        F.sum(F.col("n_tokens").cast("long")).alias("n_words"),
-        F.sum(F.size("bpe_tokens").cast("long")).alias("n_subwords"),
+    _, fused = X.bpe_learn_merges(
+        docs, "text", num_merges=6, return_words=True
+    )
+    sep = "\x1f"
+    syms = fused.select(
+        F.col("__orig__").alias("__w__"),
+        F.size(
+            F.filter(F.split("__w__", sep), lambda s: s != F.lit(""))
+        ).cast("long").alias("__nsym__"),
+    )
+    wl = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("__w__"),
+        )
+        .groupBy("lang", "__w__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    j = wl.join(syms, "__w__")
+    return j.groupBy("lang").agg(
+        F.sum("__n__").alias("n_words"),
+        F.sum(F.col("__n__") * F.col("__nsym__")).alias("n_subwords"),
         F.round(
-            F.sum(F.size("bpe_tokens")).cast("double")
-            / F.sum(F.col("n_tokens")).cast("double"),
+            F.sum(F.col("__n__") * F.col("__nsym__")).cast("double")
+            / F.sum("__n__").cast("double"),
             6,
         ).alias("fertility"),
     )
