@@ -1,14 +1,14 @@
-"""Dump .explain("formatted") for declared queries into plans/r10/.
+"""Dump .explain("formatted") for declared queries into plans/<round>/.
 
 Usage:
     python tools/capture_plans.py before [key ...]
     python tools/capture_plans.py after  [key ...]
 
 With no keys, captures every declared query. Writes
-plans/r10/<key>_<suffix>.txt. Query construction runs whatever driver-side
-work the key does (e.g. training collects), so this is NOT a timing tool —
-it exists so plan-shape claims in OPTIMIZATION_r10.md are auditable without
-running Spark.
+plans/<round>/<key>_<suffix>.txt ($PLANS_ROUND, default r11). Query
+construction runs whatever driver-side work the key does (e.g. training
+collects), so this is NOT a timing tool — it exists so plan-shape claims
+in OPTIMIZATION_r<N>.md are auditable without running Spark.
 """
 
 from __future__ import annotations
@@ -25,7 +25,9 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(HERE, "plans", "r10")
+    out_dir = os.path.join(
+        HERE, "plans", os.environ.get("PLANS_ROUND", "r11")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from pyspark.sql import SparkSession
