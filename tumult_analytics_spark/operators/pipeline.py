@@ -1775,13 +1775,15 @@ def dsir_log_weights(
     over ``n_buckets`` hashed token buckets (hashed n-gram features,
     n=1).
 
-    Plan: two O(n_buckets)-row aggregations build the models (the raw
-    side reuses the corpus's own exploded tokens), the per-bucket
-    log-ratio table broadcasts into the exploded-token join, and one
-    groupBy(doc) sums — token explosion is the only data-sized stage,
-    all Catalyst, no Python. The bucket hash is the repo's md5-60bit
-    arithmetic, so weights replay exactly in SQL (log/exp rounded at
-    comparison time).
+    Plan: each side's O(n_buckets)-row model is ONE aggregation
+    subtree (totals and missing-bucket scalars come from whole-frame
+    windows over the tiny model tables, never a second derivation of
+    the counts), the per-bucket log-ratio table broadcasts into the
+    exploded-token join, and one groupBy(doc) sums — the corpus is
+    tokenized twice (model + per-doc sums), the target once, all in
+    one lazy job, all Catalyst, no Python. The bucket hash is the
+    repo's md5-60bit arithmetic, so weights replay exactly in SQL
+    (log/exp rounded at comparison time).
     """
     from .dedup import _md5_hash60
 
@@ -1803,25 +1805,39 @@ def dsir_log_weights(
             "__bkt__", F.pmod(_md5_hash60(F.col("__tok__")), F.lit(B))
         )
 
+    from pyspark.sql import Window
+
+    #: Whole-frame window over a <= B-row model table: a single tiny
+    #: SinglePartition exchange. Using it for each model's total (and
+    #: for the missing-bucket scalars below) keeps every model a
+    #: SINGLE subtree. The previous crossJoin-a-1-row-total shape
+    #: re-derived the counts aggregation for the total, and the ratio
+    #: consumed each model's logp and logt through separate branches,
+    #: so one dsir plan tokenized + md5-hashed the corpus FIVE times
+    #: and the target four (measured: 9 Generate nodes,
+    #: plans/r11/dsir_selection_before.txt) — exchange reuse never
+    #: fires because column pruning specializes each copy. All log
+    #: arithmetic is unchanged (integer count sums are exact), so
+    #: every downstream double is bit-identical.
+    _w_all = Window.partitionBy()
+
     def model(df: DataFrame, name: str) -> DataFrame:
         counts = buckets(df, []).groupBy("__bkt__").agg(
             F.count(F.lit(1)).alias("__c__")
         )
-        total = counts.agg(
-            F.sum("__c__").alias("__t__")
-        ).select(
-            (F.col("__t__") + F.lit(float(smoothing * B))).alias("__t__")
-        )
         # log p(bucket) = log(c + smoothing) - log(total + smoothing*B);
         # missing buckets contribute log(smoothing) - log(...), handled
         # via the left join + coalesce below.
-        return counts.crossJoin(total).select(
+        total = (
+            F.sum("__c__").over(_w_all) + F.lit(float(smoothing * B))
+        )
+        return counts.select(
             "__bkt__",
             (
                 F.log(F.col("__c__") + F.lit(float(smoothing)))
-                - F.log(F.col("__t__"))
+                - F.log(total)
             ).alias(f"__logp_{name}__"),
-            F.log(F.col("__t__")).alias(f"__logt_{name}__"),
+            F.log(total).alias(f"__logt_{name}__"),
         )
 
     tgt = model(target, "t")
@@ -1830,24 +1846,25 @@ def dsir_log_weights(
     # probability; the domain is B rows — driver-trivial, broadcast.
     spark = corpus.sparkSession
     dom = spark.range(B).select(F.col("id").cast("long").alias("__bkt__"))
-    # Totals are per-model scalars; attach via crossJoin of 1-row DFs.
-    t_total = tgt.agg(F.first("__logt_t__").alias("__logt_t__"))
-    r_total = raw.agg(F.first("__logt_r__").alias("__logt_r__"))
+    # Each model's logt is constant on its present rows; a whole-frame
+    # max over the <= B-row joined domain recovers the scalar for the
+    # missing-bucket branch without a second pass over either model
+    # (empty model -> NULL, exactly the old 1-row-aggregate behavior).
     ratio = (
-        dom.join(F.broadcast(tgt.drop("__logt_t__")), "__bkt__", "left")
-        .join(F.broadcast(raw.drop("__logt_r__")), "__bkt__", "left")
-        .crossJoin(F.broadcast(t_total))
-        .crossJoin(F.broadcast(r_total))
+        dom.join(F.broadcast(tgt), "__bkt__", "left")
+        .join(F.broadcast(raw), "__bkt__", "left")
+        .withColumn("__lt_t__", F.max("__logt_t__").over(_w_all))
+        .withColumn("__lt_r__", F.max("__logt_r__").over(_w_all))
         .select(
             "__bkt__",
             (
                 F.coalesce(
                     F.col("__logp_t__"),
-                    F.log(F.lit(float(smoothing))) - F.col("__logt_t__"),
+                    F.log(F.lit(float(smoothing))) - F.col("__lt_t__"),
                 )
                 - F.coalesce(
                     F.col("__logp_r__"),
-                    F.log(F.lit(float(smoothing))) - F.col("__logt_r__"),
+                    F.log(F.lit(float(smoothing))) - F.col("__lt_r__"),
                 )
             ).alias("__logratio__"),
         )
